@@ -1,0 +1,59 @@
+"""Benchmark runner — the driver's per-round feedback loop.
+
+Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is fully materialized via the noop sink (plan executes end-to-end,
+nothing is collected to the driver — the 100 TB discipline even in a bench).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from sqlserver2pgsql_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    # warm the JVM + parquet footers so per-query numbers measure the queries
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name, fn in sorted(entrymod.queries().items()):
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: {name} failed: {e}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(v for v in timings.values() if v >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

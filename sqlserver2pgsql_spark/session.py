@@ -1,0 +1,55 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode is a correctness harness only; the configs below are chosen so the
+same code is right on a 1000-executor cluster:
+
+- AQE on (runtime coalesce + skew-join handling replaces hand-tuned
+  partition counts at 100 TB).
+- shuffle.partitions sized to cores locally; on a cluster AQE coalesces from
+  a high initial number, so code never depends on the exact value.
+- session timezone pinned to UTC so timestamp semantics match the DuckDB
+  oracle and are cluster-invariant.
+- Arrow enabled for the pandas-UDF slow path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "sqlserver2pgsql_spark") -> SparkSession:
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply this engine's session-level settings to an externally created
+    SparkSession (the driver hands us one in ``__spark_entry__.entry``)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    except Exception:
+        pass  # immutable on some deployments; AQE default-on in Spark 4
+    return spark

@@ -1,0 +1,54 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from sqlserver2pgsql_spark.session import get_spark
+from sqlserver2pgsql_spark.sources.tables import TABLE_NAMES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark("tests")
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-compare mirror: sort columns by name, coerce decimals to float,
+    strip tz, sort rows."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            dt = df[c]
+            if getattr(dt.dt, "tz", None) is not None:
+                df[c] = dt.dt.tz_convert("UTC").dt.tz_localize(None)
+        elif df[c].dtype == object:
+            df[c] = df[c].map(lambda v: float(v) if type(v).__name__ == "Decimal" else v)
+    return df.sort_values(by=list(df.columns), kind="mergesort", ignore_index=True)
+
+
+def assert_matches_oracle(spark_df, duck_con, oracle_sql: str):
+    s = normalize(spark_df.toPandas())
+    o = normalize(duck_con.execute(oracle_sql).fetchdf())
+    assert list(s.columns) == list(o.columns), f"{list(s.columns)} != {list(o.columns)}"
+    assert len(s) == len(o), f"rowcount {len(s)} != {len(o)}"
+    pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=True)
