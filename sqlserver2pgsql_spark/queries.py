@@ -384,6 +384,156 @@ def q10_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q12_tsql_scalars",
+    oracle="""
+    SELECT o_orderkey,
+           coalesce(nullif(o_orderpriority, '1-URGENT'), 'DEFAULTED')       AS pri,
+           o_orderdate + INTERVAL 2 DAY                                     AS ship_by,
+           CAST(date_part('month', o_orderdate) AS INT)                     AS order_month,
+           CAST(strpos(o_orderpriority, '-') AS INT)                        AS dash_pos,
+           o_orderstatus || repeat(' ', 3) || o_orderpriority               AS padded,
+           CAST(length(rtrim(o_orderpriority || '  ')) AS INT)              AS len_trim,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '1998-01-01 00:00:00') AS INT) AS days_to_98,
+           CAST(o_totalprice AS DECIMAL(18,2))                              AS price_dec
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def q12_tsql_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-SQL scalar-function layer (B10, sqlserver2pgsql.pl:587-601):
+    ISNULL, DATEADD, DATEPART, CHARINDEX, SPACE, LEN, DATEDIFF, CONVERT,
+    string ``+`` — all as JVM-side Spark expressions, no UDFs."""
+    from .functions import tsql
+
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        tsql.isnull(F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")), F.lit("DEFAULTED")).alias("pri"),
+        tsql.dateadd("day", 2, F.col("o_orderdate")).alias("ship_by"),
+        tsql.datepart("month", F.col("o_orderdate")).alias("order_month"),
+        tsql.charindex("-", F.col("o_orderpriority")).alias("dash_pos"),
+        tsql.tsql_concat(F.col("o_orderstatus"), tsql.space(3), F.col("o_orderpriority")).alias("padded"),
+        tsql.len_(tsql.tsql_concat(F.col("o_orderpriority"), F.lit("  "))).alias("len_trim"),
+        tsql.datediff("day", F.col("o_orderdate"), F.lit("1998-01-01 00:00:00").cast("timestamp")).alias("days_to_98"),
+        tsql.convert("decimal(18,2)", F.col("o_totalprice")).alias("price_dec"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "q13_translated_view",
+    oracle="""
+    SELECT c.c_custkey AS custkey,
+           coalesce(nullif(c.c_name, ''), 'anonymous') || '|' || n.n_name   AS customer_label,
+           CAST(c.c_acctbal AS DECIMAL(12,2))                               AS bal,
+           CASE WHEN c.c_acctbal < 0 THEN 'overdrawn' ELSE 'ok' END         AS status
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ORDER BY custkey
+    """,
+)
+def q13_translated_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11 view translation end-to-end: a V2-class T-SQL view body
+    (regression/basic_test/views.sql:90 family — join + ISNULL + CONVERT +
+    string ``+`` concat) run through translate_tsql_expr, then executed as
+    Spark SQL over temp views."""
+    from .functions.translate import translate_tsql_expr
+
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    tsql_body = (
+        "SELECT c.[c_custkey] AS custkey, "
+        "ISNULL(NULLIF(c.[c_name], ''), 'anonymous') + '|' + n.[n_name] AS customer_label, "
+        "CONVERT(DECIMAL(12,2), c.[c_acctbal]) AS bal, "
+        "CASE WHEN c.[c_acctbal] < 0 THEN 'overdrawn' ELSE 'ok' END AS status "
+        "FROM customer c JOIN nation n ON c.[c_nationkey] = n.[n_nationkey]"
+    )
+    result = translate_tsql_expr(tsql_body)
+    assert not result.unsure, result.notes
+    return spark.sql(result.sql).orderBy("custkey")
+
+
+@register(
+    "q14_fk_validation",
+    oracle="""
+    WITH child AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 997 = 0 THEN o_custkey + 10000000 ELSE o_custkey END AS o_custkey
+      FROM orders
+    )
+    SELECT ch.o_orderkey, ch.o_custkey
+    FROM child ch
+    WHERE ch.o_custkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = ch.o_custkey)
+    ORDER BY ch.o_orderkey
+    """,
+)
+def q14_fk_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 FK validation operator (broadcast left_anti) on a child with
+    injected orphans — validate_constraints analog (sqlserver2pgsql.pl:
+    2950-2959)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 997 == 0, F.col("o_custkey") + 10000000)
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+    )
+    c = _t(spark, sf_dir, "customer")
+    return (
+        fk_violations(o, ["o_custkey"], c, ["c_custkey"])
+        .select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q15_pk_validation",
+    oracle="""
+    WITH noisy AS (
+      SELECT l_orderkey, l_linenumber FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey % 1009 = 0
+    )
+    SELECT l_orderkey, l_linenumber, count(*) AS n
+    FROM noisy
+    GROUP BY l_orderkey, l_linenumber
+    HAVING count(*) > 1 OR (l_orderkey IS NULL OR l_linenumber IS NULL)
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q15_pk_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 PK validation (duplicate composite keys after injected dup rows)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    noisy = li.unionByName(li.filter(F.col("l_orderkey") % 1009 == 0))
+    return pk_violations(noisy, ["l_orderkey", "l_linenumber"]).orderBy(
+        "l_orderkey", "l_linenumber"
+    )
+
+
+@register(
+    "q16_cleanse",
+    oracle="""
+    SELECT doc_id,
+           replace(replace(text, chr(0), ''), chr(13), '') AS text_clean,
+           length(replace(replace(text, chr(0), ''), chr(13), '')) AS clean_len,
+           lang, source
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q16_cleanse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 cleanse (sqlserver2pgsql.pl:3585-3642) over documents: strip NUL
+    and CR from all string columns, JVM-side regexp_replace."""
+    d = _t(spark, sf_dir, "documents")
+    cleaned = cleanse_strings(cleanse_strings(d, "\x00"), "\r")
+    return cleaned.select(
+        "doc_id",
+        F.col("text").alias("text_clean"),
+        F.length("text").alias("clean_len"),
+        "lang",
+        "source",
+    ).orderBy("doc_id")
+
+
+@register(
     "q11_topk_orders",
     oracle="""
     SELECT o_orderkey, o_totalprice FROM orders
