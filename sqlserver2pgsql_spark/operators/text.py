@@ -1,0 +1,113 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+No counterpart in the reference (it migrates schemas, not corpora) — these
+are the M7 extensions (SURVEY.md §7) the driver's BASELINE.json names as
+first-class: language-ID, quality scoring, token counting, fingerprinting.
+
+All operators are pure Spark column expressions (whole-stage codegen, no
+Python in the hot path) and embarrassingly partition-parallel: no shuffle,
+no driver-side collection — they hold at 100 TB by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: whitespace tokenizer shared by every text operator (and mirrored in the
+#: DuckDB oracles via string_split_regex)
+WS = r"\s+"
+
+
+def tokens(col: Column) -> Column:
+    return F.split(F.trim(col), WS)
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+# --- quality scoring --------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: length, token stats, character-class
+    ratios, stopword ratio. Ratios are single IEEE divisions (deterministic
+    across engines)."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    n_chars = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    n_digit = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]-]", ""))
+    n_stop = F.size(F.filter(toks, lambda w: F.lower(w).isin(*_STOPWORDS)))
+    return df.select(
+        "*",
+        n_chars.alias("q_chars"),
+        n_tok.alias("q_tokens"),
+        (n_chars.cast("double") / n_tok.cast("double")).alias("q_chars_per_token"),
+        (n_alpha.cast("double") / n_chars.cast("double")).alias("q_alpha_ratio"),
+        (n_digit.cast("double") / n_chars.cast("double")).alias("q_digit_ratio"),
+        (n_punct.cast("double") / n_chars.cast("double")).alias("q_punct_ratio"),
+        (n_stop.cast("double") / n_tok.cast("double")).alias("q_stopword_ratio"),
+    )
+
+
+# --- language ID ------------------------------------------------------------
+
+#: tiny per-language marker-word profiles (n-gram-heuristic langid). The
+#: classifier scores marker hits per language and takes the argmax with a
+#: fixed language priority for ties.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "les", "des", "est"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+_LANG_ORDER = ("en", "es", "fr", "de", "zh")
+
+
+def _lang_score(toks: Column, lang: str) -> Column:
+    markers = LANG_MARKERS[lang]
+    return F.size(F.filter(toks, lambda w: F.lower(w).isin(*markers)))
+
+
+def detect_language(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Marker-word language ID: argmax of per-language marker counts, 'und'
+    when nothing matches. Fixed priority order breaks ties deterministically."""
+    toks = tokens(F.col(text_col))
+    scores = {lang: _lang_score(toks, lang) for lang in _LANG_ORDER}
+    # left fold with strict > : earlier languages in _LANG_ORDER win ties
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in _LANG_ORDER:
+        cond = scores[lang] > best_score
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+    return df.withColumn(out_col, best)
+
+
+# --- fingerprinting ---------------------------------------------------------
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Canonical document fingerprint: md5 of the whitespace-normalized,
+    lower-cased text. Stable across engines (oracle: DuckDB md5)."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(col), WS, " ")))
+
+
+def fingerprint_rolling(col: Column, window: int = 4) -> Column:
+    """Winnowing-style rolling fingerprint: min xxhash64 over token
+    ``window``-grams. Order-free min-aggregation → partition-parallel.
+    Not SQL-oracle-expressible (xxhash64 is Spark-specific) — covered by
+    property tests instead."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(F.lit(1), n - window + 1))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, window), " "))
+    return F.array_min(F.transform(grams, lambda g: F.xxhash64(g)))

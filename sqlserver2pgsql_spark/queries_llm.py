@@ -1,0 +1,451 @@
+"""M7 LLM-data-pipeline queries: dedup, similarity search, text analysis,
+as-of/sessionize/json/pivot — registered into the same driver-facing
+registry as queries.py.
+
+The dedup corpora are made non-trivial deterministically: documents ∪
+mutated copies (id+10000) so exact and near-dup pairs exist by construction
+and the oracle can build the identical corpus in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from .operators import dedup as D
+from .operators import similarity as S
+from .operators import text as X
+from .operators.asof import asof_join
+from .queries import DEC, QUERIES, ORACLES, _t, register
+
+# --- corpora ----------------------------------------------------------------
+
+# near-dup corpus: every 5th doc gets a copy with the last 5 tokens dropped
+_NEARDUP_CORPUS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000 AS doc_id,
+           array_to_string(l[1:len(l)-5], ' ') AS text
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+          FROM documents WHERE doc_id % 5 = 0)
+"""
+
+# exact-dup corpus: every 4th doc duplicated verbatim
+_EXACTDUP_CORPUS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 4 = 0
+"""
+
+
+def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = X.tokens(F.col("text"))
+    mutated = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.array_join(F.slice(toks, 1, F.size(toks) - 5), " ").alias("text"),
+        )
+    )
+    return d.unionByName(mutated)
+
+
+def _exactdup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    return d.unionByName(dups)
+
+
+# --- dedup ------------------------------------------------------------------
+
+
+@register(
+    "q17_dedup_exact",
+    oracle=f"""
+    WITH corpus AS ({_EXACTDUP_CORPUS_SQL})
+    SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+    FROM corpus GROUP BY text ORDER BY keeper_id
+    """,
+)
+def q17_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the text, keep lowest id. One shuffle;
+    at 100 TB group on fingerprint_md5(text) instead to shrink shuffle width."""
+    corpus = _exactdup_corpus(spark, sf_dir)
+    return (
+        corpus.groupBy("text")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keeper_id", "n_copies")
+        .orderBy("keeper_id")
+    )
+
+
+@register(
+    "q18_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+    shingled AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(2, len(string_split_regex(trim(text),'\\s+')) - 1)),
+               i -> array_to_string(string_split_regex(trim(text),'\\s+')[i:i+2], ' ')
+             )) AS shingles
+      FROM corpus
+    ),
+    post AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
+    sizes AS (SELECT doc_id, count(*) AS n FROM post GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+      FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id1, id2, n_inter, sa.n AS n1, sb.n AS n2,
+           CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
+    WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.6
+    ORDER BY id1, id2
+    """,
+)
+def q18_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (word 3-grams, threshold 0.6) via
+    shingle posting-list self-join — the verifier/oracle path for MinHash."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    return D.ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.6).orderBy(
+        "id1", "id2"
+    )
+
+
+@register("q19_minhash_lsh_pairs")  # xxhash64-based — not oracle-expressible
+def q19_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) → LSH(16×4) → exact-Jaccard verify, threshold 0.6. The
+    100 TB dedup path; pytest asserts it returns exactly the q18 pairs."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    return D.minhash_dedup_pairs(
+        corpus, "doc_id", "text", n=3, num_hashes=64, bands=16, rows_per_band=4,
+        threshold=0.6,
+    ).orderBy("id1", "id2")
+
+
+@register("q20_simhash_neardup")  # xxhash64-based — not oracle-expressible
+def q20_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit) near-dup pairs: banded candidates verified by true
+    Hamming distance ≤ 3 (full recall for distance < 4 by pigeonhole)."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    sigs = D.simhash(corpus, "doc_id", "text")
+    return D.simhash_neardup_pairs(sigs, max_distance=3, bands=4).orderBy("id1", "id2")
+
+
+# --- similarity search -------------------------------------------------------
+
+_COSINE_ORACLE = """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             list_reduce(list_transform(list_zip(q.e, c.e),
+                                        p -> p[1] * p[2]), (a, b) -> a + b)
+             / (sqrt(list_reduce(list_transform(q.e, x -> x * x), (a, b) -> a + b))
+                * sqrt(list_reduce(list_transform(c.e, x -> x * x), (a, b) -> a + b)))
+             AS cos_sim
+      FROM v q, v c
+      WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+    )
+"""
+
+
+@register(
+    "q21_ann_bruteforce_topk",
+    oracle=_COSINE_ORACLE
+    + """
+    SELECT query_id, rnk, vec_id, cos_sim FROM (
+      SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rnk
+      FROM pairs)
+    WHERE rnk <= 5 ORDER BY query_id, rnk
+    """,
+)
+def q21_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for the first 20 vectors. Double-precision
+    left-fold dot products match DuckDB's list_reduce bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return S.ann_bruteforce_topk(emb, queries, k=5).orderBy("query_id", "rnk")
+
+
+@register("q22_ann_lsh_topk")  # xxhash64-derived hyperplanes — rows-only
+def q22_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (4 planes × 16 tables, ~0.9 recall on this
+    corpus): equi-join on bucket keys replaces the cross join. pytest
+    measures recall vs the exact q21."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return S.ann_lsh_topk(emb, queries, k=5).orderBy("query_id", "rnk")
+
+
+@register(
+    "q23_embedding_neardup",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           list_reduce(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]), (x, y) -> x + y)
+           / (sqrt(list_reduce(list_transform(a.e, x -> x * x), (x, y) -> x + y))
+              * sqrt(list_reduce(list_transform(b.e, x -> x * x), (x, y) -> x + y)))
+           AS cos_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_reduce(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]), (x, y) -> x + y)
+          / (sqrt(list_reduce(list_transform(a.e, x -> x * x), (x, y) -> x + y))
+             * sqrt(list_reduce(list_transform(b.e, x -> x * x), (x, y) -> x + y))) >= 0.35
+    ORDER BY id1, id2
+    """,
+)
+def q23_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.35), exact all-pairs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.embedding_neardup_pairs(emb, threshold=0.35).orderBy("id1", "id2")
+
+
+# --- text analysis -----------------------------------------------------------
+
+
+@register(
+    "q24_text_quality",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS q_chars,
+           len(string_split_regex(trim(text), '\\s+')) AS q_tokens,
+           CAST(length(text) AS DOUBLE)
+             / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS q_chars_per_token,
+           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE) AS q_alpha_ratio,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE) AS q_digit_ratio,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                    w -> lower(w) IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+             / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS q_stopword_ratio
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q24_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return X.quality_metrics(d).select(
+        "doc_id",
+        "q_chars",
+        "q_tokens",
+        "q_chars_per_token",
+        "q_alpha_ratio",
+        "q_digit_ratio",
+        "q_stopword_ratio",
+    ).orderBy("doc_id")
+
+
+@register(
+    "q25_langid",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+        len(list_filter(string_split_regex(trim(text),'\\s+'),
+            w -> lower(w) IN ('the','and','of','to','is')))  AS s_en,
+        len(list_filter(string_split_regex(trim(text),'\\s+'),
+            w -> lower(w) IN ('el','la','de','que','los')))  AS s_es,
+        len(list_filter(string_split_regex(trim(text),'\\s+'),
+            w -> lower(w) IN ('le','la','les','des','est'))) AS s_fr,
+        len(list_filter(string_split_regex(trim(text),'\\s+'),
+            w -> lower(w) IN ('der','die','und','das','ist'))) AS s_de,
+        len(list_filter(string_split_regex(trim(text),'\\s+'),
+            w -> lower(w) IN ('的','是','了','在','我')))      AS s_zh
+      FROM documents
+    )
+    SELECT doc_id, lang,
+      CASE
+        WHEN s_zh > greatest(s_en, s_es, s_fr, s_de, 0) THEN 'zh'
+        WHEN s_de > greatest(s_en, s_es, s_fr, 0) AND s_de >= s_zh THEN 'de'
+        WHEN s_fr > greatest(s_en, s_es, 0) AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+        WHEN s_es > greatest(s_en, 0) AND s_es >= s_fr AND s_es >= s_de AND s_es >= s_zh THEN 'es'
+        WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+        ELSE 'und'
+      END AS lang_pred
+    FROM scored ORDER BY doc_id
+    """,
+)
+def q25_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID; ties broken by fixed language priority
+    (en > es > fr > de > zh)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return X.detect_language(d).select("doc_id", "lang", "lang_pred").orderBy("doc_id")
+
+
+@register(
+    "q26_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q26_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", X.fingerprint_md5(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+# --- events: as-of, sessionize, json, pivot ----------------------------------
+
+
+@register(
+    "q27_asof_join",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts, max(event_id) AS purchase_event_id, max(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           p.purchase_value AS purchase_value_asof,
+           p.ts AS purchase_ts_asof
+    FROM events e ASOF LEFT JOIN purchases p
+      ON e.user_id = p.user_id AND e.ts > p.ts
+    ORDER BY e.event_id
+    """,
+)
+def q27_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY.md §2.4): each event joined to the user's most
+    recent strictly-prior purchase. Implemented as a union + carry-forward
+    window (operators/asof.py) — one shuffle on user_id."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("purchase_event_id"),
+            F.max("value").alias("purchase_value"),
+        )
+    )
+    left = ev.select("event_id", "user_id", "ts")
+    out = asof_join(
+        left,
+        purchases.select("user_id", "ts", "purchase_value"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["purchase_value"],
+        strict=True,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("purchase_value_asof"),
+        F.col("ts_asof").alias("purchase_ts_asof"),
+    ).orderBy("event_id")
+
+
+@register(
+    "q28_sessionize",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT event_id, user_id, ts,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM gaps ORDER BY event_id
+    """,
+)
+def q28_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min inactivity gap starts a new session — lag +
+    running sum windows (the §2.4 'window functions' scale pattern)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    new_session = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return (
+        ev.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(run))
+        .select("event_id", "user_id", "ts", "session_id")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "q29_json_extract",
+    oracle="""
+    SELECT event_type,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           count(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q29_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON functions (§2.4 'array/map/json'): extract props.k, aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", F.get_json_object("props", "$.k").cast("bigint").alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q30_pivot_events",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'view')     AS view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'error')    AS error
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q30_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (§2.4): per-user event-type counts with an explicit value list
+    (no second pass to discover pivot values)."""
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "view", "purchase", "signup", "error"])
+    )
+    return out.orderBy("user_id")
+
+
+@register(
+    "q31_running_sum",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           sum(CAST(l_quantity AS DECIMAL(38,8)))
+             OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING) AS running_qty
+    FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber
+    """,
+)
+def q31_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast(DEC)).over(w).alias("running_qty"),
+    ).orderBy("l_suppkey", "l_orderkey", "l_linenumber")

@@ -11,7 +11,9 @@ from __future__ import annotations
 
 import os
 
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLE_NAMES = (
     "region",
@@ -29,8 +31,29 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
+def _nano_ts_columns(path: str) -> list[str]:
+    schema = pq.read_schema(path)
+    return [
+        n
+        for n, t in zip(schema.names, schema.types)
+        if str(t).startswith("timestamp[ns")
+    ]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Parquet scan. TIMESTAMP(NANOS) columns (which Spark rejects,
+    PARQUET_TYPE_ILLEGAL) are read as nanosecond longs and truncated to
+    microsecond timestamps — lossless for micro-aligned data, and integer
+    `div` keeps the conversion exact beyond 2^53."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    nanos = _nano_ts_columns(path)
+    if not nanos:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

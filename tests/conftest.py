@@ -40,7 +40,8 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if str(df[c].dtype).startswith("datetime64"):
             dt = df[c]
             if getattr(dt.dt, "tz", None) is not None:
-                df[c] = dt.dt.tz_convert("UTC").dt.tz_localize(None)
+                dt = dt.dt.tz_convert("UTC").dt.tz_localize(None)
+            df[c] = dt.astype("datetime64[ns]")
         elif df[c].dtype == object:
             df[c] = df[c].map(lambda v: float(v) if type(v).__name__ == "Decimal" else v)
     return df.sort_values(by=list(df.columns), kind="mergesort", ignore_index=True)

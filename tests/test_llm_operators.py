@@ -1,0 +1,122 @@
+"""M7 operator tests: dedup quality, ANN recall, asof semantics, multimodal
+plumbing."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from sqlserver2pgsql_spark import queries_llm as QL
+from sqlserver2pgsql_spark.operators import dedup as D
+from sqlserver2pgsql_spark.operators import similarity as S
+from sqlserver2pgsql_spark.operators.asof import asof_join
+from sqlserver2pgsql_spark.operators.multimodal import extract_features, synth_media
+from tests.conftest import SF_DIR
+
+
+def test_minhash_lsh_finds_exact_jaccard_pairs(spark):
+    """MinHash+LSH(16×4) must recover the exact Jaccard≥0.6 pair set on the
+    near-dup corpus (high-jaccard pairs are caught by banding w.h.p.; the
+    verify step removes false positives exactly)."""
+    exact = {
+        (r.id1, r.id2)
+        for r in QL.q18_ngram_jaccard_pairs(spark, SF_DIR).collect()
+    }
+    lsh = {(r.id1, r.id2) for r in QL.q19_minhash_lsh_pairs(spark, SF_DIR).collect()}
+    assert lsh <= exact  # verification guarantees no false positives
+    # banding threshold ≈0.5 < 0.6 → expect full recall on this corpus
+    assert lsh == exact
+
+
+def test_ann_lsh_recall(spark):
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in QL.q21_ann_bruteforce_topk(spark, SF_DIR).collect()
+    }
+    approx = {(r.query_id, r.vec_id) for r in QL.q22_ann_lsh_topk(spark, SF_DIR).collect()}
+    assert exact, "brute-force top-k must be non-empty"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"LSH recall collapsed: {recall}"
+
+
+def test_simhash_identical_docs_zero_distance(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma delta"), Row(doc_id=2, text="alpha beta gamma delta"),
+         Row(doc_id=3, text="totally different words here entirely")]
+    )
+    sigs = {r.doc_id: r.simhash for r in D.simhash(df, "doc_id", "text").collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+    pairs = D.simhash_neardup_pairs(D.simhash(df, "doc_id", "text"), max_distance=3).collect()
+    assert [(p.id1, p.id2, p.hamming) for p in pairs] == [(1, 2, 0)]
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [Row(id=5, t="x"), Row(id=2, t="x"), Row(id=9, t="y")]
+    )
+    kept = sorted(r.id for r in D.exact_dedup(df, ["t"], "id").collect())
+    assert kept == [2, 9]
+
+
+def test_cosine_fold_matches_numpy(spark):
+    import numpy as np
+
+    a = [0.5, -1.25, 3.0, 2.0]
+    b = [1.0, 0.5, -2.0, 0.25]
+    df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    got = df.select(S.cosine(F.col("a"), F.col("b")).alias("c")).collect()[0].c
+    exp = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert abs(got - exp) < 1e-12
+
+
+def test_asof_join_strict_vs_nonstrict(spark):
+    ts = lambda s: datetime.datetime.fromisoformat(s)
+    left = spark.createDataFrame(
+        [Row(k=1, lts=ts("2020-01-01 10:00:00")), Row(k=1, lts=ts("2020-01-01 12:00:00")),
+         Row(k=2, lts=ts("2020-01-01 09:00:00"))]
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, rts=ts("2020-01-01 10:00:00"), v=10.0),
+         Row(k=1, rts=ts("2020-01-01 11:00:00"), v=11.0)]
+    )
+    strict = {
+        (r.k, r.lts): r.v_asof
+        for r in asof_join(left, right, "k", "lts", "rts", ["v"], strict=True).collect()
+    }
+    assert strict[(1, ts("2020-01-01 10:00:00"))] is None  # equal ts excluded
+    assert strict[(1, ts("2020-01-01 12:00:00"))] == 11.0
+    assert strict[(2, ts("2020-01-01 09:00:00"))] is None  # no right rows for key
+
+    nonstrict = {
+        (r.k, r.lts): r.v_asof
+        for r in asof_join(left, right, "k", "lts", "rts", ["v"], strict=False).collect()
+    }
+    assert nonstrict[(1, ts("2020-01-01 10:00:00"))] == 10.0  # equal ts included
+
+
+def test_multimodal_feature_plumbing(spark):
+    media = synth_media(spark, n=32)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 32
+    assert {r.modality for r in rows} == {"image", "audio", "video"}
+    byid = {r.media_id: r for r in rows}
+    assert byid[0].n_bytes == 96  # 32 × len('px0')
+    assert byid[0].payload_hash is not None and byid[0].feat_dim == 1
+    # determinism: same payload pattern (media_id % 7) → same hash
+    assert byid[0].payload_hash == byid[7].payload_hash
+
+
+def test_fingerprint_rolling_stable(spark):
+    from sqlserver2pgsql_spark.operators.text import fingerprint_rolling
+
+    df = spark.createDataFrame(
+        [Row(id=1, text="a b c d e f g"), Row(id=2, text="a  b   c d e f g"),
+         Row(id=3, text="x y z w v u t")]
+    )
+    fps = {r.id: r.fp for r in df.select("id", fingerprint_rolling(F.col("text")).alias("fp")).collect()}
+    assert fps[1] == fps[2]  # whitespace-insensitive
+    assert fps[1] != fps[3]
