@@ -1,0 +1,172 @@
+"""PostgreSQL DDL emitters — before / after / unsure script split.
+
+Re-expression of the reference's generate_schema (B15, sqlserver2pgsql.pl:
+2580-3171) with the same three-file contract (README.md:73-79):
+
+- before: schemas, tables, columns (load the data against this),
+- after : PKs, uniques, indexes, FKs, defaults, comments (apply post-load —
+  the constraint/index deferral policy, README.md:75-77),
+- unsure: views, CHECK constraints, partial indexes — anything whose
+  translated SQL can't be guaranteed.
+
+Emission order matches the reference: schemas → tables → sequences → PK →
+unique → indexes → FK → checks → defaults → comments → views.
+"""
+
+from __future__ import annotations
+
+from ..catalog.model import Catalog, Column, Table
+
+#: spark DDL type → postgres type (targets match the reference's %types
+#: matrix, :261-288, from the Spark side of SURVEY §1.3)
+_PG_TYPES = {
+    "int": "integer",
+    "smallint": "smallint",
+    "bigint": "bigint",
+    "double": "double precision",
+    "float": "real",
+    "boolean": "boolean",
+    "string": "text",
+    "date": "date",
+    "timestamp": "timestamp",
+    "binary": "bytea",
+}
+
+
+def _pg_type(col: Column) -> str:
+    st = col.spark_type
+    if st.startswith("decimal"):
+        return st.replace("decimal", "numeric")
+    # varchar(n)/char(n) limits survive via the original qualifier
+    if st == "string" and col.type_name in ("varchar", "nvarchar", "char", "nchar") and col.type_qual:
+        qual = col.type_qual.replace(" ", "")
+        if qual.lower() != "(max)":
+            return f"varchar{qual}"
+    if st == "string" and col.type_name == "uniqueidentifier":
+        return "uuid"
+    if st == "string" and col.type_name == "xml":
+        return "xml"
+    return _PG_TYPES.get(st, "text")
+
+
+def _quote(name: str) -> str:
+    return '"' + name.replace('"', '""') + '"'
+
+
+def emit_before(catalog: Catalog) -> str:
+    out: list[str] = ["\\set ON_ERROR_STOP", "BEGIN;"]
+    for k, v in catalog.variables.items():
+        out.append(f"\\set {k} '{v}'")
+    for sname in sorted(catalog.schemas):
+        if sname != "public":
+            out.append(f"CREATE SCHEMA IF NOT EXISTS {_quote(sname)};")
+    for sname, table in catalog.all_tables():
+        cols = []
+        for c in table.ordered_columns():
+            if c.computed_expr is not None:
+                continue  # reference declares varchar + comment (:1576-1616);
+                # we keep computed columns virtual (projection-only)
+            null = "" if c.nullable else " NOT NULL"
+            cols.append(f"  {_quote(c.name)} {_pg_type(c)}{null}")
+        out.append(
+            f"CREATE TABLE {_quote(sname)}.{_quote(table.name)} (\n"
+            + ",\n".join(cols)
+            + "\n);"
+        )
+    for sname in sorted(catalog.schemas):
+        for seq in catalog.schemas[sname].sequences.values():
+            parts = [f"CREATE SEQUENCE {_quote(sname)}.{_quote(seq.name)}"]
+            if seq.step != 1:
+                parts.append(f"INCREMENT BY {seq.step}")
+            if seq.step < 0:
+                parts.append("MINVALUE -9223372036854775807")
+            parts.append(f"START WITH {seq.start}")
+            out.append(" ".join(parts) + ";")
+    out.append("COMMIT;")
+    return "\n".join(out) + "\n"
+
+
+def emit_after(catalog: Catalog) -> str:
+    out: list[str] = ["\\set ON_ERROR_STOP", "BEGIN;"]
+    qual = lambda s, t: f"{_quote(s)}.{_quote(t)}"  # noqa: E731
+    for sname, table in catalog.all_tables():
+        tq = qual(sname, table.name)
+        if table.primary_key:
+            cols = ", ".join(_quote(c) for c in table.primary_key.cols)
+            name = table.primary_key.name or f"{table.name}_pkey"
+            out.append(f"ALTER TABLE {tq} ADD CONSTRAINT {_quote(name)} PRIMARY KEY ({cols});")
+        for u in table.uniques:
+            cols = ", ".join(_quote(c) for c in u.cols)
+            name = u.name or f"{table.name}_{'_'.join(u.cols)}_key"
+            out.append(f"ALTER TABLE {tq} ADD CONSTRAINT {_quote(name)} UNIQUE ({cols});")
+    for sname, table in catalog.all_tables():
+        tq = qual(sname, table.name)
+        for idx in table.indexes.values():
+            if idx.where_raw is not None:
+                continue  # partial indexes → unsure
+            cols = ", ".join(
+                f"{_quote(c.name)}{'' if c.ascending else ' DESC'}" for c in idx.cols
+            )
+            stmt = f"CREATE {'UNIQUE ' if idx.unique else ''}INDEX {_quote(idx.name)} ON {tq} ({cols})"
+            if idx.include:
+                stmt += " INCLUDE (" + ", ".join(_quote(c) for c in idx.include) + ")"
+            stmt += ";"
+            if idx.disabled:
+                stmt = "-- disabled in source: " + stmt  # (:2841-2844)
+            out.append(stmt)
+    for sname, table in catalog.all_tables():
+        tq = qual(sname, table.name)
+        for fk in table.foreign_keys:
+            cols = ", ".join(_quote(c) for c in fk.cols)
+            rcols = ", ".join(_quote(c) for c in fk.ref_cols)
+            name = fk.name or f"{table.name}_{'_'.join(fk.cols)}_fkey"
+            stmt = (
+                f"ALTER TABLE {tq} ADD CONSTRAINT {_quote(name)} FOREIGN KEY ({cols}) "
+                f"REFERENCES {_quote(fk.ref_schema)}.{_quote(fk.ref_table)} ({rcols})"
+            )
+            if fk.on_delete:
+                stmt += f" ON DELETE {fk.on_delete}"
+            if fk.on_update:
+                stmt += f" ON UPDATE {fk.on_update}"
+            out.append(stmt + ";")
+        for c in table.ordered_columns():
+            if c.default is not None and not c.default.unsure:
+                out.append(
+                    f"ALTER TABLE {tq} ALTER COLUMN {_quote(c.name)} SET DEFAULT {c.default.sql};"
+                )
+            if c.comment:
+                out.append(
+                    f"COMMENT ON COLUMN {tq}.{_quote(c.name)} IS '{c.comment.replace(chr(39), chr(39)*2)}';"
+                )
+        if table.comment:
+            out.append(f"COMMENT ON TABLE {tq} IS '{table.comment.replace(chr(39), chr(39)*2)}';")
+    out.append("COMMIT;")
+    return "\n".join(out) + "\n"
+
+
+def emit_unsure(catalog: Catalog) -> str:
+    out: list[str] = []
+    qual = lambda s, t: f"{_quote(s)}.{_quote(t)}"  # noqa: E731
+    for sname, table in catalog.all_tables():
+        tq = qual(sname, table.name)
+        for ck in table.checks:
+            name = ck.name or "check"
+            out.append(f"ALTER TABLE {tq} ADD CONSTRAINT {_quote(name)} CHECK ({ck.sql});")
+        for idx in table.indexes.values():
+            if idx.where_raw is None:
+                continue
+            cols = ", ".join(_quote(c.name) for c in idx.cols)
+            out.append(
+                f"CREATE {'UNIQUE ' if idx.unique else ''}INDEX {_quote(idx.name)} "
+                f"ON {tq} ({cols}) WHERE {idx.where_sql or idx.where_raw};"
+            )
+        for c in table.ordered_columns():
+            if c.default is not None and c.default.unsure:
+                out.append(
+                    f"ALTER TABLE {tq} ALTER COLUMN {_quote(c.name)} SET DEFAULT {c.default.sql};"
+                )
+    for sname, vname in catalog.view_order:
+        v = catalog.schemas[sname].views[vname]
+        cols = f" ({', '.join(_quote(c) for c in v.columns)})" if v.columns else ""
+        out.append(f"CREATE VIEW {_quote(sname)}.{_quote(vname)}{cols} AS {v.sql or v.raw_sql};")
+    return "\n".join(out) + "\n"

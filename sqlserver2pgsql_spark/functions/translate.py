@@ -234,12 +234,22 @@ _PASSTHROUGH = {
     "right", "year", "month", "day", "cast", "case", "when", "then", "else",
     "end", "and", "or", "not", "in", "like", "between", "is", "null",
     "sign", "power", "exp", "log", "sqrt",
+    # aggregates / window functions valid in both dialects
+    "count", "sum", "min", "max", "avg", "row_number", "rank", "dense_rank",
+    "lag", "lead", "over",
+    # SQL keywords that can directly precede '(' in query text
+    "on", "where", "exists", "values", "select", "from", "join", "union",
+    "all", "any", "some", "distinct", "group", "by", "having", "partition",
+    "as",
 }
 
 
+# NOTE: coalesce/nullif are type-preserving, not string-producing — including
+# them here would wrongly rewrite numeric `C3+ISNULL(x,0)` (V2 fixture,
+# regression/basic_test/views.sql:90) into string concat.
 _STRINGY_FUNCS = {
-    "coalesce", "concat", "repeat", "upper", "lower", "ltrim", "rtrim", "trim",
-    "substring", "replace", "left", "right", "date_format", "nullif",
+    "concat", "repeat", "upper", "lower", "ltrim", "rtrim", "trim",
+    "substring", "replace", "left", "right", "date_format",
 }
 
 
@@ -259,21 +269,26 @@ def _split_top(s: str, sep: str) -> list[str]:
     return parts
 
 
-def _is_stringy(operand: str) -> bool:
+def _is_stringy(operand: str, string_idents: frozenset[str]) -> bool:
     o = operand.strip()
     if re.search(r"\x01\d+\x02", o):  # contains a protected string literal
         return True
     m = re.match(r"([a-zA-Z_]\w*)\s*\(", o)
     if m and m.group(1).lower() in _STRINGY_FUNCS:
         return True
-    return bool(re.match(r"cast\s*\(.*as\s+string\s*\)$", o, re.IGNORECASE | re.DOTALL))
+    if re.fullmatch(r"[a-zA-Z_][\w.]*", o) and o.lower().split(".")[-1] in string_idents:
+        return True  # caller told us this column is a string (catalog types)
+    return bool(
+        re.match(r"cast\s*\(.*as\s+(string|n?(var)?char)", o, re.IGNORECASE | re.DOTALL)
+    )
 
 
-def _rewrite_plus(expr: str) -> str:
+def _rewrite_plus(expr: str, string_idents: frozenset[str] = frozenset()) -> str:
     """T-SQL string ``+`` → ``||`` wherever a ``+``-chain has at least one
-    provably-string operand (reference rewrites + concat for PG,
-    :1857-1876). Plain ``a + b`` on bare columns stays arithmetic — without
-    catalog types it is undecidable, same limitation as the reference."""
+    provably-string operand: a string literal, a string-returning function,
+    or an identifier the caller declared string-typed (the catalog knows
+    column types — reference rewrites + concat for PG, :1857-1876). A chain
+    of bare unknown columns stays arithmetic."""
     out: list[str] = []
     i = 0
     while i < len(expr):
@@ -285,7 +300,7 @@ def _rewrite_plus(expr: str) -> str:
                 elif expr[j] == ")":
                     depth -= 1
                 j += 1
-            out.append("(" + _rewrite_plus(expr[i + 1 : j - 1]) + ")")
+            out.append("(" + _rewrite_plus(expr[i + 1 : j - 1], string_idents) + ")")
             i = j
         else:
             out.append(expr[i])
@@ -294,7 +309,7 @@ def _rewrite_plus(expr: str) -> str:
     segments = []
     for seg in _split_top(s, ","):
         ops = _split_top(seg, "+")
-        if len(ops) > 1 and any(_is_stringy(o) for o in ops):
+        if len(ops) > 1 and any(_is_stringy(o, string_idents) for o in ops):
             segments.append("||".join(ops))
         else:
             segments.append(seg)
@@ -311,19 +326,23 @@ def _translate_inner(expr: str) -> tuple[str, bool]:
     return expr, unsure
 
 
-def translate_tsql_expr(expr: str) -> TranslationResult:
+def translate_tsql_expr(
+    expr: str, string_idents: frozenset[str] | set[str] = frozenset()
+) -> TranslationResult:
     """Translate a T-SQL scalar expression to Spark SQL.
 
-    Unknown function calls are left textually intact and flagged
-    ``unsure=True`` — the caller decides whether to route the object to an
-    'unsure' bucket (reference behavior) or fail fast.
+    ``string_idents``: identifiers known (from the catalog) to be
+    string-typed, so ``+`` over them becomes concat. Unknown function calls
+    are left textually intact and flagged ``unsure=True`` — the caller
+    decides whether to route the object to an 'unsure' bucket (reference
+    behavior) or fail fast.
     """
     protected, lits = _protect_literals(expr)
     protected = _strip_brackets(protected)
     translated, unsure = _translate_inner(protected)
 
     notes: list[str] = []
-    translated = _rewrite_plus(translated)
+    translated = _rewrite_plus(translated, frozenset(string_idents))
 
     # any remaining unknown function call? (name not in passthrough set)
     for m in re.finditer(r"\b([a-zA-Z_][a-zA-Z0-9_]*)\s*\(", translated):
