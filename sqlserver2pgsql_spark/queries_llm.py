@@ -427,6 +427,29 @@ def q30_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q32_stream_window_agg",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n,
+           sum(CAST(value AS DECIMAL(38,8))) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q32_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 Structured Streaming: watermarked tumbling-window aggregation over
+    the events file source, driven to completion against a memory sink.
+    Aligned 1-hour windows make the result SQL-checkable (date_trunc)."""
+    from .streaming import run_stream_to_memory, stream_events, windowed_event_agg
+
+    stream = windowed_event_agg(stream_events(spark, sf_dir))
+    run_stream_to_memory(stream, "q32_out")
+    return spark.sql(
+        "SELECT window_start, event_type, n, sum_value FROM q32_out "
+        "ORDER BY window_start, event_type"
+    )
+
+
+@register(
     "q31_running_sum",
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,

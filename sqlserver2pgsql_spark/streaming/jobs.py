@@ -1,0 +1,133 @@
+"""Structured Streaming re-expressions (M8).
+
+The reference has no streaming — its "incremental" mode is batch diff-sync
+(SURVEY.md §2.4). Two streaming surfaces make that continuous:
+
+- windowed/sessionized aggregations with watermarks over the events table
+  (late-data handling the batch reference cannot express), and
+- ``foreach_batch_upsert``: the A10 merge-apply sink as a streaming
+  ``foreachBatch`` — each micro-batch of changed rows is MERGEd into the
+  target (Delta MERGE / JDBC MERGE on a cluster; parquet rewrite here).
+
+File-source streams over the driver's parquet fixtures give deterministic
+local smoke runs (memory sink + processAllAvailable).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def event_stream_schema() -> T.StructType:
+    """events.parquet schema with ts as nanosecond long (the fixture's
+    physical type — Spark can't stream TIMESTAMP(NANOS) directly)."""
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the fixture is a single parquet FILE; the streaming file source wants a
+    # directory, so stream the sf dir filtered to that file
+    raw = (
+        spark.readStream.schema(event_stream_schema())
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts/sums per event type with a watermark bounding
+    state for late data."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,8)")).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sessionized_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows (inactivity gap) per user — the streaming analog of
+    the batch lag/cumsum sessionizer (queries q28)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(
+    df: DataFrame, name: str, output_mode: str = "complete"
+) -> None:
+    """Drive a streaming aggregation to completion synchronously against a
+    memory sink (local smoke pattern — one batch over a file source)."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def foreach_batch_upsert(store, schema: str, table: str, keys: list[str]):
+    """A10 as a streaming sink: upsert each micro-batch into the target by
+    key (insert new, update changed; deletes don't exist in an append-only
+    change feed). On Delta this is MERGE INTO; on parquet, rewrite-by-union.
+    Exactly-once across retries comes from the idempotence of the MERGE."""
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        batch = batch_df.dropDuplicates(keys)
+        if store.exists(schema, table):
+            tgt = store.read(schema, table)
+            keep = tgt.join(batch.select(*keys), on=keys, how="left_anti")
+            out = keep.unionByName(batch.select(tgt.columns))
+        else:
+            out = batch
+        # stage-then-swap: never overwrite the file we are reading from
+        tmp = store.path(schema, table) + f".epoch{epoch_id}"
+        out.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        final = store.path(schema, table)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+
+    return apply

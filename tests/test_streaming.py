@@ -1,0 +1,70 @@
+"""M8 streaming tests: windowed agg ≡ batch equivalent, session windows,
+foreachBatch upsert sink."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from sqlserver2pgsql_spark.plans import ParquetStore
+from sqlserver2pgsql_spark.sources.tables import load_table
+from sqlserver2pgsql_spark.streaming import (
+    foreach_batch_upsert,
+    run_stream_to_memory,
+    sessionized_stream,
+    stream_events,
+    windowed_event_agg,
+)
+from tests.conftest import SF_DIR
+
+
+def test_stream_windowed_agg_matches_batch(spark):
+    stream = windowed_event_agg(stream_events(spark, SF_DIR))
+    run_stream_to_memory(stream, "win_out")
+    got = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,8)")).alias("sum_value"),
+        )
+        .select(F.col("window.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+    exp = {
+        (r.window_start, r.event_type): (r.n, r.sum_value) for r in batch.collect()
+    }
+    assert got == exp and len(got) > 0
+
+
+def test_sessionized_stream_runs(spark):
+    stream = sessionized_stream(stream_events(spark, SF_DIR))
+    run_stream_to_memory(stream, "sess_out")
+    rows = spark.sql("SELECT * FROM sess_out").collect()
+    assert rows
+    assert all(r.session_end > r.session_start and r.n_events >= 1 for r in rows)
+
+
+def test_foreach_batch_upsert(spark, tmp_path):
+    store = ParquetStore(spark, str(tmp_path))
+    store.write(
+        spark.createDataFrame(
+            [Row(k=1, v="old"), Row(k=2, v="keep")], schema="k int, v string"
+        ),
+        "public",
+        "t",
+    )
+    upsert = foreach_batch_upsert(store, "public", "t", keys=["k"])
+    batch = spark.createDataFrame(
+        [Row(k=1, v="new"), Row(k=3, v="ins")], schema="k int, v string"
+    )
+    upsert(batch, epoch_id=0)
+    got = {r.k: r.v for r in store.read("public", "t").collect()}
+    assert got == {1: "new", 2: "keep", 3: "ins"}
+    # idempotent retry (same epoch re-applied)
+    upsert(batch, epoch_id=0)
+    assert {r.k: r.v for r in store.read("public", "t").collect()} == got
