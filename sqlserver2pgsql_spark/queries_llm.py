@@ -194,16 +194,17 @@ def q22_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       FROM embeddings
+    ),
+    sims AS (
+      SELECT a.vec_id AS id1, b.vec_id AS id2,
+             list_reduce(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(a.e, x -> x * x), (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(b.e, x -> x * x), (x, y) -> x + y)))
+             AS cos_raw
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
     )
-    SELECT a.vec_id AS id1, b.vec_id AS id2,
-           list_reduce(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]), (x, y) -> x + y)
-           / (sqrt(list_reduce(list_transform(a.e, x -> x * x), (x, y) -> x + y))
-              * sqrt(list_reduce(list_transform(b.e, x -> x * x), (x, y) -> x + y)))
-           AS cos_sim
-    FROM v a JOIN v b ON a.vec_id < b.vec_id
-    WHERE list_reduce(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]), (x, y) -> x + y)
-          / (sqrt(list_reduce(list_transform(a.e, x -> x * x), (x, y) -> x + y))
-             * sqrt(list_reduce(list_transform(b.e, x -> x * x), (x, y) -> x + y))) >= 0.35
+    SELECT id1, id2, round(cos_raw, 6) AS cos_sim
+    FROM sims WHERE cos_raw >= 0.35
     ORDER BY id1, id2
     """,
 )
