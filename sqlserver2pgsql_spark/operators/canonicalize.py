@@ -27,10 +27,14 @@ from pyspark.sql import types as T
 UuidCols = set[str]
 
 
-def _canonical_col(field: T.StructField, uuid_cols: set[str], as_strings: bool) -> Column:
+def _canonical_col(
+    field: T.StructField, uuid_cols: set[str], ci_cols: set[str], as_strings: bool
+) -> Column:
     c = F.col(field.name)
     dt = field.dataType
-    if field.name in uuid_cols and isinstance(dt, T.StringType):
+    if field.name in (uuid_cols | ci_cols) and isinstance(dt, T.StringType):
+        # uuid (:446,:471) and case-insensitive/citext columns (:386-418)
+        # compare lower-cased
         return F.lower(c).alias(field.name)
     if isinstance(dt, T.StringType):
         return c.alias(field.name)
@@ -47,10 +51,16 @@ def _canonical_col(field: T.StructField, uuid_cols: set[str], as_strings: bool) 
 def canonicalize(
     df: DataFrame,
     uuid_cols: set[str] | frozenset[str] = frozenset(),
+    ci_cols: set[str] | frozenset[str] = frozenset(),
     as_strings: bool = False,
 ) -> DataFrame:
     """Normalize a DataFrame so two independently sourced copies of the same
-    logical table compare equal column-by-column."""
+    logical table compare equal column-by-column. ``ci_cols`` marks columns
+    under case-insensitive collation (the reference's citext mode,
+    :386-418) — compared lower-cased."""
     return df.select(
-        *[_canonical_col(f, set(uuid_cols), as_strings) for f in df.schema.fields]
+        *[
+            _canonical_col(f, set(uuid_cols), set(ci_cols), as_strings)
+            for f in df.schema.fields
+        ]
     )

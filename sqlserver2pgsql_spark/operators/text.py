@@ -80,8 +80,11 @@ def _lang_score(toks: Column, lang: str) -> Column:
 def detect_language(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
     """Marker-word language ID: argmax of per-language marker counts, 'und'
     when nothing matches. Fixed priority order breaks ties deterministically."""
-    toks = tokens(F.col(text_col))
-    scores = {lang: _lang_score(toks, lang) for lang in _LANG_ORDER}
+    # materialize the token array once — each language scorer referencing the
+    # raw text would re-split it (HOF subexpressions aren't CSE'd)
+    toks_col = f"__toks_{out_col}"
+    scored = df.withColumn(toks_col, tokens(F.col(text_col)))
+    scores = {lang: _lang_score(F.col(toks_col), lang) for lang in _LANG_ORDER}
     # left fold with strict > : earlier languages in _LANG_ORDER win ties
     best = F.lit("und")
     best_score = F.lit(0)
@@ -89,7 +92,7 @@ def detect_language(df: DataFrame, text_col: str = "text", out_col: str = "lang_
         cond = scores[lang] > best_score
         best_score = F.when(cond, scores[lang]).otherwise(best_score)
         best = F.when(cond, F.lit(lang)).otherwise(best)
-    return df.withColumn(out_col, best)
+    return scored.withColumn(out_col, best).drop(toks_col)
 
 
 # --- fingerprinting ---------------------------------------------------------

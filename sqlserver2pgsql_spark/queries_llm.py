@@ -450,6 +450,68 @@ def q32_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q33_approx_distinct")  # HLL sketches are engine-specific — rows-only
+def q33_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (§2.4): approx_count_distinct (HLL++) for cheap
+    PK-uniqueness profiling at 100 TB — one pass, no exact-distinct shuffle.
+    pytest bounds the relative error against the exact count."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.count(F.lit(1)).alias("n"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "q34_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+           sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS total, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def q34_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (§2.4 — beyond rollup/cube) via Spark SQL."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+               sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS total, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )
+
+
+@register(
+    "q35_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6)  AS median_qty,
+           round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+           min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q35_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — Spark ``percentile`` ≡
+    DuckDB ``quantile_cont``), rounded to 6dp to absorb interpolation-order
+    float noise."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90_price"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    ).orderBy("l_returnflag")
+
+
 @register(
     "q31_running_sum",
     oracle="""

@@ -105,6 +105,29 @@ def pg_scan_sql(schema: str, table: Table) -> str:
     return f"SELECT {cols} FROM {schema}.{table.name}"
 
 
+#: Spark types whose ORDER BY is collation-independent — the A11 gate
+#: (reference is_pk_sort_order_safe, :502-524: numeric/date/timestamp only;
+#: string sort orders differ between MSSQL and PG collations)
+_SORT_SAFE_TYPES = {"int", "smallint", "bigint", "float", "double", "date", "timestamp"}
+
+
+def pk_sort_order_safe(table: Table) -> bool:
+    """May this table's PK ordering be compared across systems? (A11,
+    reference :502-524.) In Spark the diff join needs no sorted input, so
+    this gate's surviving use is: only treat cross-system orderings (e.g.
+    key-range incremental windows) as meaningful for these types."""
+    if table.primary_key is None:
+        return False
+    for name in table.primary_key.cols:
+        col = table.columns.get(name)
+        if col is None:
+            return False
+        base = col.spark_type.split("(")[0]
+        if base not in _SORT_SAFE_TYPES and not col.spark_type.startswith("decimal"):
+            return False
+    return True
+
+
 def partitioned_read_spec(table: Table, num_partitions: int = 8) -> dict[str, str] | None:
     """The reference's parallel-scan gate (:949-963): only when the table has
     LOBs **and** a single integer PK. Returns Spark JDBC partitioning options

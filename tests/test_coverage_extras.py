@@ -1,0 +1,63 @@
+"""Tests for the A11 sort-safety gate, B13 conflict resolver, citext
+canonicalization, and the approx-distinct error bound."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from sqlserver2pgsql_spark import queries_llm as QL
+from sqlserver2pgsql_spark.catalog.conflicts import resolve_name_conflicts
+from sqlserver2pgsql_spark.ddl import parse_text
+from sqlserver2pgsql_spark.operators.canonicalize import canonicalize
+from sqlserver2pgsql_spark.operators.diff import DIFF_FLAG_COL, FLAG_IDENTICAL, diff
+from sqlserver2pgsql_spark.sources.jdbc import pk_sort_order_safe
+from tests.conftest import SF_DIR
+
+_DDL = """
+CREATE TABLE [dbo].[num_pk]([id] [int] NOT NULL, CONSTRAINT [p1] PRIMARY KEY CLUSTERED ([id] ASC)) ON [PRIMARY]
+GO
+CREATE TABLE [dbo].[str_pk]([code] [nvarchar](10) NOT NULL, CONSTRAINT [p2] PRIMARY KEY CLUSTERED ([code] ASC)) ON [PRIMARY]
+GO
+CREATE TABLE [dbo].[ts_pk]([at] [datetime2](7) NOT NULL, CONSTRAINT [p3] PRIMARY KEY CLUSTERED ([at] ASC)) ON [PRIMARY]
+GO
+"""
+
+
+def test_pk_sort_order_safe_gate():
+    cat = parse_text(_DDL)
+    tables = cat.schemas["public"].tables
+    assert pk_sort_order_safe(tables["num_pk"])  # numeric → safe (:502-524)
+    assert pk_sort_order_safe(tables["ts_pk"])  # timestamp → safe
+    assert not pk_sort_order_safe(tables["str_pk"])  # collation-dependent
+
+
+def test_name_conflict_resolver():
+    cat = parse_text(
+        """
+CREATE TABLE [dbo].[orders]([id] [int] NOT NULL) ON [PRIMARY]
+GO
+CREATE TABLE [dbo].[customers]([id] [int] NOT NULL) ON [PRIMARY]
+GO
+CREATE NONCLUSTERED INDEX [customers] ON [dbo].[orders]([id] ASC)
+GO
+"""
+    )
+    renames = resolve_name_conflicts(cat)
+    assert len(renames) == 1 and "customers2pgi1" in renames[0]
+    assert "customers2pgi1" in cat.schemas["public"].tables["orders"].indexes
+
+
+def test_citext_canonicalize_diff(spark):
+    src = spark.createDataFrame([Row(k=1, name="Alice", uid="AB-1")])
+    tgt = spark.createDataFrame([Row(k=1, name="ALICE", uid="ab-1")])
+    kwargs = dict(uuid_cols={"uid"}, ci_cols={"name"})
+    d = diff(canonicalize(src, **kwargs), canonicalize(tgt, **kwargs), ["k"])
+    assert d.collect()[0][DIFF_FLAG_COL] == FLAG_IDENTICAL
+
+
+def test_approx_distinct_error_bound(spark):
+    rows = QL.q33_approx_distinct(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        rel_err = abs(r.approx_orders - r.exact_orders) / max(r.exact_orders, 1)
+        assert rel_err < 0.1, f"{r.l_returnflag}: {rel_err}"
