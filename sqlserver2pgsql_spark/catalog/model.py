@@ -51,6 +51,8 @@ class Column:
     is_rowguidcol: bool = False
     is_sparse: bool = False
     collation: str | None = None
+    #: compare lower-cased (citext mode -i, or a *_CI_* column collation)
+    case_insensitive: bool = False
     comment: str | None = None
     check_exprs: list[str] = field(default_factory=list)  # length checks etc.
 

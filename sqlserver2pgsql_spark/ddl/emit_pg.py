@@ -35,6 +35,10 @@ _PG_TYPES = {
 
 def _pg_type(col: Column) -> str:
     st = col.spark_type
+    if st == "string" and col.case_insensitive:
+        # citext mode (reference :386-418); the length limit becomes a CHECK
+        # (char_length) emitted in the unsure script
+        return "citext"
     if st.startswith("decimal"):
         return st.replace("decimal", "numeric")
     # varchar(n)/char(n) limits survive via the original qualifier
@@ -55,6 +59,12 @@ def _quote(name: str) -> str:
 
 def emit_before(catalog: Catalog) -> str:
     out: list[str] = ["\\set ON_ERROR_STOP", "BEGIN;"]
+    if any(
+        c.case_insensitive
+        for _, t in catalog.all_tables()
+        for c in t.columns.values()
+    ):
+        out.append("CREATE EXTENSION IF NOT EXISTS citext;")  # (:2615-2618)
     for k, v in catalog.variables.items():
         out.append(f"\\set {k} '{v}'")
     for sname in sorted(catalog.schemas):
@@ -164,6 +174,13 @@ def emit_unsure(catalog: Catalog) -> str:
             if c.default is not None and c.default.unsure:
                 out.append(
                     f"ALTER TABLE {tq} ALTER COLUMN {_quote(c.name)} SET DEFAULT {c.default.sql};"
+                )
+            if c.case_insensitive and c.type_qual and c.type_qual.strip("() ").isdigit():
+                # citext drops the length qualifier → CHECK instead (:386-418)
+                n = c.type_qual.strip("() ")
+                out.append(
+                    f"ALTER TABLE {tq} ADD CONSTRAINT {_quote(c.name + '_len')} "
+                    f"CHECK (char_length({_quote(c.name)}) <= {n});"
                 )
     for sname, vname in catalog.view_order:
         v = catalog.schemas[sname].views[vname]

@@ -136,6 +136,9 @@ class ParserOptions:
     numeric_as_int: bool = False
     relabel: dict[str, str] | None = None
     drop_rowversion: bool = False
+    #: reference -i flag: text columns become case-insensitive (citext in PG;
+    #: here: marked for lower()-normalized comparison, :386-418)
+    case_insensitive: bool = False
 
 
 class DdlParser:
@@ -333,6 +336,12 @@ class DdlParser:
         mc = re.search(r"\bCOLLATE\s+(\S+)", rest, re.IGNORECASE)
         if mc:
             col.collation = mc.group(1)
+        if conv.spark_type == "string" and type_raw in (
+            "char", "nchar", "varchar", "nvarchar", "text", "ntext", "sysname",
+        ):
+            col.case_insensitive = self.opt.case_insensitive or bool(
+                col.collation and "_CI" in col.collation.upper()
+            )
         col.nullable = not re.search(r"\bNOT\s+NULL\b", rest, re.IGNORECASE)
 
         md = re.search(

@@ -111,3 +111,22 @@ def diff_counts(
     """Per-flag row counts — the summary a sync job reports."""
     d = diff(src, tgt, keys, **kwargs)
     return d.groupBy(DIFF_FLAG_COL).agg(F.count(F.lit(1)).alias("n")).orderBy(DIFF_FLAG_COL)
+
+
+def diff_key_range(
+    src: DataFrame,
+    tgt: DataFrame,
+    keys: list[str],
+    lower,
+    upper,
+    **kwargs,
+) -> DataFrame:
+    """Windowed incremental diff: both sides restricted to
+    ``lower <= pk < upper`` before diffing — the surviving use of the A11
+    collation-safety gate (sources.jdbc.pk_sort_order_safe must hold, or the
+    range means different rows on each system). At 100 TB this turns a
+    full-table sync into a key-window sync, and the range predicate pushes
+    into both scans."""
+    k = keys[0]
+    pred = (F.col(k) >= F.lit(lower)) & (F.col(k) < F.lit(upper))
+    return diff(src.filter(pred), tgt.filter(pred), keys, **kwargs)

@@ -61,3 +61,20 @@ def test_approx_distinct_error_bound(spark):
     for r in rows:
         rel_err = abs(r.approx_orders - r.exact_orders) / max(r.exact_orders, 1)
         assert rel_err < 0.1, f"{r.l_returnflag}: {rel_err}"
+
+
+def test_diff_key_range_windows_both_sides(spark):
+    src = spark.createDataFrame([Row(k=i, v=str(i)) for i in range(100)])
+    tgt = spark.createDataFrame(
+        [Row(k=i, v=str(i) if i != 50 else "stale") for i in range(5, 105)]
+    )
+    d = diff(src, tgt, ["k"])
+    from sqlserver2pgsql_spark.operators.diff import diff_key_range
+
+    windowed = diff_key_range(src, tgt, ["k"], lower=40, upper=60)
+    flags = {r.k: r[DIFF_FLAG_COL] for r in windowed.collect()}
+    assert set(flags) == set(range(40, 60))  # outside-window rows untouched
+    assert flags[50] == "changed"
+    assert all(f == FLAG_IDENTICAL for k, f in flags.items() if k != 50)
+    # plan: range predicate pushes into both parquet-less scans as filters
+    assert d.count() > windowed.count()
