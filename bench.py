@@ -31,25 +31,33 @@ def main() -> None:
     # warm the JVM + parquet footers so per-query numbers measure the queries
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
-    timings: dict[str, float] = {}
-    for name, fn in sorted(entrymod.queries().items()):
-        t0 = time.time()
-        try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as e:  # noqa: BLE001
-            print(f"bench: {name} failed: {e}", file=sys.stderr)
-            timings[name] = -1.0
+    def run_all() -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name, fn in sorted(entrymod.queries().items()):
+            t0 = time.time()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                timings[name] = round(time.time() - t0, 3)
+            except Exception as e:  # noqa: BLE001
+                print(f"bench: {name} failed: {e}", file=sys.stderr)
+                timings[name] = -1.0
+        return timings
 
-    total = round(sum(v for v in timings.values() if v >= 0), 3)
+    cold = run_all()  # pass 1: includes JVM/codegen compilation
+    warm = run_all()  # pass 2: steady state — the reported numbers
+
+    total = round(sum(v for v in warm.values() if v >= 0), 3)
+    cold_total = round(sum(v for v in cold.values() if v >= 0), 3)
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": warm,
                 "sf": sf,
+                "methodology": "steady-state (2nd run); cold 1st-run total in cold_total_sec",
+                "cold_total_sec": cold_total,
             }
         )
     )

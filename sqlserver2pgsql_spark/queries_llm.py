@@ -513,6 +513,111 @@ def q35_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q36_range_join",
+    oracle="""
+    SELECT o.o_orderkey,
+           count(l.l_orderkey) AS n_shipped_30d,
+           sum(CAST(l.l_quantity AS DECIMAL(38,8))) AS qty_30d
+    FROM orders o
+    LEFT JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY o.o_orderkey ORDER BY o.o_orderkey
+    """,
+)
+def q36_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/theta join (§2.4): equi-key + time-interval condition — the
+    equi key drives the shuffle, the range is a post-join filter, so it
+    scales like a plain join."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate < F.timestamp_add("DAY", F.lit(30), o.o_orderdate))
+    )
+    return (
+        o.join(li, cond, "left")
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("l_orderkey").alias("n_shipped_30d"),
+            F.sum(F.col("l_quantity").cast(DEC)).alias("qty_30d"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q37_correlated_subquery",
+    oracle="""
+    SELECT c.c_custkey, c.c_acctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                         WHERE c2.c_nationkey = c.c_nationkey)
+    ORDER BY c.c_custkey
+    """,
+)
+def q37_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (§2.4) — Catalyst decorrelates it into an
+    aggregate + join. avg stays double-only in a comparison (never emitted),
+    so engine summation order can't affect output values."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_acctbal
+        FROM customer c
+        WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                             WHERE c2.c_nationkey = c.c_nationkey)
+        ORDER BY c.c_custkey
+        """
+    )
+
+
+@register(
+    "q38_unpivot",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+    ORDER BY p_partkey, metric
+    """,
+)
+def q38_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (§2.4 'pivot/unpivot') via the native unpivot operator —
+    a projection+generate, no shuffle."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("p_size"),
+            F.col("p_retailprice"),
+        )
+        .unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "value")
+        .orderBy("p_partkey", "metric")
+    )
+
+
+@register(
+    "q39_surrogate_keys",
+    oracle="""
+    SELECT 1000 + (row_number() OVER (ORDER BY s_suppkey) - 1) * 2 AS rid,
+           s_suppkey, s_name
+    FROM supplier ORDER BY s_suppkey
+    """,
+)
+def q39_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTITY(start, step) semantics as deterministic surrogate keys
+    (reference B6, :1451-1481): start=1000, step=2 over the supplier load."""
+    from .operators.sequences import assign_surrogate_keys
+
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return assign_surrogate_keys(s, ["s_suppkey"], "rid", start=1000, step=2).select(
+        "rid", "s_suppkey", "s_name"
+    ).orderBy("s_suppkey")
+
+
+@register(
     "q31_running_sum",
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
