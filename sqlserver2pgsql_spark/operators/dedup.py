@@ -65,18 +65,34 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact pairwise Jaccard over word-n-gram shingle sets.
 
-    |A∩B| from the posting-list self-join, |A∪B| = |A|+|B|-|A∩B|.
-    Quadratic in posting-bucket size → correct-but-small-scale; the LSH path
-    below is the 100 TB variant and uses this as its verifier."""
+    |A∩B| via grouped posting lists: group by shingle once, generate the
+    ordered doc pairs map-side from each group (identical pair set to a
+    posting self-join, but one narrow shuffle instead of joining the posting
+    list against itself), drop df=1 shingles for free. Still quadratic per
+    hot shingle → correct-but-small-scale; the LSH path below is the 100 TB
+    variant and uses this as its verifier."""
     post = shingle_postings(df, id_col, text_col, n)
     sizes = post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = post.alias("a")
-    b = post.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    grouped = (
+        post.groupBy("shingle")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
     )
+    ids_sorted = F.array_sort("ids")
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    ids_sorted,
+                    lambda x, i: F.transform(
+                        F.slice(ids_sorted, i + 2, F.size(ids_sorted)),
+                        lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id1", "p.id2")
+    inter = pairs.groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("n_inter"))
     sa = sizes.select(F.col("doc_id").alias("id1"), F.col("n_shingles").alias("n1"))
     sb = sizes.select(F.col("doc_id").alias("id2"), F.col("n_shingles").alias("n2"))
     return (
@@ -98,12 +114,15 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64
 ) -> DataFrame:
-    """k-permutation MinHash signature per document: min over shingles of
-    xxhash64(seed_i, shingle) for each of ``num_hashes`` seeds. Computed with
-    one explode + one groupBy (map-side partial min)."""
-    post = shingle_postings(df, id_col, text_col, n)
+    """k-permutation MinHash signature per document: each shingle string is
+    hashed ONCE (xxhash64), and the k permutations re-hash that 8-byte value
+    (xxhash64(h, seed_i)) — k× cheaper than k string hashes with the same
+    LSH properties. One explode + one groupBy (map-side partial min)."""
+    post = shingle_postings(df, id_col, text_col, n).withColumn(
+        "h", F.xxhash64(F.col("shingle"))
+    )
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
+        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
     return post.groupBy("doc_id").agg(*mins)

@@ -40,7 +40,18 @@ ORACLES: dict[str, str] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # the driver invokes these in ITS session — pin the semantics the
+            # oracle comparison depends on (UTC timestamps foremost) before
+            # building the plan
+            from .session import tune_session
+
+            tune_session(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
         return fn
