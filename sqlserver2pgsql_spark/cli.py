@@ -48,6 +48,17 @@ def _convert(args: argparse.Namespace) -> int:
     if args.unsure:
         open(args.unsure, "w").write(emit_unsure(catalog))
 
+    if args.col_map:
+        # reference -col_map (:2588-2610): original → normalized identifiers
+        mapping = {
+            f"{sname}.{t.name}": {
+                "orig_schema": t.orig_schema,
+                "columns": {c.orig_name: c.name for c in t.ordered_columns()},
+            }
+            for sname, t in catalog.all_tables()
+        }
+        open(args.col_map, "w").write(json.dumps(mapping, indent=2))
+
     if args.plan_out:
         plans = build_transfer_plans(catalog, incremental=args.incremental)
         payload = [
@@ -87,6 +98,7 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("-a", "--after", help="output: post-load DDL script")
     c.add_argument("-u", "--unsure", help="output: unguaranteed DDL script")
     c.add_argument("--plan-out", help="output: per-table transfer plans JSON")
+    c.add_argument("--col-map", help="output: original→normalized identifier map JSON")
     c.add_argument("--incremental", action="store_true")
     c.add_argument("-i", "--case-insensitive", action="store_true")
     c.add_argument("--num", action="store_true", help="numeric(p,0) → int types")
