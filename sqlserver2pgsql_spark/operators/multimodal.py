@@ -105,3 +105,68 @@ def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return df.select("media_id", "modality", "payload").mapInPandas(
         batches, schema=FEATURE_SCHEMA
     )
+
+
+RESIZED_SCHEMA = "media_id long, payload binary, width int, height int"
+
+
+def resize_images(df: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Image resize plumbing (1→1): Arrow batches in, resized payload +
+    dimensions out. The pixel work is a deterministic fake (no codecs in
+    this container — a real impl drops PIL into ``_fake_resize``); the
+    schema contract, batch shape, and column pruning are real."""
+
+    def _fake_resize(payload: bytes) -> bytes:
+        # stand-in for decode→resize→re-encode: size-normalized byte pattern
+        return (payload or b"\x00")[:16].ljust(16, b"\x00") * (width * height // 256 or 1)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pdf["payload"].map(_fake_resize),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return (
+        df.filter(F.col("modality") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(batches, schema=RESIZED_SCHEMA)
+    )
+
+
+FRAME_SCHEMA = "media_id long, frame_idx int, frame_ms long, frame_payload binary"
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 8) -> DataFrame:
+    """Video frame sampling plumbing (1→N row expansion inside mapInPandas):
+    each video row yields up to ``max_frames`` frame rows. Frame bytes are a
+    deterministic fake slice of the payload; the expansion shape (row
+    multiplication inside an Arrow batch) is the real contract a decoder
+    plugs into."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "media_id": [],
+                "frame_idx": [],
+                "frame_ms": [],
+                "frame_payload": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                n = min(max_frames, max(1, len(payload or b"") // 16))
+                for i in range(n):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame_ms"].append(i * every_ms)
+                    out["frame_payload"].append((payload or b"")[i * 16 : (i + 1) * 16])
+            yield pd.DataFrame(out)
+
+    return (
+        df.filter(F.col("modality") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(batches, schema=FRAME_SCHEMA)
+    )

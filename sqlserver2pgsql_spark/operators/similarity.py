@@ -136,6 +136,83 @@ def ann_lsh_topk(
     )
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    partition_col: str | None = None,
+    n_centroids: int = 16,
+) -> DataFrame:
+    """IVF coarse quantizer centroids: element-wise mean per cell.
+
+    Cells come from ``partition_col`` when given (e.g. a label / prior
+    cluster id), else from a deterministic hash partition of the id — a
+    k-means-free coarse quantizer that still bounds the probe set. Built with
+    posexplode + avg: one shuffle, no driver-side math."""
+    cell = (
+        F.col(partition_col)
+        if partition_col
+        else F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_centroids))
+    )
+    exploded = corpus.select(
+        cell.alias("cell"), F.posexplode(F.col(vec_col)).alias("dim", "val")
+    )
+    return (
+        exploded.groupBy("cell", "dim")
+        .agg(F.avg(F.col("val").cast("double")).alias("mean"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "mean"))).alias("dm"))
+        .select("cell", F.transform("dm", lambda s: s["mean"]).alias("centroid"))
+    )
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    partition_col: str | None = None,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF search: assign every corpus vector to its nearest centroid cell
+    (inverted lists), probe only the ``nprobe`` cells nearest each query.
+    The scan of each query touches ~nprobe/n_centroids of the corpus —
+    the classic recall/cost dial; at 100 TB the inverted lists are the
+    partitioning key, so a probe is a partition-pruned read."""
+    cents = F.broadcast(ivf_centroids(corpus, id_col, vec_col, partition_col, n_centroids))
+
+    def assign(df: DataFrame, prefix: str, top: int) -> DataFrame:
+        scored = df.crossJoin(cents).select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(vec_col).alias(f"{prefix}_vec"),
+            F.col("cell"),
+            cosine(F.col(vec_col), F.col("centroid")).alias("c_sim"),
+        )
+        w = W.partitionBy(f"{prefix}_id").orderBy(F.desc("c_sim"), F.asc("cell"))
+        return (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= top)
+            .select(f"{prefix}_id", f"{prefix}_vec", "cell")
+        )
+
+    lists = assign(corpus, "c", top=1)  # each corpus vector in ONE cell
+    probes = F.broadcast(assign(queries, "q", top=nprobe))
+    cand = lists.join(probes, "cell").filter(F.col("c_id") != F.col("q_id"))
+    scored = cand.select(
+        F.col("q_id").alias("query_id"),
+        F.col("c_id").alias("vec_id"),
+        cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+    ).dropDuplicates(["query_id", "vec_id"])
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rnk", "vec_id", "cos_sim")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

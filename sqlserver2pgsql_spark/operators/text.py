@@ -27,6 +27,18 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+#: BPE-ish pre-tokenizer pattern (GPT-2-style word/number/punct splits,
+#: restricted to RE2-compatible syntax — no lookahead — so the DuckDB oracle
+#: can run the identical pattern)
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Token count under a BPE-style pre-tokenizer — the cheap proxy for
+    'how many LLM tokens is this document' used in corpus budgeting."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_PATTERN), F.lit(0)))
+
+
 # --- quality scoring --------------------------------------------------------
 
 _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")

@@ -188,6 +188,39 @@ def q22_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_lsh_topk(emb, queries, k=5).orderBy("query_id", "rnk")
 
 
+@register("q42_multimodal_pipeline")  # synthetic media, binary payloads — rows-only
+def q42_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: synthesize binary media, Arrow-batched
+    feature extraction, image resize (1→1), video frame sampling (1→N), and
+    a summary join — decode itself is stubbed (no codecs in the container),
+    every Spark contract is real. Deterministic output (seedless synth)."""
+    from .operators import multimodal as MM
+
+    media = MM.synth_media(spark, n=96)
+    feats = MM.extract_features(media)
+    resized = MM.resize_images(media, 64, 64)
+    frames = MM.sample_frames(media, every_ms=500, max_frames=4)
+    frame_counts = frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))
+    return (
+        feats.join(resized.select("media_id", "width", "height"), "media_id", "left")
+        .join(frame_counts, "media_id", "left")
+        .select("media_id", "modality", "n_bytes", "payload_hash", "width", "n_frames")
+        .orderBy("media_id")
+    )
+
+
+@register("q41_ann_ivf_topk")  # probe membership is quantizer-dependent — rows-only
+def q41_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (label-partitioned inverted lists, nprobe=4 of 16 cells) —
+    the partition-pruned scale path alongside hyperplane LSH (q22). pytest
+    measures recall vs exact q21."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return S.ann_ivf_topk(
+        emb, queries, k=5, partition_col="label", nprobe=4
+    ).orderBy("query_id", "rnk")
+
+
 @register(
     "q23_embedding_neardup",
     oracle="""
@@ -282,6 +315,26 @@ def q25_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     (en > es > fr > de > zh)."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     return X.detect_language(d).select("doc_id", "lang", "lang_pred").orderBy("doc_id")
+
+
+@register(
+    "q40_token_counts",
+    oracle="""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+           len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS bpe_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q40_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways (whitespace + BPE-ish pre-tokenizer) — the
+    corpus-budgeting primitive; identical regex runs on both engines."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.token_count(F.col("text")).alias("ws_tokens"),
+        X.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    ).orderBy("doc_id")
 
 
 @register(

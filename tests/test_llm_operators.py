@@ -120,3 +120,42 @@ def test_fingerprint_rolling_stable(spark):
     fps = {r.id: r.fp for r in df.select("id", fingerprint_rolling(F.col("text")).alias("fp")).collect()}
     assert fps[1] == fps[2]  # whitespace-insensitive
     assert fps[1] != fps[3]
+
+
+def test_multimodal_resize_and_frames(spark):
+    from sqlserver2pgsql_spark.operators.multimodal import (
+        resize_images,
+        sample_frames,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=30)
+    resized = resize_images(media, 64, 64).collect()
+    assert resized and all(r.width == 64 and r.height == 64 for r in resized)
+    assert len({len(r.payload) for r in resized}) == 1  # size-normalized
+
+    frames = sample_frames(media, every_ms=500, max_frames=4)
+    rows = frames.collect()
+    assert rows
+    per_media = {}
+    for r in rows:
+        per_media.setdefault(r.media_id, []).append((r.frame_idx, r.frame_ms))
+    for mid, fs in per_media.items():
+        assert sorted(fs) == [(i, i * 500) for i in range(len(fs))]  # 1→N shape
+
+
+def test_ivf_topk_recall(spark):
+    from pyspark.sql import functions as F
+
+    from sqlserver2pgsql_spark.operators import similarity as SS
+    from sqlserver2pgsql_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {(r.query_id, r.vec_id) for r in SS.ann_bruteforce_topk(emb, q, k=5).collect()}
+    ivf = {
+        (r.query_id, r.vec_id)
+        for r in SS.ann_ivf_topk(emb, q, k=5, partition_col="label", nprobe=4).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
