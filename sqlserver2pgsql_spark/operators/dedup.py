@@ -227,18 +227,18 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
-    vote_aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{b}")
+    # vote_b = (+1 per set bit, -1 per clear bit) = 2·Σ bit_b − n; summing the
+    # raw bit avoids a per-row branch in each of the 64 aggregates
+    bit_aggs = [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"s{b}")
         for b in range(64)
     ]
-    votes = post.groupBy("doc_id").agg(*vote_aggs)
+    votes = post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *bit_aggs)
     sig = F.lit(0).cast("long")
     for b in range(64):
         sig = sig.bitwiseOR(
             F.when(
-                F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+                F.col(f"s{b}") * 2 > F.col("n"), F.shiftleft(F.lit(1).cast("long"), b)
             ).otherwise(F.lit(0).cast("long"))
         )
     return votes.select("doc_id", sig.alias("simhash"))

@@ -62,3 +62,44 @@ def test_q21_ann_broadcasts_queries(spark):
     plan = _plan(QL.q21_ann_bruteforce_topk(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan  # corpus must not shuffle
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path_factory):
+    """Bucketing (§4 physical techniques): two tables bucketed on the join
+    key co-locate — the join plan has no shuffle Exchange on either side."""
+    from pyspark.sql import functions as F
+
+    from sqlserver2pgsql_spark.sources.tables import load_table
+
+    import shutil
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    # in-memory catalog: DROP can't see tables from prior processes, but the
+    # warehouse files persist — clear them so saveAsTable doesn't collide
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_lineitem", "b_orders"):
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable("b_lineitem")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable("b_orders")
+
+    # at this size AQE rightly prefers broadcast (which disables bucket use);
+    # force the sort-merge path to observe bucket co-location
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan  # no shuffle: co-located buckets
+        assert "Bucketed: true" in plan
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE b_lineitem")
+        spark.sql("DROP TABLE b_orders")
