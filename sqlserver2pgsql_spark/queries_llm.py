@@ -188,6 +188,71 @@ def q22_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_lsh_topk(emb, queries, k=5).orderBy("query_id", "rnk")
 
 
+@register(
+    "q43_corpus_curation",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 4 = 0
+    ),
+    scored AS (
+      SELECT doc_id, text,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+             len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS bpe_tokens
+      FROM corpus
+    ),
+    filtered AS (
+      SELECT * FROM scored WHERE n_tok BETWEEN 10 AND 200 AND alpha_ratio >= 0.5
+    ),
+    deduped AS (
+      SELECT fp, min(doc_id) AS doc_id, min(bpe_tokens) AS bpe_tokens
+      FROM filtered GROUP BY fp
+    )
+    SELECT doc_id, bpe_tokens,
+           sum(bpe_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+    FROM deduped
+    QUALIFY cum_tokens <= 50000
+    ORDER BY doc_id
+    """,
+)
+def q43_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship training-data pipeline: corpus (with injected dups) →
+    quality filter (token count + alpha ratio) → fingerprint dedup →
+    BPE token accounting → cumulative token-budget cut. Every stage is one
+    of the engine's operators composed declaratively — Catalyst fuses the
+    scoring into a single scan pass, dedup is one shuffle, the budget cut is
+    a running-sum window."""
+    corpus = _exactdup_corpus(spark, sf_dir)
+    t = F.col("text")
+    scored = corpus.select(
+        "doc_id",
+        X.token_count(t).alias("n_tok"),
+        (
+            F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).cast("double")
+            / F.length(t).cast("double")
+        ).alias("alpha_ratio"),
+        X.fingerprint_md5(t).alias("fp"),
+        X.bpe_token_count(t).alias("bpe_tokens"),
+    )
+    filtered = scored.filter(
+        F.col("n_tok").between(10, 200) & (F.col("alpha_ratio") >= 0.5)
+    )
+    deduped = filtered.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"), F.min("bpe_tokens").alias("bpe_tokens")
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        deduped.withColumn("cum_tokens", F.sum("bpe_tokens").over(w))
+        .filter(F.col("cum_tokens") <= 50000)
+        .select("doc_id", "bpe_tokens", "cum_tokens")
+        .orderBy("doc_id")
+    )
+
+
 @register("q42_multimodal_pipeline")  # synthetic media, binary payloads — rows-only
 def q42_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: synthesize binary media, Arrow-batched
