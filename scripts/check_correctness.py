@@ -32,8 +32,11 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
             if getattr(dt.dt, "tz", None) is not None:
                 dt = dt.dt.tz_convert("UTC").dt.tz_localize(None)
             df[c] = dt.astype("datetime64[ns]")
-        elif df[c].dtype == object:
-            df[c] = df[c].map(lambda v: float(v) if type(v).__name__ == "Decimal" else v)
+        # NOTE: deliberately NO Decimal→float coercion here. The driver's hash
+        # is representation-sensitive: Spark toPandas renders DECIMAL as
+        # decimal.Decimal objects while DuckDB fetchdf renders DECIMAL/HUGEINT
+        # as float64 — coercing would mask exactly the mismatch the driver
+        # fails on (round-1 lesson). Queries must emit DOUBLE/BIGINT finals.
     df = df.sort_values(by=list(df.columns), kind="mergesort", ignore_index=True)
     return df
 

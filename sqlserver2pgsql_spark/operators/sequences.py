@@ -60,6 +60,49 @@ def assign_surrogate_keys(
     )
 
 
+def running_total(
+    df: DataFrame,
+    order_by: list[str],
+    value_col: str,
+    out_col: str = "running_total",
+) -> DataFrame:
+    """Global cumulative sum over a total order WITHOUT an unpartitioned
+    window (which funnels the whole dataset through one task — the scale
+    killer `WindowExec: No Partition Defined` warns about).
+
+    Same two-phase shape as :func:`assign_surrogate_keys`: range-partition on
+    the order columns (disjoint sorted ranges), cumulative-sum within each
+    partition, then shift by per-partition value totals (a #partitions-sized
+    driver aggregate — bounded, not data-sized)."""
+    ranged = df.repartitionByRange(*[F.col(c) for c in order_by]).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = (
+        W.partitionBy("__pid")
+        .orderBy(*[F.col(c) for c in order_by])
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn("__cum", F.sum(F.col(value_col)).over(w))
+
+    totals = {
+        r["__pid"]: r["t"]
+        for r in local.groupBy("__pid").agg(F.sum(value_col).alias("t")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid] or 0
+    offset_expr = F.lit(0)
+    for pid, off in offsets.items():
+        offset_expr = F.when(F.col("__pid") == pid, F.lit(off)).otherwise(offset_expr)
+
+    return (
+        local.withColumn(out_col, offset_expr + F.col("__cum"))
+        .drop("__pid", "__cum")
+    )
+
+
 def next_seq_start(df: DataFrame, key_col: str, seq: Sequence) -> int:
     """Post-load sequence reseed value (reference emits setval(max) — or min
     when step < 0)."""

@@ -75,10 +75,10 @@ DEC = "decimal(38,8)"
     "q01_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           sum(CAST(l_quantity AS DECIMAL(38,8)))                                  AS sum_qty,
-           sum(CAST(l_extendedprice AS DECIMAL(38,8)))                             AS sum_base_price,
-           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,8)))          AS sum_disc_price,
-           sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,8))) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE)                                  AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE)                             AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,8))) AS DOUBLE)          AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,8))) AS DOUBLE) AS sum_charge,
            count(*)                                                                AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -97,10 +97,12 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(DEC)).alias("sum_base_price"),
-            F.sum(disc.cast(DEC)).alias("sum_disc_price"),
-            F.sum(charge.cast(DEC)).alias("sum_charge"),
+            # decimal accumulation for determinism; DOUBLE emitted so the
+            # driver's representation-sensitive hash matches DuckDB's fetchdf
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sum_base_price"),
+            F.sum(disc.cast(DEC)).cast("double").alias("sum_disc_price"),
+            F.sum(charge.cast(DEC)).cast("double").alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -111,7 +113,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q02_segment_revenue",
     oracle="""
     SELECT c.c_mktsegment,
-           sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,8))) AS revenue,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,8))) AS DOUBLE) AS revenue,
            count(DISTINCT o.o_orderkey) AS n_orders
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -132,9 +134,9 @@ def q02_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
         .groupBy("c_mktsegment")
         .agg(
-            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)).alias(
-                "revenue"
-            ),
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC))
+            .cast("double")
+            .alias("revenue"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
         .orderBy("c_mktsegment")
@@ -154,7 +156,8 @@ def q02_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ORDER BY total_spend DESC, c_custkey) AS rnk
       FROM spend
     )
-    SELECT c_mktsegment, rnk, c_custkey, c_name, total_spend
+    SELECT c_mktsegment, rnk, c_custkey, c_name,
+           CAST(total_spend AS DOUBLE) AS total_spend
     FROM ranked WHERE rnk <= 3
     ORDER BY c_mktsegment, rnk
     """,
@@ -173,7 +176,13 @@ def q03_top_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame
     return (
         spend.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
-        .select("c_mktsegment", "rnk", "c_custkey", "c_name", "total_spend")
+        .select(
+            "c_mktsegment",
+            "rnk",
+            "c_custkey",
+            "c_name",
+            F.col("total_spend").cast("double").alias("total_spend"),
+        )
         .orderBy("c_mktsegment", "rnk")
     )
 
@@ -314,7 +323,7 @@ def q07_incremental_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
-           sum(CAST(l_quantity AS DECIMAL(38,8))) AS sum_qty, count(*) AS n
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sum_qty, count(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
@@ -327,7 +336,7 @@ def q08_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping("l_returnflag").alias("g_rf"),
             F.grouping("l_linestatus").alias("g_ls"),
-            F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
             F.count(F.lit(1)).alias("n"),
         )
         .select("l_returnflag", "l_linestatus", "g_rf", "g_ls", "sum_qty", "n")
@@ -345,7 +354,7 @@ def q08_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            grouping(o_orderstatus) AS g_st, grouping(o_orderpriority) AS g_pr,
-           count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(38,8))) AS total
+           count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE) AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     ORDER BY g_st, g_pr, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
@@ -359,7 +368,7 @@ def q09_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("o_orderstatus").alias("g_st"),
             F.grouping("o_orderpriority").alias("g_pr"),
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("o_totalprice").cast(DEC)).alias("total"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total"),
         )
         .select("o_orderstatus", "o_orderpriority", "g_st", "g_pr", "n", "total")
         .orderBy(
@@ -405,7 +414,7 @@ def q10_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
            o_orderstatus || repeat(' ', 3) || o_orderpriority               AS padded,
            CAST(length(rtrim(o_orderpriority || '  ')) AS INT)              AS len_trim,
            CAST(date_diff('day', o_orderdate, TIMESTAMP '1998-01-01 00:00:00') AS INT) AS days_to_98,
-           CAST(o_totalprice AS DECIMAL(18,2))                              AS price_dec
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)              AS price_dec
     FROM orders
     ORDER BY o_orderkey
     """,
@@ -426,7 +435,7 @@ def q12_tsql_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
         tsql.tsql_concat(F.col("o_orderstatus"), tsql.space(3), F.col("o_orderpriority")).alias("padded"),
         tsql.len_(tsql.tsql_concat(F.col("o_orderpriority"), F.lit("  "))).alias("len_trim"),
         tsql.datediff("day", F.col("o_orderdate"), F.lit("1998-01-01 00:00:00").cast("timestamp")).alias("days_to_98"),
-        tsql.convert("decimal(18,2)", F.col("o_totalprice")).alias("price_dec"),
+        tsql.convert("decimal(18,2)", F.col("o_totalprice")).cast("double").alias("price_dec"),
     ).orderBy("o_orderkey")
 
 
@@ -435,7 +444,7 @@ def q12_tsql_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey AS custkey,
            coalesce(nullif(c.c_name, ''), 'anonymous') || '|' || n.n_name   AS customer_label,
-           CAST(c.c_acctbal AS DECIMAL(12,2))                               AS bal,
+           CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) AS DOUBLE)               AS bal,
            CASE WHEN c.c_acctbal < 0 THEN 'overdrawn' ELSE 'ok' END         AS status
     FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
     ORDER BY custkey
@@ -459,7 +468,13 @@ def q13_translated_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = translate_tsql_expr(tsql_body)
     assert not result.unsure, result.notes
-    return spark.sql(result.sql).orderBy("custkey")
+    return (
+        spark.sql(result.sql)
+        # CONVERT(DECIMAL…) stays decimal inside the view; emit DOUBLE so the
+        # driver hash matches DuckDB's float64 rendering
+        .withColumn("bal", F.col("bal").cast("double"))
+        .orderBy("custkey")
+    )
 
 
 @register(

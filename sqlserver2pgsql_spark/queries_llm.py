@@ -212,8 +212,8 @@ def q22_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT fp, min(doc_id) AS doc_id, min(bpe_tokens) AS bpe_tokens
       FROM filtered GROUP BY fp
     )
-    SELECT doc_id, bpe_tokens,
-           sum(bpe_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+    SELECT doc_id, CAST(bpe_tokens AS BIGINT) AS bpe_tokens,
+           CAST(sum(bpe_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
     FROM deduped
     QUALIFY cum_tokens <= 50000
     ORDER BY doc_id
@@ -244,11 +244,18 @@ def q43_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = filtered.groupBy("fp").agg(
         F.min("doc_id").alias("doc_id"), F.min("bpe_tokens").alias("bpe_tokens")
     )
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    # two-phase running sum (operators/sequences.running_total) — an
+    # unpartitioned window here would funnel the whole corpus through one task
+    from .operators.sequences import running_total
+
     return (
-        deduped.withColumn("cum_tokens", F.sum("bpe_tokens").over(w))
+        running_total(deduped, ["doc_id"], "bpe_tokens", "cum_tokens")
         .filter(F.col("cum_tokens") <= 50000)
-        .select("doc_id", "bpe_tokens", "cum_tokens")
+        .select(
+            "doc_id",
+            F.col("bpe_tokens").cast("long").alias("bpe_tokens"),
+            "cum_tokens",
+        )
         .orderBy("doc_id")
     )
 
@@ -477,8 +484,8 @@ def q27_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT event_id, user_id, ts,
-           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS session_id
+           CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
     FROM gaps ORDER BY event_id
     """,
 )
@@ -504,7 +511,7 @@ def q28_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q29_json_extract",
     oracle="""
     SELECT event_type,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            count(*) AS n
     FROM events GROUP BY event_type ORDER BY event_type
     """,
@@ -550,7 +557,7 @@ def q30_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT date_trunc('hour', ts) AS window_start, event_type,
            count(*) AS n,
-           sum(CAST(value AS DECIMAL(38,8))) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2 ORDER BY 1, 2
     """,
 )
@@ -586,7 +593,7 @@ def q33_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
-           sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS total, count(*) AS n
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS total, count(*) AS n
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
     ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
@@ -599,7 +606,7 @@ def q34_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT l_returnflag, l_linestatus,
                grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
-               sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS total, count(*) AS n
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS total, count(*) AS n
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
         ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
@@ -635,7 +642,7 @@ def q35_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderkey,
            count(l.l_orderkey) AS n_shipped_30d,
-           sum(CAST(l.l_quantity AS DECIMAL(38,8))) AS qty_30d
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS qty_30d
     FROM orders o
     LEFT JOIN lineitem l
       ON l.l_orderkey = o.o_orderkey
@@ -660,7 +667,7 @@ def q36_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey")
         .agg(
             F.count("l_orderkey").alias("n_shipped_30d"),
-            F.sum(F.col("l_quantity").cast(DEC)).alias("qty_30d"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("qty_30d"),
         )
         .orderBy("o_orderkey")
     )
@@ -739,9 +746,9 @@ def q39_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q31_running_sum",
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
-           sum(CAST(l_quantity AS DECIMAL(38,8)))
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,8)))
              OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
-                   ROWS UNBOUNDED PRECEDING) AS running_qty
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_qty
     FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber
     """,
 )
@@ -756,5 +763,5 @@ def q31_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        F.sum(F.col("l_quantity").cast(DEC)).over(w).alias("running_qty"),
+        F.sum(F.col("l_quantity").cast(DEC)).over(w).cast("double").alias("running_qty"),
     ).orderBy("l_suppkey", "l_orderkey", "l_linenumber")

@@ -61,7 +61,9 @@ def windowed_event_agg(
         .groupBy(F.window("ts", window), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(38,8)")).alias("sum_value"),
+            # decimal accumulation (deterministic), DOUBLE emitted (matches
+            # the oracle's float64 rendering)
+            F.sum(F.col("value").cast("decimal(38,8)")).cast("double").alias("sum_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),

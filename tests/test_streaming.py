@@ -31,7 +31,7 @@ def test_stream_windowed_agg_matches_batch(spark):
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(38,8)")).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(38,8)")).cast("double").alias("sum_value"),
         )
         .select(F.col("window.start").alias("window_start"), "event_type", "n", "sum_value")
     )
