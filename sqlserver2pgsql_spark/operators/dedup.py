@@ -216,26 +216,33 @@ def minhash_dedup_pairs(
 # --- SimHash ----------------------------------------------------------------
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document: sign of the per-bit sum of ±1 votes from
-    each distinct token's xxhash64.
+SIMHASH_BITS = 60  # md5-derived 60-bit hash (15 hex chars) — see sketches.py
 
-    Explode → one groupBy with 64 conditional sums (map-side partial agg,
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """60-bit SimHash per document: sign of the per-bit sum of ±1 votes from
+    each distinct token's md5-derived hash (portable across engines — a
+    DuckDB oracle reproduces signatures bit-for-bit; see
+    operators/sketches.md5_hash60).
+
+    Explode → one groupBy with 60 conditional sums (map-side partial agg,
     single shuffle on doc_id) — holds at 100 TB, unlike per-row array loops.
     """
+    from .sketches import md5_hash60
+
     post = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", md5_hash60(F.col("tok")))
     # vote_b = (+1 per set bit, -1 per clear bit) = 2·Σ bit_b − n; summing the
-    # raw bit avoids a per-row branch in each of the 64 aggregates
+    # raw bit avoids a per-row branch in each of the 60 aggregates
     bit_aggs = [
         F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"s{b}")
-        for b in range(64)
+        for b in range(SIMHASH_BITS)
     ]
     votes = post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *bit_aggs)
     sig = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(SIMHASH_BITS):
         sig = sig.bitwiseOR(
             F.when(
                 F.col(f"s{b}") * 2 > F.col("n"), F.shiftleft(F.lit(1).cast("long"), b)
@@ -245,9 +252,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_candidate_pairs(sig_df: DataFrame, bands: int = 4) -> DataFrame:
-    """Docs sharing any 16-bit band of the simhash → candidates with Hamming
-    distance ≤ 3*16 guaranteed coverage for distance ≤ bands-1 (pigeonhole)."""
-    width = 64 // bands
+    """Docs sharing any 15-bit band of the simhash → candidate pairs; full
+    recall for Hamming distance ≤ bands-1 (pigeonhole)."""
+    width = SIMHASH_BITS // bands
     band_rows = [
         F.struct(
             F.lit(b).alias("band"),

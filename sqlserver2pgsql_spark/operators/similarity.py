@@ -7,8 +7,9 @@ M7 extension. Two paths:
   the corpus never shuffles; cost is O(|corpus|·|queries|) map-side work.
 - ``ann_lsh_topk``: random-hyperplane LSH — corpus and queries are bucketed
   by sign-pattern key; only same-bucket pairs are scored. Probing multiple
-  plane-sets trades recall for cost. Hyperplanes are derived from xxhash64
-  (deterministic, seedable, no driver-side RNG state to ship).
+  plane-sets trades recall for cost. Hyperplanes are md5-derived
+  (deterministic, portable — a SQL oracle regenerates them; no driver-side
+  RNG state to ship).
 
 Float discipline: dot products fold left-to-right in double precision via
 ``aggregate`` — the same element order the DuckDB oracle uses with
@@ -73,20 +74,37 @@ def ann_bruteforce_topk(
 # --- LSH (random hyperplane) -------------------------------------------------
 
 
-def _hyperplane_keys_udf(dim: int, planes: int, tables: int, seed: int = 77):
-    """Vectorized bucket keys: ONE (batch × dim) @ (dim × tables·planes)
-    matmul per Arrow batch yields every table's sign-pattern key at once —
-    replaces tables·planes interpreted fold-projections per row. Planes are
-    ±1-weighted, generated from a fixed seed (deterministic across runs and
-    executors; no driver state beyond the tiny plane matrix)."""
-    rng = np.random.RandomState(seed)
-    P = rng.choice([-1.0, 1.0], size=(tables * planes, dim))
+def hyperplane_matrix(dim: int, planes: int, tables: int) -> np.ndarray:
+    """±1 hyperplane weights derived from md5("hp-{t}-{p}-{d}") — portable:
+    a SQL oracle regenerates the identical matrix with its own md5()."""
+    import hashlib
+
+    P = np.empty((tables * planes, dim), dtype=np.float64)
+    for t in range(tables):
+        for p in range(planes):
+            for d in range(dim):
+                hx = hashlib.md5(f"hp-{t}-{p}-{d}".encode()).hexdigest()
+                P[t * planes + p, d] = 1.0 if int(hx[0], 16) % 2 == 1 else -1.0
+    return P
+
+
+def _hyperplane_keys_udf(dim: int, planes: int, tables: int):
+    """Vectorized bucket keys: one pass over dims per Arrow batch yields
+    every table's sign-pattern key at once — replaces tables·planes
+    interpreted fold-projections per row. The accumulation is an explicit
+    left-to-right loop over dims (not a BLAS matmul) so each dot product
+    folds in exactly the order the oracle's list_reduce uses — sign
+    decisions are bit-identical across engines."""
+    P = hyperplane_matrix(dim, planes, tables)
     weights = (1 << np.arange(planes)).astype(np.int64)
 
     @F.pandas_udf("array<long>")
     def keys(vecs: pd.Series) -> pd.Series:
         v = np.stack(vecs.to_numpy()).astype(np.float64)
-        bits = (v @ P.T >= 0).reshape(len(v), tables, planes)
+        acc = np.zeros((len(v), P.shape[0]))
+        for d in range(dim):  # sequential fold, vectorized across rows/planes
+            acc += v[:, d, None] * P[None, :, d]
+        bits = (acc >= 0).reshape(len(v), tables, planes)
         k = (bits * weights).sum(axis=2)  # (batch, tables)
         return pd.Series(list(k))
 
@@ -147,19 +165,35 @@ def ivf_centroids(
 
     Cells come from ``partition_col`` when given (e.g. a label / prior
     cluster id), else from a deterministic hash partition of the id — a
-    k-means-free coarse quantizer that still bounds the probe set. Built with
-    posexplode + avg: one shuffle, no driver-side math."""
+    k-means-free coarse quantizer that still bounds the probe set.
+
+    The per-dim mean folds the values in ``id_col`` order (sorted
+    collect_list + sequential aggregate) instead of ``avg`` — float summation
+    becomes order-independent of partitioning, so centroids are bit-identical
+    across runs AND reproducible by a SQL oracle (list(val ORDER BY id) +
+    list_reduce). The sorted list per (cell, dim) group is corpus_sz/cells
+    values — at 100 TB build centroids from a bounded TABLESAMPLE first; a
+    coarse quantizer doesn't need every row."""
     cell = (
         F.col(partition_col)
         if partition_col
         else F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_centroids))
     )
     exploded = corpus.select(
-        cell.alias("cell"), F.posexplode(F.col(vec_col)).alias("dim", "val")
+        cell.alias("cell"),
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col)).alias("dim", "val"),
     )
+    ordered_vals = F.array_sort(F.collect_list(F.struct("vid", "val")))
+    mean = (
+        F.aggregate(
+            ordered_vals, F.lit(0.0), lambda acc, s: acc + s["val"].cast("double")
+        )
+        / F.count(F.lit(1))
+    ).alias("mean")
     return (
         exploded.groupBy("cell", "dim")
-        .agg(F.avg(F.col("val").cast("double")).alias("mean"))
+        .agg(mean)
         .groupBy("cell")
         .agg(F.array_sort(F.collect_list(F.struct("dim", "mean"))).alias("dm"))
         .select("cell", F.transform("dm", lambda s: s["mean"]).alias("centroid"))

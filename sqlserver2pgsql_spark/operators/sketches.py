@@ -1,0 +1,138 @@
+"""Portable approximate-distinct sketch (HyperLogLog with an md5-derived
+hash), plus the md5→60-bit hash primitive shared by the oracle-checkable
+dedup/similarity operators.
+
+Spark's built-in ``approx_count_distinct`` (HLL++) is the production path —
+but its register layout and bias tables are engine-specific, so no external
+oracle can reproduce its values. This module implements classic HLL
+(Flajolet et al. 2007) from *portable* primitives only — md5, integer shifts,
+a bigint-scaled harmonic sum — so DuckDB can compute the bit-identical
+estimate and the driver's hash gate can verify the approximate aggregate
+exactly. Scale shape is the whole point of HLL: one explode-free pass,
+map-side partial ``max`` per (group, register), shuffle of at most
+``m = 2**p`` rows per group.
+
+Determinism notes:
+- the 60-bit hash is ``int(md5(value)[:15], 16)`` — identical in Spark
+  (``conv(substring(md5(x),1,15),16,10)``) and DuckDB
+  (``('0x' || substr(md5(x),1,15))::BIGINT``); verified bit-equal.
+- the harmonic sum ``Σ 2^(-M_j)`` is computed as the *integer*
+  ``Σ 2^(51-M_j)`` (max ρ is 51), so no float summation order exists.
+- the only float ops are one division, one optional ``ln``, and a final
+  round — all reproducible across libm implementations in practice and
+  pinned by ``round(·, 4)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def md5_hash60(col: Column) -> Column:
+    """Deterministic 60-bit non-negative integer hash from the first 15 hex
+    chars of md5 — the portable replacement for xxhash64 wherever a DuckDB
+    oracle must replicate signatures."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def hll_approx_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 10,
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Classic HLL estimate of ``count(distinct value_col)`` per group,
+    with an exact row count ``n`` for free (summed from the register pass).
+
+    Register index = top ``p`` bits of the 60-bit hash; ρ = position of the
+    first set bit in the remaining ``w = 60-p`` bits (w+1 if all zero).
+    Estimate = α·m²/Σ2^(-M_j) with the standard low-range (linear counting)
+    correction. Output column is ``round(est, 4)``.
+    """
+    m = 1 << p
+    w = 60 - p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    scale_c = alpha * m * m * float(1 << (w + 1))
+
+    h = md5_hash60(F.col(value_col))
+    idx = F.shiftright(h, w)
+    rest = h.bitwiseAND(F.lit((1 << w) - 1))
+    # bit_length(rest) via base-2 string length (identical to DuckDB bin())
+    rho = F.when(rest == 0, F.lit(w + 1)).otherwise(
+        F.lit(w) - F.length(F.conv(rest, 10, 2)) + 1
+    )
+
+    regs = (
+        df.select(*group_cols, idx.alias("__idx"), rho.alias("__rho"))
+        .groupBy(*group_cols, "__idx")
+        .agg(F.max("__rho").alias("__M"), F.count(F.lit(1)).alias("__c"))
+    )
+    agg = regs.groupBy(*group_cols).agg(
+        # integer-scaled harmonic sum: 2^(w+1-M) per seen register (M ∈ 1..w+1)
+        F.sum(F.expr(f"shiftleft(1L, {w + 1} - __M)")).alias("__s_seen"),
+        F.count(F.lit(1)).alias("__n_regs"),
+        F.sum("__c").alias("n"),
+    )
+    zeros = F.lit(m) - F.col("__n_regs")  # registers never touched (M would be 0)
+    s_total = F.col("__s_seen") + zeros * F.lit(1 << (w + 1)).cast("long")
+    e_raw = F.lit(scale_c) / s_total.cast("double")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(e_raw)
+    return agg.select(*group_cols, F.round(est, 4).alias(out_col), "n")
+
+
+def hll_oracle_sql(
+    table: str,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 10,
+    out_col: str = "approx_distinct",
+) -> str:
+    """DuckDB SQL computing the identical HLL estimate (same hash, same
+    integer-scaled harmonic sum, same corrections) for the driver's oracle."""
+    m = 1 << p
+    w = 60 - p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    scale_c = alpha * m * m * float(1 << (w + 1))
+    g = ", ".join(group_cols)
+    return f"""
+    WITH hashed AS (
+      SELECT {g},
+             ('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM {table}
+    ),
+    split AS (
+      SELECT {g}, h >> {w} AS idx, h & {(1 << w) - 1} AS rest FROM hashed
+    ),
+    rho AS (
+      SELECT {g}, idx,
+             CASE WHEN rest = 0 THEN {w + 1}
+                  ELSE {w} - length(bin(rest)) + 1 END AS r
+      FROM split
+    ),
+    regs AS (
+      SELECT {g}, idx, max(r) AS M, count(*) AS c FROM rho GROUP BY {g}, idx
+    ),
+    agg AS (
+      SELECT {g},
+             sum(1::BIGINT << ({w + 1} - M)) AS s_seen,
+             count(*) AS n_regs,
+             CAST(sum(c) AS BIGINT) AS n
+      FROM regs GROUP BY {g}
+    ),
+    est AS (
+      SELECT {g}, n, {m} - n_regs AS zeros,
+             {scale_c!r} / CAST(s_seen + ({m} - n_regs) * (1::BIGINT << {w + 1}) AS DOUBLE) AS e_raw
+      FROM agg
+    )
+    SELECT {g},
+           round(CASE WHEN e_raw <= {2.5 * m!r} AND zeros > 0
+                      THEN {float(m)!r} * ln({float(m)!r} / CAST(zeros AS DOUBLE))
+                      ELSE e_raw END, 4) AS {out_col},
+           n
+    FROM est
+    """

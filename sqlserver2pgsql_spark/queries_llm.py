@@ -83,9 +83,11 @@ def q17_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q18_ngram_jaccard_pairs",
-    oracle=f"""
+# shared Jaccard CTE: the exact q18 pipeline, also the oracle for the LSH
+# path (q19) — its verify stage applies the same exact-Jaccard filter to the
+# LSH candidates, and banding at 16×4 has full recall at threshold 0.6 on
+# this corpus (pytest asserts pair-set equality)
+_JACCARD_ORACLE_BODY = f"""
     WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
     shingled AS (
       SELECT doc_id,
@@ -101,11 +103,21 @@ def q17_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
       FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
+    ),
+    scored AS (
+      SELECT id1, id2, n_inter, sa.n AS n1, sb.n AS n2,
+             CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) AS jaccard
+      FROM inter JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
     )
-    SELECT id1, id2, n_inter, sa.n AS n1, sb.n AS n2,
-           CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) AS jaccard
-    FROM inter JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
-    WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.6
+"""
+
+
+@register(
+    "q18_ngram_jaccard_pairs",
+    oracle=_JACCARD_ORACLE_BODY
+    + """
+    SELECT id1, id2, n_inter, n1, n2, jaccard
+    FROM scored WHERE jaccard >= 0.6
     ORDER BY id1, id2
     """,
 )
@@ -118,7 +130,18 @@ def q18_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q19_minhash_lsh_pairs")  # xxhash64-based — not oracle-expressible
+@register(
+    "q19_minhash_lsh_pairs",
+    # LSH candidates are exact-verified at the same threshold, so the exact
+    # pipeline (q18's CTE) IS the oracle — internal xxhash64 signatures only
+    # affect candidate generation, never the verified output set
+    oracle=_JACCARD_ORACLE_BODY
+    + """
+    SELECT id1, id2, jaccard
+    FROM scored WHERE jaccard >= 0.6
+    ORDER BY id1, id2
+    """,
+)
 def q19_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) → LSH(16×4) → exact-Jaccard verify, threshold 0.6. The
     100 TB dedup path; pytest asserts it returns exactly the q18 pairs."""
@@ -129,10 +152,55 @@ def q19_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id1", "id2")
 
 
-@register("q20_simhash_neardup")  # xxhash64-based — not oracle-expressible
+def _q20_oracle() -> str:
+    """DuckDB mirror of the md5-based simhash pipeline: identical 60-bit
+    per-token hash, bit votes, banding, and Hamming verify."""
+    bits = D.SIMHASH_BITS
+    width = bits // 4
+    s_aggs = ",\n             ".join(
+        f"sum((h >> {b}) & 1) AS s{b}" for b in range(bits)
+    )
+    sig_or = " | ".join(
+        f"(CASE WHEN s{b}*2 > n THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
+        for b in range(bits)
+    )
+    return f"""
+    WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+    toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+      FROM corpus
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, count(*) AS n,
+             {s_aggs}
+      FROM hashed GROUP BY doc_id
+    ),
+    sigs AS (SELECT doc_id, {sig_or} AS sig FROM votes),
+    bands AS (
+      SELECT doc_id, b.band, (sig >> (b.band * {width})) & {(1 << width) - 1} AS key
+      FROM sigs, (SELECT unnest(range(4)) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT id1, id2, CAST(bit_count(xor(sa.sig, sb.sig)) AS INT) AS hamming
+    FROM cand JOIN sigs sa ON sa.doc_id = id1 JOIN sigs sb ON sb.doc_id = id2
+    WHERE bit_count(xor(sa.sig, sb.sig)) <= 3
+    ORDER BY id1, id2
+    """
+
+
+@register("q20_simhash_neardup", oracle=_q20_oracle())
 def q20_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(64-bit) near-dup pairs: banded candidates verified by true
-    Hamming distance ≤ 3 (full recall for distance < 4 by pigeonhole)."""
+    """SimHash(60-bit, md5-derived) near-dup pairs: banded candidates
+    verified by true Hamming distance ≤ 3 (full recall for distance < 4 by
+    pigeonhole). Portable hash → the oracle replicates signatures exactly."""
     corpus = _neardup_corpus(spark, sf_dir)
     sigs = D.simhash(corpus, "doc_id", "text")
     return D.simhash_neardup_pairs(sigs, max_distance=3, bands=4).orderBy("id1", "id2")
@@ -178,11 +246,60 @@ def q21_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_bruteforce_topk(emb, queries, k=5).orderBy("query_id", "rnk")
 
 
-@register("q22_ann_lsh_topk")  # xxhash64-derived hyperplanes — rows-only
+def _q22_oracle() -> str:
+    """DuckDB mirror of the md5-derived hyperplane LSH: identical ±1 plane
+    weights (md5('hp-t-p-d')), sequential-fold dot products for the sign
+    bits, same (table, key) candidate join, same exact-cosine top-5."""
+    return """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    planes AS (
+      SELECT t.t, p.p,
+             list_transform(range(0, 64), d ->
+               CASE WHEN ('0x' || substr(md5('hp-' || t.t || '-' || p.p || '-' || d), 1, 1))::INT % 2 = 1
+                    THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END) AS wv
+      FROM (SELECT unnest(range(16)) AS t) t, (SELECT unnest(range(4)) AS p) p
+    ),
+    dots AS (
+      SELECT v.vec_id, pl.t, pl.p,
+             list_reduce(list_transform(list_zip(v.e, pl.wv), z -> z[1] * z[2]),
+                         (a, b) -> a + b) AS dp
+      FROM v, planes pl
+    ),
+    keys AS (
+      SELECT vec_id, t,
+             sum(CASE WHEN dp >= 0 THEN (1 << p) ELSE 0 END) AS key
+      FROM dots GROUP BY vec_id, t
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+      FROM keys q JOIN keys c ON q.t = c.t AND q.key = c.key
+      WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id,
+             list_reduce(list_transform(list_zip(q.e, c.e), z -> z[1] * z[2]), (a, b) -> a + b)
+             / (sqrt(list_reduce(list_transform(q.e, x -> x * x), (a, b) -> a + b))
+                * sqrt(list_reduce(list_transform(c.e, x -> x * x), (a, b) -> a + b)))
+             AS cos_sim
+      FROM cand JOIN v q ON q.vec_id = cand.query_id JOIN v c ON c.vec_id = cand.vec_id
+    )
+    SELECT query_id, rnk, vec_id, cos_sim FROM (
+      SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rnk
+      FROM scored)
+    WHERE rnk <= 5 ORDER BY query_id, rnk
+    """
+
+
+@register("q22_ann_lsh_topk", oracle=_q22_oracle())
 def q22_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH ANN (4 planes × 16 tables, ~0.9 recall on this
-    corpus): equi-join on bucket keys replaces the cross join. pytest
-    measures recall vs the exact q21."""
+    """Random-hyperplane LSH ANN (4 planes × 16 tables, md5-derived planes):
+    equi-join on bucket keys replaces the cross join. pytest measures recall
+    vs the exact q21; the oracle replicates buckets and scores exactly."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return S.ann_lsh_topk(emb, queries, k=5).orderBy("query_id", "rnk")
@@ -281,11 +398,67 @@ def q42_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q41_ann_ivf_topk")  # probe membership is quantizer-dependent — rows-only
+_DUCK_COS = (
+    "list_reduce(list_transform(list_zip({a}, {b}), z -> z[1] * z[2]), (x, y) -> x + y)"
+    " / (sqrt(list_reduce(list_transform({a}, x -> x * x), (x, y) -> x + y))"
+    "    * sqrt(list_reduce(list_transform({b}, x -> x * x), (x, y) -> x + y)))"
+)
+
+
+def _q41_oracle() -> str:
+    """DuckDB mirror of the IVF pipeline: label-cell centroids from
+    id-ordered sequential folds, nearest-cell assignment (top-1 corpus,
+    top-4 query probes), candidate join on cell, exact-cosine top-5."""
+    return f"""
+    WITH v AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    expl AS (
+      SELECT label AS cell, vec_id, dd.d, e[dd.d] AS val
+      FROM v, (SELECT unnest(range(1, 65)) AS d) dd
+    ),
+    cmeans AS (
+      SELECT cell, d,
+             list_reduce(list(val ORDER BY vec_id), (a, b) -> a + b) / count(*) AS mean
+      FROM expl GROUP BY cell, d
+    ),
+    cvec AS (SELECT cell, list(mean ORDER BY d) AS centroid FROM cmeans GROUP BY cell),
+    asgn AS (
+      SELECT v.vec_id, v.e, c.cell,
+             {_DUCK_COS.format(a="v.e", b="c.centroid")} AS c_sim
+      FROM v, cvec c
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, cell) AS r
+      FROM asgn
+    ),
+    lists  AS (SELECT vec_id, e, cell FROM ranked WHERE r = 1),
+    probes AS (SELECT vec_id, e, cell FROM ranked WHERE vec_id < 20 AND r <= 4),
+    cand AS (
+      SELECT DISTINCT p.vec_id AS query_id, l.vec_id AS vec_id
+      FROM probes p JOIN lists l ON p.cell = l.cell AND l.vec_id <> p.vec_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id,
+             {_DUCK_COS.format(a="q.e", b="c.e")} AS cos_sim
+      FROM cand JOIN v q ON q.vec_id = cand.query_id JOIN v c ON c.vec_id = cand.vec_id
+    )
+    SELECT query_id, rnk, vec_id, cos_sim FROM (
+      SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rnk
+      FROM scored)
+    WHERE rnk <= 5 ORDER BY query_id, rnk
+    """
+
+
+@register("q41_ann_ivf_topk", oracle=_q41_oracle())
 def q41_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (label-partitioned inverted lists, nprobe=4 of 16 cells) —
     the partition-pruned scale path alongside hyperplane LSH (q22). pytest
-    measures recall vs exact q21."""
+    measures recall vs exact q21; centroids are order-deterministic so the
+    oracle reproduces the whole pipeline exactly."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return S.ann_ivf_topk(
@@ -575,16 +748,30 @@ def q32_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q33_approx_distinct")  # HLL sketches are engine-specific — rows-only
+def _q33_oracle() -> str:
+    from .operators.sketches import hll_oracle_sql
+
+    return (
+        hll_oracle_sql("lineitem", ["l_returnflag"], "l_orderkey", p=10,
+                       out_col="approx_orders")
+        + " ORDER BY l_returnflag"
+    )
+
+
+@register("q33_approx_distinct", oracle=_q33_oracle())
 def q33_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates (§2.4): approx_count_distinct (HLL++) for cheap
-    PK-uniqueness profiling at 100 TB — one pass, no exact-distinct shuffle.
-    pytest bounds the relative error against the exact count."""
+    """Approximate aggregates (§2.4): portable HLL (operators/sketches.py)
+    for cheap PK-uniqueness profiling at 100 TB — one pass, map-side partial
+    max per register, ≤2^10 shuffle rows per group; no exact-distinct
+    shuffle in the query. The md5-derived registers and integer-scaled
+    harmonic sum are engine-independent, so the DuckDB oracle reproduces the
+    estimate bit-for-bit (unlike approx_count_distinct's HLL++, kept as the
+    production fast path and error-bounded in pytest)."""
+    from .operators.sketches import hll_approx_distinct
+
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
-        F.count(F.lit(1)).alias("n"),
+    return hll_approx_distinct(
+        li, ["l_returnflag"], "l_orderkey", p=10, out_col="approx_orders"
     ).orderBy("l_returnflag")
 
 

@@ -56,11 +56,36 @@ def test_citext_canonicalize_diff(spark):
 
 
 def test_approx_distinct_error_bound(spark):
+    # exact distinct lives here, NOT in the q33 query (a full distinct
+    # shuffle would defeat the cheap one-pass profiling the query models)
+    from pyspark.sql import functions as F
+
+    from sqlserver2pgsql_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    exact = {
+        r.l_returnflag: r.exact
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("exact"),
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("hllpp"),
+        )
+        .collect()
+    }
+    hllpp = {
+        r.l_returnflag: r.hllpp
+        for r in li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_orderkey", rsd=0.02).alias("hllpp"))
+        .collect()
+    }
     rows = QL.q33_approx_distinct(spark, SF_DIR).collect()
     assert rows
     for r in rows:
-        rel_err = abs(r.approx_orders - r.exact_orders) / max(r.exact_orders, 1)
-        assert rel_err < 0.1, f"{r.l_returnflag}: {rel_err}"
+        ex = exact[r.l_returnflag]
+        # portable HLL (p=10, σ≈3.3%) — the oracle-checkable query path
+        assert abs(r.approx_orders - ex) / max(ex, 1) < 0.1, r.l_returnflag
+        # engine HLL++ — the production fast path
+        assert abs(hllpp[r.l_returnflag] - ex) / max(ex, 1) < 0.1, r.l_returnflag
 
 
 def test_diff_key_range_windows_both_sides(spark):
