@@ -253,8 +253,10 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    max_broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold.
+    """All pairs with cosine ≥ threshold — EXACT, for corpora whose matrix
+    fits a broadcast.
 
     Vectorized: the corpus matrix (the broadcast side — same size bound as a
     broadcast join) ships to every worker, and each Arrow batch computes its
@@ -262,9 +264,19 @@ def embedding_neardup_pairs(
     interpreted 64-element folds (150s → ~2s at sf0.1 on this corpus).
     Similarities are rounded to ``round_digits`` so BLAS summation order vs
     an oracle's sequential fold can't differ in the emitted value; the
-    threshold itself is applied pre-rounding. At 100 TB the corpus no longer
-    broadcasts — LSH-bucket first (ann_lsh_topk's bucketing), then run this
-    within buckets."""
+    threshold itself is applied pre-rounding.
+
+    The gather is guarded: a corpus over ``max_broadcast_rows`` raises
+    immediately (fail fast beats a driver OOM) and points at
+    :func:`embedding_neardup_pairs_lsh` — the 100 TB path, which buckets
+    first and never materializes the corpus in one place."""
+    n_rows = df.count()
+    if n_rows > max_broadcast_rows:
+        raise ValueError(
+            f"corpus has {n_rows} rows > max_broadcast_rows={max_broadcast_rows}; "
+            "the exact all-pairs path broadcasts the full matrix. Use "
+            "embedding_neardup_pairs_lsh (bucketed, no global gather) at scale."
+        )
     pdf = df.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy()
     mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
@@ -293,3 +305,56 @@ def embedding_neardup_pairs(
     return df.select(id_col, vec_col).mapInPandas(
         blocks, schema="id1 long, id2 long, cos_sim double"
     )
+
+
+def embedding_neardup_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    planes: int = 4,
+    tables: int = 16,
+    max_bucket: int = 5000,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Near-dup pairs at scale: LSH-bucket first, then a blocked matmul
+    *within* each bucket — the corpus is never gathered anywhere.
+
+    Shape: one pandas-UDF pass computes every vector's ``tables`` bucket
+    keys; vectors sharing a (table, key) bucket meet in a groupBy; each
+    bucket scores its own pairs with one dense matmul (bucket size is capped
+    — a hot bucket from degenerate vectors is a quadratic bomb, same policy
+    as the MinHash LSH cap); duplicate pairs found in several tables are
+    deduped. Recall is tunable via planes/tables (more tables → fewer missed
+    pairs); every emitted pair is exact-verified in-bucket, so precision
+    is 1.0 by construction."""
+    keys_udf = _hyperplane_keys_udf(dim, planes, tables)
+    keyed = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.posexplode(keys_udf(F.col(vec_col))).alias("tbl", "key"),
+    )
+    sizes = keyed.groupBy("tbl", "key").agg(F.count(F.lit(1)).alias("sz"))
+    bounded = keyed.join(
+        sizes.filter((F.col("sz") > 1) & (F.col("sz") <= max_bucket)), ["tbl", "key"]
+    ).select("tbl", "key", "vid", "vec")
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vid"].to_numpy()
+        v = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        v = v / np.linalg.norm(v, axis=1, keepdims=True)
+        sims = v @ v.T
+        rows, cols = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame(
+            {
+                "id1": ids[rows],
+                "id2": ids[cols],
+                "cos_sim": np.round(sims[rows, cols], round_digits),
+            }
+        )
+
+    pairs = bounded.groupBy("tbl", "key").applyInPandas(
+        bucket_pairs, schema="id1 long, id2 long, cos_sim double"
+    )
+    return pairs.dropDuplicates(["id1", "id2"])

@@ -159,3 +159,33 @@ def test_ivf_topk_recall(spark):
     }
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+
+
+def test_embedding_neardup_lsh_bucketed(spark):
+    from sqlserver2pgsql_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {
+        (r.id1, r.id2): r.cos_sim
+        for r in S.embedding_neardup_pairs(emb, threshold=0.35).collect()
+    }
+    lsh = {
+        (r.id1, r.id2): r.cos_sim
+        for r in S.embedding_neardup_pairs_lsh(emb, threshold=0.35).collect()
+    }
+    assert exact, "exact near-dup set must be non-empty"
+    # precision 1.0: every bucketed pair is exact-verified in-bucket
+    for k, v in lsh.items():
+        assert k in exact and v == exact[k]
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.5, f"bucketed recall collapsed: {recall}"
+
+
+def test_embedding_neardup_guard_raises(spark):
+    import pytest as _pytest
+
+    from sqlserver2pgsql_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    with _pytest.raises(ValueError, match="embedding_neardup_pairs_lsh"):
+        S.embedding_neardup_pairs(emb, threshold=0.35, max_broadcast_rows=10)
