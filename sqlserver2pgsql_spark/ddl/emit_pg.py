@@ -15,7 +15,32 @@ unique → indexes → FK → checks → defaults → comments → views.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from ..catalog.model import Catalog, Column, Table
+
+
+@dataclass
+class EmitOptions:
+    """Emission knobs mirroring the reference's CLI (GetOptions :3272-3312).
+
+    - ``validate_constraints``: 'yes' (default — plain FKs), 'after' (FKs
+      added NOT VALID; a VALIDATE CONSTRAINT statement per FK goes to the
+      unsure script, to run once data is loaded), or 'no' (NOT VALID, never
+      validated) — reference :2950-2959. The reference only marks NOT VALID
+      when the source constraint had a usable name; this emitter always
+      names constraints (fallback ``<table>_<cols>_fkey``), so every FK is
+      validatable.
+    - ``use_identity_column``: emit ``GENERATED ALWAYS AS IDENTITY`` on the
+      owning column instead of CREATE SEQUENCE + nextval default —
+      reference :2722-2744.
+    """
+
+    validate_constraints: str = "yes"
+    use_identity_column: bool = False
+    #: reference -skip_citext_length_check: omit the char_length CHECK that
+    #: replaces the length qualifier citext drops
+    skip_citext_length_check: bool = False
 
 #: spark DDL type → postgres type (targets match the reference's %types
 #: matrix, :261-288, from the Spark side of SURVEY §1.3)
@@ -41,7 +66,13 @@ def _pg_type(col: Column) -> str:
         return "citext"
     if st.startswith("decimal"):
         return st.replace("decimal", "numeric")
-    # varchar(n)/char(n) limits survive via the original qualifier
+    # char(n)/nchar(n) keep blank-padded char semantics (reference %types
+    # :261-288 maps them to char, not varchar)
+    if st == "string" and col.type_name in ("char", "nchar") and col.type_qual:
+        qual = col.type_qual.replace(" ", "")
+        if qual.lower() != "(max)":
+            return f"char{qual}"
+    # varchar(n)/nvarchar(n) limits survive via the original qualifier
     if st == "string" and col.type_name in ("varchar", "nvarchar", "char", "nchar") and col.type_qual:
         qual = col.type_qual.replace(" ", "")
         if qual.lower() != "(max)":
@@ -50,6 +81,9 @@ def _pg_type(col: Column) -> str:
         return "uuid"
     if st == "string" and col.type_name == "xml":
         return "xml"
+    if st == "string" and col.type_name == "time":
+        # 'HH:MM:SS[.fff]' strings cast cleanly into PG time (reference %types)
+        return "time"
     return _PG_TYPES.get(st, "text")
 
 
@@ -57,7 +91,8 @@ def _quote(name: str) -> str:
     return '"' + name.replace('"', '""') + '"'
 
 
-def emit_before(catalog: Catalog) -> str:
+def emit_before(catalog: Catalog, opts: EmitOptions | None = None) -> str:
+    opts = opts or EmitOptions()
     out: list[str] = ["\\set ON_ERROR_STOP", "BEGIN;"]
     if any(
         c.case_insensitive
@@ -85,6 +120,8 @@ def emit_before(catalog: Catalog) -> str:
         )
     for sname in sorted(catalog.schemas):
         for seq in catalog.schemas[sname].sequences.values():
+            if opts.use_identity_column and seq.owner_table:
+                continue  # ALTER COLUMN … ADD GENERATED … goes in the after script
             parts = [f"CREATE SEQUENCE {_quote(sname)}.{_quote(seq.name)}"]
             if seq.step != 1:
                 parts.append(f"INCREMENT BY {seq.step}")
@@ -96,9 +133,29 @@ def emit_before(catalog: Catalog) -> str:
     return "\n".join(out) + "\n"
 
 
-def emit_after(catalog: Catalog) -> str:
+def emit_after(catalog: Catalog, opts: EmitOptions | None = None) -> str:
+    opts = opts or EmitOptions()
     out: list[str] = ["\\set ON_ERROR_STOP", "BEGIN;"]
     qual = lambda s, t: f"{_quote(s)}.{_quote(t)}"  # noqa: E731
+    if opts.use_identity_column:
+        # IDENTITY becomes a true identity column on the owner (:2722-2744)
+        for sname in sorted(catalog.schemas):
+            for seq in catalog.schemas[sname].sequences.values():
+                if not seq.owner_table:
+                    continue
+                stmt = (
+                    f"ALTER TABLE {_quote(sname)}.{_quote(seq.owner_table)} "
+                    f"ALTER COLUMN {_quote(seq.owner_column)} "
+                    "ADD GENERATED ALWAYS AS IDENTITY"
+                )
+                details = []
+                if seq.start != 1:
+                    details.append(f"START WITH {seq.start}")
+                if seq.step != 1:
+                    details.append(f"INCREMENT BY {seq.step}")
+                if details:
+                    stmt += " ( " + " ".join(details) + " )"
+                out.append(stmt + ";")
     for sname, table in catalog.all_tables():
         tq = qual(sname, table.name)
         if table.primary_key:
@@ -138,6 +195,10 @@ def emit_after(catalog: Catalog) -> str:
                 stmt += f" ON DELETE {fk.on_delete}"
             if fk.on_update:
                 stmt += f" ON UPDATE {fk.on_update}"
+            if opts.validate_constraints in ("after", "no"):
+                # loaded-data FKs are added unvalidated (:2950-2959); 'after'
+                # pairs this with VALIDATE CONSTRAINT in the unsure script
+                stmt += " NOT VALID"
             out.append(stmt + ";")
         for c in table.ordered_columns():
             if c.default is not None and not c.default.unsure:
@@ -154,9 +215,18 @@ def emit_after(catalog: Catalog) -> str:
     return "\n".join(out) + "\n"
 
 
-def emit_unsure(catalog: Catalog) -> str:
+def emit_unsure(catalog: Catalog, opts: EmitOptions | None = None) -> str:
+    opts = opts or EmitOptions()
     out: list[str] = []
     qual = lambda s, t: f"{_quote(s)}.{_quote(t)}"  # noqa: E731
+    if opts.validate_constraints == "after":
+        for sname, table in catalog.all_tables():
+            for fk in table.foreign_keys:
+                name = fk.name or f"{table.name}_{'_'.join(fk.cols)}_fkey"
+                out.append(
+                    f"ALTER TABLE {qual(sname, table.name)} "
+                    f"VALIDATE CONSTRAINT {_quote(name)};"
+                )
     for sname, table in catalog.all_tables():
         tq = qual(sname, table.name)
         for ck in table.checks:
@@ -175,7 +245,12 @@ def emit_unsure(catalog: Catalog) -> str:
                 out.append(
                     f"ALTER TABLE {tq} ALTER COLUMN {_quote(c.name)} SET DEFAULT {c.default.sql};"
                 )
-            if c.case_insensitive and c.type_qual and c.type_qual.strip("() ").isdigit():
+            if (
+                not opts.skip_citext_length_check
+                and c.case_insensitive
+                and c.type_qual
+                and c.type_qual.strip("() ").isdigit()
+            ):
                 # citext drops the length qualifier → CHECK instead (:386-418)
                 n = c.type_qual.strip("() ")
                 out.append(

@@ -61,7 +61,15 @@ def mssql_cast_expr(col: Column) -> str:
     if t == "date":
         return f"convert(varchar(50), {name}, 120) AS [{col.orig_name}]"
     if t == "datetimeoffset":
-        return f"convert(varchar(50), {name}, 121) AS [{col.orig_name}]"
+        # normalize to UTC and microsecond precision so the rendered string
+        # equals pg_cast_expr's 'YYYY-MM-DD HH24:MI:SS.US+00' — style 121 on
+        # datetime2(6) is 'yyyy-mm-dd hh:mi:ss.ffffff', then a literal '+00'.
+        # (raw style 121 on datetimeoffset keeps the original offset and a
+        # 7-digit fraction, which fabricates diffs for identical instants)
+        return (
+            f"convert(varchar(50), cast(switchoffset({name}, '+00:00') as datetime2(6)), 121)"
+            f" + '+00' AS [{col.orig_name}]"
+        )
     if t == "xml":
         return (
             f"case when datalength({name}) > 5 then {name} else null end "

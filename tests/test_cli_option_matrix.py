@@ -73,6 +73,94 @@ def test_cli_convert_end_to_end(tmp_path):
     assert "CREATE TABLE" in open(out["before"]).read()
     assert "PRIMARY KEY" in open(out["after"]).read()
     payload = json.loads(open(plans).read())
-    by_table = {p["table"]: p for p in payload}
+    by_table = {p["table"]: p for p in payload["tables"]}
     assert by_table["testtable"]["pk_sort_order_safe"] is True
     assert by_table["generatedcolumns"]["mode"] == "full"
+    assert payload["options"]["ignore_errors"] is False
+    assert payload["connections"]["mssql_url"] is None
+
+
+def test_cli_conf_file_and_full_option_surface(tmp_path):
+    conf = tmp_path / "migrate.conf"
+    conf.write_text(
+        """
+# reference conf format — keys verbatim from sqlserver2pgsql.pl:84-121
+sql server database = SourceDb
+sql server host = mssql.example.internal   # host comment
+sql server port = 1433
+sql server username = loader
+sql server password = hunter2
+postgresql database = targetdb
+postgresql host = pg.example.internal
+postgresql port = 5432
+postgresql username = pgloader
+sql server dump filename = /root/reference/regression/reg_tests.sql
+parallelism_in = 4
+parallelism_out = 2
+sort size = 50000
+ignore errors = 1
+stringtype unspecified = 1
+use identity column = 1
+validate constraints = after
+"""
+    )
+    out = {k: str(tmp_path / f"{k}.sql") for k in ("before", "after", "unsure")}
+    plans = str(tmp_path / "plans.json")
+    colmap = str(tmp_path / "colmap.tsv")
+    rc = cli_main(
+        [
+            "convert",
+            "-conf", str(conf),
+            "-b", out["before"],
+            "-a", out["after"],
+            "-u", out["unsure"],
+            "--plan-out", plans,
+            "--col_map_file", colmap,
+            "--col_map_file_header",
+        ]
+    )
+    assert rc == 0
+    payload = json.loads(open(plans).read())
+    assert payload["options"] == {
+        "parallelism_in": 4,
+        "parallelism_out": 2,
+        "sort_size": 50000,
+        "use_pk_if_possible": None,
+        "ignore_errors": True,
+    }
+    conns = payload["connections"]
+    assert conns["mssql_url"] == (
+        "jdbc:sqlserver://mssql.example.internal:1433;databaseName=SourceDb"
+    )
+    assert conns["pg_url"] == (
+        "jdbc:postgresql://pg.example.internal:5432/targetdb?stringtype=unspecified"
+    )
+    assert all(t["quarantine"] for t in payload["tables"])
+    # conf-driven emit options took effect
+    after_sql = open(out["after"]).read()
+    assert "NOT VALID" in after_sql
+    assert "VALIDATE CONSTRAINT" in open(out["unsure"]).read()
+    # delimited col map with header
+    lines = open(colmap).read().splitlines()
+    assert lines[0].split("\t")[:3] == ["orig_schema", "orig_table", "orig_column"]
+    assert len(lines) > 1
+
+
+def test_cli_conf_unknown_key_dies(tmp_path):
+    conf = tmp_path / "bad.conf"
+    conf.write_text("frobnicate the database = yes\n")
+    rc = cli_main(["convert", "-conf", str(conf), "-f",
+                   "/root/reference/regression/reg_tests.sql"])
+    assert rc == 1
+
+
+def test_cli_nr_and_camel_to_snake(tmp_path):
+    out = str(tmp_path / "before.sql")
+    rc = cli_main(
+        ["convert", "-f", "/root/reference/regression/reg_tests.sql",
+         "-b", out, "-nr", "--camel_to_snake"]
+    )
+    assert rc == 0
+    before = open(out).read()
+    assert '"dbo"' in before  # -nr kept dbo
+    assert "CREATE SCHEMA IF NOT EXISTS" in before

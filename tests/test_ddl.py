@@ -231,3 +231,59 @@ def test_emit_pg_scripts_and_duckdb_swallows_before(duck):
         if stmt and not stmt.startswith("--"):
             con.execute(stmt)
     assert con.execute("SELECT count(*) FROM public.account").fetchone()[0] == 0
+
+
+def test_validate_constraints_modes_and_identity_column():
+    from sqlserver2pgsql_spark.ddl.emit_pg import EmitOptions
+
+    dump = """
+CREATE TABLE [dbo].[parent] (
+  [id] int IDENTITY(1000,2) NOT NULL,
+  [code] char(4) NULL,
+  [opens_at] time NULL,
+  CONSTRAINT [pk_parent] PRIMARY KEY ([id])
+)
+GO
+CREATE TABLE [dbo].[child] (
+  [id] int NOT NULL,
+  [parent_id] int NULL,
+  CONSTRAINT [pk_child] PRIMARY KEY ([id]),
+  CONSTRAINT [fk_child_parent] FOREIGN KEY ([parent_id]) REFERENCES [dbo].[parent] ([id])
+)
+GO
+"""
+    cat = parse_text(dump)
+
+    # default: plain FK, sequence in before, no VALIDATE statements
+    before = emit_before(cat)
+    after = emit_after(cat)
+    unsure = emit_unsure(cat)
+    assert "CREATE SEQUENCE" in before and "START WITH 1000" in before
+    assert '"fk_child_parent" FOREIGN KEY' in after and "NOT VALID" not in after
+    assert "VALIDATE CONSTRAINT" not in unsure
+    # char(n)/time keep their PG types (reference %types matrix)
+    assert '"code" char(4)' in before
+    assert '"opens_at" time' in before
+
+    # validate_constraints=after: NOT VALID FK + VALIDATE in unsure (:2950-2959)
+    opts = EmitOptions(validate_constraints="after")
+    after_nv = emit_after(cat, opts)
+    unsure_nv = emit_unsure(cat, opts)
+    assert '("id") NOT VALID;' in after_nv
+    assert 'VALIDATE CONSTRAINT "fk_child_parent";' in unsure_nv
+
+    # validate_constraints=no: NOT VALID, never validated
+    opts_no = EmitOptions(validate_constraints="no")
+    assert "NOT VALID" in emit_after(cat, opts_no)
+    assert "VALIDATE CONSTRAINT" not in emit_unsure(cat, opts_no)
+
+    # use_identity_column: no sequence; GENERATED ALWAYS AS IDENTITY (:2722-2744)
+    opts_id = EmitOptions(use_identity_column=True)
+    before_id = emit_before(cat, opts_id)
+    after_id = emit_after(cat, opts_id)
+    assert "CREATE SEQUENCE" not in before_id
+    assert (
+        'ALTER TABLE "public"."parent" ALTER COLUMN "id" '
+        "ADD GENERATED ALWAYS AS IDENTITY ( START WITH 1000 INCREMENT BY 2 );"
+        in after_id
+    )

@@ -150,3 +150,23 @@ def test_full_load_and_incremental_orchestration(spark, catalog, tmp_path):
 
     report = format_report(m2)
     assert "rows/sec" in report and "public.items" in report
+
+
+def test_datetimeoffset_same_string_contract():
+    # identical instants must render the SAME string on both scan sides, or
+    # the incremental diff flags every datetimeoffset row as changed
+    cat = parse_text(
+        "CREATE TABLE [dbo].[t](\n"
+        "  [id] [int] NOT NULL,\n"
+        "  [at] [datetimeoffset](7) NULL,\n"
+        " CONSTRAINT [pk_t] PRIMARY KEY ([id])\n"
+        ")\nGO\n"
+    )
+    t = cat.schemas["public"].tables["t"]
+    ms = mssql_scan_sql(t)
+    pg = pg_scan_sql("public", t)
+    # MSSQL: UTC-normalized, microsecond precision, literal '+00' suffix
+    assert "switchoffset([at], '+00:00')" in ms
+    assert "datetime2(6)" in ms and "+ '+00'" in ms
+    # PG: same shape — UTC, .US (6-digit), '+00'
+    assert "AT TIME ZONE 'UTC'" in pg and "HH24:MI:SS.US+00" in pg
