@@ -62,6 +62,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.6,
+    max_group: int = 100_000,
 ) -> DataFrame:
     """Exact pairwise Jaccard over word-n-gram shingle sets.
 
@@ -70,13 +71,20 @@ def ngram_jaccard_pairs(
     posting self-join, but one narrow shuffle instead of joining the posting
     list against itself), drop df=1 shingles for free. Still quadratic per
     hot shingle → correct-but-small-scale; the LSH path below is the 100 TB
-    variant and uses this as its verifier."""
+    variant and uses this as its verifier.
+
+    ``max_group`` bounds the quadratic blowup of a degenerate shingle (empty
+    or boilerplate docs): groups over the cap are dropped — same policy as
+    the LSH path's ``max_bucket``. The default is far above any honest
+    shingle's document frequency, so exactness holds unless the corpus is
+    pathological; pairs whose only shared shingles are capped lose their
+    intersection count, so treat a capped run as approximate."""
     post = shingle_postings(df, id_col, text_col, n)
     sizes = post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     grouped = (
         post.groupBy("shingle")
         .agg(F.collect_list("doc_id").alias("ids"))
-        .filter(F.size("ids") > 1)
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_group))
     )
     ids_sorted = F.array_sort("ids")
     pairs = grouped.select(
@@ -112,15 +120,25 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """k-permutation MinHash signature per document: each shingle string is
     hashed ONCE (xxhash64), and the k permutations re-hash that 8-byte value
     (xxhash64(h, seed_i)) — k× cheaper than k string hashes with the same
-    LSH properties. One explode + one groupBy (map-side partial min)."""
-    post = shingle_postings(df, id_col, text_col, n).withColumn(
-        "h", F.xxhash64(F.col("shingle"))
-    )
+    LSH properties. One explode + one groupBy (map-side partial min).
+
+    Pass ``postings`` (a cached shingle_postings DF) to avoid re-tokenizing
+    when the caller also needs the posting list (the verify stage does)."""
+    post = (
+        postings
+        if postings is not None
+        else shingle_postings(df, id_col, text_col, n)
+    ).withColumn("h", F.xxhash64(F.col("shingle")))
     mins = [
         F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh{i}")
         for i in range(num_hashes)
@@ -184,10 +202,12 @@ def minhash_dedup_pairs(
     threshold: float = 0.6,
 ) -> DataFrame:
     """Full MinHash→LSH→verify pipeline: candidates from banding, verified
-    with exact Jaccard (computed only for candidate pairs)."""
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    with exact Jaccard (computed only for candidate pairs). The shingle
+    posting list is computed once and cached — signatures and the verify
+    stage both read it (recomputing it doubled the tokenize+explode cost)."""
+    post = shingle_postings(df, id_col, text_col, n).cache()
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, postings=post)
     cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
-    post = shingle_postings(df, id_col, text_col, n)
     sizes = post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
     a = post.select(F.col("doc_id").alias("id1"), "shingle")
