@@ -377,7 +377,31 @@ def q43_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q42_multimodal_pipeline")  # synthetic media, binary payloads — rows-only
+@register(
+    "q42_multimodal_pipeline",
+    # the synth payload is a pure expression (repeat('px'||id%7, 32), utf-8),
+    # so every decode-free output column — byte count, md5 of the payload,
+    # resize width, frame count — is DuckDB-expressible exactly. Only the
+    # codec-backed decode itself is stubbed (documented, multimodal.py:65).
+    oracle="""
+    WITH m AS (
+      SELECT CAST(r AS BIGINT) AS media_id,
+             CASE WHEN r % 3 = 0 THEN 'image'
+                  WHEN r % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS modality,
+             repeat('px' || CAST(r % 7 AS VARCHAR), 32) AS payload_s
+      FROM (SELECT unnest(range(0, 96)) AS r)
+    )
+    SELECT media_id, modality,
+           CAST(length(payload_s) AS BIGINT) AS n_bytes,
+           md5(payload_s) AS payload_hash,
+           CAST(CASE WHEN modality = 'image' THEN 64 END AS INTEGER) AS width,
+           CAST(CASE WHEN modality = 'video'
+                     THEN least(4, greatest(1, length(payload_s) // 16))
+                END AS BIGINT) AS n_frames
+    FROM m ORDER BY media_id
+    """,
+)
 def q42_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: synthesize binary media, Arrow-batched
     feature extraction, image resize (1→1), video frame sampling (1→N), and
