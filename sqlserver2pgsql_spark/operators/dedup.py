@@ -203,9 +203,13 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full MinHash→LSH→verify pipeline: candidates from banding, verified
     with exact Jaccard (computed only for candidate pairs). The shingle
-    posting list is computed once and cached — signatures and the verify
-    stage both read it (recomputing it doubled the tokenize+explode cost)."""
-    post = shingle_postings(df, id_col, text_col, n).cache()
+    posting list is computed once and materialized — signatures and the
+    verify stage both read it (recomputing it doubled the tokenize+explode
+    cost). localCheckpoint rather than cache(): the CacheManager pins a
+    cached plan until an explicit unpersist, but a checkpointed RDD is
+    reclaimed by the ContextCleaner once the DataFrame is unreachable, so
+    repeated calls don't accrete pinned executor memory."""
+    post = shingle_postings(df, id_col, text_col, n).localCheckpoint(eager=False)
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, postings=post)
     cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
     sizes = post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
@@ -253,7 +257,14 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     post = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
-    ).withColumn("h", md5_hash60(F.col("tok")))
+    )
+    # md5 + conv(hex,16,10) is an interpreted-expression cost — pay it once
+    # per DISTINCT token (vocabulary ≪ postings; Heaps' law at 100 TB), then
+    # join the hash back onto the postings. AQE turns the join broadcast when
+    # the vocabulary is small; at scale it's a hash join keyed on the token —
+    # still cheaper than per-posting md5.
+    vocab = post.select("tok").distinct().withColumn("h", md5_hash60(F.col("tok")))
+    post = post.join(vocab, "tok")
     # vote_b = (+1 per set bit, -1 per clear bit) = 2·Σ bit_b − n; summing the
     # raw bit avoids a per-row branch in each of the 60 aggregates
     bit_aggs = [
@@ -303,7 +314,17 @@ def simhash_candidate_pairs(sig_df: DataFrame, bands: int = 4) -> DataFrame:
 
 def simhash_neardup_pairs(sig_df: DataFrame, max_distance: int = 3, bands: int = 4) -> DataFrame:
     """Banded candidates verified by true Hamming distance ≤ max_distance.
-    Banding guarantees full recall for distance < bands (pigeonhole)."""
+    Banding guarantees full recall for distance < bands (pigeonhole).
+
+    The signature subtree (explode → vocab hash join → 60-agg groupBy) is
+    consumed 4× downstream (band self-join both sides + the two verify
+    joins); materialize it once via localCheckpoint — one row per doc, tiny
+    — so consumers read stored partitions instead of recomputing the
+    expensive subtree. localCheckpoint (not cache) so the ContextCleaner
+    reclaims the storage when the DataFrame is garbage collected; the
+    lineage-replay loss on executor failure is acceptable for a
+    signatures-sized artifact."""
+    sig_df = sig_df.localCheckpoint(eager=False)
     cand = simhash_candidate_pairs(sig_df, bands)
     s1 = sig_df.select(F.col("doc_id").alias("id1"), F.col("simhash").alias("h1"))
     s2 = sig_df.select(F.col("doc_id").alias("id2"), F.col("simhash").alias("h2"))
