@@ -160,6 +160,7 @@ def ivf_centroids(
     vec_col: str = "embedding",
     partition_col: str | None = None,
     n_centroids: int = 16,
+    max_cell_sample: int = 1_000_000,
 ) -> DataFrame:
     """IVF coarse quantizer centroids: element-wise mean per cell.
 
@@ -171,17 +172,30 @@ def ivf_centroids(
     collect_list + sequential aggregate) instead of ``avg`` — float summation
     becomes order-independent of partitioning, so centroids are bit-identical
     across runs AND reproducible by a SQL oracle (list(val ORDER BY id) +
-    list_reduce). The sorted list per (cell, dim) group is corpus_sz/cells
-    values — at 100 TB build centroids from a bounded TABLESAMPLE first; a
-    coarse quantizer doesn't need every row."""
+    list_reduce).
+
+    ``max_cell_sample`` is the ENFORCED scale guard (same policy as
+    ``max_broadcast_rows`` / ``max_bucket`` / ``max_group``): a cell
+    contributes at most that many vectors to its centroid — the
+    lowest-``id_col`` rows, a deterministic TABLESAMPLE-style cut that a SQL
+    oracle reproduces with row_number(). A coarse quantizer doesn't need
+    every row, and an unbounded sorted collect_list per (cell, dim) is a
+    straggler at 100 TB."""
     cell = (
         F.col(partition_col)
         if partition_col
         else F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_centroids))
     )
-    exploded = corpus.select(
-        cell.alias("cell"),
-        F.col(id_col).alias("vid"),
+    celled = corpus.select(cell.alias("cell"), F.col(id_col).alias("vid"), vec_col)
+    rank_w = W.partitionBy("cell").orderBy("vid")
+    sampled = (
+        celled.withColumn("__r", F.row_number().over(rank_w))
+        .filter(F.col("__r") <= max_cell_sample)
+        .drop("__r")
+    )
+    exploded = sampled.select(
+        "cell",
+        "vid",
         F.posexplode(F.col(vec_col)).alias("dim", "val"),
     )
     ordered_vals = F.array_sort(F.collect_list(F.struct("vid", "val")))
@@ -209,13 +223,18 @@ def ann_ivf_topk(
     partition_col: str | None = None,
     n_centroids: int = 16,
     nprobe: int = 4,
+    max_cell_sample: int = 1_000_000,
 ) -> DataFrame:
     """IVF search: assign every corpus vector to its nearest centroid cell
     (inverted lists), probe only the ``nprobe`` cells nearest each query.
     The scan of each query touches ~nprobe/n_centroids of the corpus —
     the classic recall/cost dial; at 100 TB the inverted lists are the
     partitioning key, so a probe is a partition-pruned read."""
-    cents = F.broadcast(ivf_centroids(corpus, id_col, vec_col, partition_col, n_centroids))
+    cents = F.broadcast(
+        ivf_centroids(
+            corpus, id_col, vec_col, partition_col, n_centroids, max_cell_sample
+        )
+    )
 
     def assign(df: DataFrame, prefix: str, top: int) -> DataFrame:
         scored = df.crossJoin(cents).select(

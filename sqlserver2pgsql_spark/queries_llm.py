@@ -516,6 +516,65 @@ def q23_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_neardup_pairs(emb, threshold=0.35).orderBy("id1", "id2")
 
 
+def _q44_oracle() -> str:
+    """DuckDB mirror of the bucketed LSH near-dup ALGORITHM (not the ideal
+    all-pairs set — LSH recall at threshold 0.35 is ~93% on this corpus, so
+    the oracle replicates buckets): identical md5-derived planes and keys as
+    q22, the same >1 ∧ ≤max_bucket size gate, in-bucket pairs scored by
+    exact cosine, threshold applied pre-rounding."""
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    planes AS (
+      SELECT t.t, p.p,
+             list_transform(range(0, 64), d ->
+               CASE WHEN ('0x' || substr(md5('hp-' || t.t || '-' || p.p || '-' || d), 1, 1))::INT % 2 = 1
+                    THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END) AS wv
+      FROM (SELECT unnest(range(16)) AS t) t, (SELECT unnest(range(4)) AS p) p
+    ),
+    dots AS (
+      SELECT v.vec_id, pl.t, pl.p,
+             list_reduce(list_transform(list_zip(v.e, pl.wv), z -> z[1] * z[2]),
+                         (a, b) -> a + b) AS dp
+      FROM v, planes pl
+    ),
+    keys AS (
+      SELECT vec_id, t,
+             sum(CASE WHEN dp >= 0 THEN (1 << p) ELSE 0 END) AS key
+      FROM dots GROUP BY vec_id, t
+    ),
+    szs AS (SELECT t, key, count(*) AS sz FROM keys GROUP BY t, key),
+    ok AS (
+      SELECT k.vec_id, k.t, k.key
+      FROM keys k JOIN szs s ON s.t = k.t AND s.key = k.key
+      WHERE s.sz > 1 AND s.sz <= 5000
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+      FROM ok a JOIN ok b ON a.t = b.t AND a.key = b.key AND a.vec_id < b.vec_id
+    ),
+    sims AS (
+      SELECT id1, id2, {_DUCK_COS.format(a="va.e", b="vb.e")} AS cos_raw
+      FROM cand JOIN v va ON va.vec_id = id1 JOIN v vb ON vb.vec_id = id2
+    )
+    SELECT id1, id2, round(cos_raw, 6) AS cos_sim
+    FROM sims WHERE cos_raw >= 0.35
+    ORDER BY id1, id2
+    """
+
+
+@register("q44_embedding_neardup_lsh", oracle=_q44_oracle())
+def q44_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB near-dup path, driver-gated: LSH-bucket (md5-derived
+    hyperplanes), capped buckets, in-bucket exact-cosine verify — the corpus
+    is never gathered to one place (contrast q23's guarded broadcast path,
+    kept as the small-corpus exact verifier)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.embedding_neardup_pairs_lsh(emb, threshold=0.35).orderBy("id1", "id2")
+
+
 # --- text analysis -----------------------------------------------------------
 
 

@@ -189,3 +189,35 @@ def test_embedding_neardup_guard_raises(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     with _pytest.raises(ValueError, match="embedding_neardup_pairs_lsh"):
         S.embedding_neardup_pairs(emb, threshold=0.35, max_broadcast_rows=10)
+
+
+def test_ivf_max_cell_sample_enforced(spark):
+    """A cell over the bound builds its centroid from the lowest-id sample
+    only — deterministic, and distinct from the unbounded centroid."""
+    from pyspark.sql import functions as F
+
+    from sqlserver2pgsql_spark.operators import similarity as SS
+    from sqlserver2pgsql_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    full = SS.ivf_centroids(emb, partition_col="label")
+    capped = SS.ivf_centroids(emb, partition_col="label", max_cell_sample=5)
+    manual = SS.ivf_centroids(
+        # the sample the cap should select: 5 lowest vec_ids per label
+        emb.withColumn(
+            "__r",
+            F.row_number().over(
+                __import__("pyspark.sql", fromlist=["Window"]).Window.partitionBy(
+                    "label"
+                ).orderBy("vec_id")
+            ),
+        )
+        .filter(F.col("__r") <= 5)
+        .drop("__r"),
+        partition_col="label",
+    )
+    capped_rows = {r.cell: r.centroid for r in capped.collect()}
+    manual_rows = {r.cell: r.centroid for r in manual.collect()}
+    full_rows = {r.cell: r.centroid for r in full.collect()}
+    assert capped_rows == manual_rows
+    assert capped_rows != full_rows  # the cap binds on this corpus
