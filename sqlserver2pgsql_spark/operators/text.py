@@ -91,20 +91,40 @@ def _lang_score(toks: Column, lang: str) -> Column:
 
 def detect_language(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
     """Marker-word language ID: argmax of per-language marker counts, 'und'
-    when nothing matches. Fixed priority order breaks ties deterministically."""
-    # materialize the token array once — each language scorer referencing the
-    # raw text would re-split it (HOF subexpressions aren't CSE'd)
+    when nothing matches. Fixed priority order breaks ties deterministically.
+
+    Single pass: one ``aggregate`` over the (once-lowered) token array
+    accumulates all 5 language counters in a struct — five separate HOF
+    ``filter`` passes compiled into a case-when fold ~7ms/row deep; this
+    shape is one traversal with 5 shallow conditionals per token."""
     toks_col = f"__toks_{out_col}"
-    scored = df.withColumn(toks_col, tokens(F.col(text_col)))
-    scores = {lang: _lang_score(F.col(toks_col), lang) for lang in _LANG_ORDER}
+    scored = df.withColumn(
+        toks_col, F.transform(tokens(F.col(text_col)), F.lower)
+    )
+    counts = F.aggregate(
+        F.col(toks_col),
+        F.struct(*[F.lit(0).alias(lang) for lang in _LANG_ORDER]),
+        lambda acc, w: F.struct(
+            *[
+                (
+                    acc[lang]
+                    + F.when(w.isin(*LANG_MARKERS[lang]), F.lit(1)).otherwise(F.lit(0))
+                ).alias(lang)
+                for lang in _LANG_ORDER
+            ]
+        ),
+    )
+    counts_col = f"__counts_{out_col}"
+    scored = scored.withColumn(counts_col, counts)
     # left fold with strict > : earlier languages in _LANG_ORDER win ties
     best = F.lit("und")
     best_score = F.lit(0)
     for lang in _LANG_ORDER:
-        cond = scores[lang] > best_score
-        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+        score = F.col(counts_col)[lang]
+        cond = score > best_score
+        best_score = F.when(cond, score).otherwise(best_score)
         best = F.when(cond, F.lit(lang)).otherwise(best)
-    return scored.withColumn(out_col, best).drop(toks_col)
+    return scored.withColumn(out_col, best).drop(toks_col, counts_col)
 
 
 # --- fingerprinting ---------------------------------------------------------
