@@ -105,6 +105,19 @@ class Index:
 
 
 @dataclass
+class Trigger:
+    """A trigger carried on a table (reference :3136-3161 — emitted into the
+    unsure script; the reference's parser never populates TRIGGERS, so this
+    is an emission-side contract for callers that build catalogs
+    programmatically)."""
+
+    name: str
+    events: str  # e.g. 'AFTER INSERT OR UPDATE'
+    when: str  # 'FOR EACH ROW' | 'FOR EACH STATEMENT'
+    function: str  # trigger function name (schema-qualified at emit)
+
+
+@dataclass
 class Table:
     name: str
     orig_schema: str
@@ -114,6 +127,7 @@ class Table:
     foreign_keys: list[ForeignKey] = field(default_factory=list)
     checks: list[CheckConstraint] = field(default_factory=list)
     indexes: dict[str, Index] = field(default_factory=dict)
+    triggers: list[Trigger] = field(default_factory=list)
     has_lobs: bool = False  # drives the partitioned-scan heuristic (:949-963)
     comment: str | None = None
 
@@ -156,6 +170,15 @@ class TableType:
 
 
 @dataclass
+class TriggerFunction:
+    """CREATE FUNCTION … RETURNS trigger body (reference :3122-3134)."""
+
+    name: str
+    body: str
+    language: str = "plpgsql"
+
+
+@dataclass
 class Schema:
     name: str
     tables: dict[str, Table] = field(default_factory=dict)
@@ -163,6 +186,7 @@ class Schema:
     views: dict[str, View] = field(default_factory=dict)
     domains: dict[str, str] = field(default_factory=dict)  # name → base type
     table_types: dict[str, TableType] = field(default_factory=dict)
+    trig_functions: dict[str, TriggerFunction] = field(default_factory=dict)
     comment: str | None = None
 
 

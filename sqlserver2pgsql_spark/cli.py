@@ -53,7 +53,11 @@ def _apply_conf(args: argparse.Namespace) -> None:
 
     for name, value in parse_conf_file(args.conf).items():
         attr = _CONF_TO_ARG.get(name, name)
-        if getattr(args, attr, None) in (None, False):
+        # identity checks, not `in (None, False)`: an explicit integer 0 from
+        # the CLI (e.g. -pi 0) equals False and must still win over the conf
+        # (the reference keeps any `defined` CLI value, :142-146)
+        current = getattr(args, attr, None)
+        if current is None or current is False:
             setattr(args, attr, value)
 
 

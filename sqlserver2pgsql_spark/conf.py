@@ -72,8 +72,11 @@ _FLAG_OPTIONS = {
 def parse_conf_file(path: str) -> dict[str, object]:
     """Parse a reference-format conf file into {canonical_option: value}.
 
-    Mirrors the reference's semantics: ``#`` starts a comment, whitespace
-    around ``=`` is ignored, unknown keys are an error (die, :139-142)."""
+    Mirrors the reference's semantics: ``#`` starts a comment ANYWHERE in the
+    line (s/#.*// — :129), so values cannot legitimately contain '#'
+    (passwords with '#' are silently truncated in the reference too; use the
+    CLI flag for such values), whitespace around ``=`` is ignored, unknown
+    keys are an error (die, :139-142)."""
     out: dict[str, object] = {}
     with open(path) as fh:
         for raw in fh:

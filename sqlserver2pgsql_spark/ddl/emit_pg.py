@@ -156,6 +156,19 @@ def emit_after(catalog: Catalog, opts: EmitOptions | None = None) -> str:
                 if details:
                     stmt += " ( " + " ".join(details) + " )"
                 out.append(stmt + ";")
+    else:
+        # sequence mode must WIRE the sequence to its column or inserts
+        # without an explicit id fail — the serial default (:1449-1460)
+        for sname in sorted(catalog.schemas):
+            for seq in catalog.schemas[sname].sequences.values():
+                if not seq.owner_table:
+                    continue
+                seq_lit = f"{sname}.{seq.name}".replace("'", "''")
+                out.append(
+                    f"ALTER TABLE {_quote(sname)}.{_quote(seq.owner_table)} "
+                    f"ALTER COLUMN {_quote(seq.owner_column)} "
+                    f"SET DEFAULT nextval('{seq_lit}');"
+                )
     for sname, table in catalog.all_tables():
         tq = qual(sname, table.name)
         if table.primary_key:
@@ -261,4 +274,22 @@ def emit_unsure(catalog: Catalog, opts: EmitOptions | None = None) -> str:
         v = catalog.schemas[sname].views[vname]
         cols = f" ({', '.join(_quote(c) for c in v.columns)})" if v.columns else ""
         out.append(f"CREATE VIEW {_quote(sname)}.{_quote(vname)}{cols} AS {v.sql or v.raw_sql};")
+    # trigger functions, then the triggers that bind them (reference
+    # :3122-3161 — declared last in the unsure script, after everything they
+    # might reference exists)
+    for sname in sorted(catalog.schemas):
+        for fname in sorted(catalog.schemas[sname].trig_functions):
+            tf = catalog.schemas[sname].trig_functions[fname]
+            out.append(
+                f"CREATE FUNCTION {_quote(sname)}.{_quote(tf.name)}() "
+                f"RETURNS trigger LANGUAGE {tf.language} AS $def$\n"
+                f"{tf.body}\n$def$;"
+            )
+    for sname, table in catalog.all_tables():
+        for trg in table.triggers:
+            out.append(
+                f"CREATE TRIGGER {_quote(trg.name)} {trg.events} "
+                f"ON {qual(sname, table.name)} {trg.when} "
+                f"EXECUTE PROCEDURE {_quote(sname)}.{_quote(trg.function)}();"
+            )
     return "\n".join(out) + "\n"

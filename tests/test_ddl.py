@@ -287,3 +287,51 @@ GO
         "ADD GENERATED ALWAYS AS IDENTITY ( START WITH 1000 INCREMENT BY 2 );"
         in after_id
     )
+
+
+def test_sequence_default_wiring_and_trigger_section():
+    """Sequence mode wires SET DEFAULT nextval (reference :1449-1460); a
+    catalog carrying triggers emits the function + CREATE TRIGGER section at
+    the end of the unsure script (reference :3122-3161)."""
+    from sqlserver2pgsql_spark.catalog.model import Trigger, TriggerFunction
+    from sqlserver2pgsql_spark.ddl.emit_pg import EmitOptions
+
+    dump = """
+CREATE TABLE [dbo].[parent] (
+  [id] int IDENTITY(1000,2) NOT NULL,
+  CONSTRAINT [pk_parent] PRIMARY KEY ([id])
+)
+GO
+"""
+    cat = parse_text(dump)
+    after = emit_after(cat)
+    seq_name = next(iter(cat.schemas["public"].sequences))
+    assert (
+        f'ALTER TABLE "public"."parent" ALTER COLUMN "id" '
+        f"SET DEFAULT nextval('public.{seq_name}');" in after
+    )
+    # identity mode must NOT also wire nextval
+    assert "nextval" not in emit_after(cat, EmitOptions(use_identity_column=True))
+
+    sch = cat.schemas["public"]
+    sch.trig_functions["audit_fn"] = TriggerFunction(
+        name="audit_fn", body="BEGIN RETURN NEW; END;"
+    )
+    sch.tables["parent"].triggers.append(
+        Trigger(
+            name="trg_audit",
+            events="AFTER INSERT OR UPDATE",
+            when="FOR EACH ROW",
+            function="audit_fn",
+        )
+    )
+    unsure = emit_unsure(cat)
+    fn_pos = unsure.find(
+        'CREATE FUNCTION "public"."audit_fn"() RETURNS trigger LANGUAGE plpgsql'
+    )
+    trg_pos = unsure.find(
+        'CREATE TRIGGER "trg_audit" AFTER INSERT OR UPDATE ON "public"."parent" '
+        'FOR EACH ROW EXECUTE PROCEDURE "public"."audit_fn"();'
+    )
+    assert fn_pos != -1 and trg_pos != -1 and fn_pos < trg_pos
+    assert "$def$\nBEGIN RETURN NEW; END;\n$def$;" in unsure
