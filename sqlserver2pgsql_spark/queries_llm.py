@@ -831,6 +831,48 @@ def q32_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q45_stream_sessionize",
+    # the streaming session_window is [first_ts, last_ts + gap); the oracle
+    # rebuilds the identical sessions batch-wise (lag-gap + running sum, the
+    # q28 recipe) and emits the same bounds
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def q45_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 Structured Streaming session windows (30-min inactivity gap,
+    watermarked) over the events file source, driven to completion against a
+    memory sink — the streaming analog of batch q28, now driver-gated."""
+    from .streaming import run_stream_to_memory, sessionized_stream, stream_events
+
+    stream = sessionized_stream(stream_events(spark, sf_dir))
+    run_stream_to_memory(stream, "q45_out")
+    return spark.sql(
+        "SELECT session_start, session_end, user_id, n_events FROM q45_out "
+        "ORDER BY user_id, session_start"
+    )
+
+
 def _q33_oracle() -> str:
     from .operators.sketches import hll_oracle_sql
 
