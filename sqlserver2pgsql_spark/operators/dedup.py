@@ -79,7 +79,9 @@ def ngram_jaccard_pairs(
     shingle's document frequency, so exactness holds unless the corpus is
     pathological; pairs whose only shared shingles are capped lose their
     intersection count, so treat a capped run as approximate."""
-    post = shingle_postings(df, id_col, text_col, n)
+    # two consumers (doc sizes + the grouped pair-gen) — materialize once;
+    # ContextCleaner reclaims the checkpoint when the DF is unreachable
+    post = shingle_postings(df, id_col, text_col, n).localCheckpoint(eager=False)
     sizes = post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     grouped = (
         post.groupBy("shingle")
