@@ -873,6 +873,128 @@ def q45_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- curation ---------------------------------------------------------------
+
+# PII-injection CTE shared by q46: every 3rd doc gets a deterministic
+# contact line so the redaction provably fires; both engines build the
+# identical corpus
+_PII_CORPUS_SQL = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0
+                THEN text || ' contact u' || CAST(doc_id AS VARCHAR)
+                     || '@mail.example.com see https://src'
+                     || CAST(doc_id % 10 AS VARCHAR) || '.example/page?id='
+                     || CAST(doc_id AS VARCHAR) || ' ref 1234567'
+                     || CAST(doc_id AS VARCHAR)
+                ELSE text END AS text
+    FROM documents
+"""
+
+
+def _pii_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sid = F.col("doc_id").cast("string")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact u"), sid, F.lit("@mail.example.com see https://src"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit(".example/page?id="), sid, F.lit(" ref 1234567"), sid,
+    )
+    return d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, injected).otherwise(F.col("text")).alias("text"),
+    )
+
+
+@register(
+    "q46_redact_pii",
+    oracle=f"""
+    WITH corpus AS ({_PII_CORPUS_SQL})
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS BIGINT) AS n_urls,
+           CAST(len(regexp_extract_all(text, '[0-9]{{6,}}')) AS BIGINT) AS n_digit_runs,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+               'https?://[^\\s]+', '<URL>', 'g'),
+               '[0-9]{{6,}}', '<NUM>', 'g') AS redacted
+    FROM corpus ORDER BY doc_id
+    """,
+)
+def q46_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction (emails / URLs / long digit runs → typed markers)
+    with per-class match counts — pure regexp column expressions, RE2-safe
+    patterns mirrored verbatim in the oracle."""
+    from .operators.curation import redact_text
+
+    out = redact_text(_pii_corpus(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_urls").cast("long").alias("n_urls"),
+        F.col("n_digit_runs").cast("long").alias("n_digit_runs"),
+        "redacted",
+    ).orderBy("doc_id")
+
+
+@register(
+    "q47_repetition_quality",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(l) AS BIGINT) AS rep_tokens,
+           CASE WHEN len(l) > 0
+                THEN 1.0 - CAST(len(list_distinct(l)) AS DOUBLE) / CAST(len(l) AS DOUBLE)
+                ELSE 0.0 END AS rep_dup_token_ratio,
+           CASE WHEN len(l) >= 2
+                THEN 1.0 - CAST(len(list_distinct(list_transform(
+                       range(1, greatest(2, len(l))), i -> l[i] || ' ' || l[i+1]
+                     ))) AS DOUBLE) / CAST(len(l) - 1 AS DOUBLE)
+                ELSE 0.0 END AS rep_dup_bigram_ratio
+    FROM toks ORDER BY doc_id
+    """,
+)
+def q47_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals: duplicate-token and duplicate-bigram
+    ratios per document — array-only, no explode, no shuffle."""
+    from .operators.curation import repetition_metrics
+
+    out = repetition_metrics(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return out.select(
+        "doc_id",
+        F.col("rep_tokens").cast("long").alias("rep_tokens"),
+        "rep_dup_token_ratio",
+        "rep_dup_bigram_ratio",
+    ).orderBy("doc_id")
+
+
+@register(
+    "q48_source_cap",
+    oracle="""
+    SELECT source, doc_id, rnk FROM (
+      SELECT source, doc_id,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS INTEGER) AS rnk
+      FROM documents)
+    WHERE rnk <= 10 ORDER BY source, doc_id
+    """,
+)
+def q48_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source stratified cap (≤10 docs per source, lowest doc_id wins) —
+    the per-domain cap of web-scale curation. Spark compiles the
+    row_number-filter into WindowGroupLimit: heavy-hitter sources ship at
+    most cap rows per input partition, not their full group."""
+    from .operators.curation import stratified_cap
+
+    d = _t(spark, sf_dir, "documents").select("source", "doc_id")
+    return (
+        stratified_cap(d, "source", "doc_id", cap=10)
+        .select("source", "doc_id", "rnk")
+        .orderBy("source", "doc_id")
+    )
+
+
 def _q33_oracle() -> str:
     from .operators.sketches import hll_oracle_sql
 

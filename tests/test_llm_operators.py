@@ -221,3 +221,46 @@ def test_ivf_max_cell_sample_enforced(spark):
     full_rows = {r.cell: r.centroid for r in full.collect()}
     assert capped_rows == manual_rows
     assert capped_rows != full_rows  # the cap binds on this corpus
+
+
+def test_curation_operators(spark):
+    from pyspark.sql import Row, functions as F
+
+    from sqlserver2pgsql_spark.operators.curation import (
+        redact_text,
+        repetition_metrics,
+        stratified_cap,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="mail me at bob@x.co or https://a.b/c id 1234567 ok"),
+            Row(doc_id=2, text="clean text no pii"),
+            Row(doc_id=3, text="a a a a"),
+            Row(doc_id=4, text="w"),
+        ]
+    )
+    red = {r.doc_id: r for r in redact_text(docs).collect()}
+    assert red[1].n_emails == 1 and red[1].n_urls == 1 and red[1].n_digit_runs == 1
+    assert red[1].redacted == "mail me at <EMAIL> or <URL> id <NUM> ok"
+    assert red[2].redacted == "clean text no pii"
+
+    rep = {r.doc_id: r for r in repetition_metrics(docs).collect()}
+    assert rep[3].rep_tokens == 4
+    assert rep[3].rep_dup_token_ratio == 0.75  # one distinct token of 4
+    assert rep[3].rep_dup_bigram_ratio == 1.0 - 1.0 / 3.0  # 'a a' ×3
+    assert rep[4].rep_dup_bigram_ratio == 0.0  # single-token doc guarded
+
+    capped = stratified_cap(
+        spark.createDataFrame(
+            [Row(g="s1", i=n) for n in range(20)] + [Row(g="s2", i=99)]
+        ),
+        "g",
+        "i",
+        cap=3,
+    ).collect()
+    per_g: dict = {}
+    for r in capped:
+        per_g.setdefault(r.g, []).append(r.i)
+    assert sorted(per_g["s1"]) == [0, 1, 2]  # lowest order_col wins
+    assert per_g["s2"] == [99]

@@ -103,3 +103,15 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE b_lineitem")
         spark.sql("DROP TABLE b_orders")
+
+
+def test_source_cap_uses_window_group_limit(spark):
+    """stratified_cap's row_number<=k filter must compile to WindowGroupLimit
+    (partial per-partition top-k before the shuffle) — the property that
+    keeps a heavy-hitter source from shipping its whole group."""
+    from sqlserver2pgsql_spark.operators.curation import stratified_cap
+    from sqlserver2pgsql_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_DIR, "documents").select("source", "doc_id")
+    plan = _plan(stratified_cap(d, "source", "doc_id", cap=10))
+    assert "WindowGroupLimit" in plan, plan
