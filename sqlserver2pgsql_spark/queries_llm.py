@@ -873,6 +873,75 @@ def q45_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q49_quarantine_split",
+    oracle="""
+    SELECT c_custkey, reject_reason FROM (
+      SELECT c_custkey,
+             concat_ws(',',
+               CASE WHEN NOT (c_acctbal >= 0) THEN 'c_acctbal_nonneg' END,
+               CASE WHEN NOT (length(c_name) <= 25) THEN 'c_name_len25' END,
+               CASE WHEN NOT (c_nationkey BETWEEN 0 AND 24) THEN 'c_nation_range' END
+             ) AS reject_reason
+      FROM customer)
+    WHERE reject_reason <> '' ORDER BY c_custkey
+    """,
+)
+def q49_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant load (reference -ignore_errors re-expressed): rows are
+    split by an up-front predicate set into clean/quarantine streams instead
+    of row-by-row insert fallback; the quarantine stream carries every failed
+    predicate name. Filter-split — no shuffle, batched writes stay batched."""
+    from .operators.quarantine import REASON_COL, split_valid_invalid
+
+    cust = _t(spark, sf_dir, "customer")
+    preds = {
+        "c_acctbal_nonneg": F.col("c_acctbal") >= 0,
+        "c_name_len25": F.length("c_name") <= 25,
+        "c_nation_range": F.col("c_nationkey").between(0, 24),
+    }
+    _clean, bad = split_valid_invalid(cust, preds)
+    return (
+        bad.select("c_custkey", F.col(REASON_COL).alias("reject_reason"))
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q50_salted_aggregate",
+    # the oracle is the UNSALTED aggregate — the operator's contract is
+    # exact equivalence; decimal partials make the two-phase sum exact
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q50_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (hot-key salting): phase 1 aggregates
+    (key, salt) partials, phase 2 merges per key — a pathological key spreads
+    over 16 reducers instead of one. Decimal partials keep it bit-equal to
+    the single-phase plan the oracle runs."""
+    from .operators.skew import salted_aggregate
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_aggregate(
+        li,
+        keys=["l_returnflag"],
+        partial_aggs={
+            "n_p": F.count(F.lit(1)),
+            "qty_p": F.sum(F.col("l_quantity").cast(DEC)),
+        },
+        merge_aggs={
+            "n": F.sum("n_p").cast("long"),
+            "sum_qty": F.sum("qty_p").cast("double"),
+        },
+        salt_buckets=16,
+    )
+    return out.select("l_returnflag", "n", "sum_qty").orderBy("l_returnflag")
+
+
 # --- curation ---------------------------------------------------------------
 
 # PII-injection CTE shared by q46: every 3rd doc gets a deterministic
