@@ -53,7 +53,14 @@ def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     Array-only computation (tokenize once, no explode, no shuffle); ratios
     are single IEEE divisions guarded to 0.0 for degenerate short docs so
     the column is total."""
-    toks = tokens(F.col(text_col))
+    # materialize the token array as a column FIRST: HOF subexpressions are
+    # not CSE'd, so referencing tokens(text) in-place would re-split the
+    # text inside every element_at of every bigram (observed 8.5s → 0.4s at
+    # sf0.1); CollapseProject keeps the split un-inlined because the
+    # attribute is referenced many times
+    toks_col = "__rep_toks"
+    df = df.withColumn(toks_col, tokens(F.col(text_col)))
+    toks = F.col(toks_col)
     n = F.size(toks)
     n_uniq = F.size(F.array_distinct(toks))
     bigrams = F.transform(
@@ -73,7 +80,7 @@ def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
         n.alias("rep_tokens"),
         dup_tok.alias("rep_dup_token_ratio"),
         dup_bg.alias("rep_dup_bigram_ratio"),
-    )
+    ).drop(toks_col)
 
 
 def stratified_cap(
