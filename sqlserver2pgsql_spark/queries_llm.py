@@ -874,6 +874,45 @@ def q45_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q51_dedup_clusters",
+    # transitive closure of the exact-Jaccard pair graph: DuckDB walks
+    # reachability with a recursive CTE; min reachable id == the propagated
+    # min label, independent of either engine's iteration order
+    oracle=_JACCARD_ORACLE_BODY.replace("WITH corpus", "WITH RECURSIVE corpus", 1)
+    + """
+    , pairs AS (SELECT id1, id2 FROM scored WHERE jaccard >= 0.6),
+    edges AS (
+      SELECT id1 AS a, id2 AS b FROM pairs
+      UNION ALL SELECT id2 AS a, id1 AS b FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT node AS doc_id, min(lbl) AS cluster_id,
+           (node = min(lbl)) AS is_keeper
+    FROM reach GROUP BY node ORDER BY doc_id
+    """,
+)
+def q51_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: connected components over the exact near-dup pair
+    graph (threshold 0.6) → one keeper (min doc_id) per duplicate CLUSTER —
+    the transitive step pair-level dedup misses (A~B, B~C ⇒ {A,B,C} share
+    one keeper). Iterative min-label propagation, oracle via WITH RECURSIVE."""
+    from .operators.graph import connected_components
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.6)
+    cc = connected_components(pairs, "id1", "id2")
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        (F.col("node") == F.col("cluster_id")).alias("is_keeper"),
+    ).orderBy("doc_id")
+
+
+@register(
     "q49_quarantine_split",
     oracle="""
     SELECT c_custkey, reject_reason FROM (

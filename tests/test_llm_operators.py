@@ -264,3 +264,18 @@ def test_curation_operators(spark):
         per_g.setdefault(r.g, []).append(r.i)
     assert sorted(per_g["s1"]) == [0, 1, 2]  # lowest order_col wins
     assert per_g["s2"] == [99]
+
+
+def test_connected_components_transitive(spark):
+    """A~B, B~C, C~D chains collapse to one cluster labeled by the min id;
+    disjoint pairs stay separate."""
+    from pyspark.sql import Row
+
+    from sqlserver2pgsql_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [Row(id1=5, id2=2), Row(id1=2, id2=9), Row(id1=9, id2=7),  # chain {2,5,7,9}
+         Row(id1=30, id2=31)]                                      # island {30,31}
+    )
+    got = {r.node: r.cluster_id for r in connected_components(edges).collect()}
+    assert got == {2: 2, 5: 2, 7: 2, 9: 2, 30: 30, 31: 30}
