@@ -913,6 +913,33 @@ def q51_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q52_string_agg",
+    oracle="""
+    SELECT r.r_name AS region,
+           count(*) AS n_nations,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name ORDER BY region
+    """,
+)
+def q52_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): collect_list →
+    array_sort → array_join makes the concatenation order-deterministic
+    regardless of partitioning, so it hash-matches the oracle's ORDER BY."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+        )
+        .orderBy("region")
+    )
+
+
+@register(
     "q49_quarantine_split",
     oracle="""
     SELECT c_custkey, reject_reason FROM (
