@@ -750,8 +750,12 @@ def q28_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     running sum windows (the §2.4 'window functions' scale pattern)."""
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
-    new_session = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    # timestamp_diff works on TIMESTAMP_NTZ (parquet ts without UTC flag) where
+    # cast-to-long does not, and is timezone-independent either way.
+    # MICROSECOND granularity: ts carries sub-second parts, and the oracle's
+    # `> INTERVAL 30 MINUTE` comparison is exact, not second-truncated.
+    gap = F.timestamp_diff("MICROSECOND", F.lag(F.col("ts")).over(w), F.col("ts"))
+    new_session = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
     run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         W.unboundedPreceding, 0
     )

@@ -23,12 +23,12 @@ from pyspark.sql import types as T
 
 
 def event_stream_schema() -> T.StructType:
-    """events.parquet schema with ts as nanosecond long (the fixture's
-    physical type — Spark can't stream TIMESTAMP(NANOS) directly)."""
+    """events.parquet schema; ts is TIMESTAMP_NTZ (the fixture's physical
+    type is parquet timestamp[us] without the UTC flag)."""
     return T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -38,7 +38,6 @@ def event_stream_schema() -> T.StructType:
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the fixture is a single parquet FILE; the streaming file source wants a
     # directory, so stream the sf dir filtered to that file
     raw = (
@@ -46,7 +45,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # watermarks require TIMESTAMP (ltz); the window bounds are cast back to
+    # NTZ on output so downstream sees the same wall-clock either way
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_event_agg(
@@ -66,7 +67,7 @@ def windowed_event_agg(
             F.sum(F.col("value").cast("decimal(38,8)")).cast("double").alias("sum_value"),
         )
         .select(
-            F.col("window.start").alias("window_start"),
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
             "event_type",
             "n",
             "sum_value",
@@ -84,8 +85,8 @@ def sessionized_stream(
         .groupBy(F.session_window("ts", gap), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
-            F.col("session_window.start").alias("session_start"),
-            F.col("session_window.end").alias("session_end"),
+            F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_window.end").cast("timestamp_ntz").alias("session_end"),
             "user_id",
             "n_events",
         )
