@@ -52,6 +52,8 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        # carry the old label through so convergence is a filter over the
+        # checkpointed result, not another shuffle join per iteration
         new_labels = (
             labels.join(neighbor_min, "node", "left")
             .select(
@@ -59,16 +61,12 @@ def connected_components(
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
                 ).alias("cluster_id"),
+                F.col("cluster_id").alias("__old"),
             )
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("cluster_id") != F.col("__old")).count()
+        labels = new_labels.drop("__old")
         if changed == 0:
             break
     return labels
