@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from .sketches import md5_hash60
 from .text import tokens
 
 #: redaction patterns — applied in this order (emails before URLs is safe:
@@ -103,4 +104,132 @@ def stratified_cap(
     return (
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= cap)
+    )
+
+
+def hash_bucket(col: Column, buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, buckets) from the md5-derived 60-bit hash
+    of ``col`` — the portable substrate for reproducible sampling (DuckDB
+    mirror: ``('0x' || substr(md5(x), 1, 15))::BIGINT % buckets``)."""
+    return md5_hash60(col) % buckets
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    pct: Column,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff its hash bucket
+    falls below the stratum's percentage (``pct`` is a Column so callers
+    express rates as CASE/map lookups over ``strata_col``).
+
+    Pure filter over a hash of the key — no shuffle, no RNG state, and the
+    SAME rows are kept on any cluster size or partition layout, which is
+    what makes sampled corpora reproducible at 100 TB."""
+    return df.withColumn(bucket_col, hash_bucket(F.col(key_col))).filter(
+        F.col(bucket_col) < pct
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    weight_col: str,
+    budget: int,
+) -> DataFrame:
+    """Assign each row to a fixed-budget pack: rows are laid out in
+    ``order_col`` order within each group on a running token tape, and a
+    row's pack is the budget-chunk its START offset lands in
+    (``pack_id = floor((cum - weight) / budget)``).
+
+    The chunked running-sum formulation (vs true first-fit bin packing) is
+    deliberately window-expressible: one partitioned running sum, no
+    iterative state, exactly reproducible in SQL — the standard
+    sequence-packing approximation for pretraining shards. Groups are
+    independent → embarrassingly parallel across the cluster; the window
+    shuffles once on ``group_col``."""
+    w = (
+        W.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum(F.col(weight_col)).over(w)
+    return df.select(
+        "*",
+        cum.alias("cum_weight"),
+        F.floor((cum - F.col(weight_col)) / F.lit(budget)).alias("pack_id"),
+    )
+
+
+def decontamination_hits(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: for every training document that shares at
+    least one word-``n``-gram shingle with the benchmark corpus, report how
+    many of its distinct shingles are contaminated and the contamination
+    ratio.
+
+    Shape for 100 TB: the benchmark shingle set is small by definition
+    (eval suites are thousands of docs, not billions) → broadcast it; the
+    training postings stream through a broadcast semi-side join and one
+    groupBy on the doc id. No benchmark-side shuffle, one training-side
+    aggregation shuffle."""
+    from .dedup import shingle_postings
+
+    tp = shingle_postings(train, id_col, text_col, n)
+    bench_shingles = (
+        shingle_postings(benchmark, id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    sizes = tp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        tp.join(F.broadcast(bench_shingles), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return hits.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_hits",
+        "n_shingles",
+        (F.col("n_hits").cast("double") / F.col("n_shingles").cast("double")).alias(
+            "contamination_ratio"
+        ),
+    )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    source_col: str,
+    order_cols: list[Column],
+    tokens_col: str,
+    parts: Column,
+    total_parts: int,
+    budget: int,
+) -> DataFrame:
+    """Token-budgeted corpus mixing: each source gets
+    ``floor(parts * budget / total_parts)`` tokens of the global budget, and
+    docs are admitted per source in ``order_col`` order while their running
+    token total fits the allocation.
+
+    Integer allocation arithmetic (parts are integer mixing weights) keeps
+    the admission boundary exactly reproducible in SQL. One window shuffle
+    on ``source_col``; allocation is a scalar expression, not a join."""
+    alloc = F.floor((parts * F.lit(budget)) / F.lit(total_parts)).cast("long")
+    w = (
+        W.partitionBy(source_col)
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum(F.col(tokens_col)).over(w)
+    return (
+        df.select("*", alloc.alias("alloc"), cum.alias("cum_tokens"))
+        .filter(F.col("cum_tokens") <= F.col("alloc"))
     )

@@ -127,6 +127,54 @@ def detect_language(df: DataFrame, text_col: str = "text", out_col: str = "lang_
     return scored.withColumn(out_col, best).drop(toks_col, counts_col)
 
 
+# --- tf-idf -----------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf-idf with a LINEAR
+    (rational) idf: ``score = tf * N / df`` — one integer product and one
+    IEEE division, so the ranking is bit-reproducible across engines
+    (``ln``-based idf differs in ulps between libm implementations and can
+    flip ranks; the linear variant is order-equivalent for ranking within a
+    fixed corpus).
+
+    Plan shape for 100 TB: tokenize→explode→two hash aggregations (tf, then
+    document frequency over the much smaller tf table), one shuffle join on
+    the term, and a rank-limited window that compiles to WindowGroupLimit
+    (per-partition top-k before the shuffle). The corpus size N is a
+    1-row aggregate broadcast into the projection, never collected."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.transform(tokens(F.col(text_col)), F.lower)).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(doc_freq, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "doc_freq",
+            (
+                (F.col("tf") * F.col("n_docs")).cast("double")
+                / F.col("doc_freq").cast("double")
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
 # --- fingerprinting ---------------------------------------------------------
 
 

@@ -1134,6 +1134,226 @@ def q48_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q53_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_transform(string_split_regex(trim(text), '\\s+'),
+                                   t -> lower(t))) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf, doc_freq,
+             CAST(tf * n_docs AS DOUBLE) / CAST(doc_freq AS DOUBLE) AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+             CAST(doc_freq AS BIGINT) AS doc_freq, score,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, term) AS INTEGER) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, tf, doc_freq, score, rnk
+    FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk
+    """,
+)
+def q53_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf-idf (linear idf =
+    N/df: one integer product + one IEEE division, so ranks are
+    bit-reproducible across engines — ln-idf differs in libm ulps)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        X.tfidf_top_terms(d, "doc_id", "text", k=3)
+        .select("doc_id", "term", "tf", "doc_freq", "score", "rnk")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+def _src_num() -> F.Column:
+    """Numeric source suffix — even-numbered sources are the "high-value"
+    strata in q54/q57. (A function, not a module constant: building a
+    Column needs an active SparkContext, which doesn't exist at import.)"""
+    return F.substring(F.col("source"), 4, 10).cast("int")
+
+
+@register(
+    "q54_stratified_sample",
+    oracle="""
+    SELECT doc_id, source, bucket FROM (
+      SELECT doc_id, source,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 100
+               AS bucket
+      FROM documents)
+    WHERE bucket < CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+                        THEN 60 ELSE 25 END
+    ORDER BY doc_id
+    """,
+)
+def q54_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling: 60% of even-numbered sources,
+    25% of odd, via md5-hash bucketing of the doc id — same rows kept on
+    any cluster size/partition layout (no RNG state). Pure filter, no
+    shuffle."""
+    from .operators.curation import stratified_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    pct = F.when(_src_num() % 2 == 0, F.lit(60)).otherwise(F.lit(25))
+    return (
+        stratified_sample(d, "source", "doc_id", pct)
+        .select("doc_id", "source", "bucket")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q55_sequence_packing",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text,
+               ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(floor((cum_tokens - n_tokens) / 512.0) AS BIGINT) AS pack_id
+    FROM c ORDER BY doc_id
+    """,
+)
+def q55_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining shards: per-source running token
+    tape chunked into 512-token packs (pack = chunk the doc's START offset
+    lands in). Window-expressible by design — one shuffle on source, no
+    iterative bin-packing state."""
+    from .operators.curation import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", X.bpe_token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return (
+        pack_sequences(d, "source", "doc_id", "n_tokens", budget=512)
+        .select(
+            "doc_id", "source", "n_tokens",
+            F.col("cum_weight").cast("long").alias("cum_tokens"),
+            F.col("pack_id").cast("long").alias("pack_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# benchmark corpus for decontamination: every 50th doc, last 5 tokens
+# dropped (same mutation recipe as the near-dup corpus, so overlap with the
+# training set exists by construction)
+_BENCH_CORPUS_SQL = """
+    SELECT doc_id, array_to_string(l[1:len(l)-5], ' ') AS text
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+          FROM documents WHERE doc_id % 50 = 0)
+"""
+
+_SHINGLES_3 = """list_distinct(list_transform(
+      range(1, greatest(2, len(string_split_regex(trim(text),'\\s+')) - 1)),
+      i -> array_to_string(string_split_regex(trim(text),'\\s+')[i:i+2], ' ')
+    ))"""
+
+
+@register(
+    "q56_decontaminate",
+    oracle=f"""
+    WITH bench AS ({_BENCH_CORPUS_SQL}),
+    bsh AS (SELECT DISTINCT unnest({_SHINGLES_3}) AS shingle FROM bench),
+    tsh AS (SELECT doc_id, unnest({_SHINGLES_3}) AS shingle FROM documents),
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM tsh GROUP BY doc_id),
+    hits AS (
+      SELECT t.doc_id, count(*) AS n_hits
+      FROM tsh t JOIN bsh USING (shingle) GROUP BY t.doc_id
+    )
+    SELECT h.doc_id, CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+             AS contamination_ratio
+    FROM hits h JOIN sizes USING (doc_id) ORDER BY h.doc_id
+    """,
+)
+def q56_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word-3-gram
+    shingle with the (small, broadcast) benchmark corpus, with per-doc hit
+    counts and contamination ratio."""
+    from .operators.curation import decontamination_hits
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = X.tokens(F.col("text"))
+    bench = d.filter(F.col("doc_id") % 50 == 0).select(
+        "doc_id",
+        F.array_join(F.slice(toks, 1, F.size(toks) - 5), " ").alias("text"),
+    )
+    return (
+        decontamination_hits(d, bench, "doc_id", "text", n=3)
+        .select(
+            "doc_id",
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            "contamination_ratio",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q57_token_budget_mix",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, n_chars,
+             CAST(len(regexp_extract_all(text,
+               ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS BIGINT) AS n_tokens,
+             CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+                  THEN 3 ELSE 1 END AS parts
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(floor((parts * 20000) / 40.0) AS BIGINT) AS alloc,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens, alloc, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= alloc ORDER BY doc_id
+    """,
+)
+def q57_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted corpus mixing: even-numbered sources get 3 mixing
+    parts, odd 1 (40 parts over a 20k-token budget); docs admitted per
+    source longest-first while the running BPE-token total fits the
+    allocation. Integer allocation arithmetic keeps the admission boundary
+    engine-reproducible."""
+    from .operators.curation import token_budget_mix
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars",
+        X.bpe_token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    parts = F.when(_src_num() % 2 == 0, F.lit(3)).otherwise(F.lit(1))
+    return (
+        token_budget_mix(
+            d, "source", [F.col("n_chars").desc(), F.col("doc_id").asc()],
+            "n_tokens", parts, total_parts=40, budget=20000,
+        )
+        .select("doc_id", "source", "n_tokens", "alloc",
+                F.col("cum_tokens").cast("long").alias("cum_tokens"))
+        .orderBy("doc_id")
+    )
+
+
 def _q33_oracle() -> str:
     from .operators.sketches import hll_oracle_sql
 

@@ -279,3 +279,87 @@ def test_connected_components_transitive(spark):
     )
     got = {r.node: r.cluster_id for r in connected_components(edges).collect()}
     assert got == {2: 2, 5: 2, 7: 2, 9: 2, 30: 30, 31: 30}
+
+
+def test_tfidf_top_terms(spark):
+    from sqlserver2pgsql_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="apple apple banana"),
+            Row(doc_id=2, text="banana cherry"),
+            Row(doc_id=3, text="cherry cherry cherry"),
+        ]
+    )
+    top = tfidf_top_terms(docs, "doc_id", "text", k=1).collect()
+    best = {r.doc_id: (r.term, r.tf, r.doc_freq, r.score) for r in top}
+    # doc 1: apple tf=2 df=1 → 2*3/1=6 beats banana 1*3/2=1.5
+    assert best[1] == ("apple", 2, 1, 6.0)
+    # doc 2: tie on tf — cherry and banana both tf=1 df=2 score 1.5;
+    # term asc tie-break → 'banana'
+    assert best[2][0] == "banana"
+    assert best[3] == ("cherry", 3, 2, 4.5)
+
+
+def test_stratified_sample_deterministic_and_partition_invariant(spark):
+    from sqlserver2pgsql_spark.operators.curation import stratified_sample
+
+    df = spark.createDataFrame([Row(s="a", k=i) for i in range(200)])
+    pct = F.lit(50)
+    kept1 = sorted(r.k for r in stratified_sample(df, "s", "k", pct).collect())
+    kept2 = sorted(
+        r.k for r in stratified_sample(df.repartition(7), "s", "k", pct).collect()
+    )
+    assert kept1 == kept2, "sample must not depend on partition layout"
+    # ~50% with md5-uniform buckets; generous tolerance on n=200
+    assert 60 <= len(kept1) <= 140
+
+
+def test_pack_sequences_chunked_running_sum(spark):
+    from sqlserver2pgsql_spark.operators.curation import pack_sequences
+
+    df = spark.createDataFrame(
+        [Row(g="s", i=n, w=300) for n in range(1, 5)]  # starts 0,300,600,900
+    )
+    got = {r.i: (r.cum_weight, r.pack_id) for r in pack_sequences(
+        df, "g", "i", "w", budget=512).collect()}
+    assert got == {1: (300, 0), 2: (600, 0), 3: (900, 1), 4: (1200, 1)}
+
+
+def test_decontamination_hits(spark):
+    from sqlserver2pgsql_spark.operators.curation import decontamination_hits
+
+    train = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps"),
+            Row(doc_id=2, text="totally unrelated words entirely here"),
+        ]
+    )
+    bench = spark.createDataFrame([Row(doc_id=100, text="quick brown fox runs")])
+    got = {r.doc_id: r for r in decontamination_hits(
+        train, bench, "doc_id", "text", n=3).collect()}
+    # only 'quick brown fox' is shared; doc 1 has 3 shingles
+    assert set(got) == {1}
+    assert got[1].n_hits == 1 and got[1].n_shingles == 3
+    assert got[1].contamination_ratio == 1.0 / 3.0
+
+
+def test_token_budget_mix_respects_allocation(spark):
+    from sqlserver2pgsql_spark.operators.curation import token_budget_mix
+
+    df = spark.createDataFrame(
+        [Row(src="a", doc_id=i, tok=40) for i in range(10)]
+        + [Row(src="b", doc_id=i, tok=40) for i in range(10)]
+    )
+    parts = F.when(F.col("src") == "a", F.lit(3)).otherwise(F.lit(1))
+    # alloc: a = 3*400/4 = 300 → 7 docs of 40 (280); b = 100 → 2 docs
+    got = token_budget_mix(
+        df, "src", [F.col("doc_id").asc()], "tok", parts,
+        total_parts=4, budget=400,
+    ).collect()
+    per_src: dict = {}
+    for r in got:
+        per_src.setdefault(r.src, []).append(r.doc_id)
+        assert r.cum_tokens <= r.alloc
+    assert sorted(per_src["a"]) == list(range(7))
+    assert sorted(per_src["b"]) == [0, 1]
