@@ -1354,6 +1354,133 @@ def q57_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q58_stream_enrich",
+    oracle="""
+    SELECT date_trunc('hour', e.ts) AS window_start,
+           c.c_mktsegment AS segment,
+           count(*) AS n,
+           CAST(sum(CAST(e.value AS DECIMAL(38,8))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q58_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 stream-static join: the events stream enriched against the
+    broadcast customer dim per micro-batch, then watermarked tumbling-window
+    counts/sums per market segment — no stream-side join shuffle, no join
+    state. Aligned 1-hour windows keep it SQL-checkable."""
+    from .streaming import run_stream_to_memory, stream_events
+    from .streaming.jobs import enriched_window_agg
+
+    dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    stream = enriched_window_agg(
+        stream_events(spark, sf_dir), dim, "user_id", "c_custkey", "c_mktsegment"
+    )
+    run_stream_to_memory(stream, "q58_out")
+    return spark.sql(
+        "SELECT window_start, segment, n, sum_value FROM q58_out "
+        "ORDER BY window_start, segment"
+    )
+
+
+@register(
+    "q59_skew_join",
+    oracle="""
+    SELECT p.p_brand AS brand,
+           count(*) AS n_items,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(38,8))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand ORDER BY brand
+    """,
+)
+def q59_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join, driver-gated: lineitem (row-salted) joined to
+    part replicated across 8 salt buckets, then brand revenue. Identical
+    result to the plain join by construction — salting only re-spreads hot
+    keys across reducers; pytest asserts the equivalence, this query gates
+    it against the SQL oracle."""
+    from .operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), "l_extendedprice", "l_discount"
+    )
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(li, pt, ["p_partkey"], salt_buckets=8)
+    return (
+        joined.groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("brand")
+    )
+
+
+@register(
+    "q60_hypertable_rollup",
+    oracle="""
+    WITH agg AS (
+      SELECT date_trunc('hour', ts) AS bucket, event_type,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ),
+    grid AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket, t.event_type
+      FROM bounds, (SELECT DISTINCT event_type FROM events) t
+    )
+    SELECT g.bucket, g.event_type,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n,
+           CAST(coalesce(a.sum_value, 0) AS DOUBLE) AS sum_value
+    FROM grid g LEFT JOIN agg a ON a.bucket = g.bucket AND a.event_type = g.event_type
+    ORDER BY g.bucket, g.event_type
+    """,
+)
+def q60_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous rollup with gap-filling: hourly
+    counts/sums per event type over a DENSE hour×type grid (empty buckets
+    emitted as zeros — what a time-series engine's gap-fill does). The grid
+    is built from a 1-row min/max aggregate exploded into hours (bounded by
+    the time span, never by data volume) and the rollup joins against it
+    broadcast — at 100 TB the only full-data pass is the groupBy."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type", "value"
+    )
+    agg = ev.groupBy("bucket", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+    )
+    hours = (
+        ev.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket")
+        )
+    )
+    types = ev.select("event_type").distinct()
+    grid = hours.crossJoin(types)
+    return (
+        F.broadcast(grid)
+        .join(agg, ["bucket", "event_type"], "left")
+        .select(
+            "bucket",
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            F.coalesce(F.col("sum_value"), F.lit(0.0)).cast("double").alias("sum_value"),
+        )
+        .orderBy("bucket", "event_type")
+    )
+
+
 def _q33_oracle() -> str:
     from .operators.sketches import hll_oracle_sql
 

@@ -93,6 +93,38 @@ def sessionized_stream(
     )
 
 
+def enriched_window_agg(
+    events: DataFrame,
+    dim: DataFrame,
+    stream_key: str,
+    dim_key: str,
+    seg_col: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static join + windowed aggregation: each micro-batch of events
+    is enriched against a broadcast static dimension (no state, no stream-side
+    shuffle for the join), then aggregated per (window, segment) under a
+    watermark. The canonical 'enrich the firehose with a dim table' shape —
+    the static side is re-broadcast per batch, so dim updates between
+    batches are picked up."""
+    joined = events.join(F.broadcast(dim), events[stream_key] == dim[dim_key])
+    return (
+        joined.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), F.col(seg_col).alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,8)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "segment",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def run_stream_to_memory(
     df: DataFrame, name: str, output_mode: str = "complete"
 ) -> None:
