@@ -1481,6 +1481,95 @@ def q60_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q61_stream_stateful",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           sum(CAST(floor(value * 100) AS BIGINT)) AS total_cents
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q61_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 custom stateful operator: per-user running totals via
+    applyInPandasWithState (explicit group state, Arrow-batched). Money is
+    accumulated as integer cents so the result is summation-order-free and
+    exactly SQL-checkable."""
+    from .streaming import run_stream_to_memory, stream_events
+    from .streaming.jobs import stateful_user_totals
+
+    stream = stateful_user_totals(stream_events(spark, sf_dir))
+    run_stream_to_memory(stream, "q61_out", output_mode="update")
+    return spark.sql(
+        "SELECT user_id, n_events, total_cents FROM q61_out ORDER BY user_id"
+    )
+
+
+@register(
+    "q62_moving_average",
+    oracle="""
+    SELECT user_id, ts, value,
+           CAST(sum(CAST(value AS DECIMAL(38,8))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / count(*) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS avg_4,
+           CAST(max(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS max_4
+    FROM events ORDER BY user_id, ts, event_id
+    """,
+)
+def q62_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-frame time-series features (ROWS BETWEEN 3 PRECEDING): 4-row
+    moving average + max per user. The average is exact-decimal frame sum ÷
+    frame count as ONE double division (decimal avg's internal rounding
+    differs between engines); one window shuffle on user_id."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "ts",
+        "value",
+        (
+            F.sum(F.col("value").cast(DEC)).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("avg_4"),
+        F.max("value").over(w).cast("double").alias("max_4"),
+    ).orderBy("user_id", "ts", "event_id")
+
+
+@register(
+    "q63_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(least(floor(value / 50), 19) AS INTEGER) AS bin
+      FROM events WHERE value >= 0
+    )
+    SELECT event_type, bin, count(*) AS n
+    FROM b GROUP BY event_type, bin ORDER BY event_type, bin
+    """,
+)
+def q63_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram per group (20 bins of width 50, top bin
+    clamped) — the data-profiling primitive. floor/least on doubles is
+    IEEE-identical across engines; one aggregation shuffle of at most
+    #groups×#bins rows."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") >= 0)
+    bin_col = F.least(F.floor(F.col("value") / 50), F.lit(19)).cast("int")
+    return (
+        ev.select("event_type", bin_col.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "bin")
+    )
+
+
 def _q33_oracle() -> str:
     from .operators.sketches import hll_oracle_sql
 

@@ -125,6 +125,42 @@ def enriched_window_agg(
     )
 
 
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running totals carried in explicit group state across
+    micro-batches (the escape hatch for operators Spark's built-in
+    stateful aggregations can't express).
+
+    Determinism contract: the money column is accumulated as integer cents
+    (``floor(value*100)``) — float summation order varies with partition
+    arrival order, integer summation doesn't, so the emitted totals are
+    bit-stable and SQL-checkable. State is one (n, cents) pair per user:
+    O(#users) state, watermark-free because the state never grows per
+    event."""
+    import pandas as pd  # noqa: PLC0415 — Arrow path only
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            import numpy as np
+
+            n += len(pdf)
+            cents += int(np.floor(pdf["value"].to_numpy() * 100).astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_cents long",
+        stateStructType="n long, cents long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_memory(
     df: DataFrame, name: str, output_mode: str = "complete"
 ) -> None:

@@ -68,3 +68,27 @@ def test_foreach_batch_upsert(spark, tmp_path):
     # idempotent retry (same epoch re-applied)
     upsert(batch, epoch_id=0)
     assert {r.k: r.v for r in store.read("public", "t").collect()} == got
+
+
+def test_stateful_user_totals_matches_batch(spark):
+    """applyInPandasWithState carries per-user (n, cents) state; with the
+    file source drained via availableNow the final emission must equal the
+    batch aggregate (integer-cents accumulation is order-free)."""
+    from sqlserver2pgsql_spark.streaming.jobs import stateful_user_totals
+
+    stream = stateful_user_totals(stream_events(spark, SF_DIR))
+    run_stream_to_memory(stream, "stateful_out", output_mode="update")
+    got = {
+        r.user_id: (r.n_events, r.total_cents)
+        for r in spark.sql("SELECT * FROM stateful_out").collect()
+    }
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )
+    exp = {r.user_id: (r.n, r.cents) for r in batch.collect()}
+    assert got == exp
