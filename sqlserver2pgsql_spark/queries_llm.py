@@ -1570,6 +1570,144 @@ def q63_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q64_stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           c.ts AS click_ts, p.ts AS purchase_ts
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    ORDER BY click_id, purchase_id
+    """,
+)
+def q64_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 stream-stream interval join: clicks joined to the same user's
+    purchases within the next 30 minutes, both sides watermarked so join
+    state is bounded by (watermark + interval), not the stream length. Inner
+    join + availableNow drain → deterministic, batch-SQL-checkable."""
+    from .streaming import run_stream_to_memory, stream_events
+
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND purchase_ts >= click_ts "
+            "AND purchase_ts <= click_ts + INTERVAL 30 MINUTES"
+        ),
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+    )
+    run_stream_to_memory(joined, "q64_out", output_mode="append")
+    return spark.sql(
+        "SELECT * FROM q64_out ORDER BY click_id, purchase_id"
+    )
+
+
+#: numeric lineitem columns the profiler sweeps
+_PROFILE_COLS = (
+    "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax",
+)
+
+
+@register(
+    "q65_column_profile",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col, count(*) AS n_rows, count({c}) AS n_non_null,
+            count(DISTINCT {c}) AS n_distinct,
+            CAST(min({c}) AS DOUBLE) AS vmin, CAST(max({c}) AS DOUBLE) AS vmax
+            FROM lineitem"""
+        for c in _PROFILE_COLS
+    )
+    + "\nORDER BY col",
+)
+def q65_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling sweep ('ANALYZE TABLE' as a query): one aggregation
+    pass computes count / non-null / exact-distinct / min / max for every
+    numeric column, then unpivots to one row per column. The exact distincts
+    expand the aggregate (one shuffle); everything else is map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__nn"),
+            F.countDistinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(F.col(c)).cast("double").alias(f"{c}__mn"),
+            F.max(F.col(c)).cast("double").alias(f"{c}__mx"),
+        ]
+    one = li.agg(F.count(F.lit(1)).alias("__n"), *aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"{c}__nn").alias("n_non_null"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__mn").alias("vmin"),
+                F.col(f"{c}__mx").alias("vmax"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return (
+        one.select(F.explode(per_col).alias("p"))
+        .select("p.col", "p.n_rows", "p.n_non_null", "p.n_distinct", "p.vmin", "p.vmax")
+        .orderBy("col")
+    )
+
+
+@register(
+    "q66_rank_buckets",
+    oracle="""
+    SELECT doc_id, n_chars,
+           CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS INTEGER) AS quartile,
+           CAST(percent_rank() OVER (ORDER BY n_chars, doc_id) AS DOUBLE) AS pct_rank,
+           CAST(cume_dist() OVER (ORDER BY n_chars, doc_id) AS DOUBLE) AS cume
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q66_rank_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking surface beyond row_number: ntile quartiles, percent_rank and
+    cume_dist over a UNIQUE total order (ties broken by doc_id, so every
+    engine assigns identical buckets; the rank ratios are single divisions).
+    The global window is the documented small-side path — at scale, bucket
+    by pre-computed quantile bounds (q35) instead of a total order."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = W.orderBy("n_chars", "doc_id")
+    return d.select(
+        "doc_id",
+        "n_chars",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    ).orderBy("doc_id")
+
+
 def _q33_oracle() -> str:
     from .operators.sketches import hll_oracle_sql
 
