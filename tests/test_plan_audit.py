@@ -115,3 +115,39 @@ def test_source_cap_uses_window_group_limit(spark):
     d = load_table(spark, SF_DIR, "documents").select("source", "doc_id")
     plan = _plan(stratified_cap(d, "source", "doc_id", cap=10))
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_q53_tfidf_window_group_limit_no_python(spark):
+    """tf-idf top-k must compile the rnk<=k filter to WindowGroupLimit and
+    stay entirely JVM-side."""
+    plan = _plan(QL.q53_tfidf_top_terms(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q54_sample_is_shuffle_free(spark):
+    """Deterministic stratified sampling is a pure filter: no Exchange
+    anywhere in the plan (the orderBy in the registered query is the
+    driver-compare convenience, so audit the operator directly)."""
+    from pyspark.sql import functions as F
+
+    from sqlserver2pgsql_spark.operators.curation import stratified_sample
+    from sqlserver2pgsql_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "source")
+    plan = _plan(stratified_sample(d, "source", "doc_id", F.lit(50)))
+    assert "Exchange" not in plan, plan
+
+
+def test_q56_decontamination_broadcasts_benchmark(spark):
+    """The benchmark shingle set must broadcast — the training side never
+    shuffles for the join."""
+    plan = _plan(QL.q56_decontaminate(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q60_rollup_broadcasts_grid(spark):
+    """Gap-fill joins the dense grid broadcast; the only full-data exchange
+    is the rollup aggregation's."""
+    plan = _plan(QL.q60_hypertable_rollup(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
