@@ -35,9 +35,13 @@ def connected_components(
     every node takes the min of its own and its neighbors' labels; stop when
     a round changes nothing (or after ``max_iter`` — a diameter bound, far
     above any near-dup component's)."""
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    # checkpoint the projected edges BEFORE the symmetric union: the edge
+    # input is typically an expensive pair-generation pipeline, and the
+    # union's two branches would otherwise each evaluate it
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=False
     )
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.localCheckpoint(eager=False)  # read every iteration
     labels = (
         sym.select(F.col("a").alias("node"))

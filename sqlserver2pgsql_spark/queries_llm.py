@@ -1708,6 +1708,79 @@ def q66_rank_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "q67_cdc_compaction",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+           value AS last_value
+    FROM (
+      SELECT user_id, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def q67_cdc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-feed compaction: latest record per key (ts desc, id desc
+    tie-break) — the keep-last half of the A10 merge-apply contract as a
+    standalone operator. row_number<=1 compiles to WindowGroupLimit: each
+    input partition ships one row per key, so a hot key costs #partitions
+    rows post-shuffle, not its full change history."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("value").alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q68_setops_all",
+    oracle="""
+    WITH a AS (SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 1000),
+         b AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT 'intersect_all' AS op, custkey, count(*) AS n FROM (
+      SELECT custkey FROM a INTERSECT ALL SELECT custkey FROM b)
+    GROUP BY custkey
+    UNION ALL
+    SELECT 'except_all' AS op, custkey, count(*) AS n FROM (
+      SELECT custkey FROM a EXCEPT ALL SELECT custkey FROM b)
+    GROUP BY custkey
+    ORDER BY op, custkey
+    """,
+)
+def q68_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicity-preserving set ops (INTERSECT ALL / EXCEPT ALL) — the
+    bag-semantics half q10's distinct set ops don't cover. Grouped to
+    (op, key, multiplicity) so the compare is order-free."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 1000).select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    inter = (
+        a.intersectAll(b)
+        .groupBy("custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "custkey", "n")
+    )
+    exc = (
+        a.exceptAll(b)
+        .groupBy("custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "custkey", "n")
+    )
+    return inter.unionByName(exc).orderBy("op", "custkey")
+
+
 def _q33_oracle() -> str:
     from .operators.sketches import hll_oracle_sql
 
