@@ -180,8 +180,12 @@ def tfidf_top_terms(
 
 def fingerprint_md5(col: Column) -> Column:
     """Canonical document fingerprint: md5 of the whitespace-normalized,
-    lower-cased text. Stable across engines (oracle: DuckDB md5)."""
-    return F.md5(F.lower(F.regexp_replace(F.trim(col), WS, " ")))
+    lower-cased text. Stable across engines (oracle: DuckDB md5).
+
+    Whitespace runs collapse BEFORE the trim: Spark's ``trim`` strips only
+    spaces, so edge tabs/newlines would otherwise survive canonicalization
+    (hypothesis-found edge, tests/test_properties.py)."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(col, WS, " "))))
 
 
 def fingerprint_rolling(col: Column, window: int = 4) -> Column:

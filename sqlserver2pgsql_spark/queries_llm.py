@@ -318,7 +318,7 @@ def q22_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(string_split_regex(trim(text), '\\s+')) AS n_tok,
              CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
                / CAST(length(text) AS DOUBLE) AS alpha_ratio,
-             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
              len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS bpe_tokens
       FROM corpus
     ),
@@ -669,7 +669,7 @@ def q40_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q26_fingerprint",
     oracle="""
     SELECT doc_id,
-           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
     FROM documents ORDER BY doc_id
     """,
 )
