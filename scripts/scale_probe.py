@@ -1,0 +1,120 @@
+"""Scale probe: how do the headline operators behave when the corpus grows
+10×? Runs each probe at sf0.1 and at a synthetic 10× union (ids shifted so
+dedup structure is preserved per replica, not collapsed across replicas),
+and prints wall-time ratios.
+
+A shuffle-bounded, skew-free operator should scale ~linearly (ratio ≲ 10 on
+32 local cores — often much less while scheduling overhead dominates). A
+quadratic pair-blowup or an unguarded driver collect shows up as a ratio
+≫ 10 or an OOM — this probe is the local stand-in for the 100 TB question.
+
+Usage: python scripts/scale_probe.py [replicas]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqlserver2pgsql_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def replicate(df: DataFrame, id_col: str, replicas: int, stride: int) -> DataFrame:
+    """Union ``replicas`` shifted copies — text payloads repeat but ids
+    don't, so per-replica dedup structure is preserved."""
+    r = F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("__r")
+    return (
+        df.select("*", r)
+        .withColumn(id_col, F.col(id_col) + F.col("__r").cast("long") * stride)
+        .drop("__r")
+    )
+
+
+def probe(name, build, base_df, big_df):
+    out = {}
+    for label, d in (("1x", base_df), ("10x", big_df)):
+        t0 = time.time()
+        build(d).write.format("noop").mode("overwrite").save()
+        out[label] = time.time() - t0
+    ratio = out["10x"] / out["1x"]
+    print(f"{name:28s} 1x={out['1x']:6.2f}s  10x={out['10x']:7.2f}s  ratio={ratio:5.1f}")
+    return ratio
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("scale_probe")
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    docs.count(), events.count(), emb.count()  # warm footers
+
+    docs_big = replicate(docs, "doc_id", replicas, 1_000_000)
+    events_big = replicate(events, "event_id", replicas, 100_000_000)
+    emb_big = replicate(emb, "vec_id", replicas, 1_000_000)
+
+    from sqlserver2pgsql_spark.operators import dedup as D
+    from sqlserver2pgsql_spark.operators import similarity as S
+    from sqlserver2pgsql_spark.operators import text as X
+    from sqlserver2pgsql_spark.operators.curation import pack_sequences
+
+    print(f"-- scale_probe: {SF_DIR} × {replicas} --")
+    probe(
+        "exact_dedup(hash-groupBy)",
+        lambda d: d.groupBy("text").agg(F.min("doc_id").alias("k"), F.count(F.lit(1)).alias("n")),
+        docs, docs_big,
+    )
+    probe(
+        "minhash_lsh_pairs",
+        lambda d: D.minhash_dedup_pairs(d.select("doc_id", "text"), "doc_id", "text",
+                                        n=3, num_hashes=64, bands=16, rows_per_band=4,
+                                        threshold=0.6),
+        docs, docs_big,
+    )
+    probe(
+        "simhash_signatures",
+        lambda d: D.simhash(d.select("doc_id", "text"), "doc_id", "text"),
+        docs, docs_big,
+    )
+    probe(
+        "quality+langid+tokens",
+        lambda d: X.detect_language(X.quality_metrics(d.select("doc_id", "text"))),
+        docs, docs_big,
+    )
+    probe(
+        "tfidf_top_terms",
+        lambda d: X.tfidf_top_terms(d.select("doc_id", "text"), "doc_id", "text", k=3),
+        docs, docs_big,
+    )
+    probe(
+        "sequence_packing",
+        lambda d: pack_sequences(
+            d.select("doc_id", "source", X.bpe_token_count(F.col("text")).alias("t")),
+            "source", "doc_id", "t", 512,
+        ),
+        docs, docs_big,
+    )
+    probe(
+        "windowed_event_rollup",
+        lambda d: d.groupBy(F.date_trunc("hour", F.col("ts")), "event_type")
+        .agg(F.count(F.lit(1)), F.sum(F.col("value").cast("decimal(38,8)"))),
+        events, events_big,
+    )
+    queries = emb.limit(20)
+    probe(
+        "ann_bruteforce_topk",
+        lambda d: S.ann_bruteforce_topk(d, queries, k=10),
+        emb, emb_big,
+    )
+
+
+if __name__ == "__main__":
+    main()
