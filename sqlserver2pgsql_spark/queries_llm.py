@@ -1781,6 +1781,72 @@ def q68_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inter.unionByName(exc).orderBy("op", "custkey")
 
 
+@register(
+    "q69_doc_chunking",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, CAST((i - 1) / 48 AS INTEGER) AS chunk_id,
+             CAST(len(l[i:i+63]) AS BIGINT) AS n_chunk_tokens,
+             array_to_string(l[i:i+63], ' ') AS chunk_text
+      FROM toks, unnest(range(1, greatest(2, len(l) + 1), 48)) AS t(i)
+    )
+    SELECT doc_id, chunk_id, n_chunk_tokens, chunk_text
+    FROM chunks ORDER BY doc_id, chunk_id
+    """,
+)
+def q69_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for pretraining: 64-token chunks at stride 48
+    (16-token overlap), tail chunks short. Pure array ops per row — token
+    array materialized once, chunk starts generated with a stepped
+    sequence, one explode; no shuffle, embarrassingly parallel."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", X.tokens(F.col("text")).alias("__toks")
+    )
+    toks = F.col("__toks")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(F.lit(1), n), F.lit(48))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            ((s - 1) / 48).cast("int").alias("chunk_id"),
+            F.size(F.slice(toks, s, 64)).cast("long").alias("n_chunk_tokens"),
+            F.array_join(F.slice(toks, s, 64), " ").alias("chunk_text"),
+        ),
+    )
+    return (
+        d.select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", "c.chunk_id", "c.n_chunk_tokens", "c.chunk_text")
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+@register(
+    "q70_vocab_topk",
+    oracle="""
+    SELECT term, count(*) AS n FROM (
+      SELECT unnest(list_transform(string_split_regex(trim(text), '\\s+'),
+                                   t -> lower(t))) AS term
+      FROM documents)
+    GROUP BY term ORDER BY n DESC, term LIMIT 100
+    """,
+)
+def q70_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters: top-100 terms by frequency
+    (count desc, term asc tie-break). explode → hash agg →
+    TakeOrderedAndProject — the top-k never global-sorts."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.transform(X.tokens(F.col("text")), F.lower)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(100)
+    )
+
+
 def _q33_oracle() -> str:
     from .operators.sketches import hll_oracle_sql
 
