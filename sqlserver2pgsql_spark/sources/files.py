@@ -1,0 +1,100 @@
+"""File sources and sinks beyond the driver's parquet fixtures — the
+ingestion surface a training-data pipeline actually runs: JSONL/CSV with
+explicit schemas and corrupt-record quarantine, and partitioned parquet
+sinks whose layout the reader can prune.
+
+Design rules:
+- Schemas are ALWAYS explicit. Inference is a second full scan at 100 TB
+  and can silently widen types between runs; an engine that feeds training
+  jobs must be schema-stable.
+- Bad records quarantine, never abort and never silently drop
+  (PERMISSIVE + ``_corrupt_record``), mirroring the reference's
+  error-tolerant load contract (operators/quarantine.py does the same for
+  constraint violations after a clean parse).
+- Sinks partition by low-cardinality columns only and sort within
+  partitions so downstream scans get both partition pruning AND row-group
+  min/max skipping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def _with_corrupt(schema: T.StructType) -> T.StructType:
+    if CORRUPT_COL in schema.fieldNames():
+        return schema
+    return T.StructType([*schema.fields, T.StructField(CORRUPT_COL, T.StringType())])
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """Read line-delimited JSON with an explicit schema → (good, quarantine).
+
+    PERMISSIVE mode routes unparseable lines and type-mismatched fields into
+    ``_corrupt_record`` instead of failing the job; the split is a pair of
+    complementary filters over ONE scan (Catalyst shares it), not two
+    reads."""
+    raw = spark.read.schema(_with_corrupt(schema)).json(path)
+    return _split_corrupt(raw, schema)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    sep: str = ",",
+    header: bool = True,
+    encoding: str = "UTF-8",
+) -> tuple[DataFrame, DataFrame]:
+    """CSV with explicit schema/encoding → (good, quarantine). Same
+    PERMISSIVE quarantine contract as ``read_jsonl``; ``encoding`` matters
+    because real dumps arrive UTF-16/latin-1 (the DDL front-end sniffs the
+    same, ddl/reader.py)."""
+    raw = (
+        spark.read.schema(_with_corrupt(schema))
+        .option("sep", sep)
+        .option("header", str(header).lower())
+        .option("encoding", encoding)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .csv(path)
+    )
+    return _split_corrupt(raw, schema)
+
+
+def _split_corrupt(
+    raw: DataFrame, schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantine) from a PERMISSIVE scan. The quarantine side keeps
+    the parsed columns alongside the raw line — both because partial parses
+    are diagnostic, and because Spark disallows plans that reference ONLY
+    the internal corrupt column (QUERY_ONLY_CORRUPT_RECORD_COLUMN)."""
+    good = raw.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = raw.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        *schema.fieldNames(), F.col(CORRUPT_COL).alias("raw_line")
+    )
+    return good, bad
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned parquet sink: directory layout on ``partition_cols``
+    (reader-side partition pruning), rows sorted within files on
+    ``sort_cols`` (row-group min/max skipping). The sort is
+    sortWithinPartitions — no global shuffle is added beyond the
+    partition-column distribution."""
+    out = df.repartition(*[F.col(c) for c in partition_cols])
+    if sort_cols:
+        out = out.sortWithinPartitions(*partition_cols, *sort_cols)
+    out.write.partitionBy(*partition_cols).mode(mode).parquet(path)
