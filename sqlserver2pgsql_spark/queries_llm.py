@@ -1847,6 +1847,44 @@ def q70_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q71_partitioned_roundtrip",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS sum_value,
+           min(event_id) AS min_id, max(event_id) AS max_id
+    FROM events WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q71_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink→source round-trip through the partitioned parquet layout:
+    events written partitionBy(event_type) (sorted within partitions), read
+    back with a partition-pruning filter, aggregated. The oracle sees only
+    the original table — the round-trip must be lossless and the filter
+    must prune at the directory level (audited in test_file_sources)."""
+    import tempfile
+
+    from .sources.files import write_partitioned
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = tempfile.gettempdir() + "/spark_graft_q71_roundtrip"
+    write_partitioned(ev, out, ["event_type"], sort_cols=["event_id"])
+    back = spark.read.parquet(out).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _q33_oracle() -> str:
     from .operators.sketches import hll_oracle_sql
 
