@@ -1885,6 +1885,81 @@ def q71_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q72_argmax",
+    oracle="""
+    SELECT event_type,
+           max(struct_pack(value := value, event_id := event_id)).value AS top_value,
+           max(struct_pack(value := value, event_id := event_id)).event_id AS top_event_id,
+           min(struct_pack(value := value, event_id := event_id)).value AS bot_value,
+           min(struct_pack(value := value, event_id := event_id)).event_id AS bot_event_id
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q72_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic arg-max/arg-min (MAX_BY with a tie-break): max/min of a
+    (value, id) struct — lexicographic struct ordering is identical across
+    engines, so ties on the value resolve to the same row. Single hash
+    aggregation, map-side partials."""
+    ev = _t(spark, sf_dir, "events")
+    pair = F.struct(F.col("value"), F.col("event_id"))
+    return (
+        ev.groupBy("event_type")
+        .agg(F.max(pair).alias("mx"), F.min(pair).alias("mn"))
+        .select(
+            "event_type",
+            F.col("mx.value").alias("top_value"),
+            F.col("mx.event_id").alias("top_event_id"),
+            F.col("mn.value").alias("bot_value"),
+            F.col("mn.event_id").alias("bot_event_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _q73_oracle() -> str:
+    """Recursive closure over the q44 LSH pair set (same CTE chain), labels
+    = min reachable id — mirrors connected_components exactly."""
+    body = _q44_oracle().rsplit("SELECT id1, id2,", 1)[0]
+    return (
+        "WITH RECURSIVE "
+        + body.strip().removeprefix("WITH").strip()
+        + """,
+    pairs AS (SELECT id1, id2 FROM sims WHERE cos_raw >= 0.35),
+    edges AS (
+      SELECT id1 AS a, id2 AS b FROM pairs
+      UNION ALL SELECT id2 AS a, id1 AS b FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT node AS vec_id, min(lbl) AS cluster_id,
+           (node = min(lbl)) AS is_keeper
+    FROM reach GROUP BY node ORDER BY vec_id
+    """
+    )
+
+
+@register("q73_embedding_clusters", oracle=_q73_oracle())
+def q73_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding dedup CLUSTERS: the scale path end-to-end — LSH-bucketed
+    near-dup pairs (q44) fed into connected components (q51's operator) →
+    one keeper per cosine-duplicate cluster. The full 100 TB semantic-dedup
+    recipe as one composition."""
+    from .operators.graph import connected_components
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = S.embedding_neardup_pairs_lsh(emb, threshold=0.35)
+    cc = connected_components(pairs, "id1", "id2")
+    return cc.select(
+        F.col("node").alias("vec_id"),
+        "cluster_id",
+        (F.col("node") == F.col("cluster_id")).alias("is_keeper"),
+    ).orderBy("vec_id")
+
+
 def _q33_oracle() -> str:
     from .operators.sketches import hll_oracle_sql
 
