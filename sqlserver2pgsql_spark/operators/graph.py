@@ -41,36 +41,52 @@ def connected_components(
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
         eager=False
     )
-    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.localCheckpoint(eager=False)  # read every iteration
-    labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("cluster_id"))
-        .localCheckpoint(eager=False)
-    )
-    for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym["a"] == labels["node"])
-            .select(F.col("b").alias("node"), "cluster_id")
-            .groupBy("node")
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        # carry the old label through so convergence is a filter over the
-        # checkpointed result, not another shuffle join per iteration
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-                F.col("cluster_id").alias("__old"),
-            )
+    # size the loop's shuffles to the EDGE COUNT, not the session default:
+    # a state-of-the-art pair graph is ≪ the corpus (near-dup edges), and
+    # every iteration pays per-partition scheduling on two shuffles + a
+    # count — 32 partitions over hundreds of edges is all overhead, while
+    # 1e9 edges get ~2000. The count also materializes the checkpoint so
+    # the (expensive) pair pipeline runs exactly once.
+    n_edges = e.count()
+    n_part = max(1, min(n_edges // 500_000 + 1, 2048))
+    spark = edges.sparkSession
+    shuffle_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(shuffle_key)
+    spark.conf.set(shuffle_key, str(n_part))
+    try:
+        sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        sym = sym.localCheckpoint(eager=False)  # read every iteration
+        labels = (
+            sym.select(F.col("a").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("cluster_id"))
             .localCheckpoint(eager=False)
         )
-        changed = new_labels.filter(F.col("cluster_id") != F.col("__old")).count()
-        labels = new_labels.drop("__old")
-        if changed == 0:
-            break
+        for _ in range(max_iter):
+            neighbor_min = (
+                sym.join(labels, sym["a"] == labels["node"])
+                .select(F.col("b").alias("node"), "cluster_id")
+                .groupBy("node")
+                .agg(F.min("cluster_id").alias("nbr_min"))
+            )
+            # carry the old label through so convergence is a filter over the
+            # checkpointed result, not another shuffle join per iteration
+            new_labels = (
+                labels.join(neighbor_min, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("cluster_id"),
+                        F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                    ).alias("cluster_id"),
+                    F.col("cluster_id").alias("__old"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            changed = new_labels.filter(F.col("cluster_id") != F.col("__old")).count()
+            labels = new_labels.drop("__old")
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set(shuffle_key, old_parts)
     return labels
