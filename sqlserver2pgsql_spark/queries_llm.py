@@ -1963,6 +1963,100 @@ def q73_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+@register(
+    "q74_funnel",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    converted AS (
+      SELECT DISTINCT c.event_id
+      FROM clicks c JOIN events p
+        ON p.user_id = c.user_id AND p.event_type = 'purchase'
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    )
+    SELECT c.user_id,
+           count(*) AS n_clicks,
+           count(v.event_id) AS n_converted,
+           CAST(count(v.event_id) AS DOUBLE) / count(*) AS conversion_rate
+    FROM clicks c LEFT JOIN converted v ON v.event_id = c.event_id
+    GROUP BY c.user_id ORDER BY c.user_id
+    """,
+)
+def q74_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion: per user, the share of clicks followed by a
+    purchase within 30 minutes — an interval semi-join marks converted
+    clicks (each click counted once however many purchases follow), then
+    one aggregation. The batch analog of q64's stream-stream join."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    converted = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("ts"))
+        & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_semi",
+    ).select("event_id")
+    flagged = clicks.join(
+        converted.withColumn("__conv", F.lit(1)), "event_id", "left"
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.count(F.col("__conv")).alias("n_converted"),
+            (F.count(F.col("__conv")).cast("double") / F.count(F.lit(1))).alias(
+                "conversion_rate"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q75_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+    )
+    SELECT CAST(f.cohort_day AS VARCHAR) AS cohort_day,
+           CAST(CAST(e.ts AS DATE) - f.cohort_day AS INTEGER) AS day_offset,
+           count(DISTINCT e.user_id) AS active_users,
+           count(*) AS n_events
+    FROM events e JOIN firsts f ON f.user_id = e.user_id
+    GROUP BY f.cohort_day, 2 ORDER BY 1, 2
+    """,
+)
+def q75_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users bucketed by first-seen day, activity
+    counted per (cohort, day offset). Two aggregations — the firsts table
+    is #users-sized and broadcast into the event scan; integer date math
+    only."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .groupBy(F.col("cohort_day").cast("string").alias("cohort_day"), F.col("day_offset"))
+        .agg(
+            F.countDistinct("user_id").alias("active_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
 def _q33_oracle() -> str:
     from .operators.sketches import hll_oracle_sql
 
