@@ -152,9 +152,9 @@ def q19_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id1", "id2")
 
 
-def _q20_oracle() -> str:
-    """DuckDB mirror of the md5-based simhash pipeline: identical 60-bit
-    per-token hash, bit votes, banding, and Hamming verify."""
+def _q20_ctes() -> str:
+    """SimHash CTE chain (toks…cand) assuming a ``corpus`` CTE in scope —
+    shared by q20's oracle and q76's method-eval oracle."""
     bits = D.SIMHASH_BITS
     width = bits // 4
     s_aggs = ",\n             ".join(
@@ -164,9 +164,7 @@ def _q20_oracle() -> str:
         f"(CASE WHEN s{b}*2 > n THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
         for b in range(bits)
     )
-    return f"""
-    WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
-    toks AS (
+    return f"""toks AS (
       SELECT doc_id,
              unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
       FROM corpus
@@ -188,7 +186,15 @@ def _q20_oracle() -> str:
       SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-    )
+    )"""
+
+
+def _q20_oracle() -> str:
+    """DuckDB mirror of the md5-based simhash pipeline: identical 60-bit
+    per-token hash, bit votes, banding, and Hamming verify."""
+    return f"""
+    WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+    {_q20_ctes()}
     SELECT id1, id2, CAST(bit_count(xor(sa.sig, sb.sig)) AS INT) AS hamming
     FROM cand JOIN sigs sa ON sa.doc_id = id1 JOIN sigs sb ON sb.doc_id = id2
     WHERE bit_count(xor(sa.sig, sb.sig)) <= 3
@@ -2054,6 +2060,69 @@ def q75_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
         .orderBy("cohort_day", "day_offset")
+    )
+
+
+def _q76_oracle() -> str:
+    """Precision/recall of SimHash(≤3) against exact Jaccard≥0.6 ground
+    truth on the half corpus: merge the q18 CTE chain (exact) and the q20
+    CTE chain (simhash) over the SAME filtered corpus, then count the
+    pair-set overlap."""
+    half = f"SELECT * FROM ({_NEARDUP_CORPUS_SQL}) WHERE doc_id % 2 = 0"
+    jacc = _JACCARD_ORACLE_BODY.replace(_NEARDUP_CORPUS_SQL, half, 1)
+    return (
+        jacc
+        + ",\n"
+        + _q20_ctes()
+        + """,
+    ex AS (SELECT id1, id2 FROM scored WHERE jaccard >= 0.6),
+    sh AS (
+      SELECT id1, id2
+      FROM cand JOIN sigs sa ON sa.doc_id = id1 JOIN sigs sb ON sb.doc_id = id2
+      WHERE bit_count(xor(sa.sig, sb.sig)) <= 3
+    ),
+    m AS (SELECT
+      (SELECT count(*) FROM ex) AS n_exact,
+      (SELECT count(*) FROM sh) AS n_simhash,
+      (SELECT count(*) FROM ex JOIN sh USING (id1, id2)) AS tp)
+    SELECT n_exact, n_simhash, tp,
+           n_simhash - tp AS fp, n_exact - tp AS fn,
+           CAST(tp AS DOUBLE) / n_simhash AS prec,
+           CAST(tp AS DOUBLE) / n_exact AS rec
+    FROM m
+    """
+    )
+
+
+@register("q76_dedup_method_eval", oracle=_q76_oracle())
+def q76_dedup_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-method QA: score the approximate pipeline (SimHash Hamming≤3)
+    against exact n-gram-Jaccard ground truth — pair-set TP/FP/FN,
+    precision, recall. The 'measure, don't guess' primitive for choosing a
+    dedup method at 100 TB; runs on the half corpus (doc_id even) to bound
+    the exact verifier's cost."""
+    corpus = _neardup_corpus(spark, sf_dir).filter(F.col("doc_id") % 2 == 0)
+    ex = D.ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.6).select(
+        "id1", "id2"
+    )
+    sh = D.simhash_neardup_pairs(
+        D.simhash(corpus, "doc_id", "text"), max_distance=3, bands=4
+    ).select("id1", "id2")
+    n_ex = ex.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_sh = sh.agg(F.count(F.lit(1)).alias("n_simhash"))
+    n_tp = ex.join(sh, ["id1", "id2"]).agg(F.count(F.lit(1)).alias("tp"))
+    return (
+        n_ex.join(F.broadcast(n_sh))
+        .join(F.broadcast(n_tp))
+        .select(
+            "n_exact",
+            "n_simhash",
+            "tp",
+            (F.col("n_simhash") - F.col("tp")).alias("fp"),
+            (F.col("n_exact") - F.col("tp")).alias("fn"),
+            (F.col("tp").cast("double") / F.col("n_simhash")).alias("prec"),
+            (F.col("tp").cast("double") / F.col("n_exact")).alias("rec"),
+        )
     )
 
 
