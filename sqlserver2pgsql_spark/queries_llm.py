@@ -2126,6 +2126,77 @@ def q76_dedup_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q77_sentence_split",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split_regex(text, '[.!?]'),
+                                        x -> trim(x)), x -> x <> '') AS sents
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(i - 1 AS INTEGER) AS sent_idx,
+           sents[i] AS sentence,
+           CAST(len(string_split_regex(sents[i], '\\s+')) AS BIGINT) AS n_tokens
+    FROM s, unnest(range(1, len(sents) + 1)) AS t(i)
+    ORDER BY doc_id, sent_idx
+    """,
+)
+def q77_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation with ordinality (LATERAL VIEW posexplode):
+    split on terminal punctuation, keep per-sentence position and token
+    count. Pure per-row array work — no shuffle."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(
+            F.transform(F.split(F.col("text"), r"[.!?]"), lambda x: F.trim(x)),
+            lambda x: x != "",
+        ).alias("sents"),
+    )
+    return (
+        d.select("doc_id", F.posexplode(F.col("sents")).alias("sent_idx", "sentence"))
+        .select(
+            "doc_id",
+            "sent_idx",
+            "sentence",
+            F.size(F.split(F.col("sentence"), r"\s+")).cast("long").alias("n_tokens"),
+        )
+        .orderBy("doc_id", "sent_idx")
+    )
+
+
+@register(
+    "q78_grouping_id",
+    oracle="""
+    SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN NULL ELSE l_returnflag END
+             AS l_returnflag,
+           CASE WHEN GROUPING(l_linestatus) = 1 THEN NULL ELSE l_linestatus END
+             AS l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+             AS gid,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag, l_linestatus
+    """,
+)
+def q78_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING()/GROUPING_ID flags over a rollup — how consumers tell a
+    real NULL group from a subtotal row (q08's rollup without the flags is
+    ambiguous on nullable keys)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n")
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
 def _q33_oracle() -> str:
     from .operators.sketches import hll_oracle_sql
 
