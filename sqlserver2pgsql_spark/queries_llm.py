@@ -2197,6 +2197,69 @@ def q78_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q79_scd2_intervals",
+    oracle="""
+    SELECT user_id,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           value,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             AS is_current
+    FROM events ORDER BY user_id, valid_from, value
+    """,
+)
+def q79_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 interval building: each change record becomes a
+    [valid_from, valid_to) row via lead() over the per-key change order,
+    open-ended for the current version — the warehouse-side temporal
+    modeling the reference's batch sync feeds. One window shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        "value",
+        nxt.isNull().alias("is_current"),
+    ).orderBy("user_id", "valid_from", "value")
+
+
+@register(
+    "q80_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, event_type, value,
+             CAST(sum(CAST(value AS DECIMAL(38,8)))
+                  OVER (PARTITION BY event_type) AS DOUBLE) AS sx,
+             CAST(sum(CAST(value * value AS DECIMAL(38,8)))
+                  OVER (PARTITION BY event_type) AS DOUBLE) AS sx2,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_id, event_type, value,
+           (value - sx / n) / sqrt(sx2 / n - (sx / n) * (sx / n)) AS z
+    FROM s ORDER BY event_id
+    """,
+)
+def q80_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score normalization (feature scaling): moments from
+    exact decimal window sums, then a FIXED float expression tree —
+    (x−μ)/√(E[x²]−μ²) — evaluated identically by both engines, so the
+    scores are bit-equal. One window shuffle on the group key."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("event_type")
+    sx = F.sum(F.col("value").cast(DEC)).over(w).cast("double")
+    sx2 = F.sum((F.col("value") * F.col("value")).cast(DEC)).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w)
+    mean = sx / n
+    z = (F.col("value") - mean) / F.sqrt(sx2 / n - mean * mean)
+    return ev.select("event_id", "event_type", "value", z.alias("z")).orderBy(
+        "event_id"
+    )
+
+
 def _q33_oracle() -> str:
     from .operators.sketches import hll_oracle_sql
 
