@@ -2260,6 +2260,100 @@ def q80_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q81_fuzzy_match",
+    oracle=f"""
+    WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+    pairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, a.text AS t1, b.text AS t2
+      FROM corpus a JOIN corpus b ON b.doc_id = a.doc_id + 10000
+    )
+    SELECT id1, id2,
+           CAST(levenshtein(t1, t2) AS BIGINT) AS edit_dist,
+           1.0 - CAST(levenshtein(t1, t2) AS DOUBLE)
+                 / greatest(length(t1), length(t2)) AS sim
+    FROM pairs ORDER BY id1
+    """,
+)
+def q81_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage: Levenshtein edit distance + normalized
+    similarity over candidate pairs (here: each doc vs its mutated copy —
+    at scale the candidates come from LSH blocking, q19/q44, never a cross
+    join). Integer distances, one IEEE division — bit-equal."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    a = corpus.select(F.col("doc_id").alias("id1"), F.col("text").alias("t1"))
+    b = corpus.select(F.col("doc_id").alias("id2"), F.col("text").alias("t2"))
+    dist = F.levenshtein(F.col("t1"), F.col("t2"))
+    return (
+        a.join(b, F.col("id2") == F.col("id1") + 10000)
+        .select(
+            "id1",
+            "id2",
+            dist.cast("long").alias("edit_dist"),
+            (
+                F.lit(1.0)
+                - dist.cast("double")
+                / F.greatest(F.length("t1"), F.length("t2"))
+            ).alias("sim"),
+        )
+        .orderBy("id1")
+    )
+
+
+@register(
+    "q82_pseudonymize",
+    oracle="""
+    SELECT event_id,
+           sha256('corpus-salt:' || CAST(user_id AS VARCHAR)) AS user_pseudo,
+           event_type
+    FROM events ORDER BY event_id
+    """,
+)
+def q82_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed pseudonymization: stable salted SHA-256 pseudonyms replace the
+    raw user key — joinable across tables (same salt → same pseudonym) but
+    not reversible without the salt. Pure column expression, no shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.sha2(F.concat(F.lit("corpus-salt:"), F.col("user_id").cast("string")), 256)
+        .alias("user_pseudo"),
+        "event_type",
+    ).orderBy("event_id")
+
+
+@register(
+    "q83_rank_ties",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, n_orders,
+           CAST(rank() OVER (ORDER BY n_orders DESC) AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER (ORDER BY n_orders DESC) AS BIGINT) AS drnk,
+           CAST(row_number() OVER (ORDER BY n_orders DESC, o_custkey) AS BIGINT)
+             AS rn
+    FROM c ORDER BY o_custkey
+    """,
+)
+def q83_rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-aware ranking semantics in one result: rank (gaps), dense_rank
+    (no gaps) — both well-defined on ties without an arbitrary order — and
+    row_number under an explicit unique tie-break. The global window is the
+    documented small-side path (ranking #customers, not #rows)."""
+    o = _t(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    w_ties = W.orderBy(F.col("n_orders").desc())
+    w_rn = W.orderBy(F.col("n_orders").desc(), F.col("o_custkey"))
+    return c.select(
+        "o_custkey",
+        "n_orders",
+        F.rank().over(w_ties).cast("long").alias("rnk"),
+        F.dense_rank().over(w_ties).cast("long").alias("drnk"),
+        F.row_number().over(w_rn).cast("long").alias("rn"),
+    ).orderBy("o_custkey")
+
+
 def _q33_oracle() -> str:
     from .operators.sketches import hll_oracle_sql
 
