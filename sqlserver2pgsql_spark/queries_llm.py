@@ -2354,6 +2354,102 @@ def q83_rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_custkey")
 
 
+@register(
+    "q84_share_of_total",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, user_id % 10 AS cohort,
+             sum(CAST(value AS DECIMAL(38,8))) AS vd
+      FROM events GROUP BY event_type, user_id % 10
+    )
+    SELECT event_type, CAST(cohort AS BIGINT) AS cohort,
+           CAST(vd AS DOUBLE) AS v,
+           CAST(vd AS DOUBLE) / CAST(sum(vd) OVER (PARTITION BY event_type)
+                                     AS DOUBLE) AS share_of_type,
+           CAST(vd AS DOUBLE) / CAST(sum(vd) OVER () AS DOUBLE) AS share_of_total
+    FROM g ORDER BY event_type, cohort
+    """,
+)
+def q84_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each (type, cohort) cell's share of its type and of
+    the grand total. The window denominators stay DECIMAL until a final
+    double cast (float window sums accumulate in engine-specific order —
+    decimal sums are order-free), so each share is one IEEE division. The
+    windows run over the PRE-AGGREGATED cells, not raw rows."""
+    ev = _t(spark, sf_dir, "events")
+    g = (
+        ev.groupBy("event_type", (F.col("user_id") % 10).alias("cohort"))
+        .agg(F.sum(F.col("value").cast(DEC)).alias("vd"))
+    )
+    w_type = W.partitionBy("event_type").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    w_all = W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    v = F.col("vd").cast("double")
+    return g.select(
+        "event_type",
+        F.col("cohort").cast("long").alias("cohort"),
+        v.alias("v"),
+        (v / F.sum("vd").over(w_type).cast("double")).alias("share_of_type"),
+        (v / F.sum("vd").over(w_all).cast("double")).alias("share_of_total"),
+    ).orderBy("event_type", "cohort")
+
+
+@register(
+    "q85_time_weighted_avg",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id,
+             CAST(floor(value * 1000000) AS BIGINT) AS v6,
+             epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      - ts) AS dur_us
+      FROM events
+    )
+    SELECT user_id,
+           sum(dur_us) AS total_us,
+           round(CAST(sum(CAST(v6 AS DECIMAL(38,0)) * dur_us) AS DOUBLE)
+                 / CAST(sum(dur_us) AS DOUBLE) / 1000000.0, 6) AS twap
+    FROM iv WHERE dur_us IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q85_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP): each observation weighted by how long
+    it was current (lead-interval durations in EXACT microseconds — whole
+    seconds truncate differently across engines), decimal weighted sum ÷
+    integer total — the time-series aggregate a plain avg gets wrong on
+    irregular sampling. Values enter as exact integer micro-units
+    (floor(value·1e6)) so the weighted sum is exact; the >2⁵³ decimal →
+    double conversion can still differ by an ulp between engines, so twap
+    carries the same 6-dp rounding contract as q23's cosines. One window +
+    one agg shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    dur = (
+        F.unix_micros(F.lead("ts").over(w).cast("timestamp"))
+        - F.unix_micros(F.col("ts").cast("timestamp"))
+    ).alias("dur_us")
+    iv = ev.select(
+        "user_id",
+        F.floor(F.col("value") * 1000000).cast("long").alias("v6"),
+        dur,
+    ).filter(F.col("dur_us").isNotNull())
+    return (
+        iv.groupBy("user_id")
+        .agg(
+            F.sum("dur_us").alias("total_us"),
+            F.round(
+                F.sum(F.col("v6").cast("decimal(38,0)") * F.col("dur_us"))
+                .cast("double")
+                / F.sum("dur_us").cast("double")
+                / F.lit(1000000.0),
+                6,
+            ).alias("twap"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def _q33_oracle() -> str:
     from .operators.sketches import hll_oracle_sql
 
