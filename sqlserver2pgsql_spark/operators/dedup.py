@@ -334,22 +334,44 @@ def simhash_neardup_pairs(sig_df: DataFrame, max_distance: int = 3, bands: int =
     """Banded candidates verified by true Hamming distance ≤ max_distance.
     Banding guarantees full recall for distance < bands (pigeonhole).
 
-    The signature subtree (explode → vocab hash join → 60-agg groupBy) is
-    consumed 4× downstream (band self-join both sides + the two verify
-    joins); materialize it once via localCheckpoint — one row per doc, tiny
-    — so consumers read stored partitions instead of recomputing the
-    expensive subtree. localCheckpoint (not cache) so the ContextCleaner
-    reclaims the storage when the DataFrame is garbage collected; the
-    lineage-replay loss on executor failure is acceptable for a
-    signatures-sized artifact."""
+    The 64-bit signature rides along through the band explode, so the band
+    self-join emits (pair, hamming) directly and the ≤max_distance filter
+    runs BEFORE the pair-dedup shuffle — only true near-dups (≈1% of
+    candidates here) are shuffled, and the two signature lookup joins the
+    candidate/verify split would need are gone entirely. The signature
+    subtree (explode → vocab hash join → 60-agg groupBy) is consumed by
+    both join sides; localCheckpoint materializes it once (one row per doc,
+    tiny), and the ContextCleaner reclaims it when the DataFrame is GC'd."""
+    width = SIMHASH_BITS // bands
     sig_df = sig_df.localCheckpoint(eager=False)
-    cand = simhash_candidate_pairs(sig_df, bands)
-    s1 = sig_df.select(F.col("doc_id").alias("id1"), F.col("simhash").alias("h1"))
-    s2 = sig_df.select(F.col("doc_id").alias("id2"), F.col("simhash").alias("h2"))
+    band_rows = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("key"),
+        )
+        for b in range(bands)
+    ]
+    exploded = sig_df.select(
+        "doc_id", "simhash", F.explode(F.array(*band_rows)).alias("bk")
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
     return (
-        cand.join(s1, "id1")
-        .join(s2, "id2")
-        .withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
+                "hamming"
+            ),
+        )
         .filter(F.col("hamming") <= max_distance)
-        .select("id1", "id2", "hamming")
+        .dropDuplicates(["id1", "id2"])
     )
