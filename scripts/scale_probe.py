@@ -114,6 +114,40 @@ def main() -> None:
         lambda d: S.ann_bruteforce_topk(d, queries, k=10),
         emb, emb_big,
     )
+    probe(
+        "simhash_neardup_pairs",
+        lambda d: D.simhash_neardup_pairs(
+            D.simhash(d.select("doc_id", "text"), "doc_id", "text"), max_distance=3
+        ),
+        docs, docs_big,
+    )
+    probe(
+        "doc_chunking",
+        lambda d: d.select(
+            "doc_id", X.tokens(F.col("text")).alias("t")
+        ).select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(F.col("t"))), F.lit(48)),
+                    lambda s: F.array_join(F.slice(F.col("t"), s, 64), " "),
+                )
+            ).alias("chunk"),
+        ),
+        docs, docs_big,
+    )
+    from pyspark.sql import Window as W
+
+    probe(
+        "zscore_normalize",
+        lambda d: d.select(
+            "event_id",
+            (F.col("value") - F.avg("value").over(W.partitionBy("event_type"))).alias(
+                "centered"
+            ),
+        ),
+        events, events_big,
+    )
 
 
 if __name__ == "__main__":

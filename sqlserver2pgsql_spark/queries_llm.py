@@ -2450,6 +2450,52 @@ def q85_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the TPC-H-ish schema's FK graph: (child, fk_col, parent, pk_col)
+_FK_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+@register(
+    "q86_integrity_audit",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{c}.{fk} -> {p}.{pk}' AS fk, count(*) AS n_rows,
+            count(*) FILTER (WHERE {pk_alias} IS NULL) AS n_orphans
+            FROM {c} LEFT JOIN (SELECT {pk} AS {pk_alias} FROM {p}) USING ()
+            """.replace("USING ()", f"ON {pk_alias} = {fk}")
+        for c, fk, p, pk in _FK_EDGES
+        for pk_alias in [f"__pk_{pk}"]
+    )
+    + "\nORDER BY fk",
+)
+def q86_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-schema referential-integrity audit in one result: orphan
+    counts for every FK edge of the catalog (the B8/M6 constraint plane as
+    a single profiling query). Each edge is a broadcast left join + one
+    aggregate; parents are dimension-sized."""
+    rows = []
+    for child, fk, parent, pk in _FK_EDGES:
+        c = _t(spark, sf_dir, child).select(F.col(fk).alias("k"))
+        p = _t(spark, sf_dir, parent).select(F.col(pk).alias("pk")).distinct()
+        rows.append(
+            c.join(F.broadcast(p), F.col("k") == F.col("pk"), "left").agg(
+                F.lit(f"{child}.{fk} -> {parent}.{pk}").alias("fk"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(F.when(F.col("pk").isNull(), 1)).alias("n_orphans"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("fk")
+
+
 def _q33_oracle() -> str:
     from .operators.sketches import hll_oracle_sql
 
