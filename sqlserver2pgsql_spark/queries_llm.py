@@ -2496,6 +2496,62 @@ def q86_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("fk")
 
 
+@register(
+    "q87_cluster_keep_best",
+    # q51's recursive reachability gives the clusters; the keeper is the
+    # LONGEST member (ties → lowest id) via lexicographic struct max
+    oracle=_JACCARD_ORACLE_BODY.replace("WITH corpus", "WITH RECURSIVE corpus", 1)
+    + """
+    , pairs AS (SELECT id1, id2 FROM scored WHERE jaccard >= 0.6),
+    edges AS (
+      SELECT id1 AS a, id2 AS b FROM pairs
+      UNION ALL SELECT id2 AS a, id1 AS b FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    members AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node),
+    sized AS (
+      SELECT m.cluster_id, m.doc_id, length(c.text) AS n_chars
+      FROM members m JOIN corpus c ON c.doc_id = m.doc_id
+    )
+    SELECT cluster_id,
+           count(*) AS n_members,
+           max(struct_pack(n_chars := n_chars, neg_id := -doc_id)).neg_id * -1
+             AS keeper_id,
+           max(struct_pack(n_chars := n_chars, neg_id := -doc_id)).n_chars
+             AS keeper_chars
+    FROM sized GROUP BY cluster_id ORDER BY cluster_id
+    """,
+)
+def q87_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST dedup policy: per near-dup cluster, retain the
+    highest-quality member (longest text, ties → lowest id) instead of the
+    min-id keeper — the policy real corpus curation wants (the mutated copy
+    is truncated, so the original should win). Clusters from connected
+    components; keeper via lexicographic struct arg-max."""
+    from .operators.graph import connected_components
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.6)
+    cc = connected_components(pairs, "id1", "id2")
+    sized = cc.select(F.col("node").alias("doc_id"), "cluster_id").join(
+        corpus.select("doc_id", F.length("text").alias("n_chars")), "doc_id"
+    )
+    best = F.max(F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")))
+    return (
+        sized.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            (best["neg_id"] * -1).alias("keeper_id"),
+            best["n_chars"].alias("keeper_chars"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 def _q33_oracle() -> str:
     from .operators.sketches import hll_oracle_sql
 
