@@ -2552,6 +2552,109 @@ def q87_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: accent fold tables — IDENTICAL order in Spark translate and DuckDB
+#: translate so the mapping is engine-equal
+_ACCENT_FROM = "àáâãäåèéêëìíîïòóôõöùúûüÀÁÂÃÄÅÈÉÊËÌÍÎÏÒÓÔÕÖÙÚÛÜçÇñÑ"
+_ACCENT_TO = "aaaaaaeeeeiiiiooooouuuuAAAAAAEEEEIIIIOOOOOUUUUcCnN"
+
+_HTML_CORPUS_SQL = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0
+                THEN '<div class="x">' || text ||
+                     '</div> &amp; <a href="http://e.g/p?q=1">link</a> &lt;raw&gt;'
+                ELSE text END AS text
+    FROM documents
+"""
+
+
+@register(
+    "q88_html_strip",
+    oracle=f"""
+    WITH corpus AS ({_HTML_CORPUS_SQL})
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '<[^>]*>')) AS BIGINT) AS n_tags,
+           trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(regexp_replace(text,
+                  '<[^>]*>', ' ', 'g'),
+                  '&amp;', '&', 'g'),
+                  '&lt;', '<', 'g'),
+                  '&gt;', '>', 'g'),
+                  '&quot;', '"', 'g'),
+                  '\\s+', ' ', 'g')) AS clean
+    FROM corpus ORDER BY doc_id
+    """,
+)
+def q88_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/markup stripping for web corpora: remove tags, decode
+    the core entities, collapse whitespace — with a per-doc removed-tag
+    count. RE2-safe patterns run verbatim on both engines; pure column
+    expressions, no shuffle."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = F.concat(
+        F.lit('<div class="x">'), F.col("text"),
+        F.lit('</div> &amp; <a href="http://e.g/p?q=1">link</a> &lt;raw&gt;'),
+    )
+    corpus = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, injected).otherwise(F.col("text")).alias("text"),
+    )
+    t = F.col("text")
+    clean = F.regexp_replace(t, r"<[^>]*>", " ")
+    for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"')):
+        clean = F.regexp_replace(clean, ent, ch)
+    clean = F.trim(F.regexp_replace(clean, r"\s+", " "))
+    return corpus.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(r"<[^>]*>"), F.lit(0)))
+        .cast("long")
+        .alias("n_tags"),
+        clean.alias("clean"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q89_accent_fold",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0
+                  THEN text || ' café naïve Àbc señor Öl ûber'
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           translate(text, '{_ACCENT_FROM}', '{_ACCENT_TO}') AS folded,
+           CAST(len(regexp_extract_all(text, '[{_ACCENT_FROM}]')) AS BIGINT)
+             AS n_accent_chars
+    FROM corpus ORDER BY doc_id
+    """,
+)
+def q89_accent_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accent folding (diacritic normalization) via an explicit translate
+    table — the deterministic subset of Unicode NFKD the two engines can
+    agree on byte-for-byte — plus a per-doc accented-char count. Pure
+    column expressions, no shuffle."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"), F.lit(" café naïve Àbc señor Öl ûber")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return corpus.select(
+        "doc_id",
+        F.translate(F.col("text"), _ACCENT_FROM, _ACCENT_TO).alias("folded"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(f"[{_ACCENT_FROM}]"), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_accent_chars"),
+    ).orderBy("doc_id")
+
+
 def _q33_oracle() -> str:
     from .operators.sketches import hll_oracle_sql
 
