@@ -29,9 +29,42 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q.q06_incremental_diff(spark, SMOKE_SF_DIR)
 
 
+# Names already driver-certified green in CORRECTNESS_r03.json. The driver's
+# correctness window checks the first 50 entries in insertion order, so queries
+# WITHOUT a driver row yet (r3's q31/q33-q39/q59-q89, plus anything new this
+# round) are registered FIRST; the r03-certified 50 keep their green rows on
+# record and take the tail slots. Rotate this list each round so every query
+# gets a driver certification at least every other round (VERDICT r3 #2).
+_CERTIFIED_R03 = frozenset({
+    "q01_pricing_summary", "q02_segment_revenue", "q03_top_customers_per_segment",
+    "q04_orders_with_big_lineitems_semi", "q05_customers_without_orders_anti",
+    "q06_incremental_diff", "q07_incremental_apply", "q08_rollup", "q09_cube",
+    "q10_setops", "q11_topk_orders", "q12_tsql_scalars", "q13_translated_view",
+    "q14_fk_validation", "q15_pk_validation", "q16_cleanse", "q17_dedup_exact",
+    "q18_ngram_jaccard_pairs", "q19_minhash_lsh_pairs", "q20_simhash_neardup",
+    "q21_ann_bruteforce_topk", "q22_ann_lsh_topk", "q23_embedding_neardup",
+    "q24_text_quality", "q25_langid", "q26_fingerprint", "q27_asof_join",
+    "q28_sessionize", "q29_json_extract", "q30_pivot_events",
+    "q32_stream_window_agg", "q40_token_counts", "q41_ann_ivf_topk",
+    "q42_multimodal_pipeline", "q43_corpus_curation", "q44_embedding_neardup_lsh",
+    "q45_stream_sessionize", "q46_redact_pii", "q47_repetition_quality",
+    "q48_source_cap", "q49_quarantine_split", "q50_salted_aggregate",
+    "q51_dedup_clusters", "q52_string_agg", "q53_tfidf_top_terms",
+    "q54_stratified_sample", "q55_sequence_packing", "q56_decontaminate",
+    "q57_token_budget_mix", "q58_stream_enrich",
+})
+
+
+def _window_order(names: list[str]) -> list[str]:
+    uncertified = sorted(n for n in names if n not in _CERTIFIED_R03)
+    certified = sorted(n for n in names if n in _CERTIFIED_R03)
+    return uncertified + certified
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_q.QUERIES)
+    return {n: _q.QUERIES[n] for n in _window_order(list(_q.QUERIES))}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_q.ORACLES)
+    order = _window_order(list(_q.QUERIES))
+    return {n: _q.ORACLES[n] for n in order if n in _q.ORACLES}

@@ -56,6 +56,12 @@ def main() -> None:
     warm = {name: median3(name) for name in warm_passes[0]}
     total = round(sum(v for v in warm.values() if v >= 0), 3)
     cold_total = round(sum(v for v in cold.values() if v >= 0), 3)
+    # Full per-pass detail goes to a sidecar file; the stdout line must stay
+    # SMALL — round 3's embedded warm_passes overflowed the driver's tail
+    # capture and BENCH_r03 recorded `parsed: null` (VERDICT r3, What's wrong #1).
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json")
+    with open(detail_path, "w") as fh:
+        json.dump({"cold": cold, "warm_passes": warm_passes, "sf": sf}, fh, indent=1)
     print(
         json.dumps(
             {
@@ -64,9 +70,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": warm,
                 "sf": sf,
-                "methodology": "per-query median of 3 warm passes; cold 1st-run total in cold_total_sec",
+                "methodology": "per-query median of 3 warm passes; detail in BENCH_detail.json",
                 "cold_total_sec": cold_total,
-                "warm_passes": warm_passes,
             }
         )
     )

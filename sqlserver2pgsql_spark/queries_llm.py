@@ -1474,9 +1474,12 @@ def q60_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     types = ev.select("event_type").distinct()
     grid = hours.crossJoin(types)
+    # broadcast the RIGHT (agg) side: a left-outer join cannot broadcast its
+    # preserved left side (Spark ignores the hint with a warning — ADVICE r3);
+    # agg is bounded by hours×types, so it is the legitimately small side
     return (
-        F.broadcast(grid)
-        .join(agg, ["bucket", "event_type"], "left")
+        grid
+        .join(F.broadcast(agg), ["bucket", "event_type"], "left")
         .select(
             "bucket",
             "event_type",
@@ -1872,26 +1875,35 @@ def q71_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back with a partition-pruning filter, aggregated. The oracle sees only
     the original table — the round-trip must be lossless and the filter
     must prune at the directory level (audited in test_file_sources)."""
+    import shutil
     import tempfile
 
     from .sources.files import write_partitioned
 
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    out = tempfile.gettempdir() + "/spark_graft_q71_roundtrip"
-    write_partitioned(ev, out, ["event_type"], sort_cols=["event_id"])
-    back = spark.read.parquet(out).filter(
-        F.col("event_type").isin("click", "purchase")
-    )
-    return (
-        back.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
-            F.min("event_id").alias("min_id"),
-            F.max("event_id").alias("max_id"),
+    # per-invocation tempdir: a fixed shared path races concurrent gate runs
+    # and leaks the sink after the run (ADVICE r3)
+    out = tempfile.mkdtemp(prefix="spark_graft_q71_")
+    try:
+        write_partitioned(ev, out, ["event_type"], sort_cols=["event_id"])
+        back = spark.read.parquet(out).filter(
+            F.col("event_type").isin("click", "purchase")
         )
-        .orderBy("event_type")
-    )
+        result = (
+            back.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+                F.min("event_id").alias("min_id"),
+                F.max("event_id").alias("max_id"),
+            )
+            .orderBy("event_type")
+        )
+        # materialize the (tiny) aggregate into executor storage so the temp
+        # sink can be removed before returning the still-lazy DataFrame
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 @register(
@@ -2859,3 +2871,42 @@ def q31_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.sum(F.col("l_quantity").cast(DEC)).over(w).cast("double").alias("running_qty"),
     ).orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+
+
+@register(
+    "q90_dedup_clusters_star",
+    # identical output contract to q51 (same pair graph, same cluster ids),
+    # so the same recursive-CTE oracle gates the alternating-star engine
+    oracle=_JACCARD_ORACLE_BODY.replace("WITH corpus", "WITH RECURSIVE corpus", 1)
+    + """
+    , pairs AS (SELECT id1, id2 FROM scored WHERE jaccard >= 0.6),
+    edges AS (
+      SELECT id1 AS a, id2 AS b FROM pairs
+      UNION ALL SELECT id2 AS a, id1 AS b FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT node AS doc_id, min(lbl) AS cluster_id,
+           (node = min(lbl)) AS is_keeper
+    FROM reach GROUP BY node ORDER BY doc_id
+    """,
+)
+def q90_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering via alternating large-star/small-star CC (Kiveris
+    et al., SOCC'14) — q51's scale twin for high-diameter graphs. Rounds are
+    O(log^2 n) independent of component diameter, so chained LSH buckets
+    can't blow up the iteration count the way min-label propagation's
+    diameter-bound can. Same keeper contract: cluster_id = min doc_id."""
+    from .operators.graph import connected_components_star
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.6)
+    cc, _rounds = connected_components_star(pairs, "id1", "id2")
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        (F.col("node") == F.col("cluster_id")).alias("is_keeper"),
+    ).orderBy("doc_id")

@@ -40,7 +40,15 @@ def read_jsonl(
     ``_corrupt_record`` instead of failing the job; the split is a pair of
     complementary filters over ONE scan (Catalyst shares it), not two
     reads."""
-    raw = spark.read.schema(_with_corrupt(schema)).json(path)
+    # mode/corrupt-column set EXPLICITLY (not inherited from the session
+    # conf): a session overriding spark.sql.columnNameOfCorruptRecord would
+    # otherwise surface malformed lines as all-null "good" rows (ADVICE r3)
+    raw = (
+        spark.read.schema(_with_corrupt(schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
     return _split_corrupt(raw, schema)
 
 

@@ -281,6 +281,30 @@ def test_connected_components_transitive(spark):
     assert got == {2: 2, 5: 2, 7: 2, 9: 2, 30: 30, 31: 30}
 
 
+def test_connected_components_star_matches_minlabel(spark):
+    """Alternating large-star/small-star (Kiveris SOCC'14) produces the same
+    (node, min-id) labeling as min-label propagation, and on a long path its
+    round count beats the diameter bound that min-label pays."""
+    from pyspark.sql import Row
+
+    from sqlserver2pgsql_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # a 12-node path (diameter 11) + an island pair: worst case for
+    # propagation, the case the star algorithm exists for
+    path = [Row(id1=i, id2=i + 1) for i in range(1, 12)]
+    edges = spark.createDataFrame(path + [Row(id1=50, id2=51)])
+    want = {r.node: r.cluster_id for r in connected_components(edges).collect()}
+    labels, rounds = connected_components_star(edges)
+    got = {r.node: r.cluster_id for r in labels.collect()}
+    assert got == want
+    assert got[11] == 1 and got[51] == 50
+    # diameter-11 path needs ~11 propagation rounds; star needs O(log^2)
+    assert rounds <= 6
+
+
 def test_tfidf_top_terms(spark):
     from sqlserver2pgsql_spark.operators.text import tfidf_top_terms
 

@@ -147,7 +147,9 @@ def test_q56_decontamination_broadcasts_benchmark(spark):
 
 
 def test_q60_rollup_broadcasts_grid(spark):
-    """Gap-fill joins the dense grid broadcast; the only full-data exchange
-    is the rollup aggregation's."""
+    """Gap-fill broadcasts the bounded agg side (BuildRight of the left-outer
+    join — the preserved left side can't broadcast); the only full-data
+    exchange is the rollup aggregation's."""
     plan = _plan(QL.q60_hypertable_rollup(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, plan
+    assert "BuildRight" in plan, plan
