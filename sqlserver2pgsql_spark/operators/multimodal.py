@@ -1,9 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
-M7 extension. The container has no image/audio codecs, so the *decode* step
-is stubbed (deterministic fake or NotImplementedError), but everything
-Spark-side is real and tested: schema, Arrow batch shape, mapInPandas
-signature, partition sizing.
+M7 extension. Images use a REAL decode path: synthesized payloads are
+well-formed 24-bit uncompressed BMP files, decoded/resized/re-encoded with
+pure numpy over bytes (no codec libraries needed). Compressed formats
+(JPEG/PNG) and audio/video decoding require codec libraries not present in
+this container and stay stubbed behind ``NotImplementedError`` — the Spark
+plumbing around them (schema, Arrow batch shape, mapInPandas signature,
+1→N expansion) is real and tested for every modality.
 
 Pattern for 100 TB: binary payloads ride in parquet as BinaryType columns;
 decode/feature-extract runs as ``mapInPandas`` (Arrow batches, one Python
@@ -14,8 +17,10 @@ they're consumed.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -40,9 +45,63 @@ FEATURE_SCHEMA = (
 )
 
 
+# ---------------------------------------------------------------------------
+# 24-bit uncompressed BMP codec — pure numpy over bytes, no codec libraries.
+# BMP is the one mainstream image container whose pixel data is raw (BGR
+# rows, bottom-up, 4-byte row padding), so a full real decode path fits in
+# plain struct/numpy and exercises extract_features/resize_images on actual
+# pixels. Format: BITMAPFILEHEADER (14 B) + BITMAPINFOHEADER (40 B) + rows.
+# ---------------------------------------------------------------------------
+
+_BMP_HDR = 54  # file header (14) + info header (40)
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """RGB uint8 array (h, w, 3), top-down → 24-bit uncompressed BMP bytes."""
+    h, w, _ = pixels.shape
+    row_bytes = (w * 3 + 3) // 4 * 4
+    img_size = row_bytes * h
+    header = struct.pack(
+        "<2sIHHIIiiHHIIiiII",
+        b"BM", _BMP_HDR + img_size, 0, 0, _BMP_HDR,  # file header
+        40, w, h, 1, 24, 0, img_size, 0, 0, 0, 0,    # info header
+    )
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    # BMP stores bottom-up BGR: flip rows, reverse channels
+    rows[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)
+    return header + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP bytes → RGB uint8 array (h, w, 3), top-down."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h, _planes, bitcount, compression = struct.unpack_from("<iiHHI", payload, 18)
+    if bitcount != 24 or compression != 0 or h <= 0:
+        raise NotImplementedError("only 24-bit uncompressed bottom-up BMP")
+    row_bytes = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(payload, dtype=np.uint8, count=row_bytes * h, offset=data_off)
+    rows = rows.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    return rows[::-1, :, ::-1]  # bottom-up BGR -> top-down RGB
+
+
+#: synthesized image dimensions (small enough that fixtures stay light)
+SYNTH_W, SYNTH_H = 8, 6
+
+
+def synth_pixels(media_id: int) -> np.ndarray:
+    """Deterministic RGB test pattern; depends only on ``media_id % 7`` so
+    payload determinism (same id class → same bytes) is testable."""
+    y, x, c = np.indices((SYNTH_H, SYNTH_W, 3))
+    return (((media_id % 7) * 11 + 16 * y + 3 * x + 5 * c) % 256).astype(np.uint8)
+
+
 def synth_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table (payload = repeating byte pattern) so
-    the plumbing is testable without codecs."""
+    """Deterministic fake media table so the plumbing is testable without
+    codec libraries: image rows carry REAL 8×6 24-bit BMP payloads (decoded
+    end-to-end by extract_features/resize_images); audio/video rows carry a
+    repeating byte pattern (their decoders stay stubbed)."""
     base = spark.range(n).select(
         F.col("id").alias("media_id"),
         F.when(F.col("id") % 3 == 0, "image")
@@ -50,55 +109,82 @@ def synth_media(spark, n: int = 64) -> DataFrame:
         .otherwise("video")
         .alias("modality"),
     )
-    payload = F.repeat(F.concat(F.lit("px"), (F.col("media_id") % 7).cast("string")), 32)
+
+    @F.pandas_udf(T.BinaryType())
+    def bmp_payload(media_id: pd.Series) -> pd.Series:
+        return media_id.map(lambda i: encode_bmp(synth_pixels(int(i))))
+
+    text_payload = F.encode(
+        F.repeat(F.concat(F.lit("px"), (F.col("media_id") % 7).cast("string")), 32),
+        "utf-8",
+    ).cast("binary")
+    is_img = F.col("modality") == "image"
     return base.select(
         "media_id",
         "modality",
-        F.encode(payload, "utf-8").cast("binary").alias("payload"),
-        F.lit("application/octet-stream").alias("mime"),
-        F.lit(None).cast("int").alias("width"),
-        F.lit(None).cast("int").alias("height"),
+        F.when(is_img, bmp_payload(F.col("media_id")))
+        .otherwise(text_payload)
+        .alias("payload"),
+        F.when(is_img, "image/bmp")
+        .otherwise("application/octet-stream")
+        .alias("mime"),
+        F.when(is_img, F.lit(SYNTH_W)).cast("int").alias("width"),
+        F.when(is_img, F.lit(SYNTH_H)).cast("int").alias("height"),
         F.lit(None).cast("long").alias("duration_ms"),
     )
 
 
-def decode_media(payload: bytes, modality: str):  # pragma: no cover - stub
-    """Real decoder hook — requires PIL/librosa/av, not present in this
-    container. The Spark plumbing around it (extract_features) is real."""
+def decode_media(payload: bytes, modality: str):
+    """Decode a payload to its natural array form. REAL for uncompressed BMP
+    images (pure numpy, see ``decode_bmp``); compressed images and
+    audio/video require codec libraries not present in this container and
+    raise ``NotImplementedError`` (callers fall back to byte-level
+    features)."""
+    if modality == "image" and payload is not None and payload[:2] == b"BM":
+        return decode_bmp(payload)
     raise NotImplementedError(
-        "media decoding requires image/audio codec libraries; "
-        "extract_features uses a deterministic byte-level fake instead"
+        "decoding this payload requires image/audio codec libraries; "
+        "only 24-bit uncompressed BMP has a built-in pure-numpy path"
     )
 
 
 def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads via mapInPandas.
 
-    The feature computation here is a deterministic byte-level fake (md5 +
-    mean byte value) standing in for decode→embed; the batch iteration,
-    schema contract, and column pruning behavior are the real thing.
+    BMP images take the REAL path: decode to pixels, feat_mean = mean pixel
+    value, feat_dim = decoded element count. Payloads the container can't
+    decode (compressed images, audio, video) fall back to the documented
+    byte-level features (md5 + mean byte value, feat_dim 1); the batch
+    iteration, schema contract, and column pruning are identical either way.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        def feats(b, modality):
+            if b is None:
+                return 0, None, 0.0, 0
+            try:
+                arr = decode_media(b, modality)
+                # ints < 2^53 sum exactly in float64; single IEEE division
+                # keeps the mean engine-exact (oracle does sum/count too)
+                return len(b), hashlib.md5(b).hexdigest(), float(arr.sum()) / arr.size, int(arr.size)
+            except NotImplementedError:
+                return len(b), hashlib.md5(b).hexdigest(), (sum(b) / len(b)) if b else 0.0, 1
+
         for pdf in it:
-            payloads = pdf["payload"]
-            n_bytes = payloads.map(lambda b: len(b) if b is not None else 0)
-            payload_hash = payloads.map(
-                lambda b: hashlib.md5(b).hexdigest() if b is not None else None
-            )
-            feat_mean = payloads.map(
-                lambda b: (sum(b) / len(b)) if b else 0.0
+            cols = [feats(b, m) for b, m in zip(pdf["payload"], pdf["modality"])]
+            n_bytes, payload_hash, feat_mean, feat_dim = (
+                zip(*cols) if cols else ((), (), (), ())
             )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "modality": pdf["modality"],
-                    "n_bytes": n_bytes,
-                    "payload_hash": payload_hash,
-                    "feat_mean": feat_mean,
-                    "feat_dim": 1,
+                    "n_bytes": list(n_bytes),
+                    "payload_hash": list(payload_hash),
+                    "feat_mean": list(feat_mean),
+                    "feat_dim": list(feat_dim),
                 }
             )
 
@@ -111,21 +197,31 @@ RESIZED_SCHEMA = "media_id long, payload binary, width int, height int"
 
 
 def resize_images(df: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
-    """Image resize plumbing (1→1): Arrow batches in, resized payload +
-    dimensions out. The pixel work is a deterministic fake (no codecs in
-    this container — a real impl drops PIL into ``_fake_resize``); the
-    schema contract, batch shape, and column pruning are real."""
+    """Image resize (1→1): Arrow batches in, resized payload + dimensions
+    out. BMP payloads take the REAL path — decode → nearest-neighbor resample
+    (pure numpy index arithmetic) → re-encode BMP. Undecodable payloads get
+    the documented size-normalized fake so the operator is total; the schema
+    contract, batch shape, and column pruning are identical either way."""
 
-    def _fake_resize(payload: bytes) -> bytes:
-        # stand-in for decode→resize→re-encode: size-normalized byte pattern
-        return (payload or b"\x00")[:16].ljust(16, b"\x00") * (width * height // 256 or 1)
+    def _resize(payload: bytes) -> bytes:
+        try:
+            arr = decode_media(payload, "image")
+        except NotImplementedError:
+            # stand-in for decode→resize→re-encode: size-normalized pattern
+            return (payload or b"\x00")[:16].ljust(16, b"\x00") * (
+                width * height // 256 or 1
+            )
+        h, w = arr.shape[:2]
+        ys = (np.arange(height) * h) // height
+        xs = (np.arange(width) * w) // width
+        return encode_bmp(arr[ys][:, xs])
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "payload": pdf["payload"].map(_fake_resize),
+                    "payload": pdf["payload"].map(_resize),
                     "width": width,
                     "height": height,
                 }

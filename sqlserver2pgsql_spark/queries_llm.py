@@ -385,10 +385,13 @@ def q43_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q42_multimodal_pipeline",
-    # the synth payload is a pure expression (repeat('px'||id%7, 32), utf-8),
-    # so every decode-free output column — byte count, md5 of the payload,
-    # resize width, frame count — is DuckDB-expressible exactly. Only the
-    # codec-backed decode itself is stubbed (documented, multimodal.py:65).
+    # Image rows are REAL 8x6 24-bit BMPs decoded by pure numpy, so their
+    # feat_mean is an actual pixel mean — the oracle recomputes it from the
+    # synth pixel formula ((id%7)*11 + 16y + 3x + 5c) % 256 over the 8x6x3
+    # grid. n_bytes = 54-byte header + 24 B/row x 6 rows = 198. The BMP
+    # *byte* hash is not SQL-reproducible (binary container layout), so
+    # payload_hash is masked NULL for images on both sides; audio/video keep
+    # their text-payload hash and byte-mean ((280 + id%7)/3, exact IEEE).
     oracle="""
     WITH m AS (
       SELECT CAST(r AS BIGINT) AS media_id,
@@ -397,22 +400,40 @@ def q43_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE 'video' END AS modality,
              repeat('px' || CAST(r % 7 AS VARCHAR), 32) AS payload_s
       FROM (SELECT unnest(range(0, 96)) AS r)
+    ),
+    pix AS (
+      SELECT m7.m7 AS m7,
+             avg(CAST((m7.m7 * 11 + 16 * y.y + 3 * x.x + 5 * c.c) % 256 AS BIGINT)) AS pmean
+      FROM (SELECT unnest(range(0, 7)) AS m7) m7,
+           (SELECT unnest(range(0, 6)) AS y) y,
+           (SELECT unnest(range(0, 8)) AS x) x,
+           (SELECT unnest(range(0, 3)) AS c) c
+      GROUP BY m7.m7
     )
     SELECT media_id, modality,
-           CAST(length(payload_s) AS BIGINT) AS n_bytes,
-           md5(payload_s) AS payload_hash,
+           CAST(CASE WHEN modality = 'image' THEN 198
+                     ELSE length(payload_s) END AS BIGINT) AS n_bytes,
+           CASE WHEN modality = 'image' THEN CAST(NULL AS VARCHAR)
+                ELSE md5(payload_s) END AS payload_hash,
+           CASE WHEN modality = 'image' THEN p.pmean
+                ELSE CAST(280 + media_id % 7 AS DOUBLE) / 3 END AS feat_mean,
+           CAST(CASE WHEN modality = 'image' THEN 144 ELSE 1 END AS INTEGER) AS feat_dim,
            CAST(CASE WHEN modality = 'image' THEN 64 END AS INTEGER) AS width,
            CAST(CASE WHEN modality = 'video'
                      THEN least(4, greatest(1, length(payload_s) // 16))
                 END AS BIGINT) AS n_frames
-    FROM m ORDER BY media_id
+    FROM m LEFT JOIN pix p ON p.m7 = m.media_id % 7
+    ORDER BY media_id
     """,
 )
 def q42_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing end-to-end: synthesize binary media, Arrow-batched
-    feature extraction, image resize (1→1), video frame sampling (1→N), and
-    a summary join — decode itself is stubbed (no codecs in the container),
-    every Spark contract is real. Deterministic output (seedless synth)."""
+    """Multimodal pipeline end-to-end: synthesize binary media (REAL BMP
+    payloads for images), Arrow-batched feature extraction with a real
+    numpy decode of the BMP pixels, image resize (1→1, real nearest-neighbor
+    resample), video frame sampling (1→N), and a summary join. Only
+    codec-bound decodes (JPEG/audio/video) remain stubbed (multimodal.py
+    decode_media). Deterministic output (seedless synth); image feat_mean is
+    oracle-checked against the closed-form pixel pattern."""
     from .operators import multimodal as MM
 
     media = MM.synth_media(spark, n=96)
@@ -423,7 +444,20 @@ def q42_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         feats.join(resized.select("media_id", "width", "height"), "media_id", "left")
         .join(frame_counts, "media_id", "left")
-        .select("media_id", "modality", "n_bytes", "payload_hash", "width", "n_frames")
+        .select(
+            "media_id",
+            "modality",
+            "n_bytes",
+            # the BMP byte-level hash has no SQL mirror; mask it for images
+            # so the column stays exactly oracle-checkable (see oracle note)
+            F.when(F.col("modality") != "image", F.col("payload_hash")).alias(
+                "payload_hash"
+            ),
+            "feat_mean",
+            "feat_dim",
+            "width",
+            "n_frames",
+        )
         .orderBy("media_id")
     )
 
@@ -1637,57 +1671,103 @@ def q64_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: numeric lineitem columns the profiler sweeps
-_PROFILE_COLS = (
-    "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
-    "l_extendedprice", "l_discount", "l_tax",
-)
+#: profiled lineitem columns by type family. Integers melt as LONG (a double
+#: melt collapses distinct 64-bit keys above 2^53 — ADVICE r3); timestamps
+#: melt as epoch-micros LONG (exact, format-free across engines); strings
+#: melt as-is. The double family keeps its native type.
+_PROFILE_LONG = ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+_PROFILE_DOUBLE = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_PROFILE_STRING = ("l_returnflag", "l_linestatus")
+_PROFILE_TS = ("l_shipdate",)
 
 
-@register(
-    "q65_column_profile",
-    oracle="\nUNION ALL\n".join(
-        f"""SELECT '{c}' AS col, count(*) AS n_rows, count({c}) AS n_non_null,
-            count(DISTINCT {c}) AS n_distinct,
-            CAST(min({c}) AS DOUBLE) AS vmin, CAST(max({c}) AS DOUBLE) AS vmax
+def _q65_oracle() -> str:
+    parts = []
+    for c in _PROFILE_LONG + _PROFILE_DOUBLE:
+        fam = "long" if c in _PROFILE_LONG else "double"
+        parts.append(
+            f"""SELECT '{c}' AS col, '{fam}' AS dtype, count(*) AS n_rows,
+            count({c}) AS n_non_null, count(DISTINCT {c}) AS n_distinct,
+            CAST(min({c}) AS DOUBLE) AS vmin, CAST(max({c}) AS DOUBLE) AS vmax,
+            CAST(NULL AS VARCHAR) AS smin, CAST(NULL AS VARCHAR) AS smax
             FROM lineitem"""
-        for c in _PROFILE_COLS
-    )
-    + "\nORDER BY col",
-)
+        )
+    for c in _PROFILE_TS:
+        parts.append(
+            f"""SELECT '{c}' AS col, 'timestamp' AS dtype, count(*) AS n_rows,
+            count({c}) AS n_non_null, count(DISTINCT {c}) AS n_distinct,
+            CAST(min(epoch_us({c})) AS DOUBLE) AS vmin,
+            CAST(max(epoch_us({c})) AS DOUBLE) AS vmax,
+            CAST(NULL AS VARCHAR) AS smin, CAST(NULL AS VARCHAR) AS smax
+            FROM lineitem"""
+        )
+    for c in _PROFILE_STRING:
+        parts.append(
+            f"""SELECT '{c}' AS col, 'string' AS dtype, count(*) AS n_rows,
+            count({c}) AS n_non_null, count(DISTINCT {c}) AS n_distinct,
+            CAST(NULL AS DOUBLE) AS vmin, CAST(NULL AS DOUBLE) AS vmax,
+            min({c}) AS smin, max({c}) AS smax
+            FROM lineitem"""
+        )
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY col"
+
+
+@register("q65_column_profile", oracle=_q65_oracle())
 def q65_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-profiling sweep ('ANALYZE TABLE' as a query): count / non-null /
-    exact-distinct / min / max for every numeric column, one row per column.
+    exact-distinct / min / max for EVERY lineitem column — numeric, string
+    and timestamp — one row per column, still a single scan.
 
-    Melt-first shape: explode each row into (col, value) pairs, aggregate
-    per (col, value) — map-side combine collapses low-cardinality columns
+    Melt-first shape: explode each row into typed (col, value) structs
+    (per-family value slots, so 64-bit integers never round-trip through
+    double and timestamps profile as exact epoch-micros), aggregate per
+    (col, value) — map-side combine collapses low-cardinality columns
     before the shuffle — then fold per column. Beats the multi-countDistinct
-    form (Catalyst's 8× Expand of the full rows) 2× here, and at 100 TB it
+    form (Catalyst's 11× Expand of the full rows) ~2×, and at 100 TB it
     distributes over (col, value) instead of replicating whole rows."""
     li = _t(spark, sf_dir, "lineitem")
-    melted = li.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("col"), F.col(c).cast("double").alias("v")
-                    )
-                    for c in _PROFILE_COLS
-                ]
-            )
-        ).alias("p")
-    ).select("p.col", "p.v")
-    per_val = melted.groupBy("col", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    null_l = F.lit(None).cast("long")
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+
+    def slot(c: str, fam: str) -> F.Column:
+        vlong = F.col(c).cast("long") if fam == "long" else null_l
+        if fam == "timestamp":
+            vlong = F.unix_micros(F.col(c).cast("timestamp"))
+        vdbl = F.col(c).cast("double") if fam == "double" else null_d
+        vstr = F.col(c) if fam == "string" else null_s
+        return F.struct(
+            F.lit(c).alias("col"), F.lit(fam).alias("dtype"),
+            vlong.alias("vlong"), vdbl.alias("vdbl"), vstr.alias("vstr"),
+        )
+
+    slots = (
+        [slot(c, "long") for c in _PROFILE_LONG]
+        + [slot(c, "double") for c in _PROFILE_DOUBLE]
+        + [slot(c, "string") for c in _PROFILE_STRING]
+        + [slot(c, "timestamp") for c in _PROFILE_TS]
+    )
+    melted = li.select(F.explode(F.array(*slots)).alias("p")).select("p.*")
+    present = (
+        F.col("vlong").isNotNull()
+        | F.col("vdbl").isNotNull()
+        | F.col("vstr").isNotNull()
+    )
+    per_val = melted.groupBy("col", "dtype", "vlong", "vdbl", "vstr").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
     return (
-        per_val.groupBy("col")
+        per_val.groupBy("col", "dtype")
         .agg(
             F.sum("cnt").alias("n_rows"),
-            F.sum(F.when(F.col("v").isNotNull(), F.col("cnt")).otherwise(F.lit(0))).alias(
+            F.sum(F.when(present, F.col("cnt")).otherwise(F.lit(0))).alias(
                 "n_non_null"
             ),
-            F.count(F.col("v")).alias("n_distinct"),
-            F.min("v").alias("vmin"),
-            F.max("v").alias("vmax"),
+            F.count(F.when(present, F.lit(1))).alias("n_distinct"),
+            F.coalesce(F.min("vlong").cast("double"), F.min("vdbl")).alias("vmin"),
+            F.coalesce(F.max("vlong").cast("double"), F.max("vdbl")).alias("vmax"),
+            F.min("vstr").alias("smin"),
+            F.max("vstr").alias("smax"),
         )
         .orderBy("col")
     )

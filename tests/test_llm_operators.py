@@ -98,16 +98,45 @@ def test_asof_join_strict_vs_nonstrict(spark):
 
 
 def test_multimodal_feature_plumbing(spark):
+    import numpy as np
+
+    from sqlserver2pgsql_spark.operators.multimodal import synth_pixels
+
     media = synth_media(spark, n=32)
     feats = extract_features(media)
     rows = feats.collect()
     assert len(rows) == 32
     assert {r.modality for r in rows} == {"image", "audio", "video"}
     byid = {r.media_id: r for r in rows}
-    assert byid[0].n_bytes == 96  # 32 × len('px0')
-    assert byid[0].payload_hash is not None and byid[0].feat_dim == 1
+    # image rows ride REAL 8x6 24-bit BMPs: 54 B header + 24 B/row x 6
+    assert byid[0].n_bytes == 198
+    assert byid[0].feat_dim == 144  # decoded 6*8*3 pixels, real path
+    assert byid[0].feat_mean == float(np.mean(synth_pixels(0)))
+    # audio rows keep the byte-level fallback (feat over 32 x 'px<d>')
+    assert byid[1].n_bytes == 96 and byid[1].feat_dim == 1
+    assert byid[0].payload_hash is not None
     # determinism: same payload pattern (media_id % 7) → same hash
-    assert byid[0].payload_hash == byid[7].payload_hash
+    assert byid[0].payload_hash != byid[1].payload_hash
+    assert byid[0].payload_hash == byid[21].payload_hash  # 21%7==0, image
+
+
+def test_bmp_codec_roundtrip_and_resize():
+    import numpy as np
+
+    from sqlserver2pgsql_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        synth_pixels,
+    )
+
+    # round-trip including a width whose rows need 4-byte padding (w=5)
+    arr = synth_pixels(3)[:, :5, :]
+    assert np.array_equal(decode_bmp(encode_bmp(arr)), arr)
+    # 2x nearest-neighbor upsample preserves the sampled grid exactly
+    arr8 = synth_pixels(4)
+    up = decode_bmp(encode_bmp(arr8[np.arange(12) * 6 // 12][:, np.arange(16) * 8 // 16]))
+    assert up.shape == (12, 16, 3)
+    assert np.array_equal(up[::2, ::2], arr8)
 
 
 def test_fingerprint_rolling_stable(spark):
@@ -133,6 +162,18 @@ def test_multimodal_resize_and_frames(spark):
     resized = resize_images(media, 64, 64).collect()
     assert resized and all(r.width == 64 and r.height == 64 for r in resized)
     assert len({len(r.payload) for r in resized}) == 1  # size-normalized
+    # the resized payloads are themselves valid BMPs (real decode→resample→
+    # re-encode path): decode one and check dimensions + nearest-neighbor
+    # content against the source pattern
+    import numpy as np
+
+    from sqlserver2pgsql_spark.operators.multimodal import decode_bmp, synth_pixels
+
+    out = decode_bmp(next(r.payload for r in resized if r.media_id == 0))
+    assert out.shape == (64, 64, 3)
+    src = synth_pixels(0)
+    ys, xs = (np.arange(64) * 6) // 64, (np.arange(64) * 8) // 64
+    assert np.array_equal(out, src[ys][:, xs])
 
     frames = sample_frames(media, every_ms=500, max_frames=4)
     rows = frames.collect()
