@@ -176,7 +176,14 @@ def run_stream_to_memory(
     32 stores for 150 users triples the wall time locally (measured
     9.5s → 3.4s on the stream-stream join at 8). On a cluster, size to
     keys/throughput; the partition count is fixed for the life of a
-    checkpoint. ``None`` leaves the session value untouched."""
+    checkpoint. ``None`` leaves the session value untouched.
+
+    SESSION-EXCLUSIVE while running: unlike batch operators (which size
+    their shuffles with scoped ``repartition``, see operators/graph.py), a
+    stateful stream's shuffle width can only come from the session conf at
+    query start — Spark has no per-query override for it. The conf is
+    mutated for the (synchronous) run and restored in ``finally``; don't
+    start concurrent queries on the same session mid-call."""
     spark = df.sparkSession
     key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(key)
