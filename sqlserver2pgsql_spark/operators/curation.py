@@ -233,3 +233,48 @@ def token_budget_mix(
         df.select("*", alloc.alias("alloc"), cum.alias("cum_tokens"))
         .filter(F.col("cum_tokens") <= F.col("alloc"))
     )
+
+
+def weighted_systematic_sample(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Per-group weighted systematic sampling: lay rows on a weight tape in
+    ``order_col`` order and keep the rows whose tape interval spans a
+    multiple of ``W/k`` (W = the group's total weight) — the classic
+    inverse-CDF / systematic draw, selection probability ∝ weight. Yields
+    ``k`` rows per group when no row outweighs the ``W/k`` spacing (a row
+    spanning several boundaries is kept once, so oversized rows — which are
+    ALWAYS kept — can only shrink the count below ``k``).
+
+    Everything is BIGINT arithmetic (``weight_col`` must be integral):
+    a row is kept iff ``(cum*k) div W > ((cum-w)*k) div W``, so the draw is
+    bit-reproducible in any engine — no RNG, no floats. Scale shape: one
+    window shuffle on ``group_col`` (groups are independent strata); for an
+    ungrouped global sample at 100 TB, pre-stratify first — a single global
+    running sum would serialize onto one partition."""
+    w = (
+        W.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    total_w = W.partitionBy(group_col)
+    cum = F.sum(F.col(weight_col)).over(w)
+    tot = F.sum(F.col(weight_col)).over(total_w)
+    kk = F.lit(k).cast("long")
+    return (
+        df.select(
+            "*",
+            cum.cast("long").alias("__cum"),
+            tot.cast("long").alias("__tot"),
+        )
+        .filter(
+            F.expr(f"(__cum * {k}L) div __tot") > F.expr(
+                f"((__cum - {weight_col}) * {k}L) div __tot"
+            )
+        )
+        .drop("__cum", "__tot")
+    )

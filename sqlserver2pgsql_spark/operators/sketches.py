@@ -136,3 +136,116 @@ def hll_oracle_sql(
            n
     FROM est
     """
+
+
+def hll_sliding_distinct(
+    df: DataFrame,
+    day_col: Column,
+    value_col: str,
+    p: int = 10,
+    window_days: int = 7,
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Trailing-window approximate distinct per day via HLL register MERGE —
+    the property that makes sketches the 100 TB answer to sliding distinct
+    counts: registers are max-mergeable, so each day's m=2**p registers are
+    computed ONCE and every window estimate is a re-max over ≤
+    ``window_days``·m tiny rows, never a re-scan of the raw data.
+
+    Shape: one register pass over the data (groupBy day, idx), an explode of
+    each day's registers to the ≤``window_days`` window-end days it serves,
+    a re-max, and the same integer-scaled harmonic fold as
+    ``hll_approx_distinct``. Only days present in the input are emitted."""
+    m = 1 << p
+    w = 60 - p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    scale_c = alpha * m * m * float(1 << (w + 1))
+
+    h = md5_hash60(F.col(value_col))
+    idx = F.shiftright(h, w)
+    rest = h.bitwiseAND(F.lit((1 << w) - 1))
+    rho = F.when(rest == 0, F.lit(w + 1)).otherwise(
+        F.lit(w) - F.length(F.conv(rest, 10, 2)) + 1
+    )
+
+    day_regs = (
+        df.select(day_col.alias("day"), idx.alias("__idx"), rho.alias("__rho"))
+        .groupBy("day", "__idx")
+        .agg(F.max("__rho").alias("__M"))
+    )
+    days = day_regs.select("day").distinct()
+    # each day's registers serve the window-end days [day, day+window_days)
+    shifted = day_regs.select(
+        F.explode(
+            F.expr(f"sequence(day, date_add(day, {window_days - 1}), interval 1 day)")
+        ).alias("wday"),
+        "__idx",
+        "__M",
+    ).join(days.select(F.col("day").alias("wday")), "wday")  # only real days
+    merged = shifted.groupBy("wday", "__idx").agg(F.max("__M").alias("__M"))
+    agg = merged.groupBy("wday").agg(
+        F.sum(F.expr(f"shiftleft(1L, {w + 1} - __M)")).alias("__s_seen"),
+        F.count(F.lit(1)).alias("__n_regs"),
+    )
+    zeros = F.lit(m) - F.col("__n_regs")
+    s_total = F.col("__s_seen") + zeros * F.lit(1 << (w + 1)).cast("long")
+    e_raw = F.lit(scale_c) / s_total.cast("double")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(e_raw)
+    return agg.select("wday", F.round(est, 4).alias(out_col))
+
+
+def hll_sliding_oracle_sql(
+    table: str,
+    day_expr: str,
+    value_col: str,
+    p: int = 10,
+    window_days: int = 7,
+    out_col: str = "approx_distinct",
+) -> str:
+    """DuckDB SQL computing the identical sliding-window HLL merge."""
+    m = 1 << p
+    w = 60 - p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    scale_c = alpha * m * m * float(1 << (w + 1))
+    return f"""
+    WITH hashed AS (
+      SELECT {day_expr} AS day,
+             ('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM {table}
+    ),
+    rho AS (
+      SELECT day, h >> {w} AS idx,
+             CASE WHEN (h & {(1 << w) - 1}) = 0 THEN {w + 1}
+                  ELSE {w} - length(bin(h & {(1 << w) - 1})) + 1 END AS r
+      FROM hashed
+    ),
+    day_regs AS (
+      SELECT day, idx, max(r) AS M FROM rho GROUP BY day, idx
+    ),
+    days AS (SELECT DISTINCT day FROM day_regs),
+    shifted AS (
+      SELECT (dr.day + CAST(o.o AS INTEGER)) AS wday, dr.idx, dr.M
+      FROM day_regs dr, (SELECT unnest(range(0, {window_days})) AS o) o
+      WHERE (dr.day + CAST(o.o AS INTEGER)) IN (SELECT day FROM days)
+    ),
+    merged AS (
+      SELECT wday, idx, max(M) AS M FROM shifted GROUP BY wday, idx
+    ),
+    agg AS (
+      SELECT wday, sum(1::BIGINT << ({w + 1} - M)) AS s_seen, count(*) AS n_regs
+      FROM merged GROUP BY wday
+    ),
+    est AS (
+      SELECT wday, {m} - n_regs AS zeros,
+             {scale_c!r} / CAST(s_seen + ({m} - n_regs) * (1::BIGINT << {w + 1}) AS DOUBLE) AS e_raw
+      FROM agg
+    )
+    SELECT wday,
+           round(CASE WHEN e_raw <= {2.5 * m!r} AND zeros > 0
+                      THEN {float(m)!r} * ln({float(m)!r} / CAST(zeros AS DOUBLE))
+                      ELSE e_raw END, 4) AS {out_col}
+    FROM est
+    """

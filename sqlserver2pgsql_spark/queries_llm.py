@@ -2990,3 +2990,299 @@ def q90_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         (F.col("node") == F.col("cluster_id")).alias("is_keeper"),
     ).orderBy("doc_id")
+
+
+def _q91_oracle() -> str:
+    from .operators.sketches import hll_sliding_oracle_sql
+
+    return (
+        "SELECT CAST(wday AS VARCHAR) AS day, approx_users FROM ("
+        + hll_sliding_oracle_sql(
+            "events", "CAST(date_trunc('day', ts) AS DATE)", "user_id",
+            p=10, window_days=7, out_col="approx_users",
+        )
+        + ") ORDER BY day"
+    )
+
+
+@register("q91_sliding_hll_users", oracle=_q91_oracle())
+def q91_sliding_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day approximate distinct users per day via HLL register
+    MERGE (operators/sketches.py hll_sliding_distinct) — the sketch
+    mergeability pattern that answers sliding distinct counts at 100 TB
+    with ONE register pass over the raw data and window-sized re-maxes,
+    never a per-window re-scan. Portable md5-based HLL → the DuckDB oracle
+    reproduces the estimate bit-for-bit."""
+    from .operators.sketches import hll_sliding_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    out = hll_sliding_distinct(
+        ev, F.to_date(F.date_trunc("day", F.col("ts"))), "user_id",
+        p=10, window_days=7, out_col="approx_users",
+    )
+    return out.select(
+        F.col("wday").cast("string").alias("day"), "approx_users"
+    ).orderBy("day")
+
+
+@register(
+    "q92_weighted_sample",
+    oracle="""
+    WITH tape AS (
+      SELECT source, doc_id, n_chars,
+             sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(n_chars) OVER (PARTITION BY source) AS tot
+      FROM documents
+    )
+    SELECT source, doc_id, n_chars
+    FROM tape
+    WHERE (cum * 20) // tot > ((cum - n_chars) * 20) // tot
+    ORDER BY source, doc_id
+    """,
+)
+def q92_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weighted systematic sampling, selection probability ∝
+    document length: exactly 20 docs per source, chosen where the cumulative
+    char tape crosses multiples of total/20. Pure BIGINT arithmetic — no
+    RNG — so the SAME sample falls out on any cluster layout and in the SQL
+    oracle (the reproducible-sampling contract training pipelines need)."""
+    from .operators.curation import weighted_systematic_sample
+
+    d = _t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    return weighted_systematic_sample(
+        d, "source", "doc_id", "n_chars", k=20
+    ).orderBy("source", "doc_id")
+
+
+@register(
+    "q93_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey AS orderkey,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,8)))
+                AS DOUBLE) AS revenue,
+           CAST(o.o_orderdate AS VARCHAR) AS orderdate, o.o_orderpriority AS priority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, orderkey LIMIT 10
+    """,
+)
+def q93_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping priority: 3-way join (filtered customer
+    broadcast into orders, result joined to lineitem), revenue agg, top-10.
+    The segment filter prunes customer BEFORE the broadcast; date filters
+    push to the parquet scans; top-k compiles to TakeOrderedAndProject (no
+    global sort). Unique tie-break (revenue desc, orderkey) keeps the limit
+    deterministic across engines."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").cast("string").alias("orderdate"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("orderkey", "revenue", "orderdate", "priority")
+        .orderBy(F.col("revenue").desc(), "orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q94_nation_pair_volume",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,8)))
+                AS DOUBLE) AS volume,
+           count(*) AS n_lines
+    FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+      JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    WHERE sn.n_name IN ('NATION_3', 'NATION_19') AND cn.n_name IN ('NATION_3', 'NATION_19')
+      AND sn.n_name <> cn.n_name
+    GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+    ORDER BY supp_nation, cust_nation, ship_year
+    """,
+)
+def q94_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped cross-nation trade volume: a 6-table join where every
+    dimension (supplier, customer, both nation legs) broadcasts and the only
+    big-table shuffle is lineitem⋈orders; the nation filter is applied on
+    the broadcast side BEFORE the join so non-qualifying suppliers/customers
+    never reach the probe."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    nations = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_19")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nations.select(F.col("n_nationkey").alias("s_nationkey"),
+                                       F.col("n_name").alias("supp_nation"))),
+            "s_nationkey",
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nations.select(F.col("n_nationkey").alias("c_nationkey"),
+                                       F.col("n_name").alias("cust_nation"))),
+            "c_nationkey",
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            F.sum(rev).cast("double").alias("volume"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+@register(
+    "q95_percentile_interp",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority AS priority, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    ),
+    grid AS (SELECT unnest([0.25, 0.5, 0.75]) AS p),
+    pos AS (
+      SELECT DISTINCT priority, n, p,
+             CAST(n - 1 AS DOUBLE) * p AS h
+      FROM ranked, grid
+    ),
+    lerp AS (
+      SELECT pos.priority, pos.p, pos.h,
+             lo.o_totalprice AS lo_v, hi.o_totalprice AS hi_v
+      FROM pos
+        JOIN ranked lo ON lo.priority = pos.priority
+                      AND lo.rn = CAST(floor(pos.h) AS BIGINT) + 1
+        JOIN ranked hi ON hi.priority = pos.priority
+                      AND hi.rn = least(CAST(floor(pos.h) AS BIGINT) + 2, pos.n)
+    )
+    SELECT priority, p AS pct,
+           lo_v + (hi_v - lo_v) * (h - floor(h)) AS value
+    FROM lerp ORDER BY priority, pct
+    """,
+)
+def q95_percentile_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated percentiles (PERCENTILE_CONT semantics) computed from
+    first principles so the lerp is engine-exact: rank rows per group with a
+    unique total order, join the two bracketing ranks for each requested
+    percentile, lerp with the same double ops on both sides. One window
+    shuffle + two rank joins — no full sort of the group into one node.
+    (Spark's built-in percentile_approx is the production fast path; this is
+    the exact, oracle-checkable formulation.)"""
+    o = _t(spark, sf_dir, "orders")
+    wr = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wn = W.partitionBy("o_orderpriority")
+    ranked = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_totalprice",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    ).localCheckpoint(eager=False)
+    grid = ranked.sparkSession.createDataFrame(
+        [(0.25,), (0.5,), (0.75,)], "p double"
+    )
+    pos = (
+        ranked.select("priority", "n").distinct().crossJoin(F.broadcast(grid))
+        .select(
+            "priority", "n", "p",
+            ((F.col("n") - 1).cast("double") * F.col("p")).alias("h"),
+        )
+    )
+    lo = ranked.select(
+        F.col("priority").alias("lo_p"), F.col("rn").alias("lo_rn"),
+        F.col("o_totalprice").alias("lo_v"),
+    )
+    hi = ranked.select(
+        F.col("priority").alias("hi_p"), F.col("rn").alias("hi_rn"),
+        F.col("o_totalprice").alias("hi_v"),
+    )
+    lo_rn = F.floor(F.col("h")).cast("long") + 1
+    hi_rn = F.least(F.floor(F.col("h")).cast("long") + 2, F.col("n"))
+    return (
+        pos.join(lo, (F.col("priority") == F.col("lo_p")) & (lo_rn == F.col("lo_rn")))
+        .join(hi, (F.col("priority") == F.col("hi_p")) & (hi_rn == F.col("hi_rn")))
+        .select(
+            "priority",
+            F.col("p").alias("pct"),
+            (
+                F.col("lo_v")
+                + (F.col("hi_v") - F.col("lo_v")) * (F.col("h") - F.floor(F.col("h")))
+            ).alias("value"),
+        )
+        .orderBy("priority", "pct")
+    )
+
+
+@register(
+    "q96_nucleus_share_filter",
+    oracle="""
+    WITH tape AS (
+      SELECT source, doc_id, n_chars,
+             sum(n_chars) OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(n_chars) OVER (PARTITION BY source) AS tot
+      FROM documents
+    )
+    SELECT source, doc_id, n_chars, cum
+    FROM tape WHERE cum * 10 <= tot * 8
+    ORDER BY source, doc_id
+    """,
+)
+def q96_nucleus_share_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus (top-p) corpus filter: per source, keep the largest documents
+    until they hold 80% of the source's total chars — the 'head of the mass'
+    admission rule used to cap long-tail noise. The share comparison is kept
+    in integers (cum*10 ≤ tot*8), so the cut is exact in both engines. One
+    window shuffle on source."""
+    d = _t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    w = (
+        W.partitionBy("source")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wt = W.partitionBy("source")
+    return (
+        d.select(
+            "source", "doc_id", "n_chars",
+            F.sum("n_chars").over(w).alias("cum"),
+            F.sum("n_chars").over(wt).alias("tot"),
+        )
+        .filter(F.col("cum") * 10 <= F.col("tot") * 8)
+        .select("source", "doc_id", "n_chars", "cum")
+        .orderBy("source", "doc_id")
+    )

@@ -428,3 +428,58 @@ def test_token_budget_mix_respects_allocation(spark):
         assert r.cum_tokens <= r.alloc
     assert sorted(per_src["a"]) == list(range(7))
     assert sorted(per_src["b"]) == [0, 1]
+
+
+def test_weighted_systematic_sample_weight_bias_and_determinism(spark):
+    """Rows heavier than the W/k boundary spacing are ALWAYS selected; the
+    draw never exceeds k per group and is deterministic."""
+    from sqlserver2pgsql_spark.operators.curation import weighted_systematic_sample
+
+    # aperiodic heavy rows (weight 50 > spacing 394/10 = 39.4) so every
+    # heavy row spans at least one boundary
+    rows = [Row(g="a", i=i, w=(50 if i % 17 == 0 else 1)) for i in range(100)]
+    df = spark.createDataFrame(rows)
+    got = weighted_systematic_sample(df, "g", "i", "w", k=10).collect()
+    heavy_ids = {i for i in range(100) if i % 17 == 0}
+    assert heavy_ids <= {r.i for r in got}  # oversized rows always kept
+    assert len(heavy_ids) <= len(got) <= 10
+    # determinism: same input → same selection
+    again = weighted_systematic_sample(df, "g", "i", "w", k=10).collect()
+    assert {r.i for r in got} == {r.i for r in again}
+
+
+def test_hll_sliding_distinct_tracks_exact(spark):
+    """The merged sliding estimate stays within classic-HLL error of the
+    exact trailing-window distinct count (p=10 → ~3.2% typical; assert a
+    generous 15% on this small fixture)."""
+    import datetime
+
+    from sqlserver2pgsql_spark.operators.sketches import hll_sliding_distinct
+
+    base = datetime.date(2024, 1, 1)
+    rows = [
+        Row(day=base + datetime.timedelta(days=d), uid=(d * 37 + i) % 400)
+        for d in range(10)
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows)
+    est = {
+        r.wday: r.approx_distinct
+        for r in hll_sliding_distinct(
+            df, F.col("day"), "uid", p=10, window_days=3
+        ).collect()
+    }
+    # exact trailing-3-day distincts
+    per_day: dict = {}
+    for r in rows:
+        per_day.setdefault(r.day, set()).add(r.uid)
+    for day, _ in per_day.items():
+        exact = len(
+            set().union(
+                *[
+                    per_day.get(day - datetime.timedelta(days=o), set())
+                    for o in range(3)
+                ]
+            )
+        )
+        assert abs(est[day] - exact) / exact < 0.15, (day, est[day], exact)
