@@ -16,6 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from sqlserver2pgsql_spark import queries as _q
 from sqlserver2pgsql_spark import queries_llm as _q_llm  # noqa: F401 — registers M7 queries
+from sqlserver2pgsql_spark import queries_r4 as _q_r4  # noqa: F401 — registers round-4 queries
 from sqlserver2pgsql_spark.session import tune_session
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -55,9 +56,19 @@ _CERTIFIED_R03 = frozenset({
 })
 
 
+def _qnum(name: str) -> tuple[int, str]:
+    """Numeric-aware sort key: 'q100_x' must sort after 'q99_x' (plain
+    string sort puts three-digit ids first, which would push the r3
+    backlog out of the driver's 50-entry window)."""
+    import re
+
+    m = re.match(r"q(\d+)", name)
+    return (int(m.group(1)) if m else 10**9, name)
+
+
 def _window_order(names: list[str]) -> list[str]:
-    uncertified = sorted(n for n in names if n not in _CERTIFIED_R03)
-    certified = sorted(n for n in names if n in _CERTIFIED_R03)
+    uncertified = sorted((n for n in names if n not in _CERTIFIED_R03), key=_qnum)
+    certified = sorted((n for n in names if n in _CERTIFIED_R03), key=_qnum)
     return uncertified + certified
 
 

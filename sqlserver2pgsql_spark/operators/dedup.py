@@ -164,6 +164,23 @@ def minhash_signatures(
     return post.groupBy("doc_id").agg(*mins)
 
 
+def band_keys(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """(doc_id, band, key) — one LSH band key per band per doc, the join
+    currency of every banded-LSH path (self-join dedup and cross-corpus
+    join alike)."""
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_rows.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("key"))
+        )
+    return signatures.select(
+        "doc_id", F.explode(F.array(*band_rows)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 16,
@@ -177,15 +194,7 @@ def lsh_candidate_pairs(
     Buckets larger than ``max_bucket`` are dropped (degenerate shingles —
     e.g. empty docs); at 100 TB an uncapped hot bucket is a quadratic bomb.
     """
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_rows.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("key"))
-        )
-    exploded = signatures.select(
-        "doc_id", F.explode(F.array(*band_rows)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    exploded = band_keys(signatures, bands, rows_per_band)
 
     bucket = (
         exploded.groupBy("band", "key")
@@ -245,6 +254,74 @@ def minhash_dedup_pairs(
     return (
         inter.join(sa, "id1")
         .join(sb, "id2")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def minhash_join_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.6,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Cross-corpus near-dup JOIN (incremental dedup): pairs (id1 ∈ left,
+    id2 ∈ right) with exact Jaccard ≥ threshold, candidates generated by
+    banded MinHash-LSH across the two corpora — the "new batch vs existing
+    100 TB corpus" shape, where only the batch side is small.
+
+    Plan: band keys per side, equi-join on (band, key) with a per-side
+    ``max_bucket`` cap (hot degenerate buckets dropped on BOTH sides before
+    the join, so no quadratic bucket blow-up), distinct candidate pairs,
+    then exact-Jaccard verify over the two posting lists. The existing
+    corpus is never self-joined — its cost is one signature pass."""
+    post_l = shingle_postings(left, id_col, text_col, n).localCheckpoint(eager=False)
+    post_r = shingle_postings(right, id_col, text_col, n).localCheckpoint(eager=False)
+    sig_l = minhash_signatures(left, id_col, text_col, n, num_hashes, postings=post_l)
+    sig_r = minhash_signatures(right, id_col, text_col, n, num_hashes, postings=post_r)
+    bk_l = band_keys(sig_l, bands, rows_per_band)
+    bk_r = band_keys(sig_r, bands, rows_per_band)
+
+    def _capped(bk: DataFrame) -> DataFrame:
+        w_sz = bk.groupBy("band", "key").agg(F.count(F.lit(1)).alias("sz"))
+        return bk.join(
+            w_sz.filter(F.col("sz") <= max_bucket).select("band", "key"),
+            ["band", "key"],
+            "leftsemi",
+        )
+
+    cand = (
+        _capped(bk_l)
+        .select(F.col("doc_id").alias("id1"), "band", "key")
+        .join(
+            _capped(bk_r).select(F.col("doc_id").alias("id2"), "band", "key"),
+            ["band", "key"],
+        )
+        .select("id1", "id2")
+        .dropDuplicates(["id1", "id2"])
+    )
+    sz_l = post_l.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n1"))
+    sz_r = post_r.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n2"))
+    inter = (
+        cand.join(post_l.select(F.col("doc_id").alias("id1"), "shingle"), "id1")
+        .join(post_r.select(F.col("doc_id").alias("id2"), "shingle"), ["id2", "shingle"])
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sz_l.withColumnRenamed("doc_id", "id1"), "id1")
+        .join(sz_r.withColumnRenamed("doc_id", "id2"), "id2")
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")

@@ -179,3 +179,82 @@ def connected_components_star(
     labels = children.unionByName(roots).distinct()
     LAST_ROUNDS["star"] = rounds
     return labels, rounds
+
+
+#: fixed-point scale for exact PageRank: ranks are BIGINTs in units of
+#: 1e-12, so every operation is integer arithmetic — bit-identical on any
+#: engine, any partitioning, any summation order.
+PR_SCALE = 1_000_000_000_000
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Exact-arithmetic PageRank: a fixed number of power iterations with
+    all ranks held as BIGINT fixed-point (units of 1/PR_SCALE).
+
+    Floating-point PageRank is summation-order-dependent, so two runs (or
+    two engines) disagree in the last ulps; integer fixed-point makes the
+    iteration exactly reproducible — contributions are floor-divided
+    (``rank div out_degree``), the damping mix is
+    ``(100-d)*base + d*sum`` floor-divided by 100, and BIGINT addition is
+    associative. The tiny mass lost to flooring is deleted, not
+    redistributed (documented bias ≤ N*iterations/PR_SCALE).
+
+    Scale shape: per iteration one join of ranks onto the edge list (hash
+    on src) and one groupBy(dst) sum — both sized to the edge count via
+    ``repartition``; the only driver-side value is the edge count. Dangling
+    nodes keep only their damped base share (their mass is dropped — the
+    standard sink-handling simplification, stated so the oracle matches).
+
+    Returns (node, rank_fp BIGINT) for every node appearing as src or dst.
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_part = _edge_partitions(e.count())
+    e = e.repartition(n_part, "s").localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+        .repartition(n_part, "node")
+        .localCheckpoint(eager=False)
+    )
+    n_nodes = nodes.count()
+    base = PR_SCALE // n_nodes
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.select("node", F.lit(base).cast("long").alias("rank_fp"))
+    teleport = (100 - damping_pct) * base // 100
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "s"), "s")
+            .join(deg, "s")
+            .select(
+                F.col("d").alias("node"),
+                F.expr("rank_fp div deg").alias("c"),
+            )
+            .repartition(n_part, "node")
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(in_sum, 0L)) div 100"
+                    )
+                ).cast("long").alias("rank_fp"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
