@@ -319,3 +319,450 @@ def q101_crosscorpus_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, batch, "doc_id", "text", n=3, num_hashes=64, bands=16,
         rows_per_band=4, threshold=0.6,
     ).orderBy("id1", "id2")
+
+# ---------------------------------------------------------------------------
+# Embedding centroids / k-means E-step (exact fixed-point)
+# ---------------------------------------------------------------------------
+
+#: fixed-point scale for embedding arithmetic: 2^20, so double→fixed is a
+#: multiply by a power of two (EXACT in binary FP) plus a floor. Values are
+#: offset by +1.0 first so every fixed value is positive — floor division
+#: then agrees between Spark (`div`, truncates toward zero) and DuckDB
+#: (`//`, floors), which differ on negatives.
+EMB_SCALE = 1 << 20
+
+_VFX_SQL = f"""
+    vfx AS (
+      SELECT vec_id, label, i AS pos,
+             CAST(floor((CAST(embedding[i + 1] AS DOUBLE) + 1.0) * {EMB_SCALE})
+                  AS BIGINT) AS v_fx
+      FROM embeddings, LATERAL (SELECT unnest(range(0, 64)) AS i) g
+    )
+"""
+
+
+def _vfx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        "pos",
+        F.floor((F.col("v").cast("double") + F.lit(1.0)) * EMB_SCALE)
+        .cast("long")
+        .alias("v_fx"),
+    )
+
+
+@register(
+    "q102_embedding_centroids",
+    oracle=f"""
+    WITH {_VFX_SQL}
+    SELECT label, pos, count(*) AS n,
+           CAST(sum(v_fx) AS BIGINT) AS sum_fx,
+           CAST(sum(v_fx) AS DOUBLE) / (count(*) * {float(EMB_SCALE)}) - 1.0
+             AS mean_val
+    FROM vfx GROUP BY label, pos ORDER BY label, pos
+    """,
+)
+def q102_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (the k-means M-step) in long form
+    (label, pos, mean). Sums are BIGINT fixed-point (EMB_SCALE) so they are
+    summation-order-free — a float mean would differ between engines and
+    between partitionings; the mean itself is ONE IEEE division at the end.
+    Plan: posexplode + one hash agg (map-side partial) — no window, no
+    join; at 100 TB this is a single shuffle of 64·n_labels partial sums
+    per map task."""
+    return (
+        _vfx(spark, sf_dir)
+        .groupBy("label", "pos")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v_fx").alias("sum_fx"))
+        .select(
+            "label",
+            "pos",
+            "n",
+            "sum_fx",
+            (F.col("sum_fx").cast("double") / (F.col("n") * F.lit(float(EMB_SCALE)))
+             - F.lit(1.0)).alias("mean_val"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
+@register(
+    "q103_kmeans_assign",
+    oracle=f"""
+    WITH {_VFX_SQL},
+    cent AS (
+      SELECT label, pos, CAST(sum(v_fx) // count(*) AS BIGINT) AS c_fx
+      FROM vfx GROUP BY label, pos
+    ),
+    dist AS (
+      SELECT v.vec_id, v.label AS true_label, c.label AS cand,
+             CAST(sum((v.v_fx - c.c_fx) * (v.v_fx - c.c_fx)) AS BIGINT) AS d2
+      FROM vfx v JOIN cent c ON v.pos = c.pos
+      GROUP BY v.vec_id, v.label, c.label
+    ),
+    best AS (
+      SELECT vec_id, true_label, cand,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cand) AS rn
+      FROM dist
+    )
+    SELECT true_label, cand AS assigned_label, count(*) AS n
+    FROM best WHERE rn = 1
+    GROUP BY true_label, cand ORDER BY true_label, assigned_label
+    """,
+)
+def q103_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means E-step, exactly: assign every vector to its nearest label
+    centroid (squared L2 in BIGINT fixed-point — centroids are floor-mean
+    fixed vectors, distances exact integers, argmin tie-broken by label)
+    and emit the confusion matrix (true_label, assigned_label, n).
+    Plan: centroids are one agg, then a broadcast join on pos fans each
+    vector component out to the k candidates — per-vector cost k·dim rows,
+    reduced by one (vec, cand) agg and one min_by; the corpus shuffles
+    twice, the centroid table never exceeds k·dim rows."""
+    vfx = _vfx(spark, sf_dir).localCheckpoint(eager=False)
+    cent = (
+        vfx.groupBy(F.col("label").alias("clabel"), "pos")
+        .agg(F.expr("sum(v_fx) div count(1)").cast("long").alias("c_fx"))
+    )
+    diff = F.col("v_fx") - F.col("c_fx")
+    dist = (
+        vfx.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum(diff * diff).cast("long").alias("d2"))
+    )
+    w = W.partitionBy("vec_id").orderBy("d2", "clabel")
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(
+            F.col("label").alias("true_label"),
+            F.col("clabel").alias("assigned_label"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("true_label", "assigned_label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q104_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t_signup FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t_view
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'view' AND e.ts > s1.t_signup GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s2.t_view GROUP BY e.user_id
+    ),
+    s4 AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN s3 ON s3.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s3.t_click GROUP BY e.user_id
+    )
+    SELECT s1.user_id AS user_id, t_signup, t_view, t_click, t_purchase,
+           1 + (t_view IS NOT NULL)::INT + (t_click IS NOT NULL)::INT
+             + (t_purchase IS NOT NULL)::INT AS stage_reached
+    FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
+            LEFT JOIN s4 ON s1.user_id = s4.user_id
+    ORDER BY user_id
+    """,
+)
+def q104_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered funnel (signup → view → click → purchase, each
+    stage's first event strictly after the previous stage's): per-user
+    stage timestamps + depth reached. Plan: the full event table is scanned
+    once per stage with a type pushdown filter, and every join is against
+    the per-user stage table (≤ one row per user — broadcast); no window
+    over the raw events. At 100 TB the stage tables are the small sides by
+    construction."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+
+    def stage(etype: str, prev: DataFrame, prev_ts: str, out: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .join(F.broadcast(prev), "user_id")
+            .filter(F.col("ts") > F.col(prev_ts))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    s2 = stage("view", s1, "t_signup", "t_view")
+    s3 = stage("click", s2, "t_view", "t_click")
+    s4 = stage("purchase", s3, "t_click", "t_purchase")
+    depth = (
+        F.lit(1)
+        + F.col("t_view").isNotNull().cast("int")
+        + F.col("t_click").isNotNull().cast("int")
+        + F.col("t_purchase").isNotNull().cast("int")
+    )
+    return (
+        s1.join(s2.select("user_id", "t_view"), "user_id", "left")
+        .join(s3.select("user_id", "t_click"), "user_id", "left")
+        .join(s4.select("user_id", "t_purchase"), "user_id", "left")
+        .select(
+            "user_id", "t_signup", "t_view", "t_click", "t_purchase",
+            depth.alias("stage_reached"),
+        )
+        .orderBy("user_id")
+    )
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination
+# ---------------------------------------------------------------------------
+
+#: 3-gram shingle list over tokenized text — DuckDB mirror of
+#: operators/dedup.py:shingle_postings (list slices are INCLUSIVE in
+#: DuckDB: l[i:i+2] is 3 elements)
+_SHINGLES3 = """list_distinct(list_transform(
+               range(1, greatest(2, len(string_split_regex(trim(text),'\\s+')) - 1)),
+               i -> array_to_string(string_split_regex(trim(text),'\\s+')[i:i+2], ' ')
+             ))"""
+
+
+@register(
+    "q105_bloom_decontaminate",
+    oracle=f"""
+    WITH bench AS (
+      SELECT unnest({_SHINGLES3}) AS shingle
+      FROM documents WHERE doc_id % 97 = 0
+    ),
+    bits AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(s.salt || ':' || shingle), 1, 15))::BIGINT
+               % 65536 AS bit_pos
+      FROM bench, (SELECT unnest(['0', '1', '2']) AS salt) s
+    ),
+    probe AS (
+      SELECT doc_id, unnest({_SHINGLES3}) AS shingle FROM documents
+    ),
+    probe_pos AS (
+      SELECT doc_id, shingle, s.salt,
+             ('0x' || substr(md5(s.salt || ':' || shingle), 1, 15))::BIGINT
+               % 65536 AS bit_pos
+      FROM probe, (SELECT unnest(['0', '1', '2']) AS salt) s
+    ),
+    hits AS (
+      SELECT doc_id, shingle
+      FROM probe_pos SEMI JOIN bits USING (bit_pos)
+      GROUP BY doc_id, shingle HAVING count(*) = 3
+    )
+    SELECT p.doc_id,
+           count(*) AS n_shingles,
+           count(h.shingle) AS n_bloom_hits,
+           count(h.shingle) > 0 AS contaminated
+    FROM probe p LEFT JOIN hits h
+      ON p.doc_id = h.doc_id AND p.shingle = h.shingle
+    GROUP BY p.doc_id ORDER BY p.doc_id
+    """,
+)
+def q105_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (operators/bloom.py): benchmark shingles
+    (docs ≡ 0 mod 97) populate an m=2^16, k=3 salted-md5 bloom filter; every
+    corpus shingle is probed and per-doc hit counts emitted. The filter is
+    DETERMINISTIC for fixed (m, k, salt) — false positives included — so
+    the oracle replays it exactly (portability contract in bloom.py).
+    Plan: filter = distinct-positions table (≤ m rows) broadcast to a
+    semi-join probe; the corpus side is one explode + two aggs, never
+    joined against itself."""
+    from .operators.dedup import shingle_postings
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    bits = bloom_build(
+        shingle_postings(bench, "doc_id", "text", n=3).select("shingle").distinct(),
+        "shingle",
+    )
+    probe = shingle_postings(docs, "doc_id", "text", n=3)
+    probed = bloom_probe(probe, "shingle", bits)
+    return (
+        probed.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.col("bloom_hit").cast("long")).alias("n_bloom_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_bloom_hits",
+            (F.col("n_bloom_hits") > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q106_price_histogram",
+    oracle="""
+    SELECT CAST(least(floor(o_totalprice / 25000.0), 19) AS BIGINT) AS bucket,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE) AS sum_price,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price
+    FROM orders GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q106_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (20 × 25k buckets, open-ended
+    top): per-bucket count/sum/min/max. The bucket id is the same
+    floor-divide expression on both engines (no width_bucket builtin —
+    engines disagree on its edge semantics). One hash agg with map-side
+    partials; the natural first pass of any numeric profiler at scale."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 25000.0), F.lit(19)).cast("long")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("sum_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "q107_weighted_median_mode",
+    oracle="""
+    WITH modes AS (
+      SELECT l_returnflag, l_quantity AS mode_qty, count(*) AS mode_n,
+             row_number() OVER (
+               PARTITION BY l_returnflag ORDER BY count(*) DESC, l_quantity
+             ) AS rn
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    ),
+    ordered AS (
+      SELECT l_returnflag, l_extendedprice,
+             sum(CAST(l_quantity AS DECIMAL(38,8))) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+             ) AS cum_w,
+             sum(CAST(l_quantity AS DECIMAL(38,8))) OVER (
+               PARTITION BY l_returnflag) AS total_w
+      FROM lineitem
+    ),
+    wmed AS (
+      SELECT l_returnflag, min(l_extendedprice) AS w_median_price
+      FROM ordered WHERE cum_w * 2 >= total_w GROUP BY l_returnflag
+    )
+    SELECT m.l_returnflag AS returnflag, m.mode_qty, m.mode_n,
+           w.w_median_price
+    FROM modes m JOIN wmed w ON m.l_returnflag = w.l_returnflag
+    WHERE m.rn = 1 ORDER BY returnflag
+    """,
+)
+def q107_weighted_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order statistics the SQL standard lacks: per-returnflag MODE of
+    quantity (most frequent value, smallest wins ties) and QUANTITY-WEIGHTED
+    median of extended price (first price whose cumulative weight crosses
+    half the total — weights accumulated as DECIMAL so the crossing point
+    is exact). Two window shuffles on the group key + one broadcast-sized
+    join of two 3-row aggregates."""
+    li = _t(spark, sf_dir, "lineitem")
+    w_mode = W.partitionBy("l_returnflag").orderBy(
+        F.col("mode_n").desc(), F.col("l_quantity")
+    )
+    modes = (
+        li.groupBy("l_returnflag", "l_quantity")
+        .agg(F.count(F.lit(1)).alias("mode_n"))
+        .withColumn("rn", F.row_number().over(w_mode))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag", F.col("l_quantity").alias("mode_qty"), "mode_n"
+        )
+    )
+    w_cum = (
+        W.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    qty_dec = F.col("l_quantity").cast(DEC)
+    ordered = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum(qty_dec)
+        .over(
+            W.partitionBy("l_returnflag").orderBy(
+                "l_extendedprice", "l_orderkey", "l_linenumber"
+            )
+        )
+        .alias("cum_w"),
+        F.sum(qty_dec).over(W.partitionBy("l_returnflag")).alias("total_w"),
+    )
+    wmed = (
+        ordered.filter(F.col("cum_w") * 2 >= F.col("total_w"))
+        .groupBy("l_returnflag")
+        .agg(F.min("l_extendedprice").alias("w_median_price"))
+    )
+    return (
+        modes.join(wmed, "l_returnflag")
+        .select(
+            F.col("l_returnflag").alias("returnflag"),
+            "mode_qty",
+            "mode_n",
+            "w_median_price",
+        )
+        .orderBy("returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q108_stream_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    ORDER BY user_id, event_type
+    """,
+)
+def q108_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: first-seen (user_id, event_type) pairs via
+    state-store dropDuplicates with a watermark bounding the key state —
+    the streaming twin of exact dedup (q17). Output is the key set only,
+    so which arrival won is irrelevant and the result is deterministic.
+    State partitions are sized to key cardinality (see
+    streaming/jobs.py:run_stream_to_memory)."""
+    from .streaming import run_stream_to_memory, stream_events
+
+    stream = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    run_stream_to_memory(stream, "q108_out", output_mode="append")
+    return spark.sql(
+        "SELECT user_id, event_type FROM q108_out ORDER BY user_id, event_type"
+    )
