@@ -86,6 +86,62 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return rows[::-1, :, ::-1]  # bottom-up BGR -> top-down RGB
 
 
+# ---------------------------------------------------------------------------
+# PCM16 WAV codec — like BMP, RIFF/WAVE with uncompressed PCM is raw sample
+# data behind a fixed header, so a full real decode path is pure struct/
+# numpy. 44-byte canonical header (RIFF + fmt + data chunks) + LE int16.
+# ---------------------------------------------------------------------------
+
+_WAV_HDR = 44
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Mono int16 sample array → canonical 44-byte-header PCM WAV bytes."""
+    data = samples.astype("<i2").tobytes()
+    header = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+        b"data", len(data),
+    )
+    return header + data
+
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """PCM16 mono WAV bytes → int16 sample array. Walks the RIFF chunk list
+    (a 'fact' or 'LIST' chunk before 'data' is legal WAV), so any
+    uncompressed 16-bit mono file decodes, not just our canonical layout."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    off, fmt_ok = 12, False
+    while off + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, off)
+        if cid == b"fmt ":
+            audio_fmt, _ch, _sr, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", payload, off + 8
+            )
+            if audio_fmt != 1 or bits != 16:
+                raise NotImplementedError("only uncompressed 16-bit PCM WAV")
+            fmt_ok = True
+        elif cid == b"data":
+            if not fmt_ok:
+                raise ValueError("WAV data chunk before fmt chunk")
+            return np.frombuffer(payload, dtype="<i2", count=size // 2, offset=off + 8)
+        off += 8 + size + (size & 1)  # chunks are word-aligned
+    raise ValueError("WAV payload has no data chunk")
+
+
+#: synthesized audio length (samples) and rate
+SYNTH_SAMPLES, SYNTH_RATE = 256, 8000
+
+
+def synth_samples(media_id: int) -> np.ndarray:
+    """Deterministic int16 waveform with a CLOSED FORM the SQL oracle can
+    mirror: s[i] = ((media_id % 7) * 1000 + i * 37) % 4096 - 2048."""
+    i = np.arange(SYNTH_SAMPLES, dtype=np.int64)
+    return (((media_id % 7) * 1000 + i * 37) % 4096 - 2048).astype(np.int16)
+
+
 #: synthesized image dimensions (small enough that fixtures stay light)
 SYNTH_W, SYNTH_H = 8, 6
 
@@ -99,9 +155,10 @@ def synth_pixels(media_id: int) -> np.ndarray:
 
 def synth_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table so the plumbing is testable without
-    codec libraries: image rows carry REAL 8×6 24-bit BMP payloads (decoded
-    end-to-end by extract_features/resize_images); audio/video rows carry a
-    repeating byte pattern (their decoders stay stubbed)."""
+    codec libraries: image rows carry REAL 8×6 24-bit BMP payloads and audio
+    rows carry REAL 256-sample PCM16 WAV payloads (both decoded end-to-end
+    by extract_features); video rows carry a repeating byte pattern (their
+    decoder stays stubbed — no raw-frame mainstream container exists)."""
     base = spark.range(n).select(
         F.col("id").alias("media_id"),
         F.when(F.col("id") % 3 == 0, "image")
@@ -114,37 +171,48 @@ def synth_media(spark, n: int = 64) -> DataFrame:
     def bmp_payload(media_id: pd.Series) -> pd.Series:
         return media_id.map(lambda i: encode_bmp(synth_pixels(int(i))))
 
+    @F.pandas_udf(T.BinaryType())
+    def wav_payload(media_id: pd.Series) -> pd.Series:
+        return media_id.map(lambda i: encode_wav(synth_samples(int(i)), SYNTH_RATE))
+
     text_payload = F.encode(
         F.repeat(F.concat(F.lit("px"), (F.col("media_id") % 7).cast("string")), 32),
         "utf-8",
     ).cast("binary")
     is_img = F.col("modality") == "image"
+    is_aud = F.col("modality") == "audio"
     return base.select(
         "media_id",
         "modality",
         F.when(is_img, bmp_payload(F.col("media_id")))
+        .when(is_aud, wav_payload(F.col("media_id")))
         .otherwise(text_payload)
         .alias("payload"),
         F.when(is_img, "image/bmp")
+        .when(is_aud, "audio/wav")
         .otherwise("application/octet-stream")
         .alias("mime"),
         F.when(is_img, F.lit(SYNTH_W)).cast("int").alias("width"),
         F.when(is_img, F.lit(SYNTH_H)).cast("int").alias("height"),
-        F.lit(None).cast("long").alias("duration_ms"),
+        F.when(is_aud, F.lit(SYNTH_SAMPLES * 1000 // SYNTH_RATE))
+        .cast("long")
+        .alias("duration_ms"),
     )
 
 
 def decode_media(payload: bytes, modality: str):
-    """Decode a payload to its natural array form. REAL for uncompressed BMP
-    images (pure numpy, see ``decode_bmp``); compressed images and
-    audio/video require codec libraries not present in this container and
-    raise ``NotImplementedError`` (callers fall back to byte-level
-    features)."""
+    """Decode a payload to its natural array form. REAL for uncompressed
+    BMP images (``decode_bmp``) and PCM16 WAV audio (``decode_wav``) — both
+    pure numpy over bytes. Compressed formats (JPEG/PNG/MP3/video) require
+    codec libraries not present in this container and raise
+    ``NotImplementedError`` (callers fall back to byte-level features)."""
     if modality == "image" and payload is not None and payload[:2] == b"BM":
         return decode_bmp(payload)
+    if modality == "audio" and payload is not None and payload[:4] == b"RIFF":
+        return decode_wav(payload)
     raise NotImplementedError(
-        "decoding this payload requires image/audio codec libraries; "
-        "only 24-bit uncompressed BMP has a built-in pure-numpy path"
+        "decoding this payload requires codec libraries; only 24-bit "
+        "uncompressed BMP and PCM16 WAV have built-in pure-numpy paths"
     )
 
 

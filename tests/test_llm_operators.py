@@ -112,12 +112,16 @@ def test_multimodal_feature_plumbing(spark):
     assert byid[0].n_bytes == 198
     assert byid[0].feat_dim == 144  # decoded 6*8*3 pixels, real path
     assert byid[0].feat_mean == float(np.mean(synth_pixels(0)))
-    # audio rows keep the byte-level fallback (feat over 32 x 'px<d>')
-    assert byid[1].n_bytes == 96 and byid[1].feat_dim == 1
+    # audio rows ride REAL 256-sample PCM16 WAVs: 44 B header + 512 B data
+    from sqlserver2pgsql_spark.operators.multimodal import synth_samples
+
+    assert byid[1].n_bytes == 556 and byid[1].feat_dim == 256
+    assert byid[1].feat_mean == float(synth_samples(1).astype(np.int64).sum()) / 256
     assert byid[0].payload_hash is not None
     # determinism: same payload pattern (media_id % 7) → same hash
     assert byid[0].payload_hash != byid[1].payload_hash
     assert byid[0].payload_hash == byid[21].payload_hash  # 21%7==0, image
+    assert byid[1].payload_hash == byid[22].payload_hash  # 22%7==1, audio
 
 
 def test_bmp_codec_roundtrip_and_resize():
@@ -137,6 +141,29 @@ def test_bmp_codec_roundtrip_and_resize():
     up = decode_bmp(encode_bmp(arr8[np.arange(12) * 6 // 12][:, np.arange(16) * 8 // 16]))
     assert up.shape == (12, 16, 3)
     assert np.array_equal(up[::2, ::2], arr8)
+
+
+def test_wav_codec_roundtrip():
+    import numpy as np
+
+    from sqlserver2pgsql_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        synth_samples,
+    )
+
+    s = synth_samples(5)
+    assert np.array_equal(decode_wav(encode_wav(s)), s)
+    # decoder walks the chunk list: a 'fact' chunk before 'data' is legal
+    canonical = encode_wav(s)
+    with_fact = (
+        canonical[:36]
+        + b"fact" + (4).to_bytes(4, "little") + (256).to_bytes(4, "little")
+        + canonical[36:]
+    )
+    patched = bytearray(with_fact)
+    patched[4:8] = (len(with_fact) - 8).to_bytes(4, "little")
+    assert np.array_equal(decode_wav(bytes(patched)), s)
 
 
 def test_fingerprint_rolling_stable(spark):
