@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from .operators import dedup as D
+from .operators.asof import asof_join
 from .operators.bloom import bloom_build, bloom_probe
 from .operators.graph import pagerank_fixed_point
 from .operators.scd import cdc_apply_latest, scd2_history
@@ -765,4 +766,219 @@ def q108_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_stream_to_memory(stream, "q108_out", output_mode="append")
     return spark.sql(
         "SELECT user_id, event_type FROM q108_out ORDER BY user_id, event_type"
+    )
+
+# ---------------------------------------------------------------------------
+# Temporal (point-in-time) join, incremental agg maintenance, checksums
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q109_temporal_join",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER w AS prev_type,
+             row_number() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    versions AS (
+      SELECT user_id, ts AS valid_from, event_id AS vid, event_type
+      FROM ordered WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type
+    ),
+    purch AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    ),
+    matched AS (
+      SELECT p.event_id, p.user_id, p.ts, v.event_type AS prev_state,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY v.valid_from DESC, v.vid DESC) AS rn
+      FROM purch p JOIN versions v
+        ON v.user_id = p.user_id
+       AND (v.valid_from < p.ts
+            OR (v.valid_from = p.ts AND v.vid < p.event_id))
+    )
+    SELECT p.event_id, p.user_id, p.ts, m.prev_state
+    FROM purch p LEFT JOIN (SELECT * FROM matched WHERE rn = 1) m
+      ON p.event_id = m.event_id
+    ORDER BY p.event_id
+    """,
+)
+def q109_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: each purchase event joined to the SCD2
+    state (q97's versioned event_type dimension) valid STRICTLY BEFORE the
+    event — 'what state was the user in when they purchased'. Plan: the
+    contiguous-version dimension makes the interval join an AS-OF join
+    (operators/asof.py) — one union + one window over (key, ts), no range
+    cross product; the 100 TB shape for fact-to-dimension-history joins.
+    The version id (event_id) breaks same-timestamp ties totally."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    versions = scd2_history(
+        ev, ["user_id"], "ts", ["event_type"], order_cols=["event_id"]
+    )
+    # re-derive the version id for a total tie order (valid_from alone can
+    # collide when two state changes share a timestamp)
+    vdim = versions.select(
+        "user_id",
+        F.col("valid_from").alias("vts"),
+        F.col("event_type").alias("prev_state"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = asof_join(
+        purch, vdim, on="user_id", left_ts="ts", right_ts="vts",
+        right_cols=["prev_state"], strict=True,
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", F.col("prev_state_asof").alias("prev_state")
+    ).orderBy("event_id")
+
+
+@register(
+    "q110_incremental_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q110_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the materialized per-(flag,status)
+    totals are UPDATED from a change batch by merging PARTIAL aggregates —
+    base partials ∪ delta partials → combine — never re-reading the base
+    fact table. The oracle is the full recompute; equality holds because
+    DECIMAL partials are exactly mergeable in any order (the property that
+    makes incremental view maintenance sound). At 100 TB the delta pass is
+    the only full-data work per refresh; the combine shuffles k·groups
+    partial rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    cutoff = "2023-09-01"
+    keys = ["l_returnflag", "l_linestatus"]
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).alias("sum_price"),
+        )
+
+    base = partial(li.filter(F.col("l_shipdate") < cutoff))
+    delta = partial(li.filter(F.col("l_shipdate") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy(*keys)
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_qty").cast("double").alias("sum_qty"),
+            F.sum("sum_price").cast("double").alias("sum_price"),
+        )
+        .orderBy(*keys)
+    )
+
+
+_Q111_ROWHASH = (
+    "('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|' "
+    "|| CAST(l_linenumber AS VARCHAR) || '|' "
+    "|| CAST(l_extendedprice AS VARCHAR)), 1, 15))::BIGINT"
+)
+
+
+@register(
+    "q111_checksum_compare",
+    oracle=f"""
+    WITH src AS (
+      SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+    ),
+    tgt AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_orderkey % 1000 = 7 THEN l_extendedprice + 1.0
+                  ELSE l_extendedprice END AS l_extendedprice
+      FROM lineitem WHERE l_orderkey % 997 <> 3
+    ),
+    s AS (
+      SELECT l_orderkey % 64 AS bucket, count(*) AS n,
+             bit_xor({_Q111_ROWHASH}) AS h
+      FROM src GROUP BY 1
+    ),
+    t AS (
+      SELECT l_orderkey % 64 AS bucket, count(*) AS n,
+             bit_xor({_Q111_ROWHASH}) AS h
+      FROM tgt GROUP BY 1
+    )
+    SELECT s.bucket AS bucket, s.n AS src_n, t.n AS tgt_n,
+           s.h = t.h AS checksum_match
+    FROM s JOIN t ON s.bucket = t.bucket
+    WHERE s.n <> t.n OR s.h <> t.h
+    ORDER BY bucket
+    """,
+)
+def q111_checksum_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy table verification — the 100 TB answer to 'did the
+    migration copy everything?': per-bucket (pk-hash mod 64) row counts +
+    order-free XOR checksums of a portable row hash, compared WITHOUT
+    moving either table (the reference must re-read both sides to diff;
+    A9's full-outer join at 100 TB is exactly what this avoids). Emits only
+    the buckets that disagree — here the deterministic corruption
+    (price+1 on 0.1% of keys, drop of 1/997 of keys) — after which a
+    targeted per-bucket diff (q06) repairs just those buckets. XOR is
+    associative/commutative, so the checksum is partitioning-invariant."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    tgt = li.filter(F.col("l_orderkey") % 997 != 3).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(
+            F.col("l_orderkey") % 1000 == 7, F.col("l_extendedprice") + 1.0
+        ).otherwise(F.col("l_extendedprice")).alias("l_extendedprice"),
+    )
+
+    rowhash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                    F.col("l_extendedprice").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+    def checksums(df: DataFrame) -> DataFrame:
+        return df.groupBy((F.col("l_orderkey") % 64).alias("bucket")).agg(
+            F.count(F.lit(1)).alias("n"), F.bit_xor(rowhash).alias("h")
+        )
+
+    s = checksums(li).select(
+        "bucket", F.col("n").alias("src_n"), F.col("h").alias("src_h")
+    )
+    t = checksums(tgt).select(
+        "bucket", F.col("n").alias("tgt_n"), F.col("h").alias("tgt_h")
+    )
+    return (
+        s.join(t, "bucket")
+        .filter(
+            (F.col("src_n") != F.col("tgt_n")) | (F.col("src_h") != F.col("tgt_h"))
+        )
+        .select(
+            "bucket",
+            "src_n",
+            "tgt_n",
+            (F.col("src_h") == F.col("tgt_h")).alias("checksum_match"),
+        )
+        .orderBy("bucket")
     )
