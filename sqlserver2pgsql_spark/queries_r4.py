@@ -982,3 +982,149 @@ def q111_checksum_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+# ---------------------------------------------------------------------------
+# LM-based quality scoring & cohort retention
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q112_lm_quality",
+    oracle="""
+    WITH toklists AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents
+    ),
+    pos_bigrams AS (
+      SELECT doc_id, i AS pos, l[i] AS w1, l[i + 1] AS w2
+      FROM toklists, LATERAL (SELECT unnest(range(1, len(l))) AS i) g
+      WHERE len(l) >= 2
+    ),
+    uni AS (
+      SELECT tok, count(*) AS n_tok
+      FROM (SELECT unnest(l) AS tok FROM toklists) GROUP BY tok
+    ),
+    big AS (SELECT w1, w2, count(*) AS n_ab FROM pos_bigrams GROUP BY w1, w2),
+    scored AS (
+      SELECT pb.doc_id, pb.pos,
+             CAST(b.n_ab AS DOUBLE) / u.n_tok AS p
+      FROM pos_bigrams pb
+      JOIN big b ON b.w1 = pb.w1 AND b.w2 = pb.w2
+      JOIN uni u ON u.tok = pb.w1
+    ),
+    folded AS (
+      SELECT doc_id, count(*) AS n_bigrams, min(p) AS min_p,
+             list_reduce(list(p ORDER BY pos), (x, y) -> x + y) AS sum_p
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, sum_p / n_bigrams AS avg_p, min_p
+    FROM folded ORDER BY doc_id
+    """,
+)
+def q112_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring: a bigram LM is trained on the corpus
+    (MLE conditional probabilities n_ab/n_a) and every document is scored
+    by its mean and minimum bigram probability — low-probability text is
+    'surprising' (garbled or off-distribution), the classic LM filter for
+    training data. Determinism: each probability is one IEEE division, and
+    the per-doc sum folds the probabilities IN POSITION ORDER (array_sort
+    on (pos, p) + aggregate fold ≡ DuckDB list(p ORDER BY pos) +
+    list_reduce), so the float accumulation sequence is engine-identical —
+    a plain SUM() would be partitioning-dependent. Plan: one explode, two
+    count aggs, two joins (unigram side broadcast), one per-doc agg."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("l")
+    )
+    pb = (
+        docs.filter(F.size("l") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("l") - 1),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.element_at("l", i).alias("w1"),
+                        F.element_at("l", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.pos", "bg.w1", "bg.w2")
+        .localCheckpoint(eager=False)
+    )
+    uni = (
+        docs.select(F.explode("l").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+    )
+    big = pb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    scored = (
+        pb.join(big, ["w1", "w2"])
+        .join(F.broadcast(uni), "w1")
+        .select(
+            "doc_id",
+            "pos",
+            (F.col("n_ab").cast("double") / F.col("n_tok")).alias("p"),
+        )
+    )
+    folded = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.min("p").alias("min_p"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("pos", "p"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["p"],
+        ).alias("sum_p"),
+    )
+    return folded.select(
+        "doc_id",
+        "n_bigrams",
+        (F.col("sum_p") / F.col("n_bigrams")).alias("avg_p"),
+        "min_p",
+    ).orderBy("doc_id")
+
+
+@register(
+    "q113_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id,
+             CAST(floor(date_diff('day', TIMESTAMP '2024-01-01', min(ts)) / 7)
+                  AS BIGINT) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(date_diff('day', TIMESTAMP '2024-01-01', ts) / 7)
+                  AS BIGINT) AS week
+      FROM events
+    )
+    SELECT f.cohort_week, a.week - f.cohort_week AS week_offset,
+           count(*) AS n_users
+    FROM active a JOIN first_seen f ON f.user_id = a.user_id
+    GROUP BY f.cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def q113_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen week (from a
+    fixed epoch — day arithmetic, no engine week-numbering differences),
+    counted in each later active week as (cohort_week, week_offset,
+    n_users). Plan: one min-agg for cohorts, one distinct over (user, week),
+    one broadcast join of the per-user cohort table, one count agg — the
+    whole matrix in two shuffles over user-sized data."""
+    epoch = F.lit("2024-01-01").cast("timestamp")
+    week = lambda c: F.floor(  # noqa: E731
+        F.datediff(F.to_date(c), F.to_date(epoch)) / 7
+    ).cast("long")
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(week(F.min("ts")).alias("cohort_week"))
+    active = ev.select("user_id", week(F.col("ts")).alias("week")).distinct()
+    return (
+        active.join(F.broadcast(first_seen), "user_id")
+        .groupBy(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
