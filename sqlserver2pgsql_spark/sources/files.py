@@ -90,6 +90,51 @@ def _split_corrupt(
     return good, bad
 
 
+def read_orc(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """ORC scan with an explicit schema — the second columnar format a
+    migration target commonly holds (Hive warehouses). ORC supports the
+    same predicate pushdown / column pruning as parquet in Spark; no
+    quarantine split because columnar files are either readable or not
+    (there is no per-line corrupt record)."""
+    return spark.read.schema(schema).orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink, optionally partitioned (same pruning layout contract as
+    ``write_partitioned``)."""
+    w = df.write.mode(mode)
+    if partition_cols:
+        w = (
+            df.repartition(*[F.col(c) for c in partition_cols])
+            .write.mode(mode)
+            .partitionBy(*partition_cols)
+        )
+    w.orc(path)
+
+
+def read_text_lines(
+    spark: SparkSession, path: str, min_bytes: int = 1
+) -> DataFrame:
+    """Raw text-line source → (line_id, line) — the shape a crawl/text-dump
+    lands in before any parsing. Line ids are content-derived (md5 of the
+    line) rather than positional: monotonically_increasing_id is not stable
+    across scans, and downstream dedup keys on content anyway. Lines with
+    fewer than ``min_bytes`` non-whitespace-adjacent bytes are dropped."""
+    raw = spark.read.text(path)
+    return (
+        raw.filter(F.length(F.trim(F.col("value"))) >= min_bytes)
+        .select(
+            F.md5(F.col("value")).alias("line_id"),
+            F.col("value").alias("line"),
+        )
+    )
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

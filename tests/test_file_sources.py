@@ -67,3 +67,52 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
     assert "event_type" in plan.split("PartitionFilters")[1][:200]
     exp = ev.filter(F.col("event_type") == "click").count()
     assert back.count() == exp
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    from sqlserver2pgsql_spark.sources.files import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(i, f"n{i}", float(i) / 2) for i in range(100)], _SCHEMA
+    )
+    out = str(tmp_path / "t.orc")
+    write_orc(df, out)
+    back = read_orc(spark, out, _SCHEMA)
+    assert back.count() == 100
+    assert sorted(r.id for r in back.collect()) == list(range(100))
+    # predicate pushdown reaches the ORC scan
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.filter(F.col("id") > 50).select("id").explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "id" in plan.split("PushedFilters")[1][:120]
+
+
+def test_orc_partitioned_layout(spark, tmp_path):
+    import os
+
+    from sqlserver2pgsql_spark.sources.files import write_orc
+
+    df = spark.createDataFrame(
+        [(i, "even" if i % 2 == 0 else "odd", 0.0) for i in range(20)], _SCHEMA
+    )
+    out = str(tmp_path / "p.orc")
+    write_orc(df, out, partition_cols=["name"])
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("name=")
+    ) == ["name=even", "name=odd"]
+
+
+def test_text_lines_source(spark, tmp_path):
+    from sqlserver2pgsql_spark.sources.files import read_text_lines
+
+    p = tmp_path / "crawl.txt"
+    p.write_text("hello world\n\n   \nsecond line\nhello world\n")
+    rows = read_text_lines(spark, str(p)).collect()
+    # blank/whitespace-only lines dropped; duplicate lines share a line_id
+    assert len(rows) == 3
+    by_line = {}
+    for r in rows:
+        by_line.setdefault(r.line, set()).add(r.line_id)
+    assert set(by_line) == {"hello world", "second line"}
+    assert all(len(ids) == 1 for ids in by_line.values())
