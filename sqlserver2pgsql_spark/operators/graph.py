@@ -229,13 +229,20 @@ def pagerank_fixed_point(
     )
     n_nodes = nodes.count()
     base = PR_SCALE // n_nodes
+    # fold out-degree into the edge list ONCE — the per-iteration join is
+    # then ranks ⋈ edges only (one join + one agg per iteration, both
+    # hash-partitioned on their keys at the edge-sized width)
     deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    e_deg = (
+        e.join(deg, "s")
+        .repartition(n_part, "s")
+        .localCheckpoint(eager=False)
+    )
     ranks = nodes.select("node", F.lit(base).cast("long").alias("rank_fp"))
     teleport = (100 - damping_pct) * base // 100
     for _ in range(iterations):
         contrib = (
-            e.join(ranks.withColumnRenamed("node", "s"), "s")
-            .join(deg, "s")
+            e_deg.join(ranks.withColumnRenamed("node", "s"), "s")
             .select(
                 F.col("d").alias("node"),
                 F.expr("rank_fp div deg").alias("c"),

@@ -1085,46 +1085,70 @@ def q112_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q113_cohort_retention",
+    "q113_novelty_score",
     oracle="""
-    WITH first_seen AS (
-      SELECT user_id,
-             CAST(floor(date_diff('day', TIMESTAMP '2024-01-01', min(ts)) / 7)
-                  AS BIGINT) AS cohort_week
-      FROM events GROUP BY user_id
+    WITH toklists AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents
     ),
-    active AS (
-      SELECT DISTINCT user_id,
-             CAST(floor(date_diff('day', TIMESTAMP '2024-01-01', ts) / 7)
-                  AS BIGINT) AS week
-      FROM events
-    )
-    SELECT f.cohort_week, a.week - f.cohort_week AS week_offset,
-           count(*) AS n_users
-    FROM active a JOIN first_seen f ON f.user_id = a.user_id
-    GROUP BY f.cohort_week, week_offset
-    ORDER BY cohort_week, week_offset
+    doc_bigrams AS (
+      SELECT DISTINCT doc_id, l[i] || ' ' || l[i + 1] AS bg
+      FROM toklists, LATERAL (SELECT unnest(range(1, len(l))) AS i) g
+      WHERE len(l) >= 2
+    ),
+    df AS (SELECT bg, count(*) AS doc_freq FROM doc_bigrams GROUP BY bg)
+    SELECT d.doc_id,
+           count(*) AS n_distinct_bigrams,
+           sum(CASE WHEN f.doc_freq = 1 THEN 1 ELSE 0 END) AS n_unique,
+           CAST(sum(CASE WHEN f.doc_freq = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS novelty
+    FROM doc_bigrams d JOIN df f ON f.bg = d.bg
+    GROUP BY d.doc_id ORDER BY d.doc_id
     """,
 )
-def q113_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort retention matrix: users bucketed by first-seen week (from a
-    fixed epoch — day arithmetic, no engine week-numbering differences),
-    counted in each later active week as (cohort_week, week_offset,
-    n_users). Plan: one min-agg for cohorts, one distinct over (user, week),
-    one broadcast join of the per-user cohort table, one count agg — the
-    whole matrix in two shuffles over user-sized data."""
-    epoch = F.lit("2024-01-01").cast("timestamp")
-    week = lambda c: F.floor(  # noqa: E731
-        F.datediff(F.to_date(c), F.to_date(epoch)) / 7
-    ).cast("long")
-    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
-    first_seen = ev.groupBy("user_id").agg(week(F.min("ts")).alias("cohort_week"))
-    active = ev.select("user_id", week(F.col("ts")).alias("week")).distinct()
-    return (
-        active.join(F.broadcast(first_seen), "user_id")
-        .groupBy(
-            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+def q113_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty scoring for curation diversity: the share of a
+    doc's distinct bigrams that occur in NO other document (corpus document
+    frequency 1). High-novelty docs carry unique content worth keeping;
+    near-zero novelty marks boilerplate — the inverse signal of
+    decontamination overlap and the complement of TF-IDF (q53 ranks terms,
+    this scores docs). Exact integers + one IEEE division. Plan: one
+    distinct-explode, one df agg, one join back, one per-doc agg — two
+    shuffles over the bigram postings, no self-join."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("l")
+    )
+    bigrams = (
+        docs.filter(F.size("l") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("l") - 1),
+                        lambda i: F.concat_ws(
+                            " ", F.element_at("l", i), F.element_at("l", i + 1)
+                        ),
+                    )
+                )
+            ).alias("bg"),
         )
-        .agg(F.count(F.lit(1)).alias("n_users"))
-        .orderBy("cohort_week", "week_offset")
+        .localCheckpoint(eager=False)
+    )
+    df_counts = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("doc_freq"))
+    return (
+        bigrams.join(df_counts, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_bigrams"),
+            F.sum((F.col("doc_freq") == 1).cast("long")).alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_distinct_bigrams",
+            "n_unique",
+            (F.col("n_unique").cast("double") / F.col("n_distinct_bigrams")).alias(
+                "novelty"
+            ),
+        )
+        .orderBy("doc_id")
     )
