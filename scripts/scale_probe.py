@@ -172,6 +172,131 @@ def main() -> None:
         events, events_big,
     )
 
+    # --- round-4 operators -------------------------------------------------
+    from sqlserver2pgsql_spark.operators.bloom import bloom_build, bloom_probe
+    from sqlserver2pgsql_spark.operators.scd import scd2_history
+    from sqlserver2pgsql_spark.operators.text import tokens
+
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    li.count()
+    li_big = replicate(li, "l_orderkey", replicas, 100_000_000)
+
+    # pagerank: shift BOTH endpoints so each replica is a disjoint subgraph
+    # (the graph itself grows replicas×, not just the edge multiset)
+    def graph_edges(d):
+        fwd = d.select(
+            (F.col("l_partkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        rev = d.select(
+            (F.col("l_suppkey") * 2 + 1).alias("src"),
+            (F.col("l_partkey") * 2).alias("dst"),
+        )
+        return fwd.unionByName(rev)
+
+    rr = F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("__r")
+    li_g_big = (
+        li.select("l_partkey", "l_suppkey", rr)
+        .select(
+            (F.col("l_partkey") + F.col("__r").cast("long") * 1_000_000).alias("l_partkey"),
+            (F.col("l_suppkey") + F.col("__r").cast("long") * 1_000_000).alias("l_suppkey"),
+        )
+    )
+    probe(
+        "pagerank_fixed_point(3it)",
+        lambda d: G.pagerank_fixed_point(graph_edges(d), iterations=3),
+        li.select("l_partkey", "l_suppkey"), li_g_big,
+    )
+
+    probe(
+        "scd2_history(user state)",
+        lambda d: scd2_history(
+            d.select("user_id", "ts", "event_id", "event_type"),
+            ["user_id"], "ts", ["event_type"], order_cols=["event_id"],
+        ),
+        events, events_big,
+    )
+
+    def bloom_pipeline(d):
+        bench = docs.filter(F.col("doc_id") % 97 == 0)  # build side FIXED
+        bits = bloom_build(
+            D.shingle_postings(bench, "doc_id", "text", 3).select("shingle").distinct(),
+            "shingle",
+        )
+        pr = D.shingle_postings(d, "doc_id", "text", 3)
+        return bloom_probe(pr, "shingle", bits).groupBy("doc_id").agg(
+            F.sum(F.col("bloom_hit").cast("long")).alias("hits")
+        )
+
+    probe("bloom_decontaminate", bloom_pipeline, docs, docs_big)
+
+    def lm_quality(d):
+        toks = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("l"))
+        pb = (
+            toks.filter(F.size("l") >= 2)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("l") - 1),
+                        lambda i: F.struct(
+                            i.alias("pos"),
+                            F.element_at("l", i).alias("w1"),
+                            F.element_at("l", i + 1).alias("w2"),
+                        ),
+                    )
+                ).alias("bg"),
+            )
+            .select("doc_id", "bg.pos", "bg.w1", "bg.w2")
+            .localCheckpoint(eager=False)
+        )
+        uni = toks.select(F.explode("l").alias("w1")).groupBy("w1").agg(
+            F.count(F.lit(1)).alias("n_tok")
+        )
+        big = pb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+        return (
+            pb.join(big, ["w1", "w2"])
+            .join(uni, "w1")
+            .groupBy("doc_id")
+            .agg(F.min(F.col("n_ab").cast("double") / F.col("n_tok")).alias("min_p"))
+        )
+
+    probe("lm_quality(bigram)", lm_quality, docs, docs_big)
+
+    def crosscorpus(d):
+        t = tokens(F.col("text"))
+        batch = d.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 500_000_000).alias("doc_id"),
+            F.array_join(F.slice(t, 1, F.size(t) - 5), " ").alias("text"),
+        )
+        return D.minhash_join_pairs(
+            d.select("doc_id", "text"), batch, "doc_id", "text",
+            n=3, num_hashes=64, bands=16, rows_per_band=4, threshold=0.6,
+        )
+
+    probe("crosscorpus_minhash_join", crosscorpus, docs, docs_big)
+
+    def checksum(d):
+        tgt = d.filter(F.col("l_orderkey") % 997 != 3)
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("l_orderkey").cast("string"),
+                                  F.col("l_linenumber").cast("string"))), 1, 15
+            ), 16, 10,
+        ).cast("long")
+
+        def cks(x):
+            return x.groupBy((F.col("l_orderkey") % 64).alias("b")).agg(
+                F.count(F.lit(1)).alias("n"), F.bit_xor(h).alias("h")
+            )
+
+        s, t = cks(d), cks(tgt)
+        return s.join(t.withColumnsRenamed({"n": "n2", "h": "h2"}), "b").filter(
+            (F.col("n") != F.col("n2")) | (F.col("h") != F.col("h2"))
+        )
+
+    probe("checksum_compare", checksum, li, li_big)
+
 
 if __name__ == "__main__":
     main()

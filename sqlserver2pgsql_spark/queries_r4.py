@@ -1152,3 +1152,210 @@ def q113_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+# ---------------------------------------------------------------------------
+# Exact Lloyd k-means (2 iterations) & time-series interpolation
+# ---------------------------------------------------------------------------
+
+
+def _q114_oracle() -> str:
+    assign = """
+    dist{i} AS (
+      SELECT v.vec_id, v.label AS true_label, c.cl AS cand,
+             sum((v.v_fx - c.c_fx) * (v.v_fx - c.c_fx)) AS d2
+      FROM vfx v JOIN cent{i} c ON v.pos = c.pos
+      GROUP BY v.vec_id, v.label, c.cl
+    ),
+    assign{i} AS (
+      SELECT vec_id, true_label, cand AS cl, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cand) AS rn
+      FROM dist{i}
+    )"""
+    recent = """
+    cent{next} AS (
+      SELECT a.cl, v.pos, CAST(sum(v.v_fx) // count(*) AS BIGINT) AS c_fx
+      FROM vfx v JOIN (SELECT vec_id, cl FROM assign{i} WHERE rn = 1) a
+        ON a.vec_id = v.vec_id
+      GROUP BY a.cl, v.pos
+    )"""
+    return f"""
+    WITH {_VFX_SQL},
+    cent1 AS (
+      SELECT label AS cl, pos, CAST(sum(v_fx) // count(*) AS BIGINT) AS c_fx
+      FROM vfx GROUP BY label, pos
+    ),
+    {assign.format(i=1)},
+    {recent.format(i=1, next=2)},
+    {assign.format(i=2)}
+    SELECT cl AS cluster, count(*) AS n_members,
+           CAST(sum(d2) AS BIGINT) AS inertia_fx
+    FROM assign2 WHERE rn = 1
+    GROUP BY cl ORDER BY cluster
+    """
+
+
+@register("q114_kmeans_lloyd", oracle=_q114_oracle())
+def q114_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two full Lloyd iterations of k-means, EXACTLY: centroids start at
+    the per-label means, then assign → recompute → reassign, all in BIGINT
+    fixed-point (EMB_SCALE offsets, floor-mean centroids, integer squared
+    distances). Per-cluster inertia is an exact BIGINT — iterative ML that
+    is bit-identical across engines and partitionings, the same discipline
+    as q100's PageRank. Plan per iteration: one broadcast join on pos
+    (k·dim centroid rows) + one (vec, cand) agg + one argmin window; the
+    vector table is the only large operand and is checkpointed once."""
+    vfx = _vfx(spark, sf_dir).localCheckpoint(eager=False)
+
+    def centroids(assign: DataFrame | None) -> DataFrame:
+        if assign is None:
+            src = vfx.select(F.col("label").alias("cl"), "pos", "v_fx")
+        else:
+            src = vfx.join(assign, "vec_id").select("cl", "pos", "v_fx")
+        return src.groupBy("cl", "pos").agg(
+            F.expr("sum(v_fx) div count(1)").cast("long").alias("c_fx")
+        )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        diff = F.col("v_fx") - F.col("c_fx")
+        dist = (
+            vfx.join(F.broadcast(cent), "pos")
+            .groupBy("vec_id", "cl")
+            .agg(F.sum(diff * diff).alias("d2"))
+        )
+        w = W.partitionBy("vec_id").orderBy("d2", "cl")
+        return (
+            dist.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cl", "d2")
+        )
+
+    a1 = assign(centroids(None)).localCheckpoint(eager=False)
+    a2 = assign(centroids(a1.select("vec_id", "cl")))
+    return (
+        a2.groupBy(F.col("cl").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("d2").cast("long").alias("inertia_fx"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@register(
+    "q115_linear_interpolate",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id, ts, event_id, value FROM events
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(
+               date_trunc('hour', min(ts)), date_trunc('hour', max(ts)),
+               INTERVAL 1 HOUR)) AS gts
+      FROM pts GROUP BY user_id
+    ),
+    unioned AS (
+      SELECT user_id, ts, 1 AS is_point, event_id, value FROM pts
+      UNION ALL
+      SELECT user_id, gts AS ts, 0 AS is_point, NULL, NULL FROM grid
+    ),
+    walled AS (
+      SELECT user_id, ts, is_point, value,
+             last_value(CASE WHEN is_point = 1 THEN value END IGNORE NULLS)
+               OVER wb AS v1,
+             last_value(CASE WHEN is_point = 1 THEN epoch_us(ts) END IGNORE NULLS)
+               OVER wb AS t1,
+             first_value(CASE WHEN is_point = 1 THEN value END IGNORE NULLS)
+               OVER wf AS v2,
+             first_value(CASE WHEN is_point = 1 THEN epoch_us(ts) END IGNORE NULLS)
+               OVER wf AS t2
+      FROM unioned
+      WINDOW
+        wb AS (PARTITION BY user_id
+               ORDER BY ts, is_point DESC, coalesce(event_id, 9223372036854775807)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wf AS (PARTITION BY user_id
+               ORDER BY ts, is_point ASC, coalesce(event_id, -1)
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, ts AS grid_ts, v1 AS v_prev, v2 AS v_next,
+           CASE WHEN t1 IS NULL OR t2 IS NULL THEN NULL
+                WHEN t2 = t1 THEN v1
+                ELSE v1 + (v2 - v1) * (CAST(epoch_us(ts) - t1 AS DOUBLE)
+                                       / CAST(t2 - t1 AS DOUBLE)) END AS v_interp
+    FROM walled WHERE is_point = 0
+    ORDER BY user_id, grid_ts
+    """,
+)
+def q115_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with linear interpolation: each user's value
+    series sampled onto an hourly grid, every grid instant interpolated
+    between its surrounding observations (exact-same lerp expression both
+    engines; grid points outside the observed range stay NULL, a grid
+    instant that hits an observation returns it exactly via the t2=t1
+    guard). Plan: grid rows are generated from a per-user min/max agg
+    (bounded by time span), unioned with the points, and BOTH neighbor
+    lookups are windows over the same per-user partition — no range join,
+    no per-grid-point probe; the classic gap-fill shape for sensor data at
+    scale."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    grid = (
+        ev.groupBy("user_id")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("lo"),
+            F.date_trunc("hour", F.max("ts")).alias("hi"),
+        )
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("ts"),
+        )
+    )
+    big = F.lit(2**63 - 1)
+    unioned = ev.select(
+        "user_id", "ts", F.lit(1).alias("is_point"),
+        F.col("event_id"), "value",
+    ).unionByName(
+        grid.select(
+            "user_id", "ts", F.lit(0).alias("is_point"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("double").alias("value"),
+        )
+    )
+    eus = (F.unix_micros(F.col("ts"))).cast("long")
+    pt_val = F.when(F.col("is_point") == 1, F.col("value"))
+    pt_ts = F.when(F.col("is_point") == 1, eus)
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_point").desc(), F.coalesce("event_id", big))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_point").asc(), F.coalesce("event_id", F.lit(-1)))
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    walled = unioned.select(
+        "user_id", "ts", "is_point",
+        F.last(pt_val, ignorenulls=True).over(wb).alias("v1"),
+        F.last(pt_ts, ignorenulls=True).over(wb).alias("t1"),
+        F.first(pt_val, ignorenulls=True).over(wf).alias("v2"),
+        F.first(pt_ts, ignorenulls=True).over(wf).alias("t2"),
+    )
+    frac = (eus - F.col("t1")).cast("double") / (F.col("t2") - F.col("t1")).cast("double")
+    interp = (
+        F.when(F.col("t1").isNull() | F.col("t2").isNull(), F.lit(None).cast("double"))
+        .when(F.col("t2") == F.col("t1"), F.col("v1"))
+        .otherwise(F.col("v1") + (F.col("v2") - F.col("v1")) * frac)
+    )
+    return (
+        walled.filter(F.col("is_point") == 0)
+        .select(
+            "user_id",
+            F.col("ts").alias("grid_ts"),
+            F.col("v1").alias("v_prev"),
+            F.col("v2").alias("v_next"),
+            interp.alias("v_interp"),
+        )
+        .orderBy("user_id", "grid_ts")
+    )
