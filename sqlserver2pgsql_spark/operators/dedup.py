@@ -332,6 +332,81 @@ def minhash_join_pairs(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """EXACT Jaccard similarity join via prefix filtering (the PPJoin
+    family, Xiao et al., WWW'08): identical output to
+    ``ngram_jaccard_pairs`` but the candidate join touches only each doc's
+    PREFIX — its (|d| - ceil(t·|d|) + 1) globally-rarest shingles — instead
+    of the full posting list. Any pair with J ≥ t must share a prefix
+    shingle (pigeonhole on the overlap bound α = ceil(t/(1+t)·(|a|+|b|))),
+    so recall is 100% by construction and the exact verify pass prunes the
+    rest.
+
+    Scale shape: the posting self-join's cost concentrates in the most
+    FREQUENT shingles (quadratic per posting list); prefix filtering joins
+    on the RAREST shingles per doc, collapsing exactly those hot lists.
+    One df-count agg + one per-doc sort + a candidate join sized by prefix
+    postings + the capped verify join."""
+    post = shingle_postings(df, id_col, text_col, n).localCheckpoint(eager=False)
+    dfreq = post.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # per-doc shingles ordered rare-first by (global df, shingle); prefix
+    # keeps enough that a qualifying pair cannot miss (t-dependent bound)
+    ranked = (
+        post.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("ordered"))
+        .select(
+            "doc_id",
+            F.size("ordered").alias("n_sh"),
+            F.col("ordered"),
+        )
+    )
+    prefix_len = (F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1).cast(
+        "int"
+    )
+    prefixes = ranked.select(
+        "doc_id",
+        F.explode(F.slice("ordered", 1, prefix_len)).alias("ps"),
+    ).select("doc_id", F.col("ps.shingle").alias("shingle"))
+    cand = (
+        prefixes.alias("a")
+        .join(prefixes.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    sizes = post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cand.join(post.select(F.col("doc_id").alias("id1"), "shingle"), "id1")
+        .join(post.select(F.col("doc_id").alias("id2"), "shingle"), ["id2", "shingle"])
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("id1"), F.col("n_sh").alias("n1")), "id1"
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id2"), F.col("n_sh").alias("n2")), "id2"
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", F.col("n_inter"), F.col("n1"), F.col("n2"), "jaccard")
+    )
+
+
 # --- SimHash ----------------------------------------------------------------
 
 

@@ -1359,3 +1359,33 @@ def q115_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "grid_ts")
     )
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact similarity join (PPJoin family)
+# ---------------------------------------------------------------------------
+
+from .queries_llm import _JACCARD_ORACLE_BODY, _neardup_corpus  # noqa: E402
+
+
+@register(
+    "q116_prefix_jaccard_pairs",
+    # exact output contract == q18: prefix filtering only prunes candidates
+    oracle=_JACCARD_ORACLE_BODY
+    + """
+    SELECT id1, id2, n_inter, n1, n2, jaccard
+    FROM scored WHERE jaccard >= 0.6
+    ORDER BY id1, id2
+    """,
+)
+def q116_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard pairs via PREFIX FILTERING
+    (operators/dedup.py:prefix_filter_jaccard_pairs) — same result set as
+    q18's full posting self-join, but candidates are generated from each
+    doc's rarest shingles only, collapsing the hot posting lists that make
+    the naive self-join quadratic. The third exact-dedup engine next to
+    the posting join (q18, verifier) and MinHash-LSH (q19, approximate
+    candidates): this one is exact AND scale-shaped."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    return D.prefix_filter_jaccard_pairs(
+        corpus, "doc_id", "text", n=3, threshold=0.6
+    ).orderBy("id1", "id2")
