@@ -1389,3 +1389,78 @@ def q116_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.prefix_filter_jaccard_pairs(
         corpus, "doc_id", "text", n=3, threshold=0.6
     ).orderBy("id1", "id2")
+
+# ---------------------------------------------------------------------------
+# Sequential pattern detection (MATCH_RECOGNIZE shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q117_pattern_detect",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             first_value(CASE WHEN event_type = 'error' THEN epoch_us(ts) END
+                         IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+             ) AS next_err_us
+      FROM events
+    ),
+    matches AS (
+      SELECT user_id, event_id,
+             next_err_us - epoch_us(ts) AS gap_us
+      FROM seq
+      WHERE event_type = 'purchase' AND next_err_us IS NOT NULL
+        AND next_err_us - epoch_us(ts) <= 600000000
+    )
+    SELECT user_id, count(*) AS n_matches,
+           min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us
+    FROM matches GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q117_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern detection (the MATCH_RECOGNIZE shape Spark
+    lacks): purchases followed by an error within 10 minutes, per user —
+    the next-matching-event lookup is ONE forward window over the user's
+    ordered sequence (first_value … FOLLOWING, ignore-nulls), no
+    self-join, no range probe; gaps stay exact integer microseconds.
+    Same wall technique as q115's interpolation, applied to event-pattern
+    mining."""
+    # ts is TIMESTAMP_NTZ in the fixture; session TZ is pinned UTC so the
+    # cast to LTZ (required by unix_micros) is wall-clock-identical
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id", "event_type"
+    )
+    eus = F.unix_micros(F.col("ts"))
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.first(
+            F.when(F.col("event_type") == "error", eus), ignorenulls=True
+        ).over(wf).alias("next_err_us"),
+    )
+    gap = F.col("next_err_us") - eus
+    return (
+        seq.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("next_err_us").isNotNull()
+            & (gap <= 600_000_000)
+        )
+        .select("user_id", gap.alias("gap_us"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+        .orderBy("user_id")
+    )
