@@ -62,8 +62,16 @@ def bloom_probe(
     Plan shape: explode each probe row into its k (salt, position) pairs,
     broadcast semi-join against the bit table, and count matched salts back
     per row — hit iff k matched. The probe side shuffles only on its own
-    row id; the filter side is broadcast."""
-    keyed = probe.withColumn("__row", F.monotonically_increasing_id())
+    row id; the filter side is broadcast.
+
+    The row key is monotonically_increasing_id, which is only stable WITHIN
+    one evaluation — the keyed frame is localCheckpoint-pinned because two
+    branches reference it (the pair explode and the final join), and a
+    speculative re-evaluation could otherwise assign different ids to the
+    two branches."""
+    keyed = probe.withColumn(
+        "__row", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=False)
     pairs = keyed.select(
         "__row",
         F.explode(

@@ -385,22 +385,21 @@ def q43_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q42_multimodal_pipeline",
-    # Image rows are REAL 8x6 24-bit BMPs and audio rows REAL 256-sample
-    # PCM16 WAVs, both decoded by pure numpy, so feat_mean is an actual
-    # pixel/sample mean — the oracle recomputes both from the synth closed
-    # forms: pixels ((id%7)*11 + 16y + 3x + 5c) % 256 over the 8x6x3 grid,
-    # samples ((id%7)*1000 + 37i) % 4096 - 2048 over i<256. n_bytes:
-    # BMP 54-byte header + 24 B/row x 6 = 198; WAV 44-byte header + 512 =
-    # 556. Binary container hashes are not SQL-reproducible, so
-    # payload_hash is masked NULL for image+audio on both sides; video
-    # keeps its text-payload hash and byte-mean ((280 + id%7)/3).
+    # ALL three modalities ride real uncompressed containers decoded by
+    # pure numpy: images are 8x6 24-bit BMPs, audio 256-sample PCM16 WAVs,
+    # video 4-frame concatenated-BMP streams. The oracle recomputes every
+    # feat_mean from the synth closed forms: pixels
+    # ((id%7)*11 + 16y + 3x + 5c) % 256 over the 8x6x3 grid (frame f of
+    # video id uses (id+f)%7), samples ((id%7)*1000 + 37i) % 4096 - 2048
+    # over i<256. n_bytes: BMP 198 (54 header + 24 B/row x 6), WAV 556
+    # (44 + 512), video 4x198 = 792. Binary container hashes have no SQL
+    # mirror, so payload_hash is not part of this query's contract.
     oracle="""
     WITH m AS (
       SELECT CAST(r AS BIGINT) AS media_id,
              CASE WHEN r % 3 = 0 THEN 'image'
                   WHEN r % 3 = 1 THEN 'audio'
-                  ELSE 'video' END AS modality,
-             repeat('px' || CAST(r % 7 AS VARCHAR), 32) AS payload_s
+                  ELSE 'video' END AS modality
       FROM (SELECT unnest(range(0, 96)) AS r)
     ),
     pix AS (
@@ -418,37 +417,45 @@ def q43_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT unnest(range(0, 7)) AS m7) m7,
            (SELECT unnest(range(0, 256)) AS i) i
       GROUP BY m7.m7
+    ),
+    vid AS (
+      SELECT m7.m7 AS m7,
+             avg(CAST(((m7.m7 + f.f) % 7 * 11 + 16 * y.y + 3 * x.x + 5 * c.c) % 256
+                      AS BIGINT)) AS vmean
+      FROM (SELECT unnest(range(0, 7)) AS m7) m7,
+           (SELECT unnest(range(0, 4)) AS f) f,
+           (SELECT unnest(range(0, 6)) AS y) y,
+           (SELECT unnest(range(0, 8)) AS x) x,
+           (SELECT unnest(range(0, 3)) AS c) c
+      GROUP BY m7.m7
     )
     SELECT media_id, modality,
            CAST(CASE WHEN modality = 'image' THEN 198
                      WHEN modality = 'audio' THEN 556
-                     ELSE length(payload_s) END AS BIGINT) AS n_bytes,
-           CASE WHEN modality = 'video' THEN md5(payload_s)
-                ELSE CAST(NULL AS VARCHAR) END AS payload_hash,
+                     ELSE 792 END AS BIGINT) AS n_bytes,
            CASE WHEN modality = 'image' THEN p.pmean
                 WHEN modality = 'audio' THEN a.smean
-                ELSE CAST(280 + media_id % 7 AS DOUBLE) / 3 END AS feat_mean,
+                ELSE v.vmean END AS feat_mean,
            CAST(CASE WHEN modality = 'image' THEN 144
                      WHEN modality = 'audio' THEN 256
-                     ELSE 1 END AS INTEGER) AS feat_dim,
+                     ELSE 576 END AS INTEGER) AS feat_dim,
            CAST(CASE WHEN modality = 'image' THEN 64 END AS INTEGER) AS width,
-           CAST(CASE WHEN modality = 'video'
-                     THEN least(4, greatest(1, length(payload_s) // 16))
-                END AS BIGINT) AS n_frames
+           CAST(CASE WHEN modality = 'video' THEN 4 END AS BIGINT) AS n_frames
     FROM m LEFT JOIN pix p ON p.m7 = m.media_id % 7
            LEFT JOIN aud a ON a.m7 = m.media_id % 7
+           LEFT JOIN vid v ON v.m7 = m.media_id % 7
     ORDER BY media_id
     """,
 )
 def q42_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal pipeline end-to-end: synthesize binary media (REAL BMP
-    payloads for images, REAL PCM16 WAV payloads for audio), Arrow-batched
-    feature extraction with real numpy decodes of both, image resize (1→1,
-    real nearest-neighbor resample), video frame sampling (1→N), and a
-    summary join. Only codec-bound decodes (JPEG/MP3/video containers)
-    remain stubbed (multimodal.py decode_media). Deterministic output
-    (seedless synth); image and audio feat_mean are oracle-checked against
-    the closed-form pixel/sample patterns."""
+    """Multimodal pipeline end-to-end with REAL pure-numpy decodes for all
+    three modalities (BMP images, PCM16 WAV audio, concatenated-BMP video
+    streams): synthesize binary media, Arrow-batched feature extraction,
+    image resize (1→1, real nearest-neighbor resample), video frame
+    sampling (1→N, real header-parsed frame boundaries), and a summary
+    join. Only compressed containers (JPEG/MP3/MP4) remain stubbed
+    (multimodal.py decode_media). Every feat_mean is oracle-checked
+    against the closed-form pixel/sample patterns."""
     from .operators import multimodal as MM
 
     media = MM.synth_media(spark, n=96)
@@ -463,11 +470,6 @@ def q42_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "media_id",
             "modality",
             "n_bytes",
-            # BMP/WAV byte-level hashes have no SQL mirror; mask them so the
-            # column stays exactly oracle-checkable (see oracle note)
-            F.when(F.col("modality") == "video", F.col("payload_hash")).alias(
-                "payload_hash"
-            ),
             "feat_mean",
             "feat_dim",
             "width",

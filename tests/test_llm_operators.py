@@ -210,6 +210,10 @@ def test_multimodal_resize_and_frames(spark):
         per_media.setdefault(r.media_id, []).append((r.frame_idx, r.frame_ms))
     for mid, fs in per_media.items():
         assert sorted(fs) == [(i, i * 500) for i in range(len(fs))]  # 1→N shape
+    # video frames are REAL standalone BMPs (stream split on header sizes):
+    # frame f of media m decodes to the synth pattern of (m + f)
+    fr = next(r for r in rows if r.media_id == 2 and r.frame_idx == 1)
+    assert np.array_equal(decode_bmp(fr.frame_payload), synth_pixels(3))
 
 
 def test_ivf_topk_recall(spark):
