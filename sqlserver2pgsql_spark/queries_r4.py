@@ -1464,3 +1464,224 @@ def q117_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+# ---------------------------------------------------------------------------
+# Outlier detection, corpus compaction report, schema drift
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q118_iqr_outliers",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS v,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice, l_orderkey,
+                                         l_linenumber) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ),
+    q AS (
+      SELECT flag,
+             min(CASE WHEN rn >= ceil(0.25 * n) THEN v END) AS q1,
+             min(CASE WHEN rn >= ceil(0.75 * n) THEN v END) AS q3
+      FROM ranked GROUP BY flag
+    ),
+    fences AS (
+      SELECT flag, q1, q3,
+             q1 - 1.5 * (q3 - q1) AS lo_fence,
+             q3 + 1.5 * (q3 - q1) AS hi_fence
+      FROM q
+    )
+    SELECT r.flag, f.q1, f.q3, f.lo_fence, f.hi_fence,
+           sum(CASE WHEN r.v < f.lo_fence OR r.v > f.hi_fence
+                    THEN 1 ELSE 0 END) AS n_outliers,
+           max(CASE WHEN r.v > f.hi_fence THEN r.v END) AS worst_high
+    FROM ranked r JOIN fences f ON f.flag = r.flag
+    GROUP BY r.flag, f.q1, f.q3, f.lo_fence, f.hi_fence
+    ORDER BY r.flag
+    """,
+)
+def q118_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier detection per group: exact rank-based quartiles
+    (value at rank ceil(p·n) — no interpolation, so the quartile IS a data
+    value), fences at 1.5·IQR, per-group outlier counts and worst
+    offender. The engine-exactness trick: both quartiles come from one
+    conditional-min pass over the ranked rows, and the fence arithmetic is
+    the identical float expression on both engines. One window shuffle +
+    one broadcast-sized fence join back over the same ranked frame."""
+    li = _t(spark, sf_dir, "lineitem")
+    wr = W.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wn = W.partitionBy("l_returnflag")
+    ranked = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("v"),
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    ).localCheckpoint(eager=False)
+    q = ranked.groupBy("flag").agg(
+        F.min(F.when(F.col("rn") >= F.ceil(0.25 * F.col("n")), F.col("v"))).alias("q1"),
+        F.min(F.when(F.col("rn") >= F.ceil(0.75 * F.col("n")), F.col("v"))).alias("q3"),
+    )
+    fences = q.select(
+        "flag", "q1", "q3",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo_fence"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi_fence"),
+    )
+    out_of = (F.col("v") < F.col("lo_fence")) | (F.col("v") > F.col("hi_fence"))
+    return (
+        ranked.join(F.broadcast(fences), "flag")
+        .groupBy("flag", "q1", "q3", "lo_fence", "hi_fence")
+        .agg(
+            F.sum(out_of.cast("long")).alias("n_outliers"),
+            F.max(F.when(F.col("v") > F.col("hi_fence"), F.col("v"))).alias(
+                "worst_high"
+            ),
+        )
+        .orderBy("flag")
+    )
+
+
+@register(
+    "q119_compaction_report",
+    oracle=f"""
+    WITH corpus AS ({{exact_corpus}}),
+    sized AS (
+      SELECT doc_id, text,
+             CASE WHEN doc_id >= 10000 THEN 'dup' ELSE 'orig' END AS origin,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             length(text) AS n_bytes
+      FROM corpus
+    ),
+    keepers AS (
+      SELECT text, min(doc_id) AS keeper_id, count(*) AS n_copies
+      FROM sized GROUP BY text
+    )
+    SELECT s.origin,
+           count(*) AS docs_before,
+           sum(CASE WHEN s.doc_id = k.keeper_id THEN 1 ELSE 0 END) AS docs_after,
+           sum(s.n_tokens) AS tokens_before,
+           sum(CASE WHEN s.doc_id = k.keeper_id THEN s.n_tokens ELSE 0 END)
+             AS tokens_after,
+           sum(CASE WHEN s.doc_id <> k.keeper_id THEN s.n_bytes ELSE 0 END)
+             AS bytes_saved
+    FROM sized s JOIN keepers k ON k.text = s.text
+    GROUP BY s.origin ORDER BY s.origin
+    """.format(exact_corpus="""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 4 = 0
+    """),
+)
+def q119_compaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus compaction accounting — what a dedup run is FOR: per origin
+    class, docs/tokens before and after exact dedup (min-id keeper) and the
+    bytes the rewrite saves. The keeper map is the same one hash-groupBy as
+    q17; the report is one join back + one agg — the provenance summary a
+    100 TB curation job emits alongside the rewritten corpus."""
+    from .queries_llm import _exactdup_corpus
+
+    corpus = _exactdup_corpus(spark, sf_dir)
+    sized = corpus.select(
+        "doc_id",
+        "text",
+        F.when(F.col("doc_id") >= 10000, "dup").otherwise("orig").alias("origin"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        F.length("text").alias("n_bytes"),
+    )
+    keepers = sized.groupBy("text").agg(F.min("doc_id").alias("keeper_id"))
+    kept = F.col("doc_id") == F.col("keeper_id")
+    return (
+        sized.join(keepers, "text")
+        .groupBy("origin")
+        .agg(
+            F.count(F.lit(1)).alias("docs_before"),
+            F.sum(kept.cast("long")).alias("docs_after"),
+            F.sum("n_tokens").alias("tokens_before"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(F.lit(0))).alias(
+                "tokens_after"
+            ),
+            F.sum(F.when(~kept, F.col("n_bytes")).otherwise(F.lit(0))).alias(
+                "bytes_saved"
+            ),
+        )
+        .orderBy("origin")
+    )
+
+
+@register(
+    "q120_snapshot_drift",
+    oracle="""
+    WITH snap AS (
+      SELECT o_totalprice, o_orderstatus,
+             CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                  THEN 'new' ELSE 'old' END AS snapshot
+      FROM orders
+    ),
+    stats AS (
+      SELECT snapshot, o_orderstatus AS status, count(*) AS n,
+             min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE)
+               / count(*) AS mean_price
+      FROM snap GROUP BY snapshot, o_orderstatus
+    )
+    SELECT o.status,
+           o.n AS old_n, n.n AS new_n,
+           CAST(n.n - o.n AS BIGINT) AS n_delta,
+           n.min_price - o.min_price AS min_shift,
+           n.max_price - o.max_price AS max_shift,
+           n.mean_price - o.mean_price AS mean_shift
+    FROM (SELECT * FROM stats WHERE snapshot = 'old') o
+    JOIN (SELECT * FROM stats WHERE snapshot = 'new') n USING (status)
+    ORDER BY status
+    """,
+)
+def q120_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift detection — the statistical complement of q111's
+    checksum compare: per-status distribution stats (count, min/max,
+    decimal-exact mean) for two order snapshots (pre/post a cutover date)
+    and their shifts. A migration-validation report that needs ONE scan of
+    each snapshot and a status-sized join; at 100 TB this is what you run
+    when checksums mismatch and you need to know HOW the data moved."""
+    o = _t(spark, sf_dir, "orders")
+    snap = o.select(
+        "o_totalprice",
+        F.col("o_orderstatus").alias("status"),
+        F.when(F.col("o_orderdate") >= "1998-01-01", "new")
+        .otherwise("old")
+        .alias("snapshot"),
+    )
+    stats = snap.groupBy("snapshot", "status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        (
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_price"),
+    )
+    old = stats.filter(F.col("snapshot") == "old").drop("snapshot")
+    new = stats.filter(F.col("snapshot") == "new").drop("snapshot")
+    o_s = old.select(
+        "status", F.col("n").alias("old_n"), F.col("min_price").alias("o_min"),
+        F.col("max_price").alias("o_max"), F.col("mean_price").alias("o_mean"),
+    )
+    n_s = new.select(
+        "status", F.col("n").alias("new_n"), F.col("min_price").alias("n_min"),
+        F.col("max_price").alias("n_max"), F.col("mean_price").alias("n_mean"),
+    )
+    return (
+        o_s.join(n_s, "status")
+        .select(
+            "status",
+            "old_n",
+            "new_n",
+            (F.col("new_n") - F.col("old_n")).cast("long").alias("n_delta"),
+            (F.col("n_min") - F.col("o_min")).alias("min_shift"),
+            (F.col("n_max") - F.col("o_max")).alias("max_shift"),
+            (F.col("n_mean") - F.col("o_mean")).alias("mean_shift"),
+        )
+        .orderBy("status")
+    )

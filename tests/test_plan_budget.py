@@ -1,0 +1,57 @@
+"""Shuffle-budget regression tests: headline queries must keep their
+physical plans within an explicit Exchange budget — a plan regression
+(lost broadcast, extra shuffle, Python fallback) fails here before it
+shows up as a bench regression. Counts mirror scripts/plan_audit_report.py."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import sqlserver2pgsql_spark.queries_r4  # noqa: F401 — fills the registry
+from sqlserver2pgsql_spark.queries import QUERIES
+from tests.conftest import SF_DIR
+
+
+def _counts(df) -> dict[str, int]:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    return {
+        "shuffles": len(re.findall(r"Arguments: (?:hash|range)partitioning", plan)),
+        "python": len(re.findall(r"\b(?:Batch|Arrow)EvalPython\b", plan)),
+        "smj": len(re.findall(r"\bSortMergeJoin\b", plan)),
+    }
+
+
+#: (query, max hash/range exchanges, python nodes allowed)
+BUDGETS = [
+    ("q01_pricing_summary", 2, 0),      # agg shuffle + orderBy range
+    ("q02_segment_revenue", 3, 0),      # agg + orderBy + dim-side dist
+    ("q06_incremental_diff", 3, 0),     # full-outer diff join + sort
+    ("q17_dedup_exact", 2, 0),          # one groupBy + output sort
+    ("q97_scd2_history", 2, 0),         # one window key shuffle + sort
+    ("q98_cdc_apply", 2, 0),            # one window key shuffle + sort
+    ("q106_price_histogram", 2, 0),     # one agg + sort
+    ("q110_incremental_agg", 4, 0),     # two partials + combine + sort
+    ("q113_novelty_score", 5, 0),       # postings agg + join + doc agg
+]
+
+
+def test_headline_shuffle_budgets(spark):
+    over = []
+    for name, max_sh, max_py in BUDGETS:
+        c = _counts(QUERIES[name](spark, SF_DIR))
+        if c["shuffles"] > max_sh or c["python"] > max_py:
+            over.append((name, c))
+    assert not over, f"plan budget exceeded: {over}"
+
+
+def test_dim_joins_stay_broadcast(spark):
+    """Small-dim joins must not degrade to sort-merge."""
+    for name in ("q02_segment_revenue", "q93_shipping_priority",
+                 "q94_nation_pair_volume", "q104_funnel"):
+        c = _counts(QUERIES[name](spark, SF_DIR))
+        assert c["smj"] == 0, f"{name} fell back to SortMergeJoin"
