@@ -1685,3 +1685,259 @@ def q120_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+# ---------------------------------------------------------------------------
+# Hierarchical shares, vocabulary coverage, incremental near-dup maintenance
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q121_hierarchical_share",
+    oracle="""
+    WITH base AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(sum(CAST(c.c_acctbal AS DECIMAL(38,8))) AS DECIMAL(38,8))
+               AS bal
+      FROM customer c
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation,
+           CAST(bal AS DOUBLE) AS nation_bal,
+           CAST(bal AS DOUBLE)
+             / CAST(sum(bal) OVER (PARTITION BY region) AS DOUBLE)
+             AS share_of_region,
+           CAST(sum(bal) OVER (PARTITION BY region) AS DOUBLE)
+             / CAST(sum(bal) OVER () AS DOUBLE) AS region_share_of_total
+    FROM base ORDER BY region, nation
+    """,
+)
+def q121_hierarchical_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent across a two-level hierarchy (nation share of its
+    region, region share of grand total) — the ratio-to-report pattern
+    (q84) extended to nested levels. DECIMAL partial sums keep every
+    denominator exact; each share is one double division. One agg over the
+    broadcast-joined dims + two window passes over the tiny agg result."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    base = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(F.col("c_acctbal").cast(DEC)).alias("bal"))
+    )
+    w_region = W.partitionBy("region")
+    w_all = W.partitionBy()
+    return base.select(
+        "region",
+        "nation",
+        F.col("bal").cast("double").alias("nation_bal"),
+        (F.col("bal").cast("double")
+         / F.sum("bal").over(w_region).cast("double")).alias("share_of_region"),
+        (F.sum("bal").over(w_region).cast("double")
+         / F.sum("bal").over(w_all).cast("double")).alias("region_share_of_total"),
+    ).orderBy("region", "nation")
+
+
+@register(
+    "q122_vocab_coverage",
+    oracle="""
+    WITH counts AS (
+      SELECT tok, count(*) AS n FROM (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents) GROUP BY tok
+    ),
+    ranked AS (
+      SELECT tok, n,
+             row_number() OVER (ORDER BY n DESC, tok) AS rk,
+             sum(n) OVER (ORDER BY n DESC, tok
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(n) OVER () AS total
+      FROM counts
+    )
+    SELECT p.pct,
+           min(rk) AS vocab_size,
+           CAST(min(rk) AS DOUBLE) / (SELECT count(*) FROM counts)
+             AS vocab_fraction
+    FROM ranked, (SELECT unnest([0.5, 0.8, 0.9, 0.99]) AS pct) p
+    WHERE cum >= p.pct * total
+    GROUP BY p.pct ORDER BY p.pct
+    """,
+)
+def q122_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the smallest top-k vocabulary (by
+    frequency, ties broken lexically) covering 50/80/90/99% of all token
+    occurrences — the statistic that sizes a tokenizer vocab for a corpus.
+    Exact integer cumulative sums; the coverage test `cum >= pct·total`
+    is the same double comparison on both engines. One token agg + one
+    global-order window over the (small) vocabulary + a 4-row broadcast
+    grid."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_ord = W.orderBy(F.col("n").desc(), "tok")
+    ranked = counts.select(
+        "tok",
+        "n",
+        F.row_number().over(w_ord).alias("rk"),
+        F.sum("n").over(w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cum"),
+        F.sum("n").over(W.partitionBy()).alias("total"),
+    ).localCheckpoint(eager=False)
+    n_vocab = ranked.count()
+    grid = spark.createDataFrame([(0.5,), (0.8,), (0.9,), (0.99,)], "pct double")
+    return (
+        ranked.crossJoin(F.broadcast(grid))
+        .filter(F.col("cum") >= F.col("pct") * F.col("total"))
+        .groupBy("pct")
+        .agg(
+            F.min("rk").alias("vocab_size"),
+            (F.min("rk").cast("double") / F.lit(n_vocab)).alias("vocab_fraction"),
+        )
+        .orderBy("pct")
+    )
+
+_DELTA_SQL = """
+    SELECT doc_id + 10000 AS doc_id,
+           array_to_string(l[1:len(l)-5], ' ') AS text
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+          FROM documents WHERE doc_id % 5 = 0)
+"""
+
+
+@register(
+    "q123_incremental_neardup_index",
+    # oracle: ALL exact-Jaccard pairs of the union corpus that touch the
+    # delta (id2 >= 10000 — delta ids are disjoint from base ids)
+    oracle=f"""
+    WITH delta AS ({_DELTA_SQL}),
+    corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT * FROM delta),
+    shingled AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(2, len(string_split_regex(trim(text),'\\s+')) - 1)),
+               i -> array_to_string(string_split_regex(trim(text),'\\s+')[i:i+2], ' ')
+             ))) AS shingle
+      FROM corpus
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingled GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+      FROM shingled a JOIN shingled b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      WHERE b.doc_id >= 10000
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id1, id2,
+           CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE)
+             AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
+    WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.6
+    ORDER BY id1, id2
+    """,
+)
+def q123_incremental_neardup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup INDEX maintenance: when a delta batch lands,
+    the new pair set = (delta × base cross-corpus LSH join) ∪ (delta
+    self-dedup) — the 100 TB base corpus is touched only by one signature
+    pass and is NEVER self-joined again; the already-known base×base pairs
+    are untouched state. Composition of minhash_join_pairs (q101) and
+    minhash_dedup_pairs (q19); delta ids are disjoint (≥ 10000), so
+    'touches delta' ≡ id2 ≥ 10000 under id1 < id2 ordering."""
+    from .operators.text import tokens
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    t = tokens(F.col("text"))
+    delta = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.array_join(F.slice(t, 1, F.size(t) - 5), " ").alias("text"),
+    )
+    cross = D.minhash_join_pairs(
+        base, delta, "doc_id", "text", n=3, num_hashes=64, bands=16,
+        rows_per_band=4, threshold=0.6,
+    )
+    within = D.minhash_dedup_pairs(
+        delta, "doc_id", "text", n=3, num_hashes=64, bands=16,
+        rows_per_band=4, threshold=0.6,
+    )
+    return cross.unionByName(within).orderBy("id1", "id2")
+
+
+@register(
+    "q124_conversion_delay",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS t_signup FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s.t_signup
+      GROUP BY e.user_id
+    ),
+    delays AS (
+      SELECT s.user_id,
+             epoch_us(p.t_purchase) - epoch_us(s.t_signup) AS delay_us
+      FROM s JOIN p ON p.user_id = s.user_id
+    ),
+    ranked AS (
+      SELECT delay_us,
+             row_number() OVER (ORDER BY delay_us, user_id) AS rn,
+             count(*) OVER () AS n
+      FROM delays
+    )
+    SELECT max(n) AS n_converted,
+           min(CASE WHEN rn >= ceil(0.5 * n) THEN delay_us END) AS median_us,
+           min(CASE WHEN rn >= ceil(0.9 * n) THEN delay_us END) AS p90_us,
+           min(delay_us) AS min_us, max(delay_us) AS max_us
+    FROM ranked
+    """,
+)
+def q124_conversion_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-delay distribution: first-signup → first-subsequent-
+    purchase latency per user, summarized as exact rank-based median/p90
+    plus extremes — microsecond-integer arithmetic end to end (no float
+    quantiles). Per-user stage tables are broadcast-sized; the global rank
+    window runs over one row per converted user."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(s), "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    delays = s.join(p, "user_id").select(
+        "user_id",
+        (
+            F.unix_micros(F.col("t_purchase").cast("timestamp"))
+            - F.unix_micros(F.col("t_signup").cast("timestamp"))
+        ).alias("delay_us"),
+    )
+    w = W.orderBy("delay_us", "user_id")
+    ranked = delays.select(
+        "delay_us",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").alias("n_converted"),
+        F.min(F.when(F.col("rn") >= F.ceil(0.5 * F.col("n")), F.col("delay_us"))).alias(
+            "median_us"
+        ),
+        F.min(F.when(F.col("rn") >= F.ceil(0.9 * F.col("n")), F.col("delay_us"))).alias(
+            "p90_us"
+        ),
+        F.min("delay_us").alias("min_us"),
+        F.max("delay_us").alias("max_us"),
+    )
