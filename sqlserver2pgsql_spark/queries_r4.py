@@ -1941,3 +1941,127 @@ def q124_conversion_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("delay_us").alias("min_us"),
         F.max("delay_us").alias("max_us"),
     )
+
+# ---------------------------------------------------------------------------
+# Grouped OLS regression & co-occurrence mining
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q125_grouped_regression",
+    oracle="""
+    WITH base AS (SELECT min(epoch_us(ts) // 1000000) AS t0 FROM events),
+    pts AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 1000000 - (SELECT t0 FROM base) AS HUGEINT) AS x,
+             CAST(floor(CAST(value AS DOUBLE) * 1048576) AS HUGEINT) AS y
+      FROM events
+    ),
+    sums AS (
+      SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE)
+             * 86400.0 / 1048576.0 AS slope_per_day,
+           CAST(sy * sxx - sx * sxy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) / 1048576.0 AS intercept
+    FROM sums ORDER BY event_type
+    """,
+)
+def q125_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend line (value vs time): slope and intercept from
+    the closed-form normal equations with ALL moment sums held as exact
+    integers — x is whole seconds from the global min, y is 2^20
+    fixed-point (the embedding-centroid discipline, q102) — so numerator
+    and denominator are bit-exact on any engine/partitioning; each
+    coefficient is then a fixed chain of double ops. Spark carries the
+    int128-sized sums as DECIMAL(38,0) (scale-0 decimal arithmetic cannot
+    round); the oracle uses HUGEINT. A float multiply-subtract chain here
+    produced last-ulp hash mismatches (engines fuse a·b−c differently).
+    One hash agg over the fact table."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    min_s = ev.agg(F.min(F.unix_timestamp("ts"))).collect()[0][0]
+    I = "decimal(38,0)"
+    x = (F.unix_timestamp("ts") - F.lit(min_s)).cast(I)
+    y = F.floor(F.col("value").cast("double") * 1048576).cast(I)
+    sums = ev.select("event_type", x.alias("x"), y.alias("y")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast(I).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / den * F.lit(86400.0) / F.lit(1048576.0)
+    )
+    intercept = (
+        (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast("double")
+        / den / F.lit(1048576.0)
+    )
+    return sums.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        slope.alias("slope_per_day"),
+        intercept.alias("intercept"),
+    ).orderBy("event_type")
+
+
+@register(
+    "q126_copurchase_pairs",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_orders
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    )
+    SELECT p1, p2, n_orders FROM pairs
+    WHERE n_orders >= 3
+    ORDER BY n_orders DESC, p1, p2 LIMIT 100
+    """,
+)
+def q126_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing together in ≥3
+    orders, top-100 by support. Pair generation is GROUPED per basket via
+    the capped array self-combination (the same bounded generator the
+    dedup pair paths use — never an unbounded table self-join; basket size
+    caps the quadratic term). One distinct, one grouped pair explode, one
+    count agg, top-k."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("items")
+    )
+    items = F.col("items")
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    items,
+                    lambda x, i: F.transform(
+                        F.slice(items, i + 2, F.size(items)),
+                        lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+                    ),
+                )
+            )
+        ).alias("pr")
+    ).select("pr.p1", "pr.p2")
+    return (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 3)
+        .orderBy(F.col("n_orders").desc(), "p1", "p2")
+        .limit(100)
+    )
