@@ -2065,3 +2065,68 @@ def q126_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "p1", "p2")
         .limit(100)
     )
+
+# ---------------------------------------------------------------------------
+# Rate/burst detection (RANGE frames over event time)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q127_burst_detection",
+    oracle="""
+    WITH sec AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) // 1000000 AS t_s
+      FROM events
+    ),
+    windowed AS (
+      SELECT user_id, event_id, t_s,
+             count(*) OVER (
+               PARTITION BY user_id ORDER BY t_s
+               RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW
+             ) AS n_24h
+      FROM sec
+    )
+    SELECT user_id,
+           max(n_24h) AS peak_24h,
+           sum(CASE WHEN n_24h >= 8 THEN 1 ELSE 0 END) AS n_burst_events,
+           count(*) AS n_events
+    FROM windowed GROUP BY user_id
+    HAVING max(n_24h) >= 8
+    ORDER BY user_id
+    """,
+)
+def q127_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst/bot-rate detection: for every event, the count of the user's
+    events in the trailing 24 hours via a RANGE frame over event-time
+    seconds (a time-valued frame, not a row-count frame — the surface
+    q62's ROWS windows don't cover), then per-user peak rate and burst
+    tally for users whose peak reaches the threshold. One window shuffle
+    on the user key + one agg; integer-second frame bounds are
+    engine-identical."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    sec = ev.select(
+        "user_id",
+        "event_id",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000000))
+        .cast("long")
+        .alias("t_s"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t_s")
+        .rangeBetween(-86400, W.currentRow)
+    )
+    windowed = sec.select(
+        "user_id", "event_id", F.count(F.lit(1)).over(w).alias("n_24h")
+    )
+    return (
+        windowed.groupBy("user_id")
+        .agg(
+            F.max("n_24h").alias("peak_24h"),
+            F.sum((F.col("n_24h") >= 8).cast("long")).alias("n_burst_events"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .filter(F.col("peak_24h") >= 8)
+        .orderBy("user_id")
+    )
