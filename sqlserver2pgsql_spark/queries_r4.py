@@ -2130,3 +2130,74 @@ def q127_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("peak_24h") >= 8)
         .orderBy("user_id")
     )
+
+# ---------------------------------------------------------------------------
+# Cascade-delete propagation (FK ON DELETE CASCADE, computed not executed)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q128_cascade_delete",
+    oracle="""
+    WITH del_cust AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 17 = 0
+    ),
+    del_orders AS (
+      SELECT o_orderkey FROM orders
+      SEMI JOIN del_cust ON o_custkey = c_custkey
+    ),
+    del_line AS (
+      SELECT l_orderkey, l_linenumber FROM lineitem
+      SEMI JOIN del_orders ON l_orderkey = o_orderkey
+    )
+    SELECT 'customer' AS table_name,
+           (SELECT count(*) FROM del_cust) AS n_deleted,
+           (SELECT count(*) FROM customer) - (SELECT count(*) FROM del_cust)
+             AS n_surviving
+    UNION ALL
+    SELECT 'orders',
+           (SELECT count(*) FROM del_orders),
+           (SELECT count(*) FROM orders) - (SELECT count(*) FROM del_orders)
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT count(*) FROM del_line),
+           (SELECT count(*) FROM lineitem) - (SELECT count(*) FROM del_line)
+    ORDER BY table_name
+    """,
+)
+def q128_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK cascade-delete propagation (the ON DELETE CASCADE semantics the
+    reference collects in B8 but never executes): a customer delete-set
+    propagates customer → orders → lineitem via successive LEFT SEMI joins
+    against the (broadcast-sized) deleted-key sets, reporting per-table
+    deleted/surviving counts — the impact analysis run BEFORE a real
+    cascade at 100 TB. Each fact table is scanned once; no table is ever
+    joined to another fact table, only to the parent's key set."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    del_cust = c.filter(F.col("c_custkey") % 17 == 0).select("c_custkey")
+    # left join against the broadcast parent key set; count(key) counts the
+    # matched (to-be-deleted) rows and count(*) the table — one scan per
+    # table, assembled declaratively (no driver-side counting)
+    def impact(fact: DataFrame, key_col: str, parent: DataFrame, pkey: str, name: str) -> DataFrame:
+        joined = fact.join(
+            F.broadcast(parent), fact[key_col] == parent[pkey], "left"
+        )
+        return joined.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.col(pkey)).alias("n_deleted"),
+            (F.count(F.lit(1)) - F.count(F.col(pkey))).alias("n_surviving"),
+        )
+
+    cust_report = impact(c, "c_custkey", del_cust.withColumnRenamed("c_custkey", "dk"), "dk", "customer")
+    del_orders = o.join(
+        F.broadcast(del_cust), o["o_custkey"] == del_cust["c_custkey"], "leftsemi"
+    ).select("o_orderkey")
+    orders_report = impact(o, "o_orderkey", del_orders.withColumnRenamed("o_orderkey", "dk"), "dk", "orders")
+    line_report = impact(li, "l_orderkey", del_orders.withColumnRenamed("o_orderkey", "dk").select(F.col("dk")).distinct(), "dk", "lineitem")
+    return (
+        cust_report.unionByName(orders_report)
+        .unionByName(line_report)
+        .orderBy("table_name")
+    )
