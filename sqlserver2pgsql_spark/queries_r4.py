@@ -2201,3 +2201,99 @@ def q128_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(line_report)
         .orderBy("table_name")
     )
+
+# ---------------------------------------------------------------------------
+# Exact sliding distinct & cumulative reach
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q129_sliding_distinct_exact",
+    oracle="""
+    WITH days AS (
+      SELECT CAST(ts AS DATE) AS day, user_id FROM events GROUP BY 1, 2
+    ),
+    grid AS (SELECT DISTINCT day FROM days),
+    win AS (
+      SELECT g.day, d.user_id
+      FROM grid g JOIN days d
+        ON d.day BETWEEN g.day - INTERVAL 6 DAY AND g.day
+      GROUP BY g.day, d.user_id
+    )
+    SELECT CAST(day AS VARCHAR) AS day, count(*) AS distinct_users_7d
+    FROM win GROUP BY day ORDER BY day
+    """,
+)
+def q129_sliding_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trailing-7-day distinct users per day — the exact twin of
+    q91's mergeable-HLL sliding distinct (run both: the sketch for 100 TB
+    production, this for calibration). Distinct counts cannot slide with a
+    window frame (distinct is not subtractable), so each (user, day) pair
+    is fanned to the ≤7 window days it contributes to via a bounded
+    explode — cost 7·|user-days|, NOT a per-day re-scan of the raw events.
+    Two aggs + one bounded explode."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    days = ev.distinct()
+    fan = days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+    ).distinct()
+    # drop fan-out days past the observed range (they'd report partial
+    # windows the oracle's grid never asks for)
+    grid = days.select("day").distinct()
+    return (
+        fan.join(grid, "day", "leftsemi")
+        .groupBy(F.col("day").cast("string").alias("day"))
+        .agg(F.count(F.lit(1)).alias("distinct_users_7d"))
+        .orderBy("day")
+    )
+
+
+@register(
+    "q130_cumulative_reach",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events
+      GROUP BY user_id
+    ),
+    adds AS (
+      SELECT first_day AS day, count(*) AS new_users FROM firsts GROUP BY 1
+    ),
+    grid AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+    SELECT CAST(g.day AS VARCHAR) AS day,
+           coalesce(a.new_users, 0) AS new_users,
+           CAST(sum(coalesce(a.new_users, 0)) OVER (
+             ORDER BY g.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cumulative_users
+    FROM grid g LEFT JOIN adds a ON a.day = g.day
+    ORDER BY g.day
+    """,
+)
+def q130_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative audience reach: distinct users ever seen, per day —
+    computed as a running SUM of first-appearance counts (a cumulative
+    DISTINCT is not window-expressible, but first-occurrence flags make it
+    a plain prefix sum; same trick exact sliding distinct can't use
+    because sliding windows forget). One min-agg per user + a day-sized
+    window."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("day"))
+    adds = firsts.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    grid = ev.select("day").distinct()
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        grid.join(adds, "day", "left")
+        .select("day", F.coalesce("new_users", F.lit(0)).alias("new_users"))
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "new_users",
+            F.sum("new_users").over(w).alias("cumulative_users"),
+        )
+        .orderBy("day")
+    )
