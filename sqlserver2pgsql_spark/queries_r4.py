@@ -2297,3 +2297,65 @@ def q130_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+# ---------------------------------------------------------------------------
+# Three-way merge conflict detection (bidirectional sync)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q131_three_way_conflicts",
+    oracle="""
+    WITH src_changed AS (
+      SELECT o_orderkey, o_totalprice + 1.0 AS src_price, o_orderpriority
+      FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    tgt_changed AS (
+      SELECT o_orderkey, o_totalprice, 'RUSH' AS tgt_priority
+      FROM orders WHERE o_orderkey % 11 = 0
+    )
+    SELECT b.o_orderkey AS orderkey,
+           b.o_totalprice AS base_price,
+           s.src_price,
+           b.o_orderpriority AS base_priority,
+           t.tgt_priority,
+           (s.src_price IS NOT NULL AND t.tgt_priority IS NOT NULL)
+             AS conflict
+    FROM orders b
+      JOIN src_changed s ON s.o_orderkey = b.o_orderkey
+      JOIN tgt_changed t ON t.o_orderkey = b.o_orderkey
+    ORDER BY orderkey
+    """,
+)
+def q131_three_way_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-way merge conflict detection for BIDIRECTIONAL sync (the case
+    the reference's one-way diff cannot express): rows changed in BOTH the
+    source and the target since the common base snapshot are conflicts a
+    replication engine must surface, not silently overwrite. Plan: the two
+    change sets are diff outputs (A9 shape); the conflict set is their
+    key-join against the base — at 100 TB both change sets are deltas
+    (small sides), so the base table is probed once with broadcast
+    semi-structure, never shuffled."""
+    o = _t(spark, sf_dir, "orders")
+    src = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        F.col("o_orderkey").alias("sk"),
+        (F.col("o_totalprice") + 1.0).alias("src_price"),
+    )
+    tgt = o.filter(F.col("o_orderkey") % 11 == 0).select(
+        F.col("o_orderkey").alias("tk"), F.lit("RUSH").alias("tgt_priority")
+    )
+    return (
+        o.join(F.broadcast(src), o["o_orderkey"] == src["sk"])
+        .join(F.broadcast(tgt), o["o_orderkey"] == tgt["tk"])
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("base_price"),
+            "src_price",
+            F.col("o_orderpriority").alias("base_priority"),
+            "tgt_priority",
+            (F.col("src_price").isNotNull() & F.col("tgt_priority").isNotNull()).alias(
+                "conflict"
+            ),
+        )
+        .orderBy("orderkey")
+    )
