@@ -43,11 +43,20 @@ def main() -> None:
                 timings[name] = -1.0
         return timings
 
+    import gc
+
     cold = run_all()  # pass 1: includes JVM/codegen compilation
     # passes 2-4: steady state. Report the per-query MEDIAN of 3 warm passes
     # so a single sandbox-contended run can't distort the round signal
     # (round-2 lesson: one contended pass recorded q21 at 19.4s vs 1.2s real).
-    warm_passes = [run_all() for _ in range(3)]
+    warm_passes = []
+    for _ in range(3):
+        # release unreachable DataFrames' lazy localCheckpoint RDDs between
+        # passes — Python GC latency otherwise accretes executor storage
+        # across 131 queries x 4 passes and later passes measure memory
+        # pressure, not the queries (warm > cold observed without this)
+        gc.collect()
+        warm_passes.append(run_all())
 
     def median3(name: str) -> float:
         vals = sorted(p[name] for p in warm_passes)

@@ -183,7 +183,11 @@ def synth_media(spark, n: int = 64) -> DataFrame:
     concatenated-BMP frame stream — all three modalities decode end-to-end
     with pure numpy (compressed containers remain the stubbed fallback,
     exercised separately in tests)."""
-    base = spark.range(n).select(
+    # size partitions to the tiny synth row count: spark.range defaults to
+    # one partition per core, and every pandas-UDF stage pays a Python
+    # worker round-trip PER PARTITION — 32 partitions for 96 rows made the
+    # multimodal pipeline ~5x slower than its data justifies
+    base = spark.range(0, n, 1, max(1, n // 24)).select(
         F.col("id").alias("media_id"),
         F.when(F.col("id") % 3 == 0, "image")
         .when(F.col("id") % 3 == 1, "audio")

@@ -458,7 +458,9 @@ def q42_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the closed-form pixel/sample patterns."""
     from .operators import multimodal as MM
 
-    media = MM.synth_media(spark, n=96)
+    # pin the synthesized media: three consumers would otherwise re-run
+    # the payload-building pandas UDFs once each
+    media = MM.synth_media(spark, n=96).localCheckpoint(eager=False)
     feats = MM.extract_features(media)
     resized = MM.resize_images(media, 64, 64)
     frames = MM.sample_frames(media, every_ms=500, max_frames=4)
