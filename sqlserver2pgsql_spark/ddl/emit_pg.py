@@ -15,6 +15,7 @@ unique → indexes → FK → checks → defaults → comments → views.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from ..catalog.model import Catalog, Column, Table
@@ -89,6 +90,24 @@ def _pg_type(col: Column) -> str:
 
 def _quote(name: str) -> str:
     return '"' + name.replace('"', '""') + '"'
+
+
+#: Spark-dialect → PostgreSQL spellings for default expressions: the stored
+#: translation targets Spark SQL (current_timestamp() etc.), but PG spells
+#: these as parenthesis-free keywords — current_user() is a syntax error on
+#: PG 15 (caught by the live-PG e2e, tests/test_live_pg.py)
+_PG_DEFAULT_REWRITES = (
+    (re.compile(r"\bcurrent_timestamp\(\)", re.IGNORECASE), "CURRENT_TIMESTAMP"),
+    (re.compile(r"\bcurrent_user\(\)", re.IGNORECASE), "CURRENT_USER"),
+    (re.compile(r"\bcurrent_date\(\)", re.IGNORECASE), "CURRENT_DATE"),
+    (re.compile(r"\buuid\(\)", re.IGNORECASE), "gen_random_uuid()"),
+)
+
+
+def _pg_default(sql: str) -> str:
+    for pat, rep in _PG_DEFAULT_REWRITES:
+        sql = pat.sub(rep, sql)
+    return sql
 
 
 def emit_before(catalog: Catalog, opts: EmitOptions | None = None) -> str:
@@ -216,7 +235,7 @@ def emit_after(catalog: Catalog, opts: EmitOptions | None = None) -> str:
         for c in table.ordered_columns():
             if c.default is not None and not c.default.unsure:
                 out.append(
-                    f"ALTER TABLE {tq} ALTER COLUMN {_quote(c.name)} SET DEFAULT {c.default.sql};"
+                    f"ALTER TABLE {tq} ALTER COLUMN {_quote(c.name)} SET DEFAULT {_pg_default(c.default.sql)};"
                 )
             if c.comment:
                 out.append(
@@ -256,7 +275,7 @@ def emit_unsure(catalog: Catalog, opts: EmitOptions | None = None) -> str:
         for c in table.ordered_columns():
             if c.default is not None and c.default.unsure:
                 out.append(
-                    f"ALTER TABLE {tq} ALTER COLUMN {_quote(c.name)} SET DEFAULT {c.default.sql};"
+                    f"ALTER TABLE {tq} ALTER COLUMN {_quote(c.name)} SET DEFAULT {_pg_default(c.default.sql)};"
                 )
             if (
                 not opts.skip_citext_length_check

@@ -349,7 +349,9 @@ class DdlParser:
         )
         if md:
             raw_default, _ = _outer_parens(rest, rest.index("(", md.end() - 1))
-            col.default = self._parse_default(raw_default, md.group(1))
+            col.default = self._parse_default(
+                raw_default, md.group(1), col_type=col.type_name
+            )
 
         # inline PRIMARY KEY / UNIQUE (incl. memory-optimized HASH form);
         # absent for table-type bodies, which aren't registered as tables
@@ -361,14 +363,24 @@ class DdlParser:
                 tbl.uniques.append(UniqueConstraint(name=None, cols=[cname]))
         return col
 
-    def _parse_default(self, raw: str, cons_name: str | None) -> DefaultValue:
+    def _parse_default(
+        self, raw: str, cons_name: str | None, col_type: str | None = None
+    ) -> DefaultValue:
         """Default-value normalizer (reference B7, :633-683): strip nested
         parens; numeric / bit-boolean / NULL / N'str' are sure; anything else
-        is a function call → translated and possibly UNSURE."""
+        is a function call → translated and possibly UNSURE. A bit column's
+        0/1 default becomes false/true — PG rejects an integer default on a
+        boolean column (caught by the live-PG e2e, tests/test_live_pg.py)."""
         inner = raw.strip()
         while inner.startswith("(") and inner.endswith(")"):
             inner = inner[1:-1].strip()
         if re.fullmatch(r"-?\d+(\.\d+)?", inner):
+            if col_type == "bit" and inner in ("0", "1"):
+                return DefaultValue(
+                    raw=raw,
+                    sql="true" if inner == "1" else "false",
+                    constraint_name=cons_name,
+                )
             return DefaultValue(raw=raw, sql=inner, constraint_name=cons_name)
         if inner.upper() == "NULL":
             return DefaultValue(raw=raw, sql="NULL", constraint_name=cons_name)
@@ -489,7 +501,7 @@ class DdlParser:
                 raise DdlParseError(f"DEFAULT without FOR: {rest[:120]!r}")
             col = table.columns.get(self._norm(mf.group(1)))
             if col is not None:
-                col.default = self._parse_default(raw, name)
+                col.default = self._parse_default(raw, name, col_type=col.type_name)
         else:
             raise DdlParseError(f"unknown ALTER TABLE ADD: {rest[:120]!r}")
 
