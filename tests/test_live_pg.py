@@ -155,3 +155,81 @@ def test_merge_sql_applies_diff_on_real_postgres(pg):
     assert out.stdout.strip().splitlines() == [
         "1:keep:10.00", "2:updated:22.00", "4:brandnew:40.00"
     ]
+
+
+def test_full_sync_roundtrip_on_real_postgres(pg, spark):
+    """The reference's ENTIRE runtime flow executed against live PG 15
+    without a JDBC driver: full load (COPY), source mutation, read-back,
+    full-outer diff (A9), staged diff load, MERGE apply (A10), verify —
+    Spark↔PostgreSQL round-trip with exact equality at the end."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from sqlserver2pgsql_spark.operators.diff import FLAG_IDENTICAL, diff
+    from sqlserver2pgsql_spark.operators.merge import merge_sql
+    from sqlserver2pgsql_spark.sources.pg_copy import copy_load, copy_unload
+    from sqlserver2pgsql_spark.sources.tables import load_table
+
+    assert pg(sql="CREATE DATABASE sync_e2e").returncode == 0
+    run = lambda **kw: pg(db="sync_e2e", **kw)  # noqa: E731
+
+    ddl = """
+    CREATE TABLE orders (
+      o_orderkey bigint PRIMARY KEY, o_custkey bigint,
+      o_orderstatus text, o_totalprice double precision
+    );
+    CREATE TABLE orders_stage (
+      o_orderkey bigint, o_custkey bigint,
+      o_orderstatus text, o_totalprice double precision, __changed__ text
+    );
+    """
+    assert run(sql=ddl).returncode == 0
+
+    src = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    # 1) full load
+    copy_load(src, run, "orders", truncate=True)
+
+    # 2) the source moves on: updates, deletes, inserts
+    changed = src.filter(F.col("o_orderkey") % 7 != 3).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 5.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    inserts = src.limit(10).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(1.0).alias("o_totalprice"),
+    )
+    new_src = changed.unionByName(inserts)
+
+    # 3) read the target back from PG and diff (A9)
+    schema = T.StructType([
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+    ])
+    tgt = copy_unload(spark, run, "orders", schema)
+    d = diff(new_src, tgt, keys=["o_orderkey"]).filter(
+        F.col("__changed__") != FLAG_IDENTICAL
+    )
+
+    # 4) stage the diff and MERGE-apply it (A10) on the server
+    copy_load(d, run, "orders_stage", truncate=True)
+    stmt = merge_sql(
+        "orders", "orders_stage", ["o_orderkey"],
+        ["o_custkey", "o_orderstatus", "o_totalprice"],
+    )
+    assert run(sql=stmt).returncode == 0
+
+    # 5) the PG table now equals the new source exactly
+    back = copy_unload(spark, run, "orders", schema)
+    assert back.count() == new_src.count()
+    residual = diff(new_src, back, keys=["o_orderkey"]).filter(
+        F.col("__changed__") != FLAG_IDENTICAL
+    )
+    assert residual.count() == 0
