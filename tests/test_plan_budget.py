@@ -37,6 +37,10 @@ BUDGETS = [
     ("q106_price_histogram", 2, 0),     # one agg + sort
     ("q110_incremental_agg", 4, 0),     # two partials + combine + sort
     ("q113_novelty_score", 5, 0),       # postings agg + join + doc agg
+    ("q121_hierarchical_share", 4, 0),  # agg + two windows + sort
+    ("q125_grouped_regression", 2, 0),  # one moment agg + sort
+    ("q127_burst_detection", 3, 0),     # window + agg + sort
+    ("q130_cumulative_reach", 5, 0),    # firsts + adds + grid + window
 ]
 
 
