@@ -2359,3 +2359,109 @@ def q131_three_way_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("orderkey")
     )
+
+# ---------------------------------------------------------------------------
+# Relational division & churn
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q132_relational_division",
+    oracle="""
+    WITH n_all AS (
+      SELECT count(DISTINCT o_orderpriority) AS n FROM orders
+    )
+    SELECT o_custkey AS custkey,
+           count(*) AS n_orders,
+           count(DISTINCT o_orderpriority) AS n_priorities
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(DISTINCT o_orderpriority) = (SELECT n FROM n_all)
+    ORDER BY custkey
+    """,
+)
+def q132_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division — the 'for ALL' query shape (customers who have
+    ordered under EVERY priority class): per-key distinct count equated to
+    the domain's distinct count. Two aggs; the 1-row domain count is
+    broadcast into the HAVING filter. The classic suppliers-who-supply-
+    all-parts query the reference's migrated views may contain but no
+    earlier query exercised."""
+    o = _t(spark, sf_dir, "orders")
+    n_all = o.agg(F.countDistinct("o_orderpriority").alias("n_all"))
+    return (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+        )
+        .join(F.broadcast(n_all))
+        .filter(F.col("n_priorities") == F.col("n_all"))
+        .drop("n_all")
+        .orderBy("custkey")
+    )
+
+
+@register(
+    "q133_weekly_churn",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(date_diff('day', TIMESTAMP '2024-01-01', ts) / 7)
+                  AS BIGINT) AS week
+      FROM events
+    ),
+    span AS (SELECT min(week) AS lo, max(week) AS hi FROM uw),
+    grid AS (
+      SELECT unnest(range((SELECT lo FROM span) + 1, (SELECT hi FROM span) + 1))
+        AS week
+    )
+    SELECT g.week,
+           count(CASE WHEN cur.user_id IS NOT NULL THEN 1 END) AS n_retained,
+           count(CASE WHEN cur.user_id IS NULL THEN 1 END) AS n_churned
+    FROM grid g
+      JOIN uw prev ON prev.week = g.week - 1
+      LEFT JOIN uw cur ON cur.week = g.week AND cur.user_id = prev.user_id
+    GROUP BY g.week ORDER BY g.week
+    """,
+)
+def q133_weekly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly churn/retention derivative: for every week, how many of the
+    previous week's active users came back (retained) vs disappeared
+    (churned) — the week-over-week set difference, computed as one
+    shifted self-join of the distinct (user, week) table (user-sized, far
+    smaller than the event log; no per-week rescan of raw events). Weeks
+    are day-offsets from a fixed epoch so both engines bucket
+    identically."""
+    epoch = F.lit("2024-01-01").cast("timestamp")
+    week = F.floor(
+        F.datediff(F.to_date(F.col("ts")), F.to_date(epoch)) / 7
+    ).cast("long")
+    uw = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", week.alias("week"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    prev = uw.select(
+        F.col("user_id").alias("pu"), (F.col("week") + 1).alias("week")
+    )
+    span = uw.agg(F.min("week").alias("lo"), F.max("week").alias("hi"))
+    grid = span.select(
+        F.explode(F.sequence(F.col("lo") + 1, F.col("hi"))).alias("week")
+    )
+    cur = uw.select(F.col("user_id").alias("cu"), F.col("week").alias("cweek"))
+    return (
+        grid.join(prev, "week")
+        .join(
+            cur,
+            (F.col("cweek") == F.col("week")) & (F.col("cu") == F.col("pu")),
+            "left",
+        )
+        .groupBy("week")
+        .agg(
+            F.count(F.col("cu")).alias("n_retained"),
+            F.sum(F.col("cu").isNull().cast("long")).alias("n_churned"),
+        )
+        .orderBy("week")
+    )
