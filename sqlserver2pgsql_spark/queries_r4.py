@@ -2465,3 +2465,131 @@ def q133_weekly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+# ---------------------------------------------------------------------------
+# Exact grouped correlation (Pearson & tie-corrected Spearman)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q134_grouped_correlation",
+    oracle="""
+    WITH pts AS (
+      SELECT l_returnflag AS flag,
+             CAST(l_quantity AS HUGEINT) AS x,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT) AS y
+      FROM lineitem
+    ),
+    sums AS (
+      SELECT flag, CAST(count(*) AS HUGEINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM pts GROUP BY flag
+    )
+    SELECT flag, CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS pearson_r
+    FROM sums ORDER BY flag
+    """,
+)
+def q134_grouped_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation (quantity vs price-in-cents), exactly:
+    all five second-order moments accumulate as integers (q125's
+    int128-in-decimal discipline; price snapped to cents with the same
+    floor(+0.5) on both engines), then r is one fixed chain of double ops —
+    sqrt is IEEE-correctly-rounded, so even the denominator is
+    engine-identical. Spark's built-in corr() is a float accumulator and
+    can never be exact-oracle-gated; this formulation can. One hash agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    I = "decimal(38,0)"
+    x = F.col("l_quantity").cast("long").cast(I)
+    y = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast(I)
+    sums = li.select(
+        F.col("l_returnflag").alias("flag"), x.alias("x"), y.alias("y")
+    ).groupBy("flag").agg(
+        F.count(F.lit(1)).cast(I).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    deny = F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return sums.select(
+        "flag",
+        F.col("n").cast("long").alias("n"),
+        (num / (denx * deny)).alias("pearson_r"),
+    ).orderBy("flag")
+
+
+@register(
+    "q135_spearman_rho",
+    oracle="""
+    WITH pts AS (
+      SELECT l_returnflag AS flag, l_quantity AS xv, l_extendedprice AS yv
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT flag,
+             CAST(2 * rank() OVER (PARTITION BY flag ORDER BY xv)
+                  + count(*) OVER (PARTITION BY flag, xv) - 1 AS HUGEINT) AS rx,
+             CAST(2 * rank() OVER (PARTITION BY flag ORDER BY yv)
+                  + count(*) OVER (PARTITION BY flag, yv) - 1 AS HUGEINT) AS ry
+      FROM pts
+    ),
+    sums AS (
+      SELECT flag, CAST(count(*) AS HUGEINT) AS n,
+             sum(rx) AS sx, sum(ry) AS sy,
+             sum(rx * ry) AS sxy, sum(rx * rx) AS sxx, sum(ry * ry) AS syy
+      FROM ranked GROUP BY flag
+    )
+    SELECT flag, CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS spearman_rho
+    FROM sums ORDER BY flag
+    """,
+)
+def q135_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Spearman rank correlation per group: average ranks are
+    held DOUBLED so ties' .5 averages stay integers (2·rank + tiecount − 1
+    = twice the fractional average rank), then rho is Pearson over those
+    integer ranks with the exact-moment machinery of q134 — no float rank,
+    no approximate shortcut (the 6Σd² formula is only valid without ties).
+    Two rank windows + one hash agg."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").alias("xv"),
+        F.col("l_extendedprice").alias("yv"),
+    )
+    I = "decimal(38,0)"
+    rx = (
+        2 * F.rank().over(W.partitionBy("flag").orderBy("xv"))
+        + F.count(F.lit(1)).over(W.partitionBy("flag", "xv"))
+        - 1
+    ).cast("long").cast(I)
+    ry = (
+        2 * F.rank().over(W.partitionBy("flag").orderBy("yv"))
+        + F.count(F.lit(1)).over(W.partitionBy("flag", "yv"))
+        - 1
+    ).cast("long").cast(I)
+    ranked = li.select("flag", rx.alias("rx"), ry.alias("ry"))
+    sums = ranked.groupBy("flag").agg(
+        F.count(F.lit(1)).cast(I).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    deny = F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return sums.select(
+        "flag",
+        F.col("n").cast("long").alias("n"),
+        (num / (denx * deny)).alias("spearman_rho"),
+    ).orderBy("flag")
