@@ -2593,3 +2593,122 @@ def q135_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         (num / (denx * deny)).alias("spearman_rho"),
     ).orderBy("flag")
+
+# ---------------------------------------------------------------------------
+# Source-overlap matrix & key-skew diagnosis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q136_source_overlap",
+    oracle="""
+    WITH vocab AS (
+      SELECT DISTINCT source, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    sizes AS (SELECT source, count(*) AS n FROM vocab GROUP BY source),
+    inter AS (
+      SELECT a.source AS src1, b.source AS src2, count(*) AS n_common
+      FROM vocab a JOIN vocab b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT src1, src2, n_common, s1.n AS n1, s2.n AS n2,
+           CAST(n_common AS DOUBLE) / CAST(s1.n + s2.n - n_common AS DOUBLE)
+             AS vocab_jaccard
+    FROM inter JOIN sizes s1 ON s1.source = src1
+               JOIN sizes s2 ON s2.source = src2
+    ORDER BY src1, src2
+    """,
+)
+def q136_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level source similarity: pairwise vocabulary Jaccard between
+    document sources — the diversity diagnostic that decides whether two
+    sources are redundant BEFORE paying document-level dedup between them.
+    The self-join runs over the distinct (source, token) vocabulary (≪
+    corpus); group count bounds the output quadratically, not the data."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = vocab.select(F.col("source").alias("src1"), "tok")
+    b = vocab.select(F.col("source").alias("src2"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("src1") < F.col("src2"))
+        .groupBy("src1", "src2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.select(F.col("source").alias("src1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("source").alias("src2"), F.col("n").alias("n2"))
+    return (
+        inter.join(F.broadcast(s1), "src1")
+        .join(F.broadcast(s2), "src2")
+        .select(
+            "src1", "src2", "n_common", "n1", "n2",
+            (F.col("n_common").cast("double")
+             / (F.col("n1") + F.col("n2") - F.col("n_common")).cast("double"))
+            .alias("vocab_jaccard"),
+        )
+        .orderBy("src1", "src2")
+    )
+
+
+@register(
+    "q137_key_skew_gini",
+    oracle="""
+    WITH freq AS (
+      SELECT l_partkey AS key, CAST(count(*) AS HUGEINT) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT cnt, CAST(row_number() OVER (ORDER BY cnt, key) AS HUGEINT) AS i,
+             CAST(count(*) OVER () AS HUGEINT) AS n,
+             CAST(sum(cnt) OVER () AS HUGEINT) AS total
+      FROM freq
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_keys,
+           CAST(max(total) AS BIGINT) AS n_rows,
+           CAST(max(total) AS DOUBLE) / max(n) AS mean_rows_per_key,
+           CAST(2 * sum(i * cnt) - (max(n) + 1) * max(total) AS DOUBLE)
+             / CAST(max(n) * max(total) AS DOUBLE) AS gini
+    FROM ranked
+    """,
+)
+def q137_key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis: the Gini coefficient of the per-key row
+    distribution (0 = perfectly uniform, →1 = one hot key) from the exact
+    integer identity G = (2·Σ i·cnt_i − (n+1)·Σcnt) / (n·Σcnt) over
+    counts sorted ascending with a total tie order — all sums integer, one
+    double division. This is the measurement that decides whether a join
+    needs the salting operators (operators/skew.py) BEFORE it runs; at
+    100 TB the frequency table is keys-sized and the rank window is the
+    only global ordering."""
+    li = _t(spark, sf_dir, "lineitem")
+    I = "decimal(38,0)"
+    freq = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count(F.lit(1)).cast(I).alias("cnt")
+    )
+    w = W.orderBy("cnt", "key")
+    ranked = freq.select(
+        "cnt",
+        F.row_number().over(w).cast("long").cast(I).alias("i"),
+        F.count(F.lit(1)).over(W.partitionBy()).cast(I).alias("n"),
+        F.sum("cnt").over(W.partitionBy()).alias("total"),
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_keys"),
+        F.max("total").cast("long").alias("n_rows"),
+        (F.max("total").cast("double") / F.max("n").cast("double")).alias(
+            "mean_rows_per_key"
+        ),
+        (
+            (2 * F.sum(F.col("i") * F.col("cnt"))
+             - (F.max("n") + 1) * F.max("total")).cast("double")
+            / (F.max("n") * F.max("total")).cast("double")
+        ).alias("gini"),
+    )
