@@ -278,3 +278,39 @@ def weighted_systematic_sample(
         )
         .drop("__cum", "__tot")
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tie_col: str,
+    out_col: str = "normalized",
+) -> DataFrame:
+    """Rank-based quantile normalization: each group's value distribution is
+    mapped onto the GLOBAL distribution (row at group-rank r of n_g maps to
+    the global value at rank ceil(r·N/n_g)) — the bioinformatics/score-
+    calibration standard, all-integer so the mapping is exact.
+
+    Shape: one window per group (group-local ranks), one global rank, one
+    equi-join on the rank index. The global rank is the scale caveat — at
+    100 TB replace row_number() with the two-pass bucket-histogram prefix-sum
+    rank (the q129/q130 technique); the mapping join is unchanged.
+    """
+    grouped = df.withColumn(
+        "_r", F.row_number().over(W.partitionBy(group_col).orderBy(value_col, tie_col))
+    ).withColumn("_n", F.count(F.lit(1)).over(W.partitionBy(group_col)))
+    total = df.count()
+    ranked_global = (
+        df.select(
+            F.row_number().over(W.orderBy(value_col, tie_col)).alias("_k"),
+            F.col(value_col).alias(out_col),
+        )
+    )
+    # ceil(r·N/n) in pure integer arithmetic (div, not IEEE /) — exact at any N
+    idx = F.expr(f"(_r * CAST({total} AS BIGINT) + _n - 1) div _n")
+    return (
+        grouped.withColumn("_k", idx)
+        .join(ranked_global, "_k")
+        .drop("_r", "_n", "_k")
+    )

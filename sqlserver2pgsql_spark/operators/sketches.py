@@ -249,3 +249,80 @@ def hll_sliding_oracle_sql(
                       ELSE e_raw END, 4) AS {out_col}
     FROM est
     """
+
+
+# --- frequent items (Misra-Gries candidates + exact verification) -----------
+
+
+def misra_gries_candidates(df: DataFrame, value_col: str, capacity: int) -> DataFrame:
+    """Per-partition Misra-Gries frequent-item summaries, merged by union.
+
+    Classic streaming sketch (Misra & Gries 1982): each partition keeps at
+    most ``capacity`` counters; when a new item arrives with the table full,
+    the deficit is charged against every counter (vectorized batch variant:
+    merge the Arrow batch's value_counts, then subtract the smallest counts
+    until ≤ capacity survive). Total charge per partition is ≤
+    n_p/(capacity+1), so every item with partition frequency >
+    n_p/(capacity+1) survives — and by pigeonhole any item with GLOBAL
+    frequency > n/(capacity+1) exceeds that bound in at least one partition.
+    The union of per-partition survivor sets is therefore a SUPERSET of the
+    global heavy hitters; ``exact_heavy_hitters`` prunes it with exact
+    counts, so the end-to-end result is exact and partitioning-independent.
+
+    100 TB shape: one scan, O(capacity) state per partition, candidate set
+    ≤ capacity × #partitions rows — no full-cardinality shuffle ever forms.
+    """
+    import pandas as pd
+
+    def summarize(batches):
+        counters: dict = {}
+        n_dropped = 0
+        for pdf in batches:
+            vc = pdf[value_col].value_counts()
+            for v, c in vc.items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > capacity:
+                counts = sorted(counters.values())
+                cut = counts[len(counters) - capacity - 1]
+                counters = {v: c - cut for v, c in counters.items() if c > cut}
+                n_dropped += 1
+        yield pd.DataFrame({value_col: list(counters.keys())})
+
+    return df.select(value_col).mapInPandas(
+        summarize, schema=f"{value_col} string"
+    ).distinct()
+
+
+def exact_heavy_hitters(
+    df: DataFrame, value_col: str, k: int, capacity: int | None = None
+) -> DataFrame:
+    """Exact items with frequency > n/k, found sketch-first.
+
+    Pass 1 builds Misra-Gries candidate summaries (capacity defaults to 4k —
+    any capacity ≥ k-1 guarantees the superset property; the margin keeps
+    per-partition charge noise from evicting borderline items needlessly).
+    Pass 2 re-scans, counts ONLY the candidates (broadcast semi-join — the
+    grouping state is candidate-sized, not domain-sized), and keeps items
+    whose exact count clears the integer threshold ``cnt * k > n``.
+
+    Output (value, cnt, n_total) is exact and deterministic regardless of
+    how the sketch pass partitioned the data. On near-uniform keys the
+    candidate set degenerates toward the full domain (nothing is frequent);
+    on the skewed distributions the sketch exists for, it prunes the second
+    pass to O(k · #partitions) keys.
+    """
+    if capacity is None:
+        capacity = 4 * k
+    vals = df.select(F.col(value_col).cast("string").alias(value_col))
+    cands = misra_gries_candidates(vals, value_col, capacity)
+    counted = (
+        vals.join(F.broadcast(cands), value_col, "left_semi")
+        .groupBy(value_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = vals.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * k > F.col("n_total"))
+        .select(value_col, "cnt", "n_total")
+    )

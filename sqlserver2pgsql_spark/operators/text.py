@@ -12,6 +12,7 @@ no driver-side collection — they hold at 100 TB by construction.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 #: whitespace tokenizer shared by every text operator (and mirrored in the
@@ -198,3 +199,112 @@ def fingerprint_rolling(col: Column, window: int = 4) -> Column:
     idx = F.sequence(F.lit(1), F.greatest(F.lit(1), n - window + 1))
     grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, window), " "))
     return F.array_min(F.transform(grams, lambda g: F.xxhash64(g)))
+
+
+# --- BPE-style pair-merge induction ----------------------------------------
+
+#: merged-token joiner and sequence delimiter for the tokenizer-induction
+#: operator; both are asserted absent from the corpus before use
+BPE_JOIN = "~"
+BPE_DELIM = "|"
+
+
+def wrap_tokens(tokens_col: Column) -> Column:
+    """Encode a token sequence as ``|t1||t2||t3|`` — every adjacent pair owns
+    a private ``||`` boundary, so a leftmost non-overlapping string replace
+    of ``|a||b|`` → ``|a~b|`` is EXACTLY the greedy left-to-right BPE merge
+    (consecutive occurrences don't share delimiter characters, and a token
+    can never match another token's suffix because each is |-anchored on
+    both sides). Identical semantics in Spark's and DuckDB's replace()."""
+    return F.concat(F.lit(BPE_DELIM), F.array_join(tokens_col, BPE_DELIM * 2), F.lit(BPE_DELIM))
+
+
+def unwrap_tokens(wrapped_col: Column) -> Column:
+    """Inverse of wrap_tokens: strip the outer delimiters, split on ``||``."""
+    return F.split(F.regexp_replace(wrapped_col, r"^\||\|$", ""), r"\|\|")
+
+
+def adjacent_pair_counts(df: DataFrame, tokens_col: str) -> DataFrame:
+    """(left, right, cnt) over all adjacent token pairs — the count table a
+    BPE trainer ranks each round. Explode-free pair construction: zip the
+    sequence with its own tail (slice + arrays_zip), one explode, one hash
+    agg; never a self-join."""
+    t = F.col(tokens_col)
+    pairs = F.arrays_zip(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.0").alias("left"), F.col("p.1").alias("right"))
+        .groupBy("left", "right")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def bpe_apply_top_merge(df: DataFrame, tokens_col: str, pair_df: DataFrame) -> DataFrame:
+    """Apply the single best merge from ``pair_df`` (ties broken by
+    (cnt DESC, left, right)) to every sequence. The 1-row winner is
+    broadcast into a string replace on the wrapped encoding — no collect(),
+    no per-row Python; the merge literally IS one JVM replace() per doc."""
+    top = (
+        pair_df.orderBy(F.col("cnt").desc(), "left", "right")
+        .limit(1)
+        .select(
+            F.concat(F.lit(BPE_DELIM), "left", F.lit(BPE_DELIM * 2), "right", F.lit(BPE_DELIM)).alias("_pat"),
+            F.concat(F.lit(BPE_DELIM), "left", F.lit(BPE_JOIN), "right", F.lit(BPE_DELIM)).alias("_rep"),
+        )
+    )
+    merged = (
+        df.withColumn("_w", wrap_tokens(F.col(tokens_col)))
+        .crossJoin(F.broadcast(top))
+        .withColumn("_w2", F.replace(F.col("_w"), F.col("_pat"), F.col("_rep")))
+    )
+    return merged.withColumn(
+        tokens_col,
+        F.split(F.regexp_replace(F.col("_w2"), r"^\||\|$", ""), r"\|\|"),
+    ).drop("_w", "_w2", "_pat", "_rep")
+
+
+# --- inverted index ---------------------------------------------------------
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    postings_cap: int = 20,
+) -> DataFrame:
+    """Search-engine posting lists: term → exact document frequency + the
+    first ``postings_cap`` doc ids (ascending) as a comma-joined string.
+
+    One explode + distinct (term, doc) pass, one per-term window that
+    Catalyst rewrites to WindowGroupLimit (rank ≤ cap never materializes a
+    full sort of each posting list), one agg with sort_array for a
+    deterministic postings order. df is counted BEFORE the cap so the
+    frequency is exact while the stored list stays bounded — the shape that
+    holds when one term appears in a billion documents."""
+    term_doc = (
+        df.select(F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    w = W.partitionBy("term").orderBy("doc")
+    capped = (
+        term_doc.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("term")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= postings_cap) & (F.col("df") >= min_df))
+    )
+    # numeric postings order: sort structs (sorts by the numeric id), THEN
+    # stringify — a string sort would put '100' before '2'
+    postings = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("doc"))),
+            lambda s: s["doc"].cast("string"),
+        ),
+        ",",
+    )
+    return capped.groupBy("term").agg(
+        F.max("df").alias("df"), postings.alias("postings")
+    )

@@ -2712,3 +2712,356 @@ def q137_key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.max("n") * F.max("total")).cast("double")
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Frequent items, skyline, tokenizer induction, calibration, indexing
+# (round-4 continuation: q138+)
+# ---------------------------------------------------------------------------
+
+from .operators.curation import quantile_normalize  # noqa: E402
+from .operators.sketches import exact_heavy_hitters  # noqa: E402
+from .operators.skyline import pareto_frontier  # noqa: E402
+from .operators.text import (  # noqa: E402
+    adjacent_pair_counts,
+    bpe_apply_top_merge,
+    inverted_index,
+    tokens as _tok,
+)
+
+
+@register(
+    "q138_heavy_hitters",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(o_custkey AS VARCHAR) AS o_custkey,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1
+    ),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM orders)
+    SELECT c.o_custkey, c.cnt, t.n_total
+    FROM c, t WHERE c.cnt * 1000 > t.n_total
+    ORDER BY cnt DESC, o_custkey
+    """,
+)
+def q138_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent-item detection, sketch-first: per-partition
+    Misra-Gries summaries (operators/sketches.py:misra_gries_candidates —
+    O(capacity) state per partition, union of survivors is a guaranteed
+    SUPERSET of every key with count > n/k) pruned by an exact candidate-
+    only second pass, so the output is exact and partitioning-independent.
+    On this synthetic near-uniform key the sketch degenerates toward the
+    full domain (documented in the operator); on the Zipfian keys the
+    operator exists for, pass 2 counts O(k·partitions) keys instead of the
+    domain. Integer threshold (cnt·k > n) — no float comparison."""
+    orders = _t(spark, sf_dir, "orders")
+    hh = exact_heavy_hitters(orders.select("o_custkey"), "o_custkey", k=1000)
+    return hh.orderBy(F.col("cnt").desc(), "o_custkey")
+
+
+@register(
+    "q139_pareto_frontier",
+    oracle="""
+    WITH pts AS (
+      SELECT p_partkey,
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
+             p_size
+      FROM part
+    ),
+    f AS (
+      SELECT *,
+             max(p_size) OVER (ORDER BY price_cents
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ms,
+             max(p_size) OVER (ORDER BY price_cents
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mi
+      FROM pts
+    )
+    SELECT p_partkey, price_cents, p_size FROM f
+    WHERE (ms IS NULL OR ms < p_size) AND mi <= p_size
+    ORDER BY price_cents, p_size, p_partkey
+    """,
+)
+def q139_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline over parts: minimize price (snapped to integer cents the
+    usual way), maximize size — rows no other part dominates. Distributed
+    shape (operators/skyline.py): bucket-local frontiers via two RANGE-frame
+    window maxima (each bucket discards its dominated points in parallel),
+    then the same filter globally over the tiny survivor set; the oracle is
+    the single-window formulation, which the two-stage plan provably
+    equals. No self-join anywhere — dominance is two running maxima."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long").alias("price_cents"),
+        "p_size",
+    )
+    return pareto_frontier(p, "price_cents", "p_size", "p_partkey").orderBy(
+        "price_cents", "p_size", "p_partkey"
+    )
+
+
+_BPE_ORACLE = r"""
+    WITH docs AS (
+      SELECT string_split_regex(trim(text), '\s+') AS tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    p1 AS (
+      SELECT tok[i] AS lft, tok[i + 1] AS rgt
+      FROM docs, LATERAL (SELECT unnest(generate_series(1, len(tok) - 1)) AS i) u
+    ),
+    c1 AS (SELECT lft, rgt, CAST(count(*) AS BIGINT) AS cnt FROM p1 GROUP BY 1, 2),
+    t1 AS (SELECT lft, rgt FROM c1 ORDER BY cnt DESC, lft, rgt LIMIT 1),
+    merged AS (
+      SELECT string_split(
+               regexp_replace(regexp_replace(
+                 replace('|' || array_to_string(tok, '||') || '|',
+                         '|' || t1.lft || '||' || t1.rgt || '|',
+                         '|' || t1.lft || '~' || t1.rgt || '|'),
+                 '^\|', ''), '\|$', ''),
+               '||') AS tok
+      FROM docs, t1
+    ),
+    p2 AS (
+      SELECT tok[i] AS lft, tok[i + 1] AS rgt
+      FROM merged, LATERAL (SELECT unnest(generate_series(1, len(tok) - 1)) AS i) u
+    ),
+    c2 AS (SELECT lft, rgt, CAST(count(*) AS BIGINT) AS cnt FROM p2 GROUP BY 1, 2),
+    r1 AS (
+      SELECT 1 AS merge_round,
+             CAST(row_number() OVER (ORDER BY cnt DESC, lft, rgt) AS INTEGER) AS rk,
+             lft, rgt, cnt
+      FROM c1
+    ),
+    r2 AS (
+      SELECT 2 AS merge_round,
+             CAST(row_number() OVER (ORDER BY cnt DESC, lft, rgt) AS INTEGER) AS rk,
+             lft, rgt, cnt
+      FROM c2
+    )
+    SELECT merge_round, rk, lft, rgt, cnt
+    FROM (SELECT * FROM r1 WHERE rk <= 5 UNION ALL SELECT * FROM r2 WHERE rk <= 5)
+    ORDER BY merge_round, rk
+"""
+
+
+@register("q140_bpe_merges", oracle=_BPE_ORACLE)
+def q140_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer induction — two rounds of BPE-style pair merging over the
+    corpus: count adjacent token pairs, merge the most frequent pair
+    corpus-wide (ties broken lexicographically), recount, and report each
+    round's top-5 pair table. The merge applies as ONE broadcast 1-row join
+    + JVM string replace on a delimiter encoding where every adjacent pair
+    owns private boundary chars (operators/text.py:wrap_tokens) — so
+    leftmost non-overlapping replace() IS greedy left-to-right BPE, no
+    collect(), no per-row Python, and DuckDB's replace() reproduces it
+    bit-for-bit. Pair counting is zip-with-tail + one explode + one hash
+    agg per round; at 100 TB each round is two shuffles (count, rank) and
+    the merge itself is embarrassingly parallel."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select(_tok(F.col("text")).alias("tok"))
+    )
+    c1 = adjacent_pair_counts(docs, "tok")
+    d2 = bpe_apply_top_merge(docs, "tok", c1)
+    c2 = adjacent_pair_counts(d2, "tok")
+
+    def top5(c: DataFrame, rnd: int) -> DataFrame:
+        w = W.orderBy(F.col("cnt").desc(), "left", "right")
+        return (
+            c.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .select(
+                F.lit(rnd).alias("merge_round"),
+                "rk",
+                F.col("left").alias("lft"),
+                F.col("right").alias("rgt"),
+                "cnt",
+            )
+        )
+
+    return top5(c1, 1).unionByName(top5(c2, 2)).orderBy("merge_round", "rk")
+
+
+@register(
+    "q141_quantile_normalize",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    ),
+    gl AS (
+      SELECT row_number() OVER (ORDER BY n_chars, doc_id) AS k,
+             n_chars AS normalized
+      FROM documents
+    ),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents)
+    SELECT g.doc_id, g.source, g.n_chars, gl.normalized
+    FROM g
+    JOIN gl
+      ON gl.k = (g.r * (SELECT nn FROM m) + g.n - 1) // g.n
+    ORDER BY doc_id
+    """,
+)
+def q141_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based quantile normalization (operators/curation.py): each
+    source's document-length distribution is mapped onto the global
+    distribution — group-rank r of n maps to the global value at rank
+    ceil(r·N/n), all-integer (div, not IEEE /), so cross-source length
+    scores become comparable without any float binning. Shape: one window
+    per group, one global rank (the scale caveat — swap in the bucket-
+    histogram prefix-sum rank at 100 TB, mapping join unchanged), one
+    equi-join on the rank index."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return quantile_normalize(d, "source", "n_chars", "doc_id").orderBy("doc_id")
+
+
+@register(
+    "q142_inverted_index",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id AS doc,
+             unnest(string_split_regex(trim(text), '\s+')) AS term
+      FROM documents
+    ),
+    td AS (SELECT DISTINCT doc, term FROM tok WHERE term <> ''),
+    wd AS (
+      SELECT doc, term,
+             count(*) OVER (PARTITION BY term) AS df,
+             row_number() OVER (PARTITION BY term ORDER BY doc) AS rn
+      FROM td
+    )
+    SELECT term, CAST(max(df) AS BIGINT) AS df,
+           string_agg(CAST(doc AS VARCHAR), ',' ORDER BY doc) AS postings
+    FROM wd WHERE rn <= 20 AND df >= 2
+    GROUP BY term ORDER BY term
+    """,
+)
+def q142_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list construction (operators/text.py:inverted_index): term →
+    exact document frequency + the first 20 doc ids ascending, joined as a
+    deterministic string. The per-term cap rides WindowGroupLimit (rank ≤ k
+    prunes before any full posting list materializes) while df counts the
+    UNCAPPED frequency — the index stays bounded even when one term hits
+    every document. Posting order is numeric: sort_array over structs, not
+    string sort, so '2' < '100' agrees with the oracle's ORDER BY doc."""
+    return inverted_index(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", min_df=2, postings_cap=20
+    ).orderBy("term")
+
+
+@register(
+    "q143_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    c AS (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt
+      FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS n_src FROM c GROUP BY src)
+    SELECT c.src, c.dst, c.cnt, CAST(c.cnt AS DOUBLE) / t.n_src AS prob
+    FROM c JOIN tot t USING (src)
+    ORDER BY src, dst
+    """,
+)
+def q143_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    (src→dst) counts from one lead() window, row-normalized into transition
+    probabilities with a single integer-over-integer IEEE division (the
+    exactness discipline). The state space is event-type-sized, so the
+    normalizing join broadcasts; the only data-sized shuffles are the
+    sequence window and one hash agg."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    c = (
+        seq.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = c.groupBy("src").agg(F.sum("cnt").alias("n_src"))
+    return (
+        c.join(F.broadcast(tot), "src")
+        .select(
+            "src", "dst", "cnt",
+            (F.col("cnt").cast("double") / F.col("n_src").cast("double")).alias("prob"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+@register(
+    "q144_interval_coalesce",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id, epoch_us(ts) AS s,
+             epoch_us(ts)
+               + (1 + CAST(floor(value) AS BIGINT) % 240) * 60000000 AS e
+      FROM events
+    ),
+    marked AS (
+      SELECT *,
+             CASE WHEN s > max(e) OVER (
+               PARTITION BY user_id ORDER BY s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    isl AS (
+      SELECT user_id, s, e,
+             CAST(sum(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+      FROM marked
+    )
+    SELECT user_id, island, CAST(count(*) AS BIGINT) AS n_events,
+           min(s) AS start_us, max(e) AS end_us
+    FROM isl GROUP BY 1, 2
+    ORDER BY user_id, island
+    """,
+)
+def q144_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length interval coalescing (true interval union, not
+    gap-sessionization): each event opens an interval whose duration is
+    derived from its own value (1 + ⌊value⌋ mod 240 minutes), overlapping
+    or touching intervals merge into islands. The classic formulation —
+    island boundary = start strictly after the RUNNING MAX of all earlier
+    ends (lag(end) alone is wrong when an early long interval swallows
+    later short ones), island id = prefix sum of boundaries — is two
+    windows over the same per-user ordering plus one hash agg; exact
+    integer microseconds throughout."""
+    ev = _t(spark, sf_dir, "events")
+    s = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = s + (1 + F.floor(F.col("value")).cast("long") % 240) * F.lit(60_000_000)
+    iv = ev.select("user_id", "event_id", s.alias("s"), e.alias("e"))
+    wprev = (
+        W.partitionBy("user_id").orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    wrun = (
+        W.partitionBy("user_id").orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    marked = iv.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.max("e").over(wprev), F.lit(1)).otherwise(F.lit(0)),
+    )
+    isl = marked.withColumn("island", F.sum("new_island").over(wrun))
+    return (
+        isl.groupBy("user_id", "island")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("s").alias("start_us"),
+            F.max("e").alias("end_us"),
+        )
+        .orderBy("user_id", "island")
+    )

@@ -1,0 +1,211 @@
+"""Round-4 continuation operator tests: Misra-Gries heavy hitters, Pareto
+frontier, BPE pair merging, quantile normalization, inverted index, and
+interval coalescing — semantics that the sf-fixture oracles can't stress
+(adversarial skew, dominance ties, overlapping merges, the lag-vs-running-max
+trap)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from sqlserver2pgsql_spark.operators.curation import quantile_normalize
+from sqlserver2pgsql_spark.operators.sketches import (
+    exact_heavy_hitters,
+    misra_gries_candidates,
+)
+from sqlserver2pgsql_spark.operators.skyline import pareto_frontier
+from sqlserver2pgsql_spark.operators.text import (
+    adjacent_pair_counts,
+    bpe_apply_top_merge,
+    inverted_index,
+    unwrap_tokens,
+    wrap_tokens,
+)
+
+# --- heavy hitters ----------------------------------------------------------
+
+
+def _zipf_stream(n: int, seed: int = 7) -> list[str]:
+    rng = random.Random(seed)
+    # heavy head: item 'h0' ~ 30%, 'h1' ~ 15%, long uniform tail
+    out = []
+    for _ in range(n):
+        r = rng.random()
+        if r < 0.30:
+            out.append("h0")
+        elif r < 0.45:
+            out.append("h1")
+        else:
+            out.append(f"t{rng.randrange(500)}")
+    return out
+
+
+def test_misra_gries_candidates_superset_under_adversarial_partitioning(spark):
+    """Every item with global count > n/(capacity+1) must survive the sketch
+    pass regardless of how rows land in partitions — including sorted order,
+    which maximizes per-partition eviction pressure on the head items."""
+    vals = sorted(_zipf_stream(4000))  # sorted = clustered = worst case
+    df = spark.createDataFrame([(v,) for v in vals], "v string").repartition(8)
+    capacity = 20
+    cands = {r.v for r in misra_gries_candidates(df, "v", capacity).collect()}
+    from collections import Counter
+
+    counts = Counter(vals)
+    for item, c in counts.items():
+        if c > len(vals) / (capacity + 1):
+            assert item in cands, f"{item} (count {c}) evicted from summary"
+
+
+def test_exact_heavy_hitters_matches_bruteforce(spark):
+    vals = _zipf_stream(3000, seed=11)
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    k = 8
+    got = {(r.v, r.cnt) for r in exact_heavy_hitters(df, "v", k).collect()}
+    from collections import Counter
+
+    counts = Counter(vals)
+    want = {(i, c) for i, c in counts.items() if c * k > len(vals)}
+    assert got == want
+    for _, cnt, n_total in [tuple(r) for r in exact_heavy_hitters(df, "v", k).collect()]:
+        assert cnt * k > n_total
+
+
+# --- skyline ----------------------------------------------------------------
+
+
+def _brute_skyline(pts):
+    out = []
+    for p in pts:
+        dominated = any(
+            q[1] <= p[1] and q[2] >= p[2] and (q[1] < p[1] or q[2] > p[2])
+            for q in pts
+        )
+        if not dominated:
+            out.append(p)
+    return sorted(out)
+
+
+def test_pareto_frontier_matches_bruteforce_with_ties(spark):
+    rng = random.Random(3)
+    pts = [(i, rng.randrange(50), rng.randrange(50)) for i in range(300)]
+    # inject exact duplicates — neither dominates the other, both survive
+    pts += [(300, pts[0][1], pts[0][2]), (301, 7, 7), (302, 7, 7)]
+    df = spark.createDataFrame(pts, "id long, price long, size long")
+    got = sorted(
+        (r.id, r.price, r.size)
+        for r in pareto_frontier(df, "price", "size", "id").collect()
+    )
+    assert got == _brute_skyline(pts)
+
+
+# --- BPE merge --------------------------------------------------------------
+
+
+def test_wrap_unwrap_roundtrip(spark):
+    df = spark.createDataFrame([(["a", "bc", "d"],), (["x"],)], "tok array<string>")
+    out = df.select(unwrap_tokens(wrap_tokens(F.col("tok"))).alias("t")).collect()
+    assert [r.t for r in out] == [["a", "bc", "d"], ["x"]]
+
+
+def test_bpe_merge_is_greedy_left_to_right(spark):
+    """'a a a' with top pair (a,a) merges the FIRST two only; consecutive
+    non-overlapping occurrences all merge ('a b a b' → 'a~b a~b')."""
+    df = spark.createDataFrame(
+        [(["a", "a", "a"],), (["a", "b", "a", "b"],), (["c"],)],
+        "tok array<string>",
+    )
+    counts = adjacent_pair_counts(df, "tok")
+    # (a,b)=2, (a,a)=2, (b,a)=1 → tie between (a,a) and (a,b): lexicographic → (a,a)
+    merged = bpe_apply_top_merge(df, "tok", counts)
+    got = sorted(tuple(r.tok) for r in merged.collect())
+    assert got == sorted(
+        [("a~a", "a"), ("a", "b", "a", "b"), ("c",)]
+    )
+
+
+def test_bpe_merge_does_not_match_token_suffixes(spark):
+    """Pair (a,b) must not fire inside tokens 'xa' or 'bx'."""
+    df = spark.createDataFrame(
+        [(["a", "b"],), (["xa", "b"],), (["a", "bx"],)], "tok array<string>"
+    )
+    pair = spark.createDataFrame([("a", "b", 99)], "left string, right string, cnt long")
+    merged = bpe_apply_top_merge(df, "tok", pair)
+    got = sorted(tuple(r.tok) for r in merged.collect())
+    assert got == sorted([("a~b",), ("xa", "b"), ("a", "bx")])
+
+
+# --- quantile normalization -------------------------------------------------
+
+
+def test_quantile_normalize_single_group_is_identity(spark):
+    df = spark.createDataFrame(
+        [(i, "s", v) for i, v in enumerate([5, 1, 9, 3, 7])],
+        "id long, g string, v long",
+    )
+    out = quantile_normalize(df, "g", "v", "id")
+    assert all(r.normalized == r.v for r in out.collect())
+
+
+def test_quantile_normalize_maps_group_extremes_to_global_extremes(spark):
+    # two groups with disjoint ranges: each group's max maps to the global max
+    rows = [(i, "lo", i) for i in range(10)] + [(100 + i, "hi", 1000 + i) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    out = {(r.g, r.v): r.normalized for r in quantile_normalize(df, "g", "v", "id").collect()}
+    assert out[("lo", 9)] == 1009  # group rank 10/10 → global rank 20 → max
+    assert out[("hi", 1009)] == 1009
+
+
+# --- inverted index ---------------------------------------------------------
+
+
+def test_inverted_index_caps_postings_but_counts_full_df(spark):
+    rows = [(i, "common unique%d" % i) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.term: r for r in inverted_index(df, postings_cap=5, min_df=2).collect()}
+    assert set(out) == {"common"}  # unique terms fall below min_df
+    assert out["common"].df == 30
+    assert out["common"].postings == "0,1,2,3,4"
+
+
+def test_inverted_index_postings_are_numeric_order(spark):
+    df = spark.createDataFrame(
+        [(2, "w"), (100, "w"), (11, "w")], "doc_id long, text string"
+    )
+    out = inverted_index(df, postings_cap=20, min_df=2).collect()
+    assert out[0].postings == "2,11,100"  # not the string sort 100,11,2
+
+
+# --- interval coalescing ----------------------------------------------------
+
+
+def test_interval_islands_use_running_max_not_lag(spark):
+    """One long interval [0,100] swallows [10,20] and [30,40]; a lag(end)
+    implementation would wrongly split at s=30 (30 > 20). Exercises the q144
+    island logic directly on crafted rows."""
+    from pyspark.sql import Window as W
+
+    iv = spark.createDataFrame(
+        [(1, 1, 0, 100), (1, 2, 10, 20), (1, 3, 30, 40), (1, 4, 150, 160)],
+        "user_id long, event_id long, s long, e long",
+    )
+    wprev = (
+        W.partitionBy("user_id").orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    wrun = (
+        W.partitionBy("user_id").orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    isl = (
+        iv.withColumn(
+            "ni", F.when(F.col("s") > F.max("e").over(wprev), 1).otherwise(0)
+        )
+        .withColumn("island", F.sum("ni").over(wrun))
+        .groupBy("island")
+        .count()
+        .orderBy("island")
+        .collect()
+    )
+    assert [(r.island, r["count"]) for r in isl] == [(0, 3), (1, 1)]
