@@ -2988,12 +2988,13 @@ def q143_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    tot = c.groupBy("src").agg(F.sum("cnt").alias("n_src"))
+    # row-normalize with ONE window over the (tiny) pair table — a
+    # groupBy+join normalizer would re-derive the whole upstream twice
+    n_src = F.sum("cnt").over(W.partitionBy("src"))
     return (
-        c.join(F.broadcast(tot), "src")
-        .select(
+        c.select(
             "src", "dst", "cnt",
-            (F.col("cnt").cast("double") / F.col("n_src").cast("double")).alias("prob"),
+            (F.col("cnt").cast("double") / n_src.cast("double")).alias("prob"),
         )
         .orderBy("src", "dst")
     )

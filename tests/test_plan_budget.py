@@ -41,6 +41,13 @@ BUDGETS = [
     ("q125_grouped_regression", 2, 0),  # one moment agg + sort
     ("q127_burst_detection", 3, 0),     # window + agg + sort
     ("q130_cumulative_reach", 5, 0),    # firsts + adds + grid + window
+    ("q138_heavy_hitters", 3, 2),       # MG sketch (2 Arrow nodes) + count + sort
+    ("q139_pareto_frontier", 1, 0),     # bucket window; global window is 1-part
+    ("q140_bpe_merges", 3, 0),          # 2 pair aggs + rank; merge is broadcast
+    ("q141_quantile_normalize", 2, 0),  # group window + rank join
+    ("q142_inverted_index", 3, 0),      # distinct + term window + agg
+    ("q143_markov_transitions", 4, 0),  # seq window + pair agg + src window + sort
+    ("q144_interval_coalesce", 2, 0),   # one user window (both frames) + agg
 ]
 
 
