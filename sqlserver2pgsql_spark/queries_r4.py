@@ -3066,3 +3066,403 @@ def q144_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "island")
     )
+
+
+@register(
+    "q145_winsorized_stats",
+    oracle="""
+    WITH pts AS (
+      SELECT l_returnflag AS flag,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ),
+    fences AS (
+      SELECT flag,
+             min(CASE WHEN rn >= ceil(0.05 * n) THEN cents END) AS lo,
+             min(CASE WHEN rn >= ceil(0.95 * n) THEN cents END) AS hi
+      FROM pts GROUP BY flag
+    ),
+    clamped AS (
+      SELECT p.flag, f.lo, f.hi,
+             CASE WHEN p.cents < f.lo THEN 1 ELSE 0 END AS cl,
+             CASE WHEN p.cents > f.hi THEN 1 ELSE 0 END AS ch,
+             CASE WHEN p.cents < f.lo THEN f.lo
+                  WHEN p.cents > f.hi THEN f.hi
+                  ELSE p.cents END AS w
+      FROM pts p JOIN fences f USING (flag)
+    )
+    SELECT flag,
+           CAST(max(lo) AS BIGINT) AS p05_cents,
+           CAST(max(hi) AS BIGINT) AS p95_cents,
+           CAST(sum(cl) AS BIGINT) AS n_clamped_low,
+           CAST(sum(ch) AS BIGINT) AS n_clamped_high,
+           CAST(sum(w) AS DOUBLE) / (100.0 * count(*)) AS winsorized_mean
+    FROM clamped GROUP BY flag ORDER BY flag
+    """,
+)
+def q145_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped winsorization: clamp each group's price tail at the exact
+    rank-based P5/P95 (value at rank ceil(p·n) — a data value, not an
+    interpolation, same discipline as q118's quartiles), then report the
+    winsorized mean from an integer cents sum with one float division at
+    the end. Rank window + tiny broadcast fences join + one agg — the
+    robust-statistics counterpart to q118's outlier DETECTION (this one
+    repairs instead of flags)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    wspec = W.partitionBy("flag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    pts = li.select(
+        F.col("l_returnflag").alias("flag"),
+        cents.alias("cents"),
+        "l_extendedprice", "l_orderkey", "l_linenumber",
+    ).select(
+        "flag", "cents",
+        F.row_number().over(wspec).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("flag")).alias("n"),
+    )
+    fences = pts.groupBy("flag").agg(
+        F.min(F.when(F.col("rn") >= F.ceil(0.05 * F.col("n")), F.col("cents"))).alias("lo"),
+        F.min(F.when(F.col("rn") >= F.ceil(0.95 * F.col("n")), F.col("cents"))).alias("hi"),
+    )
+    clamped = pts.join(F.broadcast(fences), "flag").select(
+        "flag", "lo", "hi",
+        F.when(F.col("cents") < F.col("lo"), 1).otherwise(0).alias("cl"),
+        F.when(F.col("cents") > F.col("hi"), 1).otherwise(0).alias("ch"),
+        F.when(F.col("cents") < F.col("lo"), F.col("lo"))
+        .when(F.col("cents") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("cents")).alias("w"),
+    )
+    return (
+        clamped.groupBy("flag")
+        .agg(
+            F.max("lo").alias("p05_cents"),
+            F.max("hi").alias("p95_cents"),
+            F.sum("cl").alias("n_clamped_low"),
+            F.sum("ch").alias("n_clamped_high"),
+            (F.sum("w").cast("double") / (100.0 * F.count(F.lit(1)))).alias(
+                "winsorized_mean"
+            ),
+        )
+        .orderBy("flag")
+    )
+
+
+@register(
+    "q146_kl_divergence",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    st AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS c_st
+      FROM toks WHERE tok <> '' GROUP BY 1, 2
+    ),
+    s AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY source),
+    g AS (SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY tok),
+    tot AS (SELECT CAST(sum(c_st) AS BIGINT) AS n FROM st),
+    contrib AS (
+      SELECT st.source,
+             CAST(
+               (CAST(st.c_st AS DOUBLE) / s.n_s)
+               * ln((CAST(st.c_st AS DOUBLE) * t.n)
+                    / (CAST(g.c_t AS DOUBLE) * s.n_s))
+               AS DECIMAL(28, 15)) AS d
+      FROM st
+      JOIN s USING (source)
+      JOIN g USING (tok)
+      CROSS JOIN tot t
+    )
+    SELECT c.source, s.n_s AS n_tokens,
+           round(CAST(sum(c.d) AS DOUBLE), 6) AS kl_vs_global
+    FROM contrib c JOIN s USING (source)
+    GROUP BY c.source, s.n_s ORDER BY c.source
+    """,
+)
+def q146_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift: KL divergence of each source's unigram distribution
+    from the global distribution — the domain-shift metric a training-mix
+    designer monitors. Float-sum order would break exactness, so each
+    term's contribution (a fixed double chain from integer counts) is cast
+    to DECIMAL(28,15) and summed EXACTLY as decimal (order-free), rounded
+    once at the end — the HLL module's determinism discipline applied to an
+    information-theoretic aggregate. Shape: per-(source,term) counts (one
+    agg), two vocabulary-sized side aggs broadcast back, one decimal sum.
+    P is per-source, Q is global, so Q=0 is impossible and KL is finite."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(_tok(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    # the (source, term) count table feeds four consumers (marginals, total,
+    # contributions) — pin the vocabulary-sized result instead of re-running
+    # the corpus explode per consumer
+    st = (
+        toks.groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+        .localCheckpoint(eager=False)
+    )
+    s = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    g = st.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
+    tot = st.agg(F.sum("c_st").alias("n"))
+    contrib = (
+        st.join(F.broadcast(s), "source")
+        .join(F.broadcast(g), "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_s",
+            (
+                (F.col("c_st").cast("double") / F.col("n_s"))
+                * F.log(
+                    (F.col("c_st").cast("double") * F.col("n"))
+                    / (F.col("c_t").cast("double") * F.col("n_s"))
+                )
+            ).cast("decimal(28,15)").alias("d"),
+        )
+    )
+    return (
+        contrib.groupBy("source", F.col("n_s").alias("n_tokens"))
+        .agg(F.round(F.sum("d").cast("double"), 6).alias("kl_vs_global"))
+        .orderBy("source")
+    )
+
+
+#: fixed BM25 probe terms — a representative search over the synthetic corpus
+_BM25_TERMS = ("join", "hash", "scan")
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n             ".join(
+        f"CAST(sum(CASE WHEN tok = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS, 1)
+    )
+    df_cols = ",\n             ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(1, len(_BM25_TERMS) + 1)
+    )
+    score_terms = "\n             + ".join(
+        f"ln((CAST(s.n_docs AS DOUBLE) - d.df{i} + 0.5) / (d.df{i} + 0.5) + 1.0)"
+        f" * (CAST(t.tf{i} AS DOUBLE) * 2.2)"
+        f" / (t.tf{i} + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE) * s.n_docs / s.tot)))"
+        for i in range(1, len(_BM25_TERMS) + 1)
+    )
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    len AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+      FROM toks WHERE tok <> '' GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot
+      FROM len
+    ),
+    tf AS (
+      SELECT doc_id,
+             {tf_cols}
+      FROM toks GROUP BY doc_id
+    ),
+    dfs AS (
+      SELECT {df_cols}
+      FROM tf
+    )
+    SELECT l.doc_id, l.dl,
+           round({score_terms}, 9) AS score
+    FROM len l
+    JOIN tf t USING (doc_id)
+    CROSS JOIN dfs d
+    CROSS JOIN stats s
+    ORDER BY score DESC, doc_id LIMIT 20
+    """
+
+
+@register("q147_bm25_ranking", oracle=_bm25_oracle())
+def q147_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking for a fixed probe query (k1=1.2, b=0.75,
+    Lucene's +1 idf floor): the retrieval scorer on top of q142's index
+    statistics. Determinism: tf/df/doclen are exact integers; each doc's
+    score is ONE fixed chain of double ops summed in explicit term order
+    (t1 + t2 + t3, never a SQL SUM over floats), then round(9) — ln()
+    differs from DuckDB's libm in the last ulp, and the rounding pins both
+    the values and the top-20 ordering far above that noise floor.
+    Shape: one token agg for lengths, one for per-doc tf
+    (conditional sums — never a per-term join), corpus stats broadcast,
+    top-20 rides TakeOrderedAndProject."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(_tok(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("tok") == t, 1).otherwise(0)).alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS, 1)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("tot"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(1, len(_BM25_TERMS) + 1)
+        ],
+    )
+    joined = per_doc.crossJoin(F.broadcast(stats))
+
+    def term_score(i: int):
+        idf = F.log(
+            (F.col("n_docs").cast("double") - F.col(f"df{i}") + 0.5)
+            / (F.col(f"df{i}") + 0.5)
+            + 1.0
+        )
+        ratio = F.col("dl").cast("double") * F.col("n_docs") / F.col("tot")
+        return idf * (F.col(f"tf{i}").cast("double") * 2.2) / (
+            F.col(f"tf{i}") + 1.2 * (0.25 + 0.75 * ratio)
+        )
+
+    score = term_score(1)
+    for i in range(2, len(_BM25_TERMS) + 1):
+        score = score + term_score(i)
+    # ln() may differ from DuckDB's libm in the last ulp — round(9) pins the
+    # comparison (and the top-20 ordering) far above that noise floor
+    return (
+        joined.select("doc_id", "dl", F.round(score, 9).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "q148_triangle_count",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_partkey % 3 = 0
+    ),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      GROUP BY node
+    ),
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS t
+      FROM e e1 JOIN e e2 ON e1.v = e2.u
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    wedges AS (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS w FROM deg)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT t FROM tri) AS n_triangles,
+           (SELECT t FROM tri) * 27 AS est_triangles_full,
+           CAST(3.0 * (SELECT t FROM tri) AS DOUBLE) / (SELECT w FROM wedges)
+             AS clustering_coeff
+    """,
+)
+def q148_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + clustering coefficient of the co-purchase graph
+    under deterministic VERTEX-COLORING SAMPLING (Doulion-family, Tsourakakis
+    et al. KDD'09): keep the 1-in-3 vertex class (partkey ≡ 0 mod 3), count
+    triangles EXACTLY on the induced subgraph, extrapolate ×27 (= k³) — the
+    induced count is exact (oracle-gated), the extrapolation is the unbiased
+    estimator a 100 TB graph would ship. The Spark plan uses DEGREE-ORDERED
+    ORIENTATION (Chiba–Nishizeki / Suri–Vassilvitskii MR-style): each edge
+    points from its lower-(degree,id) endpoint to the higher, so every
+    vertex's out-degree is O(√m) regardless of hot hubs, wedges are
+    generated per apex from the sorted out-neighbor array with the house
+    grouped pair generator, and one semi-join against the edge set closes
+    them — each triangle counted exactly once from its minimum-rank apex.
+    The oracle is the naive u<v<w triple self-join; identical count. The
+    wedge denominator Σ d(d−1)/2 is exact integers, one final division."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_partkey") % 3 == 0)
+        .distinct()
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("items")
+    )
+    items = F.col("items")
+    e = (
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        items,
+                        lambda x, i: F.transform(
+                            F.slice(items, i + 2, F.size(items)),
+                            lambda y: F.struct(x.alias("u"), y.alias("v")),
+                        ),
+                    )
+                )
+            ).alias("pr")
+        )
+        .select("pr.u", "pr.v")
+        .distinct()
+        # the edge set feeds four consumers (degrees, orientation, wedge
+        # closure, edge count) — pin it once instead of re-deriving the
+        # basket pair-gen lineage per consumer
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient each edge toward the higher (degree, id) endpoint
+    ed = (
+        e.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+        .select(
+            F.when(
+                F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v")),
+                F.struct(F.col("u").alias("x"), F.col("v").alias("y")),
+            )
+            .otherwise(F.struct(F.col("v").alias("x"), F.col("u").alias("y")))
+            .alias("o")
+        )
+        .select("o.x", "o.y")
+    )
+    # wedges per apex from sorted out-neighbors (out-degree is O(sqrt m))
+    nbrs = ed.groupBy("x").agg(F.array_sort(F.collect_list("y")).alias("ys"))
+    ys = F.col("ys")
+    wedge = nbrs.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    ys,
+                    lambda a, i: F.transform(
+                        F.slice(ys, i + 2, F.size(ys)),
+                        lambda b: F.struct(
+                            F.least(a, b).alias("u"), F.greatest(a, b).alias("v")
+                        ),
+                    ),
+                )
+            )
+        ).alias("w")
+    ).select("w.u", "w.v")
+    tri = wedge.join(e, ["u", "v"], "left_semi").count()
+    n_nodes_df = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("w"),
+    )
+    n_edges = e.count()
+    return n_nodes_df.select(
+        "n_nodes",
+        F.lit(n_edges).alias("n_edges"),
+        F.lit(tri).alias("n_triangles"),
+        F.lit(tri * 27).alias("est_triangles_full"),
+        (3.0 * F.lit(tri) / F.col("w")).alias("clustering_coeff"),
+    )

@@ -48,6 +48,10 @@ BUDGETS = [
     ("q142_inverted_index", 3, 0),      # distinct + term window + agg
     ("q143_markov_transitions", 4, 0),  # seq window + pair agg + src window + sort
     ("q144_interval_coalesce", 2, 0),   # one user window (both frames) + agg
+    ("q145_winsorized_stats", 3, 0),    # rank window + fences agg + final agg
+    ("q146_kl_divergence", 4, 0),       # pinned (src,term) agg + marginals + sum
+    ("q147_bm25_ranking", 2, 0),        # per-doc tf agg + stats; top-20 TOAP
+    ("q148_triangle_count", 1, 0),      # final assembly; heavy stages pinned
 ]
 
 

@@ -209,3 +209,93 @@ def test_interval_islands_use_running_max_not_lag(spark):
         .collect()
     )
     assert [(r.island, r["count"]) for r in isl] == [(0, 3), (1, 1)]
+
+
+# --- triangle counting (q148's oriented counter) ----------------------------
+
+
+def _oriented_triangles(spark, edges):
+    """Run q148's degree-ordered orientation + wedge closure on an explicit
+    edge list (u < v)."""
+    e = spark.createDataFrame(edges, "u long, v long")
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = (
+        e.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+        .select(
+            F.when(
+                F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v")),
+                F.struct(F.col("u").alias("x"), F.col("v").alias("y")),
+            )
+            .otherwise(F.struct(F.col("v").alias("x"), F.col("u").alias("y")))
+            .alias("o")
+        )
+        .select("o.x", "o.y")
+    )
+    nbrs = ed.groupBy("x").agg(F.array_sort(F.collect_list("y")).alias("ys"))
+    ys = F.col("ys")
+    wedge = nbrs.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    ys,
+                    lambda a, i: F.transform(
+                        F.slice(ys, i + 2, F.size(ys)),
+                        lambda b: F.struct(
+                            F.least(a, b).alias("u"), F.greatest(a, b).alias("v")
+                        ),
+                    ),
+                )
+            )
+        ).alias("w")
+    ).select("w.u", "w.v")
+    return wedge.join(e, ["u", "v"], "left_semi").count()
+
+
+def _brute_triangles(edges):
+    es = set(map(tuple, edges))
+    nodes = sorted({x for e in edges for x in e})
+    t = 0
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if (a, b) not in es:
+                continue
+            for c in nodes[nodes.index(b) + 1:]:
+                if (a, c) in es and (b, c) in es:
+                    t += 1
+    return t
+
+
+def test_oriented_triangle_count_matches_bruteforce(spark):
+    # K5 (10 triangles), a hub star (0 triangles), a random graph
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    assert _oriented_triangles(spark, k5) == 10 == _brute_triangles(k5)
+    star = [(0, i) for i in range(1, 8)]
+    assert _oriented_triangles(spark, star) == 0
+    rng = random.Random(5)
+    rnd = sorted({tuple(sorted(rng.sample(range(12), 2))) for _ in range(40)})
+    rnd = [(a, b) for a, b in rnd]
+    assert _oriented_triangles(spark, rnd) == _brute_triangles(rnd)
+
+
+# --- winsorization ----------------------------------------------------------
+
+
+def test_winsorize_fences_clamp_exact_ranks(spark, duck):
+    """q145 on the fixture: fences must be actual data values at ceil(p·n)
+    rank, and the winsorized mean must lie within [p05, p95]."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    rows = entrymod.queries()["q145_winsorized_stats"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.p05_cents <= r.p95_cents
+        assert r.p05_cents / 100.0 <= r.winsorized_mean <= r.p95_cents / 100.0
+        # ~5% of each tail clamps on a continuous-ish price distribution
+        assert r.n_clamped_low > 0 and r.n_clamped_high > 0
