@@ -3466,3 +3466,321 @@ def q148_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(tri * 27).alias("est_triangles_full"),
         (3.0 * F.lit(tri) / F.col("w")).alias("clustering_coeff"),
     )
+
+
+@register(
+    "q149_seasonal_decompose",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM events GROUP BY 1, 2
+    ),
+    ma AS (
+      SELECT event_type, h, y,
+             CAST(sum(y) OVER w AS BIGINT) AS trend_num,
+             count(*) OVER w AS cnt,
+             CAST(strftime(h, '%H') AS INTEGER) AS hod
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)
+    ),
+    detr AS (
+      SELECT event_type, hod, 24 * y - trend_num AS d24
+      FROM ma WHERE cnt = 24
+    )
+    SELECT event_type, hod,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(d24) AS DOUBLE) / (2400.0 * count(*)) AS seasonal
+    FROM detr GROUP BY event_type, hod
+    ORDER BY event_type, hod
+    """,
+)
+def q149_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average seasonal decomposition (STL-lite): hourly revenue per
+    event type, trend = centered 24-row moving average (only complete
+    windows), seasonal index per hour-of-day = mean detrended residual.
+    Exactness: hourly totals are integer cents, the detrended residual is
+    held as the INTEGER 24·y − Σwindow (no per-row division), and the only
+    float op is the final mean — so a decomposition usually done in pandas
+    runs exactly, distributed, as two shuffles (hourly agg + one ordered
+    window per type) and one group agg."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("y")
+        )
+    )
+    w = (
+        W.partitionBy("event_type").orderBy("h").rowsBetween(-12, 11)
+    )
+    ma = hourly.select(
+        "event_type",
+        F.hour("h").alias("hod"),
+        "y",
+        F.sum("y").over(w).alias("trend_num"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    )
+    detr = ma.filter(F.col("cnt") == 24).select(
+        "event_type", "hod", (24 * F.col("y") - F.col("trend_num")).alias("d24")
+    )
+    return (
+        detr.groupBy("event_type", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            (
+                F.sum("d24").cast("double") / (2400.0 * F.count(F.lit(1)))
+            ).alias("seasonal"),
+        )
+        .orderBy("event_type", "hod")
+    )
+
+
+@register(
+    "q150_kaplan_meier",
+    oracle="""
+    WITH horizon AS (SELECT max(ts) AS t_end FROM events),
+    s AS (
+      SELECT user_id, min(ts) AS t_signup FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s.t_signup
+      GROUP BY e.user_id
+    ),
+    subjects AS (
+      SELECT s.user_id,
+             CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END AS ev,
+             CAST(CASE WHEN p.user_id IS NOT NULL
+                  THEN epoch_us(p.t_purchase) - epoch_us(s.t_signup)
+                  ELSE epoch_us(h.t_end) - epoch_us(s.t_signup)
+                  END // 86400000000 AS BIGINT) AS t_days
+      FROM s LEFT JOIN p ON p.user_id = s.user_id CROSS JOIN horizon h
+    ),
+    byday AS (
+      SELECT t_days, CAST(sum(ev) AS BIGINT) AS d,
+             CAST(sum(1 - ev) AS BIGINT) AS c
+      FROM subjects GROUP BY t_days
+    ),
+    risk AS (
+      SELECT t_days, d, c,
+             CAST((SELECT count(*) FROM subjects)
+               - coalesce(sum(d + c) OVER (ORDER BY t_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_risk
+      FROM byday
+    )
+    SELECT t_days, d, c, n_risk,
+           CASE WHEN max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                  OVER (ORDER BY t_days ROWS UNBOUNDED PRECEDING) = 1
+                THEN 0.0
+                ELSE round(exp(sum(CASE WHEN d > 0 AND d < n_risk
+                              THEN ln(CAST(n_risk - d AS DOUBLE) / n_risk)
+                              ELSE 0.0 END)
+                      OVER (ORDER BY t_days ROWS UNBOUNDED PRECEDING)), 9)
+           END AS survival
+    FROM risk ORDER BY t_days
+    """,
+)
+def q150_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for signup→purchase conversion with
+    right-censoring at the corpus horizon: per-day event/censor counts, the
+    risk set as an exact integer prefix subtraction, and the product-limit
+    estimator as exp(Σ ln((n−d)/n)) over the ordered day sequence — both
+    engines accumulate the running float sum in the SAME row order, and
+    round(9) pins the libm tail. The survival-analysis standard (the
+    principled upgrade of q124's quantiles under censoring), expressed as
+    two tiny aggs + one global window over #distinct-days rows."""
+    ev = _t(spark, sf_dir, "events")
+    horizon = ev.agg(F.max("ts").alias("t_end"))
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    p = (
+        ev.join(F.broadcast(s), "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_signup"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    subjects = (
+        s.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0).alias("ev"),
+            F.floor(
+                F.when(
+                    F.col("t_purchase").isNotNull(),
+                    us("t_purchase") - us("t_signup"),
+                ).otherwise(us("t_end") - us("t_signup"))
+                / 86_400_000_000
+            ).cast("long").alias("t_days"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    total = subjects.count()
+    byday = subjects.groupBy("t_days").agg(
+        F.sum("ev").alias("d"), F.sum(1 - F.col("ev")).alias("c")
+    )
+    wprev = W.orderBy("t_days").rowsBetween(W.unboundedPreceding, -1)
+    wrun = W.orderBy("t_days").rowsBetween(W.unboundedPreceding, W.currentRow)
+    risk = byday.select(
+        "t_days", "d", "c",
+        (
+            F.lit(total)
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wprev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    # absorbing zero: once a day's deaths exhaust the risk set, S(t) is 0
+    # from that day on (ln(0) never evaluates — the flag short-circuits it)
+    step = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+        F.log((F.col("n_risk") - F.col("d")).cast("double") / F.col("n_risk")),
+    ).otherwise(F.lit(0.0))
+    dead = F.max(
+        F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+    ).over(wrun)
+    return risk.select(
+        "t_days", "d", "c", "n_risk",
+        F.when(dead == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.sum(step).over(wrun)), 9))
+        .alias("survival"),
+    ).orderBy("t_days")
+
+
+@register(
+    "q151_join_view_maintenance",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, o.o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(38,8))) AS DOUBLE)
+             AS sum_price
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2 ORDER BY segment, status
+    """,
+)
+def q151_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view (classic IVM delta algebra):
+    with fact and dim each split into base + insert-delta (orders keys
+    ≡0 mod 10, customer keys ≡0 mod 7 play the arriving batches), the
+    maintained view is the base partial-aggregate MERGED with the three
+    delta terms ΔA⋈B, A⋈ΔB, ΔA⋈ΔB — the base⋈base join is NEVER re-run.
+    The oracle is the full recompute; equality holds because count and
+    DECIMAL(38,8) sums are exactly mergeable partials (q110's discipline
+    extended from single-table to join views). Delta joins broadcast the
+    smaller side; the merge is one partial-union + re-agg."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.col("o_totalprice").cast(DEC).alias("price"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o_base = o.filter(F.col("o_orderkey") % 10 != 0)
+    o_delta = o.filter(F.col("o_orderkey") % 10 == 0)
+    c_base = c.filter(F.col("c_custkey") % 7 != 0)
+    c_delta = c.filter(F.col("c_custkey") % 7 == 0)
+
+    def partial(odf: DataFrame, cdf: DataFrame) -> DataFrame:
+        return (
+            odf.join(F.broadcast(cdf), odf["o_custkey"] == cdf["c_custkey"])
+            .groupBy(
+                F.col("c_mktsegment").alias("segment"),
+                F.col("o_orderstatus").alias("status"),
+            )
+            .agg(F.count(F.lit(1)).alias("pn"), F.sum("price").alias("ps"))
+        )
+
+    # the "materialized" base view + the three IVM delta terms
+    base_view = partial(o_base, c_base)
+    deltas = [partial(o_delta, c_base), partial(o_base, c_delta), partial(o_delta, c_delta)]
+    merged = base_view
+    for d in deltas:
+        merged = merged.unionByName(d)
+    return (
+        merged.groupBy("segment", "status")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.sum("ps").cast("double").alias("sum_price"),
+        )
+        .orderBy("segment", "status")
+    )
+
+
+@register(
+    "q152_welch_ttest",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+             CASE WHEN CAST(strftime(ts, '%w') AS INTEGER) IN (0, 6)
+                  THEN 1 ELSE 0 END AS we,
+             CAST(floor(value * 100 + 0.5) AS HUGEINT) AS cents
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN we = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+             sum(CASE WHEN we = 0 THEN cents ELSE 0 END) AS s1,
+             sum(CASE WHEN we = 0 THEN cents * cents ELSE 0 END) AS ss1,
+             CAST(sum(we) AS HUGEINT) AS n2,
+             sum(CASE WHEN we = 1 THEN cents ELSE 0 END) AS s2,
+             sum(CASE WHEN we = 1 THEN cents * cents ELSE 0 END) AS ss2
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n1 AS BIGINT) AS n_weekday, CAST(n2 AS BIGINT) AS n_weekend,
+           round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2) / 100.0, 6)
+             AS mean_diff,
+           round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+             / sqrt(CAST(n1 * ss1 - s1 * s1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1))
+                  + CAST(n2 * ss2 - s2 * s2 AS DOUBLE) / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1))), 6)
+             AS t_stat
+    FROM m ORDER BY event_type
+    """,
+)
+def q152_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test per event type (weekday vs weekend values) —
+    the A/B-test primitive, exact: both samples' first and second moments
+    accumulate as integer cents in decimal(38,0) (q134's discipline), the
+    variance-of-mean terms v_i/n_i are computed as the single expression
+    (n·ss − s²)/(n·n·(n−1)) from those integers, and the t statistic is one
+    fixed double chain rounded at 6. One hash agg over the facts; the test
+    itself costs one row per group."""
+    ev = _t(spark, sf_dir, "events")
+    I = "decimal(38,0)"
+    we = F.when(F.dayofweek(F.col("ts")).isin(1, 7), 1).otherwise(0)
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long").cast(I)
+    pts = ev.select("event_type", we.alias("we"), cents.alias("cents"))
+    m = pts.groupBy("event_type").agg(
+        F.sum(F.when(F.col("we") == 0, 1).otherwise(0)).cast(I).alias("n1"),
+        F.sum(F.when(F.col("we") == 0, F.col("cents")).otherwise(F.lit(0).cast(I))).alias("s1"),
+        F.sum(F.when(F.col("we") == 0, F.col("cents") * F.col("cents")).otherwise(F.lit(0).cast(I))).alias("ss1"),
+        F.sum("we").cast(I).alias("n2"),
+        F.sum(F.when(F.col("we") == 1, F.col("cents")).otherwise(F.lit(0).cast(I))).alias("s2"),
+        F.sum(F.when(F.col("we") == 1, F.col("cents") * F.col("cents")).otherwise(F.lit(0).cast(I))).alias("ss2"),
+    )
+    mean_diff = (
+        F.col("s1").cast("double") / F.col("n1").cast("double")
+        - F.col("s2").cast("double") / F.col("n2").cast("double")
+    )
+    v1 = (F.col("n1") * F.col("ss1") - F.col("s1") * F.col("s1")).cast("double") / (
+        F.col("n1").cast("double") * F.col("n1").cast("double") * (F.col("n1").cast("double") - 1)
+    )
+    v2 = (F.col("n2") * F.col("ss2") - F.col("s2") * F.col("s2")).cast("double") / (
+        F.col("n2").cast("double") * F.col("n2").cast("double") * (F.col("n2").cast("double") - 1)
+    )
+    return m.select(
+        "event_type",
+        F.col("n1").cast("long").alias("n_weekday"),
+        F.col("n2").cast("long").alias("n_weekend"),
+        F.round(mean_diff / 100.0, 6).alias("mean_diff"),
+        F.round(mean_diff / F.sqrt(v1 + v2), 6).alias("t_stat"),
+    ).orderBy("event_type")

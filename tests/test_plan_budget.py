@@ -52,6 +52,10 @@ BUDGETS = [
     ("q146_kl_divergence", 4, 0),       # pinned (src,term) agg + marginals + sum
     ("q147_bm25_ranking", 2, 0),        # per-doc tf agg + stats; top-20 TOAP
     ("q148_triangle_count", 1, 0),      # final assembly; heavy stages pinned
+    ("q149_seasonal_decompose", 3, 0),  # hourly agg + MA window + group agg
+    ("q150_kaplan_meier", 1, 0),        # day agg; risk/survival on #days rows
+    ("q151_join_view_maintenance", 5, 0),  # 4 broadcast partials + merge agg
+    ("q152_welch_ttest", 2, 0),         # one moment agg + sort
 ]
 
 

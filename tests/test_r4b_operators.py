@@ -299,3 +299,100 @@ def test_winsorize_fences_clamp_exact_ranks(spark, duck):
         assert r.p05_cents / 100.0 <= r.winsorized_mean <= r.p95_cents / 100.0
         # ~5% of each tail clamps on a continuous-ish price distribution
         assert r.n_clamped_low > 0 and r.n_clamped_high > 0
+
+
+# --- Kaplan-Meier / Welch / IVM / seasonal (q149-q152 semantics) ------------
+
+
+def test_kaplan_meier_hand_computed(spark):
+    """5 subjects: deaths at day 1 (n=5) and day 3 (n=3), censors at day 2
+    and day 4, last subject dies at day 5 exhausting the risk set →
+    S(1)=0.8, S(3)=0.8*2/3, S(5)=0 (absorbing zero, no ln(0))."""
+    from pyspark.sql import Window as W
+
+    subj = spark.createDataFrame(
+        [(1, 1), (2, 0), (3, 1), (4, 0), (5, 1)], "t_days long, ev int"
+    )
+    byday = subj.groupBy("t_days").agg(
+        F.sum("ev").alias("d"), F.sum(1 - F.col("ev")).alias("c")
+    )
+    wprev = W.orderBy("t_days").rowsBetween(W.unboundedPreceding, -1)
+    wrun = W.orderBy("t_days").rowsBetween(W.unboundedPreceding, W.currentRow)
+    risk = byday.select(
+        "t_days", "d", "c",
+        (F.lit(5) - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wprev), F.lit(0))).alias("n_risk"),
+    )
+    step = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+        F.log((F.col("n_risk") - F.col("d")).cast("double") / F.col("n_risk")),
+    ).otherwise(F.lit(0.0))
+    dead = F.max(F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)).over(wrun)
+    out = {
+        r.t_days: r.survival
+        for r in risk.select(
+            "t_days",
+            F.when(dead == 1, F.lit(0.0))
+            .otherwise(F.round(F.exp(F.sum(step).over(wrun)), 9))
+            .alias("survival"),
+        ).collect()
+    }
+    assert out[1] == 0.8
+    assert abs(out[2] - 0.8) < 1e-12          # censoring alone never drops S
+    assert abs(out[3] - 0.8 * 2 / 3) < 1e-9
+    assert out[5] == 0.0                       # risk set exhausted
+
+
+def test_welch_tstat_matches_numpy(spark):
+    import numpy as np
+
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+    import duckdb
+
+    rows = entrymod.queries()["q152_welch_ttest"](spark, SF_DIR).collect()
+    con = duckdb.connect()
+    for r in rows:
+        a, b = con.execute(
+            f"""SELECT list(CASE WHEN dow NOT IN (0,6) THEN cents END),
+                       list(CASE WHEN dow IN (0,6) THEN cents END)
+                FROM (SELECT CAST(strftime(ts,'%w') AS INTEGER) dow,
+                             floor(value*100+0.5) cents
+                      FROM '{SF_DIR}/events.parquet'
+                      WHERE event_type = '{r.event_type}')"""
+        ).fetchone()
+        a = np.array([x for x in a if x is not None], dtype=float)
+        b = np.array([x for x in b if x is not None], dtype=float)
+        t = (a.mean() - b.mean()) / np.sqrt(
+            a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+        )
+        assert abs(r.t_stat - t) < 1e-4, (r.event_type, r.t_stat, t)
+
+
+def test_ivm_split_is_a_partition(spark):
+    """q151's base/delta splits must partition both tables — every row in
+    exactly one side — or the maintained view silently over/under-counts."""
+    from tests.conftest import SF_DIR
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    n = o.count()
+    nb = o.filter(F.col("o_orderkey") % 10 != 0).count()
+    nd = o.filter(F.col("o_orderkey") % 10 == 0).count()
+    assert nb + nd == n and nd > 0
+
+
+def test_seasonal_constant_series_has_zero_index(spark):
+    """A flat hourly series must decompose to seasonal ≡ 0 for every
+    hour-of-day (24·y − Σwindow = 0 when all y equal)."""
+    from pyspark.sql import Window as W
+
+    rows = [("a", i, 100) for i in range(96)]  # 4 days, constant
+    df = spark.createDataFrame(rows, "t string, hr int, y long")
+    w = W.partitionBy("t").orderBy("hr").rowsBetween(-12, 11)
+    ma = df.select(
+        "t", (F.col("hr") % 24).alias("hod"), "y",
+        F.sum("y").over(w).alias("num"), F.count(F.lit(1)).over(w).alias("cnt"),
+    ).filter(F.col("cnt") == 24)
+    out = ma.select((24 * F.col("y") - F.col("num")).alias("d24")).agg(
+        F.min("d24"), F.max("d24")
+    ).first()
+    assert tuple(out) == (0, 0)
