@@ -297,6 +297,100 @@ def main() -> None:
 
     probe("checksum_compare", checksum, li, li_big)
 
+    # --- round-4 continuation operators (q138+) ----------------------------
+    from sqlserver2pgsql_spark.operators.sketches import exact_heavy_hitters
+    from sqlserver2pgsql_spark.operators.skyline import pareto_frontier
+    from sqlserver2pgsql_spark.operators.text import (
+        adjacent_pair_counts,
+        bpe_apply_top_merge,
+        inverted_index,
+    )
+
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    orders.count()
+    orders_big = replicate(orders, "o_orderkey", replicas, 100_000_000)
+
+    probe(
+        "heavy_hitters(MG+verify)",
+        lambda d: exact_heavy_hitters(d.select("o_custkey"), "o_custkey", k=1000),
+        orders, orders_big,
+    )
+    probe(
+        "pareto_frontier",
+        lambda d: pareto_frontier(
+            d.select(
+                "o_orderkey",
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("price"),
+                (F.col("o_custkey") % 1000).cast("int").alias("sz"),
+            ),
+            "price", "sz", "o_orderkey",
+        ),
+        orders, orders_big,
+    )
+
+    def bpe_round(d):
+        toks = d.select(F.split(F.trim(F.col("text")), r"\s+").alias("tok"))
+        c1 = adjacent_pair_counts(toks, "tok")
+        return adjacent_pair_counts(bpe_apply_top_merge(toks, "tok", c1), "tok")
+
+    probe("bpe_merge_round", bpe_round, docs, docs_big)
+    probe(
+        "inverted_index",
+        lambda d: inverted_index(d, "doc_id", "text", min_df=2, postings_cap=20),
+        docs, docs_big,
+    )
+
+    def kl(d):
+        toks = d.select("source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
+        st = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c_st")).localCheckpoint(eager=False)
+        s = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+        g = st.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
+        tot = st.agg(F.sum("c_st").alias("n"))
+        return (
+            st.join(F.broadcast(s), "source").join(F.broadcast(g), "tok").crossJoin(F.broadcast(tot))
+            .select("source", ((F.col("c_st").cast("double") / F.col("n_s"))
+                * F.log((F.col("c_st").cast("double") * F.col("n"))
+                        / (F.col("c_t").cast("double") * F.col("n_s")))).cast("decimal(28,15)").alias("d"))
+            .groupBy("source").agg(F.sum("d"))
+        )
+
+    probe("kl_divergence", kl, docs, docs_big)
+
+    def triangles(d):
+        li_s = d.select("l_orderkey", "l_partkey").filter(F.col("l_partkey") % 3 == 0).distinct()
+        baskets = li_s.groupBy("l_orderkey").agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+        items = F.col("items")
+        e = (baskets.select(F.explode(F.flatten(F.transform(items,
+                lambda x, i: F.transform(F.slice(items, i + 2, F.size(items)),
+                    lambda y: F.struct(x.alias("u"), y.alias("v")))))).alias("pr"))
+             .select("pr.u", "pr.v").distinct().localCheckpoint(eager=False))
+        deg = (e.select(F.col("u").alias("node")).unionByName(e.select(F.col("v").alias("node")))
+               .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+        ed = (e.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
+              .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+              .select(F.when(F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v")),
+                             F.struct(F.col("u").alias("x"), F.col("v").alias("y")))
+                      .otherwise(F.struct(F.col("v").alias("x"), F.col("u").alias("y"))).alias("o"))
+              .select("o.x", "o.y"))
+        nbrs = ed.groupBy("x").agg(F.array_sort(F.collect_list("y")).alias("ys"))
+        ys = F.col("ys")
+        wedge = (nbrs.select(F.explode(F.flatten(F.transform(ys,
+                    lambda a, i: F.transform(F.slice(ys, i + 2, F.size(ys)),
+                        lambda b: F.struct(F.least(a, b).alias("u"), F.greatest(a, b).alias("v")))))).alias("w"))
+                 .select("w.u", "w.v"))
+        return wedge.join(e, ["u", "v"], "left_semi")
+
+    # disjoint subgraphs per replica: shift partkeys by a multiple of 3 so
+    # the %3 vertex-coloring class is preserved in every replica
+    li_t_big = (
+        li.select("l_orderkey", "l_partkey", rr)
+        .select(
+            (F.col("l_orderkey") + F.col("__r").cast("long") * 100_000_000).alias("l_orderkey"),
+            (F.col("l_partkey") + F.col("__r").cast("long") * 300_000).alias("l_partkey"),
+        )
+    )
+    probe("triangle_count(oriented)", triangles, li.select("l_orderkey", "l_partkey"), li_t_big)
+
 
 if __name__ == "__main__":
     main()
