@@ -3789,3 +3789,365 @@ def q152_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean_diff / 100.0, 6).alias("mean_diff"),
         F.round(mean_diff / F.sqrt(v1 + v2), 6).alias("t_stat"),
     ).orderBy("event_type")
+
+
+@register(
+    "q153_stream_heavy_hitters",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(user_id AS VARCHAR) AS user_id,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    ),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM events)
+    SELECT c.user_id, c.cnt, t.n_total
+    FROM c, t WHERE c.cnt * 200 > t.n_total
+    ORDER BY cnt DESC, user_id
+    """,
+)
+def q153_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters, exactly — the lambda split: the stream side
+    carries Misra-Gries counter tables in explicit group state
+    (streaming/jobs.py:streaming_mg_candidates, O(buckets·capacity) state,
+    update-mode candidate snapshots), and a batch pass exact-counts ONLY
+    the unioned candidates (a superset of every key with count > n/k, see
+    the operator's proof) against the same table, keeping keys that clear
+    the integer threshold. Output is exact and identical to the all-batch
+    q138 formulation; the streaming phase is what survives when the input
+    is a firehose instead of a parquet table."""
+    from .streaming import run_stream_to_memory, stream_events
+    from .streaming.jobs import streaming_mg_candidates
+
+    stream = streaming_mg_candidates(
+        stream_events(spark, sf_dir), "user_id", capacity=800
+    )
+    run_stream_to_memory(stream, "q153_cands", output_mode="update")
+    cands = spark.sql("SELECT DISTINCT value AS user_id FROM q153_cands")
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("user_id")
+    )
+    counted = (
+        ev.join(F.broadcast(cands), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = ev.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * 200 > F.col("n_total"))
+        .select("user_id", "cnt", "n_total")
+        .orderBy(F.col("cnt").desc(), "user_id")
+    )
+
+
+@register(
+    "q154_ks_test",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+             CASE WHEN CAST(strftime(ts, '%w') AS INTEGER) IN (0, 6)
+                  THEN 1 ELSE 0 END AS we,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, cents,
+             CAST(sum(1 - we) AS BIGINT) AS n1c,
+             CAST(sum(we) AS BIGINT) AS n2c
+      FROM pts GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type,
+             sum(n1c) OVER (PARTITION BY event_type ORDER BY cents
+               ROWS UNBOUNDED PRECEDING) AS i,
+             sum(n2c) OVER (PARTITION BY event_type ORDER BY cents
+               ROWS UNBOUNDED PRECEDING) AS j,
+             sum(n1c) OVER (PARTITION BY event_type) AS n1,
+             sum(n2c) OVER (PARTITION BY event_type) AS n2
+      FROM c
+    )
+    SELECT event_type,
+           CAST(max(n1) AS BIGINT) AS n_weekday,
+           CAST(max(n2) AS BIGINT) AS n_weekend,
+           CAST(max(abs(i * n2 - j * n1)) AS DOUBLE)
+             / (CAST(max(n1) AS DOUBLE) * max(n2)) AS ks_d,
+           CAST(max(abs(i * n2 - j * n1)) AS DOUBLE)
+             / (CAST(max(n1) AS DOUBLE) * max(n2))
+             > 1.358 * sqrt(CAST(max(n1) + max(n2) AS DOUBLE)
+                            / (CAST(max(n1) AS DOUBLE) * max(n2)))
+             AS reject_95
+    FROM r GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q154_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test per event type (weekday vs
+    weekend value distributions — q152's nonparametric sibling): the KS
+    statistic is computed ENTIRELY in integers — D = max|i·n2 − j·n1| over
+    the merged distinct-value ECDF steps, divided once at the end — so the
+    supremum needs no float ECDF at all. One distinct-value agg, one
+    ordered window per group, one max; the asymptotic 95% rejection bound
+    is the only sqrt."""
+    ev = _t(spark, sf_dir, "events")
+    we = F.when(F.dayofweek(F.col("ts")).isin(1, 7), 1).otherwise(0)
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    c = (
+        ev.select("event_type", we.alias("we"), cents.alias("cents"))
+        .groupBy("event_type", "cents")
+        .agg(
+            F.sum(1 - F.col("we")).alias("n1c"),
+            F.sum("we").alias("n2c"),
+        )
+    )
+    wrun = (
+        W.partitionBy("event_type").orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("event_type")
+    r = c.select(
+        "event_type",
+        F.sum("n1c").over(wrun).alias("i"),
+        F.sum("n2c").over(wrun).alias("j"),
+        F.sum("n1c").over(wall).alias("n1"),
+        F.sum("n2c").over(wall).alias("n2"),
+    )
+    agg = r.groupBy("event_type").agg(
+        F.max("n1").alias("n_weekday"),
+        F.max("n2").alias("n_weekend"),
+        F.max(F.abs(F.col("i") * F.col("n2") - F.col("j") * F.col("n1"))).alias("dnum"),
+    )
+    n1d = F.col("n_weekday").cast("double")
+    n2d = F.col("n_weekend").cast("double")
+    ks = F.col("dnum").cast("double") / (n1d * n2d)
+    crit = 1.358 * F.sqrt((F.col("n_weekday") + F.col("n_weekend")).cast("double") / (n1d * n2d))
+    return agg.select(
+        "event_type", "n_weekday", "n_weekend",
+        ks.alias("ks_d"), (ks > crit).alias("reject_95"),
+    ).orderBy("event_type")
+
+
+@register(
+    "q155_cusum_changepoint",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s
+      FROM hourly GROUP BY event_type
+    ),
+    pref AS (
+      SELECT h.event_type, h.h, st.n,
+             CAST(sum(st.n * h.y - st.s) OVER w AS BIGINT) AS p
+      FROM hourly h JOIN stats st USING (event_type)
+      WINDOW w AS (PARTITION BY h.event_type ORDER BY h.h
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    cs AS (
+      SELECT event_type, h, n,
+             p - least(0, min(p) OVER w) AS cpos,
+             greatest(0, max(p) OVER w) - p AS cneg
+      FROM pref
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    pos AS (
+      SELECT event_type, n, cpos, h,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY cpos DESC, h) AS rn
+      FROM cs
+    ),
+    neg AS (
+      SELECT event_type, cneg, h,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY cneg DESC, h) AS rn
+      FROM cs
+    )
+    SELECT p.event_type, CAST(p.n AS BIGINT) AS n_hours,
+           CAST(p.cpos AS BIGINT) AS max_up_scaled, p.h AS up_hour,
+           CAST(g.cneg AS BIGINT) AS max_down_scaled, g.h AS down_hour
+    FROM pos p JOIN neg g ON g.event_type = p.event_type AND g.rn = 1
+    WHERE p.rn = 1
+    ORDER BY p.event_type
+    """,
+)
+def q155_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan over each event type's hourly revenue: the
+    one-sided CUSUM with reset — usually written as the sequential
+    recurrence max(0, C_{t−1}+x_t−μ) that no window function expresses —
+    equals P_t − min_{s≤t} P_s over the prefix sums, so it IS two windows.
+    Deviations are held as the INTEGER n·y_t − Σy (n× the mean-centered
+    value — no division anywhere), and the reported maxima locate the
+    largest sustained upward and downward shifts with deterministic
+    first-hour tie-breaks. Everything is integer until the output."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("y"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    )
+    wrun = (
+        W.partitionBy("event_type").orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    pref = (
+        hourly.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type", "h", "n",
+            F.sum(F.col("n") * F.col("y") - F.col("s")).over(wrun).alias("p"),
+        )
+    )
+    # the prefix min/max must include the empty prefix P_0 = 0 (the
+    # recurrence's reset floor) — least/greatest(0, ·) supplies it
+    cs = pref.select(
+        "event_type", "h", "n",
+        (F.col("p") - F.least(F.lit(0), F.min("p").over(wrun))).alias("cpos"),
+        (F.greatest(F.lit(0), F.max("p").over(wrun)) - F.col("p")).alias("cneg"),
+        # hours-sized table read by both argmax branches — pin it so the
+        # hourly agg + prefix windows run once, not per branch
+    ).localCheckpoint(eager=False)
+    wpos = W.partitionBy("event_type").orderBy(F.col("cpos").desc(), "h")
+    wneg = W.partitionBy("event_type").orderBy(F.col("cneg").desc(), "h")
+    pos = (
+        cs.withColumn("rn", F.row_number().over(wpos))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n").alias("n_hours"),
+            F.col("cpos").alias("max_up_scaled"),
+            F.col("h").alias("up_hour"),
+        )
+    )
+    neg = (
+        cs.withColumn("rn", F.row_number().over(wneg))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("cneg").alias("max_down_scaled"),
+            F.col("h").alias("down_hour"),
+        )
+    )
+    return pos.join(neg, "event_type").orderBy("event_type")
+
+
+@register(
+    "q156_bootstrap_ci",
+    oracle="""
+    WITH pts AS (
+      SELECT event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    chunks AS (
+      SELECT p.cents, c.c,
+             md5(CAST(p.event_id AS VARCHAR) || '|' || CAST(c.c AS VARCHAR))
+               AS h
+      FROM pts p, (SELECT unnest(range(0, 8)) AS c) c
+    ),
+    expanded AS (
+      SELECT cents, c * 8 + i.i AS b,
+             CAST(('0x' || substr(h, 4 * i.i + 1, 4)) AS BIGINT)
+               / 65536.0 AS u
+      FROM chunks, (SELECT unnest(range(0, 8)) AS i) i
+    ),
+    weighted AS (
+      SELECT b, cents,
+             CASE WHEN u < 0.36787944117144233 THEN 0
+                  WHEN u < 0.7357588823428846 THEN 1
+                  WHEN u < 0.9196986029286058 THEN 2
+                  WHEN u < 0.9810118431238462 THEN 3
+                  WHEN u < 0.9963401531726563 THEN 4
+                  ELSE 5 END AS w
+      FROM expanded
+    ),
+    reps AS (
+      SELECT b, CAST(sum(w * cents) AS DOUBLE) / sum(w) AS m
+      FROM weighted GROUP BY b
+    ),
+    ranked AS (
+      SELECT m, row_number() OVER (ORDER BY m, b) AS rn FROM reps
+    ),
+    base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS DOUBLE) / count(*) AS mean_cents
+      FROM pts
+    )
+    SELECT base.n, 64 AS n_replicas, round(base.mean_cents, 6) AS mean_cents,
+           round((SELECT m FROM ranked WHERE rn = 2), 6) AS ci_lo_cents,
+           round((SELECT m FROM ranked WHERE rn = 63), 6) AS ci_hi_cents
+    FROM base
+    """,
+)
+def q156_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap (Chamandy et al., Google 2012 —
+    the streaming-friendly bootstrap): 64 resample replicas whose weights
+    are Poisson(1) draws inverted from md5-derived uniforms — one md5 per
+    (event, 8-replica chunk), each hash sliced into eight 16-bit draws —
+    so both engines materialize byte-identical resamples: no RNG, no
+    collect, resampling a distributed dataset without moving it. Replica
+    means are integer-weighted sums with one division; the 95% CI is exact
+    rank statistics (2nd and 63rd of 64 ordered means). One 64× explode +
+    one hash agg; the per-replica state is replica-count-sized."""
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id", F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents")
+    )
+    # one md5 yields EIGHT 16-bit draws (4 hex chars each): 8x fewer hash
+    # evaluations than md5-per-(event, replica) — the hash is the hot loop
+    chunks = pts.select(
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("c"),
+        "event_id",
+    ).select(
+        "cents", "c",
+        F.md5(
+            F.concat_ws("|", F.col("event_id").cast("string"),
+                        F.col("c").cast("string"))
+        ).alias("h"),
+    )
+    expanded = chunks.select(
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("i"),
+        "c", "h",
+    ).select(
+        "cents",
+        (F.col("c") * 8 + F.col("i")).alias("b"),
+        (
+            F.conv(F.substring("h", F.col("i") * 4 + 1, 4), 16, 10).cast("long")
+            / F.lit(65536.0)
+        ).alias("u"),
+    )
+    w = (
+        F.when(F.col("u") < 0.36787944117144233, 0)
+        .when(F.col("u") < 0.7357588823428846, 1)
+        .when(F.col("u") < 0.9196986029286058, 2)
+        .when(F.col("u") < 0.9810118431238462, 3)
+        .when(F.col("u") < 0.9963401531726563, 4)
+        .otherwise(5)
+    )
+    reps = (
+        expanded.select("b", "cents", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            (F.sum(F.col("w") * F.col("cents")).cast("double") / F.sum("w")).alias("m")
+        )
+    )
+    ranked = reps.select(
+        "m", F.row_number().over(W.orderBy("m", "b")).alias("rn")
+    ).localCheckpoint(eager=False)
+    base = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("cents").cast("double") / F.count(F.lit(1))).alias("mean_cents"),
+    )
+    lo = ranked.filter(F.col("rn") == 2).select(F.col("m").alias("ci_lo_cents"))
+    hi = ranked.filter(F.col("rn") == 63).select(F.col("m").alias("ci_hi_cents"))
+    return base.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi)).select(
+        "n",
+        F.lit(64).alias("n_replicas"),
+        F.round("mean_cents", 6).alias("mean_cents"),
+        F.round("ci_lo_cents", 6).alias("ci_lo_cents"),
+        F.round("ci_hi_cents", 6).alias("ci_hi_cents"),
+    )

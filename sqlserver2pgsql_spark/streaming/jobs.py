@@ -228,3 +228,55 @@ def foreach_batch_upsert(store, schema: str, table: str, keys: list[str]):
         os.replace(tmp, final)
 
     return apply
+
+
+def streaming_mg_candidates(
+    events: DataFrame, key_col: str, capacity: int, buckets: int = 16
+) -> DataFrame:
+    """Streaming Misra-Gries frequent-item summaries via
+    ``applyInPandasWithState``: the stream is split into ``buckets`` hash
+    groups, each group carries an MG counter table (≤ ``capacity`` entries)
+    in explicit state across micro-batches, and every batch emits the
+    group's current survivor set in update mode.
+
+    Superset guarantee (the property the batch verify pass relies on): an
+    item's counter only decreases via the MG charge, bounded per bucket by
+    n_bucket/(capacity+1) — so any item with bucket frequency above that
+    survives IN THE FINAL state. Since a memory-sink union over update-mode
+    emissions can only ADD earlier snapshots, the union of all emitted rows
+    is a superset of the final survivors, hence still a superset of the true
+    heavy hitters. Exact counting of the candidates afterwards makes the
+    end-to-end result exact — the classic streaming-sketch + batch-verify
+    (lambda) split, with O(buckets · capacity) total state."""
+    import pandas as pd  # noqa: PLC0415 — Arrow path only
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.exists:
+            keys, counts = state.get
+            counters = dict(zip(keys, counts))
+        else:
+            counters = {}
+        for pdf in pdf_iter:
+            for v, c in pdf["__mg_key"].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > capacity:
+                cs = sorted(counters.values())
+                cut = cs[len(counters) - capacity - 1]
+                counters = {v: c - cut for v, c in counters.items() if c > cut}
+        state.update((list(counters.keys()), [int(c) for c in counters.values()]))
+        yield pd.DataFrame({"value": list(counters.keys())})
+
+    keyed = events.select(
+        F.col(key_col).cast("string").alias("__mg_key"),
+        F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(buckets)).alias(
+            "__bucket"
+        ),
+    )
+    return keyed.groupBy("__bucket").applyInPandasWithState(
+        update,
+        outputStructType="value string",
+        stateStructType="keys array<string>, counts array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

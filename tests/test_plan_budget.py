@@ -56,6 +56,9 @@ BUDGETS = [
     ("q150_kaplan_meier", 1, 0),        # day agg; risk/survival on #days rows
     ("q151_join_view_maintenance", 5, 0),  # 4 broadcast partials + merge agg
     ("q152_welch_ttest", 2, 0),         # one moment agg + sort
+    ("q154_ks_test", 3, 0),             # distinct-value agg + ECDF window + agg
+    ("q155_cusum_changepoint", 3, 0),   # pinned cusum + 2 argmax + join
+    ("q156_bootstrap_ci", 0, 0),        # replica agg broadcast-assembled
 ]
 
 

@@ -396,3 +396,74 @@ def test_seasonal_constant_series_has_zero_index(spark):
         F.min("d24"), F.max("d24")
     ).first()
     assert tuple(out) == (0, 0)
+
+
+# --- CUSUM / KS / bootstrap (q154-q156 semantics) ---------------------------
+
+
+def test_cusum_prefix_form_equals_sequential_recurrence(spark):
+    """q155's windowed form P_t - min(P_s, s<=t) must equal the textbook
+    sequential recurrence C_t = max(0, C_{t-1} + d_t) on arbitrary series."""
+    from pyspark.sql import Window as W
+
+    rng = random.Random(11)
+    series = [rng.randrange(-50, 51) for _ in range(200)]
+    # sequential reference
+    c, seq = 0, []
+    for d in series:
+        c = max(0, c + d)
+        seq.append(c)
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(series)], "t long, d long"
+    )
+    wrun = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    p = F.sum("d").over(wrun)
+    got = [
+        r.cpos
+        for r in df.select(
+            "t", (p - F.least(F.lit(0), F.min(p).over(wrun))).alias("cpos")
+        ).orderBy("t").collect()
+    ]
+    # C_t = P_t - min(P_0..P_t) with P_0 = 0 — the least(0, ·) term IS the
+    # empty-prefix baseline the pure windowed min misses
+    assert got == seq
+
+
+def test_ks_statistic_matches_python_ecdf(spark):
+    rng = random.Random(4)
+    a = [rng.randrange(100) for _ in range(300)]
+    b = [rng.randrange(20, 120) for _ in range(200)]
+    rows = [("g", 0, v) for v in a] + [("g", 1, v) for v in b]
+    df = spark.createDataFrame(rows, "g string, we int, cents long")
+    from pyspark.sql import Window as W
+
+    c = df.groupBy("g", "cents").agg(
+        F.sum(1 - F.col("we")).alias("n1c"), F.sum("we").alias("n2c")
+    )
+    wrun = W.partitionBy("g").orderBy("cents").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.partitionBy("g")
+    r = c.select(
+        F.sum("n1c").over(wrun).alias("i"), F.sum("n2c").over(wrun).alias("j"),
+        F.sum("n1c").over(wall).alias("n1"), F.sum("n2c").over(wall).alias("n2"),
+    )
+    row = r.agg(
+        F.max(F.abs(F.col("i") * F.col("n2") - F.col("j") * F.col("n1"))).alias("dnum"),
+        F.max("n1").alias("n1"), F.max("n2").alias("n2"),
+    ).first()
+    got = row.dnum / (row.n1 * row.n2)
+    # brute-force sup |F1 - F2| over all thresholds
+    want = max(
+        abs(sum(1 for x in a if x <= t) / len(a) - sum(1 for x in b if x <= t) / len(b))
+        for t in set(a) | set(b)
+    )
+    assert abs(got - want) < 1e-12
+
+
+def test_bootstrap_weights_deterministic_and_poisson_like(spark):
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    q = entrymod.queries()["q156_bootstrap_ci"]
+    r1, r2 = q(spark, SF_DIR).first(), q(spark, SF_DIR).first()
+    assert tuple(r1) == tuple(r2)  # hash-driven resampling: re-run identical
+    assert r1.ci_lo_cents <= r1.mean_cents <= r1.ci_hi_cents
