@@ -1,0 +1,192 @@
+"""Differential query fuzzing (SQLancer-style, seeded): random
+filter/join/group/agg/having compositions are built ONCE as a small AST,
+rendered BOTH as DataFrame-API operations (the idiom every engine query
+uses) and as DuckDB SQL, and compared for exact value equality.
+
+The grammar is restricted to operations with exact cross-engine semantics:
+integer/categorical predicates, count / count-distinct / integer sums /
+min-max (no float accumulation), deterministic ORDER BY. Every seed is a
+frozen regression case — a semantics divergence in filter pushdown, join
+planning, null handling, or aggregation shows up here before any
+hand-written query would hit it."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+# --- schema metadata for the generator --------------------------------------
+
+TABLES = {
+    "orders": {
+        "key": "o_orderkey",
+        "cats": {
+            "o_orderstatus": ["O", "F", "P"],
+            "o_orderpriority": ["1-URGENT", "3-MEDIUM", "5-LOW"],
+        },
+        "nums": {"o_orderkey": (0, 15000), "o_custkey": (0, 1500)},
+        "meas": ["o_totalprice"],
+    },
+    "lineitem": {
+        "key": "l_orderkey",
+        "cats": {"l_returnflag": ["A", "N", "R"], "l_linestatus": ["O", "F"]},
+        "nums": {"l_partkey": (0, 2000), "l_suppkey": (0, 100), "l_quantity": (1, 50)},
+        "meas": ["l_extendedprice"],
+    },
+    "customer": {
+        "key": "c_custkey",
+        "cats": {"c_mktsegment": ["AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY", "HOUSEHOLD"]},
+        "nums": {"c_custkey": (0, 1500), "c_nationkey": (0, 25)},
+        "meas": ["c_acctbal"],
+    },
+    "part": {
+        "key": "p_partkey",
+        "cats": {"p_brand": ["Brand#11", "Brand#21", "Brand#22"]},
+        "nums": {"p_partkey": (0, 2000), "p_size": (1, 50)},
+        "meas": ["p_retailprice"],
+    },
+}
+
+JOINS = [
+    ("orders", "customer", "o_custkey", "c_custkey"),
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+    ("lineitem", "part", "l_partkey", "p_partkey"),
+]
+
+
+def _gen(seed: int) -> dict:
+    rng = random.Random(seed)
+    if rng.random() < 0.5:
+        t1, t2, k1, k2 = rng.choice(JOINS)
+        tables, join = [t1, t2], (k1, k2)
+    else:
+        tables, join = [rng.choice(list(TABLES))], None
+
+    cats = {c: d for t in tables for c, d in TABLES[t]["cats"].items()}
+    nums = {c: r for t in tables for c, r in TABLES[t]["nums"].items()}
+
+    preds = []
+    for _ in range(rng.randrange(0, 3)):
+        if rng.random() < 0.5 and cats:
+            c = rng.choice(sorted(cats))
+            if rng.random() < 0.3:
+                vals = rng.sample(cats[c], k=min(2, len(cats[c])))
+                preds.append(("in", c, vals))
+            else:
+                preds.append(("=", c, rng.choice(cats[c])))
+        else:
+            c = rng.choice(sorted(nums))
+            lo, hi = nums[c]
+            op = rng.choice(["<", "<=", ">", ">="])
+            preds.append((op, c, rng.randrange(lo, hi + 1)))
+    conj = rng.choice(["AND", "OR"]) if len(preds) == 2 else "AND"
+
+    group = rng.sample(sorted(cats), k=rng.randrange(0, min(2, len(cats)) + 1))
+    aggs = []
+    pool = ["count_star", "count_distinct", "sum_int", "min_meas", "max_meas"]
+    for i in range(rng.randrange(1, 4)):
+        kind = rng.choice(pool)
+        if kind == "count_star":
+            aggs.append(("count_star", None, f"a{i}"))
+        elif kind == "count_distinct":
+            aggs.append(("count_distinct", TABLES[tables[0]]["key"], f"a{i}"))
+        elif kind == "sum_int":
+            c = rng.choice(sorted(nums))
+            aggs.append(("sum_int", c, f"a{i}"))
+        else:
+            c = rng.choice([m for t in tables for m in TABLES[t]["meas"]])
+            aggs.append((kind, c, f"a{i}"))
+    having = rng.randrange(1, 50) if (group and rng.random() < 0.4) else None
+    return {
+        "tables": tables, "join": join, "preds": preds, "conj": conj,
+        "group": group, "aggs": aggs, "having": having,
+    }
+
+
+def _pred_sql(p) -> str:
+    op, c, v = p
+    if op == "in":
+        return f"{c} IN ({', '.join(repr(x) for x in v)})"
+    lit = repr(v) if isinstance(v, str) else str(v)
+    return f"{c} {op} {lit}"
+
+
+def _agg_sql(a) -> str:
+    kind, c, alias = a
+    body = {
+        "count_star": "count(*)",
+        "count_distinct": f"count(DISTINCT {c})",
+        "sum_int": f"sum(CAST({c} AS BIGINT))",
+        "min_meas": f"min({c})",
+        "max_meas": f"max({c})",
+    }[kind]
+    return f"{body} AS {alias}"
+
+
+def to_sql(q: dict) -> str:
+    if q["join"]:
+        t1, t2 = q["tables"]
+        k1, k2 = q["join"]
+        frm = f"{t1} JOIN {t2} ON {t1}.{k1} = {t2}.{k2}"
+    else:
+        frm = q["tables"][0]
+    glue = " %s " % q["conj"]
+    where = " WHERE " + glue.join(_pred_sql(p) for p in q["preds"]) if q["preds"] else ""
+    sel = ", ".join(q["group"] + [_agg_sql(a) for a in q["aggs"]])
+    grp = f" GROUP BY {', '.join(q['group'])}" if q["group"] else ""
+    hav = f" HAVING count(*) > {q['having']}" if q["having"] else ""
+    order_cols = q["group"] + [a[2] for a in q["aggs"]]
+    return f"SELECT {sel} FROM {frm}{where}{grp}{hav} ORDER BY {', '.join(order_cols)}"
+
+
+def to_spark(spark, q: dict):
+    dfs = {t: spark.read.parquet(f"{SF_DIR}/{t}.parquet") for t in q["tables"]}
+    if q["join"]:
+        t1, t2 = q["tables"]
+        k1, k2 = q["join"]
+        df = dfs[t1].join(dfs[t2], dfs[t1][k1] == dfs[t2][k2])
+    else:
+        df = dfs[q["tables"][0]]
+
+    def pred_col(p):
+        op, c, v = p
+        col = F.col(c)
+        return {
+            "=": col == v, "<": col < v, "<=": col <= v,
+            ">": col > v, ">=": col >= v, "in": col.isin(v),
+        }[op if op != "in" else "in"]
+
+    if q["preds"]:
+        cond = pred_col(q["preds"][0])
+        for p in q["preds"][1:]:
+            cond = (cond | pred_col(p)) if q["conj"] == "OR" else (cond & pred_col(p))
+        df = df.filter(cond)
+
+    def agg_col(a):
+        kind, c, alias = a
+        return {
+            "count_star": F.count(F.lit(1)),
+            "count_distinct": F.countDistinct(F.col(c)) if c else None,
+            "sum_int": F.sum(F.col(c).cast("long")) if c else None,
+            "min_meas": F.min(c) if c else None,
+            "max_meas": F.max(c) if c else None,
+        }[kind].alias(alias)
+
+    aggs = [agg_col(a) for a in q["aggs"]]
+    if q["having"]:
+        aggs.append(F.count(F.lit(1)).alias("__n"))
+    out = df.groupBy(*q["group"]).agg(*aggs) if q["group"] else df.agg(*aggs)
+    if q["having"]:
+        out = out.filter(F.col("__n") > q["having"]).drop("__n")
+    order_cols = q["group"] + [a[2] for a in q["aggs"]]
+    return out.orderBy(*order_cols)
+
+
+@pytest.mark.parametrize("seed", range(48))
+def test_differential_random_query(seed, spark, duck):
+    q = _gen(seed)
+    assert_matches_oracle(to_spark(spark, q), duck, to_sql(q))
