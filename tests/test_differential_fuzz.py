@@ -190,3 +190,74 @@ def to_spark(spark, q: dict):
 def test_differential_random_query(seed, spark, duck):
     q = _gen(seed)
     assert_matches_oracle(to_spark(spark, q), duck, to_sql(q))
+
+
+# --- window-function grammar ------------------------------------------------
+
+WINFUNCS = ["row_number", "rank", "dense_rank", "lag", "lead", "running_sum"]
+
+
+def _gen_window(seed: int) -> dict:
+    rng = random.Random(seed + 10_000)
+    table = rng.choice(["orders", "lineitem"])
+    meta = TABLES[table]
+    part = rng.choice(sorted(meta["cats"]))
+    order_num = rng.choice(sorted(meta["nums"]))
+    key = meta["key"]
+    fns = rng.sample(WINFUNCS, k=rng.randrange(1, 4))
+    topk = rng.randrange(2, 9) if rng.random() < 0.5 else None
+    return {"table": table, "part": part, "order": order_num, "key": key,
+            "fns": fns, "topk": topk}
+
+
+def _win_sql(q: dict) -> str:
+    over = (f"PARTITION BY {q['part']} ORDER BY {q['order']}, {q['key']}"
+            if q["part"] else f"ORDER BY {q['order']}, {q['key']}")
+    cols = []
+    for i, fn in enumerate(q["fns"]):
+        body = {
+            "row_number": f"row_number() OVER ({over})",
+            "rank": f"rank() OVER (PARTITION BY {q['part']} ORDER BY {q['order']})",
+            "dense_rank": f"dense_rank() OVER (PARTITION BY {q['part']} ORDER BY {q['order']})",
+            "lag": f"coalesce(lag({q['key']}) OVER ({over}), -1)",
+            "lead": f"coalesce(lead({q['key']}) OVER ({over}), -1)",
+            "running_sum": f"sum(CAST({q['order']} AS BIGINT)) OVER ({over} ROWS UNBOUNDED PRECEDING)",
+        }[fn]
+        cols.append(f"CAST({body} AS BIGINT) AS w{i}")
+    sel = f"SELECT {q['part']}, {q['key']}, {', '.join(cols)} FROM {q['table']}"
+    if q["topk"]:
+        inner = sel.replace("SELECT", "SELECT row_number() OVER (" + over + ") AS __rn,", 1)
+        return (f"SELECT * EXCLUDE (__rn) FROM ({inner}) WHERE __rn <= {q['topk']} "
+                f"ORDER BY {q['part']}, {q['key']}")
+    return sel + f" ORDER BY {q['part']}, {q['key']}"
+
+
+def _win_spark(spark, q: dict):
+    from pyspark.sql import Window as W
+
+    df = spark.read.parquet(f"{SF_DIR}/{q['table']}.parquet")
+    over = W.partitionBy(q["part"]).orderBy(q["order"], q["key"])
+    rank_over = W.partitionBy(q["part"]).orderBy(q["order"])
+    run = over.rowsBetween(W.unboundedPreceding, W.currentRow)
+    cols = []
+    for i, fn in enumerate(q["fns"]):
+        c = {
+            "row_number": lambda: F.row_number().over(over),
+            "rank": lambda: F.rank().over(rank_over),
+            "dense_rank": lambda: F.dense_rank().over(rank_over),
+            "lag": lambda: F.coalesce(F.lag(q["key"]).over(over), F.lit(-1)),
+            "lead": lambda: F.coalesce(F.lead(q["key"]).over(over), F.lit(-1)),
+            "running_sum": lambda: F.sum(F.col(q["order"]).cast("long")).over(run),
+        }[fn]()
+        cols.append(c.cast("long").alias(f"w{i}"))
+    out = df.select(q["part"], q["key"], *cols,
+                    F.row_number().over(over).alias("__rn"))
+    if q["topk"]:
+        out = out.filter(F.col("__rn") <= q["topk"])
+    return out.drop("__rn").orderBy(q["part"], q["key"])
+
+
+@pytest.mark.parametrize("seed", range(24))
+def test_differential_window_query(seed, spark, duck):
+    q = _gen_window(seed)
+    assert_matches_oracle(_win_spark(spark, q), duck, _win_sql(q))
