@@ -4151,3 +4151,122 @@ def q156_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ci_lo_cents", 6).alias("ci_lo_cents"),
         F.round("ci_hi_cents", 6).alias("ci_hi_cents"),
     )
+
+
+@register(
+    "q157_fd_discovery",
+    oracle="""
+    WITH cand AS (
+      SELECT 'orders' AS tbl, 'o_custkey' AS lhs, 'o_orderstatus' AS rhs,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_lhs,
+             CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+      FROM (SELECT o_custkey, count(DISTINCT o_orderstatus) AS d
+            FROM orders GROUP BY o_custkey) v
+      UNION ALL
+      SELECT 'lineitem', 'l_partkey', 'l_suppkey',
+             CAST(count(DISTINCT l_partkey) AS BIGINT),
+             CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM (SELECT l_partkey, count(DISTINCT l_suppkey) AS d
+            FROM lineitem GROUP BY l_partkey) v
+      UNION ALL
+      SELECT 'lineitem', 'l_orderkey', 'l_returnflag',
+             CAST(count(DISTINCT l_orderkey) AS BIGINT),
+             CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM (SELECT l_orderkey, count(DISTINCT l_returnflag) AS d
+            FROM lineitem GROUP BY l_orderkey) v
+      UNION ALL
+      SELECT 'customer', 'c_nationkey', 'c_mktsegment',
+             CAST(count(DISTINCT c_nationkey) AS BIGINT),
+             CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM (SELECT c_nationkey, count(DISTINCT c_mktsegment) AS d
+            FROM customer GROUP BY c_nationkey) v
+    )
+    SELECT tbl, lhs, rhs, n_lhs, n_violating, n_violating = 0 AS holds
+    FROM cand ORDER BY tbl, lhs, rhs
+    """,
+)
+def q157_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery over candidate column pairs — the
+    schema-profiling step a migration tool runs to find undeclared keys
+    and denormalization (the reference trusts declared constraints only;
+    this measures the data): for each candidate lhs→rhs, count lhs groups
+    carrying >1 distinct rhs. Per candidate: one two-level hash agg
+    (distinct per group, then a violation count) — never a self-join.
+    The verdict column makes it a data-quality assertion table."""
+    cands = [
+        ("orders", "o_custkey", "o_orderstatus"),
+        ("lineitem", "l_partkey", "l_suppkey"),
+        ("lineitem", "l_orderkey", "l_returnflag"),
+        ("customer", "c_nationkey", "c_mktsegment"),
+    ]
+    outs = []
+    for tbl, lhs, rhs in cands:
+        per = (
+            _t(spark, sf_dir, tbl)
+            .groupBy(lhs)
+            .agg(F.countDistinct(rhs).alias("d"))
+        )
+        outs.append(
+            per.agg(
+                F.lit(tbl).alias("tbl"),
+                F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                F.count(F.lit(1)).alias("n_lhs"),
+                F.sum(F.when(F.col("d") > 1, 1).otherwise(0)).alias("n_violating"),
+            )
+        )
+    merged = outs[0]
+    for o in outs[1:]:
+        merged = merged.unionByName(o)
+    return merged.select(
+        "tbl", "lhs", "rhs", "n_lhs", "n_violating",
+        (F.col("n_violating") == 0).alias("holds"),
+    ).orderBy("tbl", "lhs", "rhs")
+
+
+@register(
+    "q158_benford_audit",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INTEGER) AS d
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    c AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY d
+    ),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+    SELECT c.d, c.n,
+           CAST(c.n AS DOUBLE) / t.total AS observed,
+           log10(1.0 + 1.0 / c.d) AS expected,
+           (CAST(c.n AS DOUBLE) / t.total - log10(1.0 + 1.0 / c.d))
+             * (CAST(c.n AS DOUBLE) / t.total - log10(1.0 + 1.0 / c.d))
+             * t.total / log10(1.0 + 1.0 / c.d) AS chi2_term
+    FROM c, t ORDER BY c.d
+    """,
+)
+def q158_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law forensic audit of the price column: observed
+    first-significant-digit frequencies vs log10(1+1/d), with each digit's
+    chi-squared contribution emitted PER ROW (never summed across rows —
+    the float-sum-order discipline; the auditor sums the 9 values or eyes
+    the worst digit). First digit extraction is integer/string only; every
+    float is a fixed per-row chain. One hash agg on a 9-value key."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    c = o.select(d.alias("d")).groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    obs = F.col("n").cast("double") / F.col("total")
+    exp = F.log10(1.0 + 1.0 / F.col("d"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "d", "n",
+            obs.alias("observed"),
+            exp.alias("expected"),
+            ((obs - exp) * (obs - exp) * F.col("total") / exp).alias("chi2_term"),
+        )
+        .orderBy("d")
+    )

@@ -151,3 +151,45 @@ def write_partitioned(
     if sort_cols:
         out = out.sortWithinPartitions(*partition_cols, *sort_cols)
     out.write.partitionBy(*partition_cols).mode(mode).parquet(path)
+
+
+def read_fixed_width(
+    spark: SparkSession,
+    path: str,
+    spec: list[tuple[str, int, int, str]],
+    min_line_len: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Fixed-width text files → (good, quarantine) — the BCP/-mainframe
+    export format SQL Server shops actually hand over (``bcp ... -c`` with
+    fixed field lengths). ``spec`` is (column, 1-based start, length, type)
+    per field; slicing is pure JVM ``substring`` + trim + cast, so the
+    parse is whole-stage-codegen and embarrassingly parallel like every
+    other text source here.
+
+    Quarantine contract (same as read_jsonl/read_csv): a line shorter than
+    the last field's extent, or with a field that fails its numeric cast,
+    lands in the quarantine frame with the raw line preserved — never
+    dropped, never fatal. Casts go through TRY-semantics (cast of a
+    non-numeric trimmed slice yields NULL, which flags the row) while a
+    genuinely empty slice stays NULL without flagging, matching how BCP
+    writes NULLs as spaces only when the column allows them."""
+    if min_line_len is None:
+        min_line_len = max(start + length - 1 for _, start, length, _ in spec)
+    raw = spark.read.text(path).withColumnRenamed("value", "_raw")
+    cols = []
+    bad = F.length(F.rtrim(F.col("_raw"))) < F.lit(min_line_len)
+    for name, start, length, typ in spec:
+        slice_ = F.trim(F.substring(F.col("_raw"), start, length))
+        empty = slice_ == ""
+        if typ in ("bigint", "int", "double", "date", "timestamp"):
+            # try_cast, not cast: ANSI mode makes a malformed cast FATAL,
+            # and the whole point is to quarantine the row instead
+            cast = slice_.try_cast(typ)
+            bad = bad | (~empty & cast.isNull())
+            cols.append(F.when(empty, F.lit(None)).otherwise(cast).alias(name))
+        else:
+            cols.append(F.when(empty, F.lit(None).cast("string")).otherwise(slice_).alias(name))
+    parsed = raw.select(F.col("_raw"), bad.alias("_bad"), *cols)
+    good = parsed.filter(~F.col("_bad")).drop("_raw", "_bad")
+    quarantine = parsed.filter(F.col("_bad")).select(F.col("_raw").alias("raw_line"))
+    return good, quarantine

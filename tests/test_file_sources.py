@@ -116,3 +116,43 @@ def test_text_lines_source(spark, tmp_path):
         by_line.setdefault(r.line, set()).add(r.line_id)
     assert set(by_line) == {"hello world", "second line"}
     assert all(len(ids) == 1 for ids in by_line.values())
+
+
+def test_fixed_width_parse_and_quarantine(spark, tmp_path):
+    from sqlserver2pgsql_spark.sources.files import read_fixed_width
+
+    # spec: id (1-6), name (7-16), amount (17-24)
+    spec = [("id", 1, 6, "bigint"), ("name", 7, 10, "string"), ("amount", 17, 8, "double")]
+
+    def line(id_s, name, amount):
+        return id_s.rjust(6, "0")[:6] + name.ljust(10)[:10] + amount.rjust(8)[:8]
+
+    lines = [
+        line("42", "Widget", "12.50"),     # good
+        line("43", "Gadget", "3.25"),      # good (right-aligned amount)
+        line("44", "NullAmt", "")[:18],    # short line -> quarantine
+        "00004X" + "BadId".ljust(10) + "   99.99",  # id fails cast -> quarantine
+        line("45", "Spaces", "7."),        # amount '7.' casts -> good
+    ]
+    p = tmp_path / "fw.txt"
+    p.write_text("\n".join(lines) + "\n")
+    good, quarantine = read_fixed_width(spark, str(p), spec)
+    g = {r.id: r for r in good.collect()}
+    q = [r.raw_line for r in quarantine.collect()]
+    assert set(g) == {42, 43, 45}
+    assert g[42].name == "Widget" and g[42].amount == 12.5
+    assert g[43].amount == 3.25
+    assert g[45].amount == 7.0
+    assert len(q) == 2 and any("BadId" in x for x in q)
+
+
+def test_fixed_width_empty_numeric_is_null_not_quarantined(spark, tmp_path):
+    from sqlserver2pgsql_spark.sources.files import read_fixed_width
+
+    spec = [("id", 1, 4, "bigint"), ("amount", 5, 6, "double")]
+    p = tmp_path / "fw2.txt"
+    p.write_text("0001      \n0002  3.14\n")
+    good, quarantine = read_fixed_width(spark, str(p), spec, min_line_len=4)
+    rows = {r.id: r.amount for r in good.collect()}
+    assert rows == {1: None, 2: 3.14}
+    assert quarantine.count() == 0

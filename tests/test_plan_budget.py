@@ -59,6 +59,8 @@ BUDGETS = [
     ("q154_ks_test", 3, 0),             # distinct-value agg + ECDF window + agg
     ("q155_cusum_changepoint", 3, 0),   # pinned cusum + 2 argmax + join
     ("q156_bootstrap_ci", 0, 0),        # replica agg broadcast-assembled
+    ("q157_fd_discovery", 8, 0),        # 2-level agg per candidate FD (4x2)
+    ("q158_benford_audit", 3, 0),       # digit agg + total + sort
 ]
 
 
