@@ -1362,6 +1362,12 @@ def q115_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v2").alias("v_next"),
             interp.alias("v_interp"),
         )
+        # shuffle barrier before the presentation sort: the range
+        # partitioner's sampling job re-executes the sort's map stage, and
+        # without a barrier that map stage IS the expensive window work —
+        # the round-robin exchange materializes it as shuffle files the
+        # sampling re-reads instead of recomputing (measured 2x)
+        .repartition(32)
         .orderBy("user_id", "grid_ts")
     )
 
@@ -1391,9 +1397,12 @@ def q116_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the posting join (q18, verifier) and MinHash-LSH (q19, approximate
     candidates): this one is exact AND scale-shaped."""
     corpus = _neardup_corpus(spark, sf_dir)
-    return D.prefix_filter_jaccard_pairs(
-        corpus, "doc_id", "text", n=3, threshold=0.6
-    ).orderBy("id1", "id2")
+    pairs = D.prefix_filter_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.6)
+    # shuffle barrier before the presentation sort: the range partitioner's
+    # sampling job re-executes the sort's map stage — without a barrier
+    # that stage is the whole array-intersect verify (measured 2x the
+    # query); the tiny pair set shuffles once instead
+    return pairs.repartition(8).orderBy("id1", "id2")
 
 # ---------------------------------------------------------------------------
 # Sequential pattern detection (MATCH_RECOGNIZE shape)
