@@ -4279,3 +4279,209 @@ def q158_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+def _q159_oracle() -> str:
+    p, w = 10, 50
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    scale_c = alpha * m * m * float(1 << (w + 1))
+    est = (
+        "round(CASE WHEN {e} <= %r AND {z} > 0 "
+        "THEN %r * ln(%r / CAST({z} AS DOUBLE)) ELSE {e} END, 4)"
+        % (2.5 * m, float(m), float(m))
+    )
+    return f"""
+    WITH hashed AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    rho AS (
+      SELECT event_type, h >> {w} AS idx,
+             CASE WHEN (h & {(1 << w) - 1}) = 0 THEN {w + 1}
+                  ELSE {w} - length(bin(h & {(1 << w) - 1})) + 1 END AS r
+      FROM hashed
+    ),
+    regs AS (
+      SELECT event_type, idx, max(r) AS M FROM rho GROUP BY event_type, idx
+    ),
+    per_type AS (
+      SELECT event_type,
+             sum(1::BIGINT << ({w + 1} - M)) AS s_seen, count(*) AS n_regs
+      FROM regs GROUP BY event_type
+    ),
+    union_regs AS (SELECT idx, max(M) AS M FROM regs GROUP BY idx),
+    union_agg AS (
+      SELECT sum(1::BIGINT << ({w + 1} - M)) AS s_seen, count(*) AS n_regs
+      FROM union_regs
+    ),
+    ests AS (
+      SELECT
+        (SELECT {est.format(e=f"{scale_c!r} / CAST(s_seen + ({m} - n_regs) * (1::BIGINT << {w + 1}) AS DOUBLE)", z=f"{m} - n_regs")}
+         FROM per_type WHERE event_type = 'click') AS est_click,
+        (SELECT {est.format(e=f"{scale_c!r} / CAST(s_seen + ({m} - n_regs) * (1::BIGINT << {w + 1}) AS DOUBLE)", z=f"{m} - n_regs")}
+         FROM per_type WHERE event_type = 'view') AS est_view,
+        (SELECT {est.format(e=f"{scale_c!r} / CAST(s_seen + ({m} - n_regs) * (1::BIGINT << {w + 1}) AS DOUBLE)", z=f"{m} - n_regs")}
+         FROM union_agg) AS est_union
+    )
+    SELECT est_click, est_view, est_union,
+           round(est_click + est_view - est_union, 4) AS est_intersection
+    FROM ests
+    """
+
+
+@register("q159_hll_set_algebra", oracle=_q159_oracle())
+def q159_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set algebra — the mergeability property that makes HLL the
+    100 TB audience-overlap tool: clicker and viewer user sets are
+    sketched ONCE into portable registers (operators/sketches.py), the
+    union sketch is a per-register max (never a re-scan), and the
+    intersection estimate is inclusion-exclusion over the three
+    estimates. Every value is deterministic (md5-derived registers,
+    integer harmonic sums, round(4)), so even the approximate algebra is
+    exact-oracle-gated. Register tables are 2^p rows — the shuffles are
+    sketch-sized, not data-sized."""
+    p, w = 10, 50
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    scale_c = alpha * m * m * float(1 << (w + 1))
+
+    from .operators.sketches import md5_hash60
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    h = md5_hash60(F.col("user_id"))
+    idx = F.shiftright(h, w)
+    rest = h.bitwiseAND(F.lit((1 << w) - 1))
+    rho = F.when(rest == 0, F.lit(w + 1)).otherwise(
+        F.lit(w) - F.length(F.conv(rest, 10, 2)) + 1
+    )
+    regs = (
+        ev.select("event_type", idx.alias("idx"), rho.alias("r"))
+        .groupBy("event_type", "idx")
+        .agg(F.max("r").alias("M"))
+        .localCheckpoint(eager=False)
+    )
+
+    def estimate(regdf: DataFrame, out: str) -> DataFrame:
+        agg = regdf.agg(
+            F.sum(F.expr(f"shiftleft(1L, {w + 1} - M)")).alias("s_seen"),
+            F.count(F.lit(1)).alias("n_regs"),
+        )
+        zeros = F.lit(m) - F.col("n_regs")
+        e_raw = F.lit(scale_c) / (
+            F.col("s_seen") + zeros * F.lit(1 << (w + 1)).cast("long")
+        ).cast("double")
+        est = F.when(
+            (e_raw <= F.lit(2.5 * m)) & (zeros > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+        ).otherwise(e_raw)
+        return agg.select(F.round(est, 4).alias(out))
+
+    clicks = estimate(regs.filter(F.col("event_type") == "click"), "est_click")
+    views = estimate(regs.filter(F.col("event_type") == "view"), "est_view")
+    union = estimate(
+        regs.groupBy("idx").agg(F.max("M").alias("M")), "est_union"
+    )
+    return (
+        clicks.crossJoin(F.broadcast(views))
+        .crossJoin(F.broadcast(union))
+        .select(
+            "est_click", "est_view", "est_union",
+            F.round(
+                F.col("est_click") + F.col("est_view") - F.col("est_union"), 4
+            ).alias("est_intersection"),
+        )
+    )
+
+
+@register(
+    "q160_subset_duplicates",
+    oracle="""
+    WITH shingled AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(2, len(string_split_regex(trim(text),'\\s+')) - 1)),
+               i -> array_to_string(string_split_regex(trim(text),'\\s+')[i:i+2], ' ')
+             )) AS shingles
+      FROM documents WHERE trim(text) <> ''
+    ),
+    post AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM post GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_sub, b.doc_id AS id_super,
+             CAST(count(*) AS BIGINT) AS n_inter
+      FROM post a JOIN post b
+        ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.id_sub, i.id_super, i.n_inter,
+           sa.n AS n_sub, sb.n AS n_super
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_sub
+    JOIN sizes sb ON sb.doc_id = i.id_super
+    WHERE i.n_inter = sa.n AND sb.n > sa.n
+    ORDER BY id_sub, id_super
+    """,
+)
+def q160_subset_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset-duplicate (quote/excerpt) detection: documents whose entire
+    shingle set is contained in a strictly larger document — containment
+    C(a→b)=1, the t=1 limit of the prefix-filter family where the prefix
+    collapses to each doc's SINGLE globally-rarest shingle (a subset pair
+    MUST share it, and rarest shingles have the shortest posting lists, so
+    the candidate join touches almost nothing). Verification is one
+    array_except emptiness test per candidate on the per-doc shingle
+    arrays. The oracle is the naive full posting self-join."""
+    docs = _t(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    from .operators.dedup import shingle_postings
+
+    post = shingle_postings(docs, "doc_id", "text", 3)
+    dfreq = post.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    doc_sets = (
+        post.join(F.broadcast(dfreq), "shingle")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("ranked"))
+        .select(
+            "doc_id",
+            F.transform("ranked", lambda st: st["shingle"]).alias("sh"),
+            F.size("ranked").alias("n_sh"),
+            F.col("ranked")[0]["shingle"].alias("rarest"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # candidates: docs sharing the subset side's single rarest shingle,
+    # superset strictly larger (subset-of-equal-size = exact dup, q17's job)
+    cand = (
+        doc_sets.select(
+            F.col("doc_id").alias("id_sub"),
+            F.col("rarest").alias("shingle"),
+            F.col("sh").alias("sh_sub"),
+            F.col("n_sh").alias("n_sub"),
+        )
+        .join(
+            post.select(F.col("doc_id").alias("id_super"), "shingle"), "shingle"
+        )
+        .filter(F.col("id_sub") != F.col("id_super"))
+        .join(
+            doc_sets.select(
+                F.col("doc_id").alias("id_super"),
+                F.col("sh").alias("sh_super"),
+                F.col("n_sh").alias("n_super"),
+            ),
+            "id_super",
+        )
+        .filter(F.col("n_super") > F.col("n_sub"))
+    )
+    return (
+        cand.filter(F.size(F.array_except("sh_sub", "sh_super")) == 0)
+        .select(
+            "id_sub", "id_super",
+            F.col("n_sub").alias("n_inter"),
+            "n_sub", "n_super",
+        )
+        .repartition(8)
+        .orderBy("id_sub", "id_super")
+    )

@@ -61,6 +61,8 @@ BUDGETS = [
     ("q156_bootstrap_ci", 0, 0),        # replica agg broadcast-assembled
     ("q157_fd_discovery", 8, 0),        # 2-level agg per candidate FD (4x2)
     ("q158_benford_audit", 3, 0),       # digit agg + total + sort
+    ("q159_hll_set_algebra", 5, 0),     # register agg + 3 sketch-sized aggs
+    ("q160_subset_duplicates", 4, 0),   # postings + doc arrays + rarest join
 ]
 
 
