@@ -4485,3 +4485,146 @@ def q160_subset_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(8)
         .orderBy("id_sub", "id_super")
     )
+
+
+@register(
+    "q161_mad_robust_zscore",
+    oracle="""
+    WITH pts AS (
+      SELECT l_returnflag AS flag,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ),
+    med AS (
+      SELECT flag,
+             min(CASE WHEN rn >= ceil(0.5 * n) THEN cents END) AS med
+      FROM pts GROUP BY flag
+    ),
+    dev AS (
+      SELECT p.flag, p.cents, abs(p.cents - m.med) AS ad, m.med,
+             row_number() OVER (PARTITION BY p.flag
+               ORDER BY abs(p.cents - m.med), p.cents, p.rn) AS rn2,
+             count(*) OVER (PARTITION BY p.flag) AS n
+      FROM pts p JOIN med m USING (flag)
+    ),
+    mad AS (
+      SELECT flag, max(med) AS med,
+             min(CASE WHEN rn2 >= ceil(0.5 * n) THEN ad END) AS mad
+      FROM dev GROUP BY flag
+    )
+    SELECT d.flag, m.med AS med_cents, m.mad AS mad_cents,
+           CAST(sum(CASE WHEN abs(d.cents - m.med)
+                         > 3.5 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           min(d.cents) AS min_cents, max(d.cents) AS max_cents
+    FROM dev d JOIN mad m USING (flag)
+    GROUP BY d.flag, m.med, m.mad
+    ORDER BY d.flag
+    """,
+)
+def q161_mad_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier scoring via the median absolute deviation — the
+    estimator that survives the 50% contamination the mean/stddev z-score
+    (and even q118's quartile fences) cannot: exact rank-based median,
+    exact rank-based MAD over |x − med|, and the 3.5·1.4826·MAD modified
+    z-score threshold applied as an integer-vs-float comparison (the only
+    floats are two constants). Two rank windows + a broadcast medians
+    join — the same shape as q145's winsorization with one more rank
+    level."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    wr = W.partitionBy("flag").orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    pts = li.select(
+        F.col("l_returnflag").alias("flag"), cents.alias("cents"),
+        "l_extendedprice", "l_orderkey", "l_linenumber",
+    ).select(
+        "flag", "cents",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("flag")).alias("n"),
+    )
+    med = pts.groupBy("flag").agg(
+        F.min(F.when(F.col("rn") >= F.ceil(0.5 * F.col("n")), F.col("cents"))).alias("med")
+    )
+    ad = F.abs(F.col("cents") - F.col("med"))
+    wd = W.partitionBy("flag").orderBy(ad, "cents", "rn")
+    dev = pts.join(F.broadcast(med), "flag").select(
+        "flag", "cents", "med", ad.alias("ad"),
+        F.row_number().over(wd).alias("rn2"),
+        F.count(F.lit(1)).over(W.partitionBy("flag")).alias("n"),
+    )
+    mad = dev.groupBy("flag").agg(
+        F.max("med").alias("med"),
+        F.min(F.when(F.col("rn2") >= F.ceil(0.5 * F.col("n")), F.col("ad"))).alias("mad"),
+    )
+    return (
+        dev.select("flag", "cents")
+        .join(F.broadcast(mad), "flag")
+        .groupBy("flag", F.col("med").alias("med_cents"), F.col("mad").alias("mad_cents"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("cents") - F.col("med"))
+                    > 3.5 * 1.4826 * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+        .orderBy("flag")
+    )
+
+
+@register(
+    "q162_join_cardinality_estimate",
+    oracle="""
+    WITH lo AS (
+      SELECT CAST(sum(a.c * b.c) AS BIGINT) AS predicted
+      FROM (SELECT l_orderkey k, count(*) c FROM lineitem GROUP BY 1) a
+      JOIN (SELECT o_orderkey k, count(*) c FROM orders GROUP BY 1) b USING (k)
+    ),
+    lp AS (
+      SELECT CAST(sum(a.c * b.c) AS BIGINT) AS predicted
+      FROM (SELECT l_partkey k, count(*) c FROM lineitem GROUP BY 1) a
+      JOIN (SELECT p_partkey k, count(*) c FROM part GROUP BY 1) b USING (k)
+    ),
+    oc AS (
+      SELECT CAST(sum(a.c * b.c) AS BIGINT) AS predicted
+      FROM (SELECT o_custkey k, count(*) c FROM orders GROUP BY 1) a
+      JOIN (SELECT c_custkey k, count(*) c FROM customer GROUP BY 1) b USING (k)
+    )
+    SELECT 'lineitem*orders' AS join_name, predicted FROM lo
+    UNION ALL SELECT 'lineitem*part', predicted FROM lp
+    UNION ALL SELECT 'orders*customer', predicted FROM oc
+    ORDER BY join_name
+    """,
+)
+def q162_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-output cardinality computed WITHOUT running the join — the
+    planner diagnostic that pairs with q137's skew Gini: |A⋈B| on an
+    equi-key is exactly Σ_k cntA(k)·cntB(k), so two key-count aggregates
+    and a count-table join (keys-sized, not rows-sized) price a join
+    before anyone pays for it. The number this emits is exact, not an
+    estimate — the point is WHERE it is computed (histograms), not sampling
+    error. At 100 TB the count tables are the only shuffles."""
+    def predict(a: DataFrame, ak: str, b: DataFrame, bk: str, name: str) -> DataFrame:
+        ca = a.groupBy(F.col(ak).alias("k")).agg(F.count(F.lit(1)).alias("ca"))
+        cb = b.groupBy(F.col(bk).alias("k")).agg(F.count(F.lit(1)).alias("cb"))
+        return ca.join(cb, "k").agg(
+            F.lit(name).alias("join_name"),
+            F.sum(F.col("ca") * F.col("cb")).alias("predicted"),
+        )
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part")
+    c = _t(spark, sf_dir, "customer")
+    out = (
+        predict(li, "l_orderkey", o, "o_orderkey", "lineitem*orders")
+        .unionByName(predict(li, "l_partkey", p, "p_partkey", "lineitem*part"))
+        .unionByName(predict(o, "o_custkey", c, "c_custkey", "orders*customer"))
+    )
+    return out.orderBy("join_name")

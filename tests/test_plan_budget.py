@@ -63,6 +63,8 @@ BUDGETS = [
     ("q158_benford_audit", 3, 0),       # digit agg + total + sort
     ("q159_hll_set_algebra", 5, 0),     # register agg + 3 sketch-sized aggs
     ("q160_subset_duplicates", 4, 0),   # postings + doc arrays + rarest join
+    ("q161_mad_robust_zscore", 5, 0),   # 2 rank windows + medians joins
+    ("q162_join_cardinality_estimate", 6, 0),  # 2 count aggs per join pair
 ]
 
 
