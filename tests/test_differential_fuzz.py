@@ -261,3 +261,64 @@ def _win_spark(spark, q: dict):
 def test_differential_window_query(seed, spark, duck):
     q = _gen_window(seed)
     assert_matches_oracle(_win_spark(spark, q), duck, _win_sql(q))
+
+
+# --- set-operation grammar ---------------------------------------------------
+
+SETOPS = ["union_all", "union", "intersect", "intersect_all", "except", "except_all"]
+
+
+def _gen_setop(seed: int) -> dict:
+    rng = random.Random(seed + 20_000)
+    table = rng.choice(["orders", "lineitem", "part"])
+    meta = TABLES[table]
+    cat = rng.choice(sorted(meta["cats"]))
+    num = rng.choice(sorted(meta["nums"]))
+    lo, hi = meta["nums"][num]
+    # two overlapping predicates so every op has non-trivial input overlap
+    a = rng.randrange(lo, hi), rng.choice(["<", ">="])
+    b = rng.randrange(lo, hi), rng.choice(["<", ">="])
+    return {"table": table, "key": meta["key"], "cat": cat, "num": num,
+            "pa": a, "pb": b, "op": rng.choice(SETOPS)}
+
+
+def _setop_sql(q: dict) -> str:
+    sel = f"SELECT {q['key']} AS k, {q['cat']} AS c FROM {q['table']}"
+    wa = f"{sel} WHERE {q['num']} {q['pa'][1]} {q['pa'][0]}"
+    wb = f"{sel} WHERE {q['num']} {q['pb'][1]} {q['pb'][0]}"
+    op = {
+        "union_all": "UNION ALL", "union": "UNION",
+        "intersect": "INTERSECT", "intersect_all": "INTERSECT ALL",
+        "except": "EXCEPT", "except_all": "EXCEPT ALL",
+    }[q["op"]]
+    return f"SELECT k, c, CAST(count(*) AS BIGINT) AS n FROM (({wa}) {op} ({wb})) GROUP BY k, c ORDER BY k, c"
+
+
+def _setop_spark(spark, q: dict):
+    df = spark.read.parquet(f"{SF_DIR}/{q['table']}.parquet")
+    num = F.col(q["num"])
+
+    def side(v, op):
+        pred = num < v if op == "<" else num >= v
+        return df.filter(pred).select(
+            F.col(q["key"]).alias("k"), F.col(q["cat"]).alias("c")
+        )
+
+    a, b = side(*q["pa"]), side(*q["pb"])
+    out = {
+        "union_all": lambda: a.unionAll(b),
+        "union": lambda: a.unionAll(b).distinct(),
+        "intersect": lambda: a.intersect(b),
+        "intersect_all": lambda: a.intersectAll(b),
+        "except": lambda: a.subtract(b),
+        "except_all": lambda: a.exceptAll(b),
+    }[q["op"]]()
+    return (
+        out.groupBy("k", "c").agg(F.count(F.lit(1)).alias("n")).orderBy("k", "c")
+    )
+
+
+@pytest.mark.parametrize("seed", range(24))
+def test_differential_setop_query(seed, spark, duck):
+    q = _gen_setop(seed)
+    assert_matches_oracle(_setop_spark(spark, q), duck, _setop_sql(q))
