@@ -4628,3 +4628,544 @@ def q162_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFram
         .unionByName(predict(o, "o_custkey", c, "c_custkey", "orders*customer"))
     )
     return out.orderBy("join_name")
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of a lexical and a vector ranking
+# ---------------------------------------------------------------------------
+
+#: RRF discount constant (Cormack et al., SIGIR'09 — the standard k=60)
+_RRF_K = 60
+#: candidate-list depth per retrieval system (bounded: the 100 TB contract)
+_RRF_DEPTH = 200
+
+
+@register(
+    "q163_rrf_hybrid_fusion",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    lex AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN tok IN ('join', 'hash', 'scan')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS score
+      FROM toks GROUP BY doc_id
+    ),
+    lexr AS (
+      SELECT doc_id AS id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+      FROM lex ORDER BY score DESC, doc_id LIMIT {_RRF_DEPTH}
+    ),
+    {_VFX_SQL},
+    probe AS (SELECT pos, v_fx AS p_fx FROM vfx WHERE vec_id = 0),
+    dots AS (
+      SELECT v.vec_id,
+             CAST(sum((v.v_fx - {EMB_SCALE}) * (p.p_fx - {EMB_SCALE}))
+                  AS BIGINT) AS dot_fx
+      FROM vfx v JOIN probe p USING (pos) GROUP BY v.vec_id
+    ),
+    vecr AS (
+      SELECT vec_id AS id,
+             row_number() OVER (ORDER BY dot_fx DESC, vec_id) AS vec_rank
+      FROM dots ORDER BY dot_fx DESC, vec_id LIMIT {_RRF_DEPTH}
+    ),
+    fused AS (
+      SELECT COALESCE(l.id, v.id) AS id, l.lex_rank, v.vec_rank,
+             round(COALESCE(1.0 / ({_RRF_K} + l.lex_rank), 0.0)
+                   + COALESCE(1.0 / ({_RRF_K} + v.vec_rank), 0.0), 9)
+               AS rrf_score
+      FROM lexr l FULL OUTER JOIN vecr v ON l.id = v.id
+    )
+    SELECT id, lex_rank, vec_rank, rrf_score
+    FROM fused ORDER BY rrf_score DESC, id LIMIT 20
+    """,
+)
+def q163_rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search via reciprocal-rank fusion: a lexical ranking (probe-
+    term frequency over documents) and a vector ranking (fixed-point dot
+    product against the vec_id-0 probe embedding) are each cut to their
+    top-{depth} candidates, then fused by RRF = Σ 1/(60 + rank).
+
+    Determinism: both rankings order on exact integers (term counts;
+    centered BIGINT fixed-point dots) with id tie-breaks, so ranks are
+    engine-independent; the fused score is ONE two-term float chain over
+    those integer ranks, round(9).
+
+    Scale shape: each system's candidate list is produced by
+    TakeOrderedAndProject (top-k, no global sort) and only the k-sized
+    lists ever see a window or the fusion join — the corpus is touched by
+    exactly two aggregations (token agg, dot agg), never by rank state.
+    This is the composition a retrieval stack runs per query batch; the
+    rankers themselves are q147 (BM25) and q21 (ANN) — fusion is the new
+    operator."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_tok(F.col("text"))).alias("tok"))
+    lex = toks.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("tok").isin("join", "hash", "scan"), 1).otherwise(0)
+        ).cast("long").alias("score")
+    )
+    lex_top = lex.orderBy(F.col("score").desc(), "doc_id").limit(_RRF_DEPTH)
+    w_lex = W.orderBy(F.col("score").desc(), "doc_id")
+    lexr = lex_top.select(
+        F.col("doc_id").alias("id"),
+        F.row_number().over(w_lex).cast("long").alias("lex_rank"),
+    )
+
+    vfx = _vfx(spark, sf_dir)
+    probe = vfx.filter(F.col("vec_id") == 0).select(
+        "pos", F.col("v_fx").alias("p_fx")
+    )
+    dots = (
+        vfx.join(F.broadcast(probe), "pos")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                (F.col("v_fx") - EMB_SCALE) * (F.col("p_fx") - EMB_SCALE)
+            ).cast("long").alias("dot_fx")
+        )
+    )
+    vec_top = dots.orderBy(F.col("dot_fx").desc(), "vec_id").limit(_RRF_DEPTH)
+    w_vec = W.orderBy(F.col("dot_fx").desc(), "vec_id")
+    vecr = vec_top.select(
+        F.col("vec_id").alias("id"),
+        F.row_number().over(w_vec).cast("long").alias("vec_rank"),
+    )
+
+    fused = lexr.join(vecr, "id", "full_outer").select(
+        "id",
+        "lex_rank",
+        "vec_rank",
+        F.round(
+            F.coalesce(F.lit(1.0) / (_RRF_K + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (_RRF_K + F.col("vec_rank")), F.lit(0.0)),
+            9,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), "id").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality expectations suite (Deequ-style, one pass)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q164_expectations_audit",
+    oracle="""
+    WITH o AS (
+      SELECT
+        CASE WHEN count(*) > 0 THEN 0 ELSE 1 END AS orders_nonempty,
+        CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS null_custkey,
+        CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS dup_orderkey,
+        CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS status_domain,
+        CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS nonpositive_total,
+        CAST(sum(CASE WHEN o_orderdate < DATE '1992-01-01'
+                        OR o_orderdate > DATE '2005-12-31'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS date_range
+      FROM orders
+    ),
+    fk AS (
+      SELECT CAST(count(*) AS BIGINT) AS orphan_lineitems
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderkey IS NULL
+    ),
+    rules AS (
+      SELECT 'orders_nonempty' AS rule, CAST(orders_nonempty AS BIGINT)
+        AS violations FROM o
+      UNION ALL SELECT 'null_custkey', null_custkey FROM o
+      UNION ALL SELECT 'dup_orderkey', dup_orderkey FROM o
+      UNION ALL SELECT 'status_domain', status_domain FROM o
+      UNION ALL SELECT 'nonpositive_total', nonpositive_total FROM o
+      UNION ALL SELECT 'date_range', date_range FROM o
+      UNION ALL SELECT 'orphan_lineitems', orphan_lineitems FROM fk
+    )
+    SELECT rule, violations, violations = 0 AS passed
+    FROM rules ORDER BY rule
+    """,
+)
+def q164_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (the Deequ/Great-Expectations
+    shape): a rule catalog — non-empty, completeness, key uniqueness,
+    domain membership, value bounds, date range, referential integrity —
+    evaluated against orders/lineitem and emitted as one (rule,
+    violations, passed) report.
+
+    Shape: ALL six single-table rules ride ONE full-scan aggregate
+    (conditional sums share the scan and the partial-agg combine — adding
+    a rule adds a column, not a pass), unpivoted to rows by a stack();
+    the FK rule is the q14-style anti-join count. At 100 TB the audit
+    costs one scan of each table regardless of rule count — the property
+    that makes an expectations suite runnable per-ingest-batch.
+    Extends the reference's per-constraint validation queries
+    (sqlserver2pgsql.pl:2633-2654) to a batched audit."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n1 = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    agg = o.agg(
+        F.when(F.count(F.lit(1)) > 0, F.lit(0)).otherwise(1)
+        .cast("long").alias("orders_nonempty"),
+        n1(F.col("o_custkey").isNull()).alias("null_custkey"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("long").alias("dup_orderkey"),
+        n1(~F.col("o_orderstatus").isin("O", "F", "P")).alias("status_domain"),
+        n1(F.col("o_totalprice") <= 0).alias("nonpositive_total"),
+        n1(
+            (F.col("o_orderdate") < F.lit("1992-01-01").cast("date"))
+            | (F.col("o_orderdate") > F.lit("2005-12-31").cast("date"))
+        ).alias("date_range"),
+    )
+    single = agg.select(
+        F.expr(
+            "stack(6, "
+            "'orders_nonempty', orders_nonempty, "
+            "'null_custkey', null_custkey, "
+            "'dup_orderkey', dup_orderkey, "
+            "'status_domain', status_domain, "
+            "'nonpositive_total', nonpositive_total, "
+            "'date_range', date_range) AS (rule, violations)"
+        )
+    )
+    orphans = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("orphan_lineitems").alias("rule"), "violations")
+    )
+    return (
+        single.unionByName(orphans)
+        .select("rule", "violations", (F.col("violations") == 0).alias("passed"))
+        .orderBy("rule")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training-epoch shard plan (data-loader sharding)
+# ---------------------------------------------------------------------------
+
+from .operators.curation import hash_bucket  # noqa: E402
+
+_N_SHARDS = 16
+
+
+@register(
+    "q165_epoch_shard_plan",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % {_N_SHARDS} AS shard,
+             md5(CAST(doc_id AS VARCHAR)) AS ord_key
+      FROM documents
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           arg_min(doc_id, ord_key) AS first_doc,
+           arg_max(doc_id, ord_key) AS last_doc
+    FROM keyed GROUP BY shard ORDER BY shard
+    """,
+)
+def q165_epoch_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-epoch shard plan: every document is assigned a shard and a
+    pseudo-random within-shard order from the md5 of its id — the
+    deterministic global shuffle an LLM data loader needs (same document →
+    same shard and position on ANY cluster size, any partition layout, no
+    RNG state). Emits the per-shard manifest (sizes + first/last doc under
+    the epoch order) a shard-writer would act on.
+
+    Shape: shard assignment and order keys are pure column expressions
+    (no shuffle), the manifest is ONE hash aggregate; min_by/max_by pick
+    the order-extremes without any window or sort. A full epoch
+    materialization would be write_partitioned(shard) with
+    sortWithinPartitions(ord_key) — metadata here, no data movement."""
+    d = _t(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        "n_chars",
+        hash_bucket(F.col("doc_id"), _N_SHARDS).alias("shard"),
+        F.md5(F.col("doc_id").cast("string")).alias("ord_key"),
+    )
+    return (
+        keyed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min_by("doc_id", "ord_key").alias("first_doc"),
+            F.max_by("doc_id", "ord_key").alias("last_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise cosine similarity between label centroids (corpus geometry)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q166_label_centroid_similarity",
+    oracle=f"""
+    WITH {_VFX_SQL},
+    cent AS (
+      SELECT label, pos,
+             CAST(sum(v_fx) // count(*) AS BIGINT) - {EMB_SCALE} AS c_fx
+      FROM vfx GROUP BY label, pos
+    ),
+    nrm AS (
+      SELECT label, CAST(sum(c_fx * c_fx) AS BIGINT) AS n2 FROM cent GROUP BY label
+    ),
+    dots AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             CAST(sum(a.c_fx * b.c_fx) AS BIGINT) AS dot_fx
+      FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+      GROUP BY a.label, b.label
+    )
+    SELECT d.label_a, d.label_b, d.dot_fx,
+           round(CAST(d.dot_fx AS DOUBLE)
+                 / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+                 9) AS cosine
+    FROM dots d
+    JOIN nrm na ON na.label = d.label_a
+    JOIN nrm nb ON nb.label = d.label_b
+    ORDER BY label_a, label_b
+    """,
+)
+def q166_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-geometry diagnostic: the k×k cosine-similarity matrix between
+    per-label mean embeddings (upper triangle) — how separable the label
+    clusters are, which sources/classes overlap semantically.
+
+    Determinism: centroids are floor-mean BIGINT fixed-point vectors
+    (q102/q103's contract — order-free integer sums, then one floor
+    division), centered by subtracting the +1.0 offset so the dot is the
+    true centered inner product; dot and squared norms are exact BIGINT;
+    the cosine is ONE float chain (÷, sqrt·sqrt) over integers, round(9)
+    (sqrt is IEEE-exact, so both engines agree bit-for-bit before the
+    rounding). Shape: one posexplode agg over the corpus (the only
+    full-data pass), then all pair math happens on the k·dim centroid
+    table — k²·dim work that never touches the corpus again."""
+    vfx = _vfx(spark, sf_dir)
+    cent = (
+        vfx.groupBy("label", "pos")
+        .agg(
+            (F.expr("sum(v_fx) div count(1)").cast("long") - EMB_SCALE).alias("c_fx")
+        )
+        .localCheckpoint(eager=False)
+    )
+    nrm = cent.groupBy("label").agg(
+        F.sum(F.col("c_fx") * F.col("c_fx")).cast("long").alias("n2")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "pos", F.col("c_fx").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "pos", F.col("c_fx").alias("cb")
+    )
+    dots = (
+        a.join(b, ["pos"])
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("dot_fx"))
+    )
+    na = nrm.select(F.col("label").alias("label_a"), F.col("n2").alias("na2"))
+    nb = nrm.select(F.col("label").alias("label_b"), F.col("n2").alias("nb2"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            "dot_fx",
+            F.round(
+                F.col("dot_fx").cast("double")
+                / (F.sqrt(F.col("na2").cast("double"))
+                   * F.sqrt(F.col("nb2").cast("double"))),
+                9,
+            ).alias("cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/validation split (cluster-aware holdout)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q167_leakage_safe_split",
+    # q51's recursive-CTE connected components assign every near-dup doc a
+    # cluster; singletons cluster as themselves; the split hashes the
+    # CLUSTER id, so a near-dup pair can never straddle train/val
+    oracle=_JACCARD_ORACLE_BODY.replace("WITH corpus", "WITH RECURSIVE corpus", 1)
+    + """
+    , pairs AS (SELECT id1, id2 FROM scored WHERE jaccard >= 0.6),
+    edges AS (
+      SELECT id1 AS a, id2 AS b FROM pairs
+      UNION ALL SELECT id2 AS a, id1 AS b FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    cc AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+    assigned AS (
+      SELECT c.doc_id, length(c.text) AS n_chars,
+             COALESCE(cc.cluster_id, c.doc_id) AS cluster_id,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(
+                    COALESCE(cc.cluster_id, c.doc_id) AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 10 = 0
+                  THEN 'val' ELSE 'train' END AS split
+      FROM corpus c LEFT JOIN cc ON cc.node = c.doc_id
+    ),
+    leak AS (
+      SELECT CAST(count(*) AS BIGINT) AS cross_split_pairs
+      FROM pairs p
+      JOIN assigned a1 ON a1.doc_id = p.id1
+      JOIN assigned a2 ON a2.doc_id = p.id2
+      WHERE a1.split <> a2.split
+    )
+    SELECT s.split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT s.cluster_id) AS BIGINT) AS n_clusters,
+           CAST(sum(s.n_chars) AS BIGINT) AS total_chars,
+           any_value(l.cross_split_pairs) AS cross_split_pairs
+    FROM assigned s CROSS JOIN leak l
+    GROUP BY s.split ORDER BY s.split
+    """,
+)
+def q167_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/validation split: near-dup CLUSTERS (connected
+    components over the exact-Jaccard pair graph, q51's engine) are the
+    split unit — the whole cluster goes to val iff hash(cluster_id) lands
+    in the 10% bucket — so no near-duplicate of a validation document can
+    sit in train (the contamination that inflates eval scores). Emits the
+    per-split manifest plus the audit that PROVES it: cross_split_pairs,
+    the count of near-dup pairs straddling the cut, is 0 by construction
+    and is recomputed from the pair list, not assumed.
+
+    Shape: pair-gen + CC as in q51 (bounded grouped pair generator,
+    edge-sized iterations); cluster→split is a pure hash column; the audit
+    join touches only the pair list. Singleton docs skip the graph
+    entirely (left join, cluster = own id)."""
+    from .operators.graph import connected_components
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(
+        corpus, "doc_id", "text", n=3, threshold=0.6
+    ).select("id1", "id2").localCheckpoint(eager=False)
+    cc = connected_components(pairs, "id1", "id2")
+    assigned = (
+        corpus.select("doc_id", F.length("text").cast("long").alias("n_chars"))
+        .join(cc.select(F.col("node").alias("doc_id"), "cluster_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "cluster_id",
+            F.when(hash_bucket(F.col("cluster_id"), 10) == 0, F.lit("val"))
+            .otherwise(F.lit("train")).alias("split"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sp = assigned.select("doc_id", "split")
+    leak = (
+        pairs.join(sp.withColumnsRenamed({"doc_id": "id1", "split": "s1"}), "id1")
+        .join(sp.withColumnsRenamed({"doc_id": "id2", "split": "s2"}), "id2")
+        .filter(F.col("s1") != F.col("s2"))
+        .agg(F.count(F.lit(1)).alias("cross_split_pairs"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .orderBy("split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-bigram Shannon entropy (gibberish / low-diversity signal)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q168_char_entropy",
+    oracle=r"""
+    WITH grams AS (
+      SELECT doc_id, substr(text, i, 2) AS bg
+      FROM documents, LATERAL (
+        SELECT unnest(range(1, greatest(length(text), 1))) AS i
+      ) g
+    ),
+    counts AS (
+      SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS n
+      FROM grams GROUP BY doc_id, bg
+    )
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_bigrams,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(ln(CAST(sum(n) AS DOUBLE))
+                 - CAST(sum(CAST(round(n * ln(CAST(n AS DOUBLE)), 9)
+                                 AS DECIMAL(28, 15))) AS DOUBLE)
+                   / CAST(sum(n) AS DOUBLE),
+                 6) AS entropy
+    FROM counts GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q168_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram Shannon entropy per document — the cheap gibberish
+    / repetition / encoding-damage signal (H collapses on repeated or
+    low-diversity text) that complements q24's ratio metrics and q47's
+    token-level repetition.
+
+    Determinism: H = ln(T) - (Σ n·ln n)/T over exact BIGINT counts; each
+    n·ln(n) term is round(9)-pinned (libm ln differs in the last ulp
+    between engines) then summed as DECIMAL(28,15) — order-free, so any
+    partitioning gives the identical sum — and the remaining float chain
+    is fixed-order, round(6). Shape: one explode + two hash aggs; the
+    (doc, bigram) table is the only shuffle that grows with the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    # docs shorter than 2 chars have no bigram: the filter mirrors the
+    # oracle's empty range(1, len) for len < 2 (Spark's sequence() would
+    # otherwise run DESCENDING for len-1 < 1 and fabricate grams)
+    grams = d.filter(F.length("text") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 1),"
+                " i -> substring(text, i, 2))"
+            )
+        ).alias("bg"),
+    )
+    counts = grams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("n"))
+    t = F.sum("n").cast("long")
+    nlnn = F.sum(
+        F.round(F.col("n") * F.log(F.col("n").cast("double")), 9)
+        .cast("decimal(28,15)")
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            t.alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(
+                F.log(t.cast("double")) - nlnn.cast("double") / t.cast("double"),
+                6,
+            ).alias("entropy"),
+        )
+        .orderBy("doc_id")
+    )

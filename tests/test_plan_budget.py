@@ -65,6 +65,12 @@ BUDGETS = [
     ("q160_subset_duplicates", 4, 0),   # postings + doc arrays + rarest join
     ("q161_mad_robust_zscore", 5, 0),   # 2 rank windows + medians joins
     ("q162_join_cardinality_estimate", 6, 0),  # 2 count aggs per join pair
+    ("q163_rrf_hybrid_fusion", 2, 0),   # token agg + dot agg; k-sized fusion
+    ("q164_expectations_audit", 1, 0),  # ONE orders scan agg; anti-join is broadcast
+    ("q165_epoch_shard_plan", 2, 0),    # one manifest agg + sort
+    ("q166_label_centroid_similarity", 4, 0),  # corpus agg; rest is k*dim-sized
+    ("q167_leakage_safe_split", 5, 0),  # pair-gen pinned; cc join + audit + agg
+    ("q168_char_entropy", 3, 0),        # (doc,bigram) agg + doc agg + sort
 ]
 
 
