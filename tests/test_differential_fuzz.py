@@ -322,3 +322,158 @@ def _setop_spark(spark, q: dict):
 def test_differential_setop_query(seed, spark, duck):
     q = _gen_setop(seed)
     assert_matches_oracle(_setop_spark(spark, q), duck, _setop_sql(q))
+
+# --- scalar-expression grammar ------------------------------------------------
+#
+# Random expression TREES over integer and string columns, restricted to ops
+# with exact cross-engine semantics: bounded integer arithmetic (ANSI-safe —
+# multiplication only over leaves so depth-3 trees stay far inside BIGINT),
+# % (dividend-sign remainder in both engines), CASE/nullif/coalesce null
+# routing, greatest/least, and string upper/lower/substr/replace/concat.
+# Exercises constant folding, null propagation, and expression codegen.
+
+
+def _gen_expr(seed: int) -> dict:
+    rng = random.Random(seed + 30_000)
+    table = rng.choice(["orders", "lineitem", "customer", "part"])
+    meta = TABLES[table]
+
+    def int_node(depth: int) -> dict:
+        kinds = ["col", "lit"]
+        if depth > 0:
+            kinds += ["add", "sub", "case", "abs", "greatest", "least",
+                      "mod", "coalesce_nullif"]
+            if depth == 1:  # leaves only below a mul: bounded magnitude
+                kinds.append("mul")
+        k = rng.choice(kinds)
+        if k == "col":
+            return {"k": "col", "c": rng.choice(sorted(meta["nums"]))}
+        if k == "lit":
+            return {"k": "lit", "v": rng.randrange(0, 100)}
+        if k in ("add", "sub", "mul", "greatest", "least"):
+            return {"k": k, "a": int_node(depth - 1), "b": int_node(depth - 1)}
+        if k == "abs":
+            return {"k": "abs", "a": int_node(depth - 1)}
+        if k == "mod":
+            return {"k": "mod", "a": int_node(depth - 1),
+                    "m": rng.randrange(2, 97)}
+        if k == "case":
+            cat = rng.choice(sorted(meta["cats"]))
+            return {"k": "case", "c": cat, "v": rng.choice(meta["cats"][cat]),
+                    "a": int_node(depth - 1), "b": int_node(depth - 1)}
+        # nullif plants NULLs; coalesce routes them — exact in both engines
+        col = rng.choice(sorted(meta["nums"]))
+        lo, hi = meta["nums"][col]
+        return {"k": "coalesce_nullif", "c": col,
+                "v": rng.randrange(lo, hi + 1), "d": int_node(depth - 1)}
+
+    def str_node(depth: int) -> dict:
+        if depth == 0:
+            return {"k": "scol", "c": rng.choice(sorted(meta["cats"]))}
+        k = rng.choice(["upper", "lower", "substr", "replace", "concat"])
+        if k == "concat":
+            return {"k": "concat", "a": str_node(depth - 1), "b": str_node(depth - 1)}
+        if k == "substr":
+            return {"k": "substr", "a": str_node(depth - 1),
+                    "n": rng.randrange(1, 6)}
+        if k == "replace":
+            return {"k": "replace", "a": str_node(depth - 1),
+                    "f": rng.choice("AEIRU-"), "t": rng.choice("xyz_")}
+        return {"k": k, "a": str_node(depth - 1)}
+
+    return {
+        "table": table, "key": meta["key"],
+        "ints": [int_node(3) for _ in range(2)],
+        "strs": [str_node(2)],
+    }
+
+
+def _expr_sql(e: dict) -> str:
+    k = e["k"]
+    if k == "col":
+        return f"CAST({e['c']} AS BIGINT)"
+    if k == "lit":
+        return str(e["v"])
+    if k in ("add", "sub", "mul"):
+        op = {"add": "+", "sub": "-", "mul": "*"}[k]
+        return f"({_expr_sql(e['a'])} {op} {_expr_sql(e['b'])})"
+    if k in ("greatest", "least"):
+        return f"{k}({_expr_sql(e['a'])}, {_expr_sql(e['b'])})"
+    if k == "abs":
+        return f"abs({_expr_sql(e['a'])})"
+    if k == "mod":
+        return f"({_expr_sql(e['a'])} % {e['m']})"
+    if k == "case":
+        return (f"CASE WHEN {e['c']} = {e['v']!r} THEN {_expr_sql(e['a'])} "
+                f"ELSE {_expr_sql(e['b'])} END")
+    if k == "coalesce_nullif":
+        return (f"coalesce(nullif(CAST({e['c']} AS BIGINT), {e['v']}), "
+                f"{_expr_sql(e['d'])})")
+    if k == "scol":
+        return e["c"]
+    if k == "concat":
+        return f"({_expr_sql(e['a'])} || '|' || {_expr_sql(e['b'])})"
+    if k == "substr":
+        return f"substr({_expr_sql(e['a'])}, 1, {e['n']})"
+    if k == "replace":
+        return f"replace({_expr_sql(e['a'])}, {e['f']!r}, {e['t']!r})"
+    return f"{k}({_expr_sql(e['a'])})"  # upper / lower
+
+
+def _expr_col(e: dict):
+    k = e["k"]
+    if k == "col":
+        return F.col(e["c"]).cast("long")
+    if k == "lit":
+        return F.lit(e["v"]).cast("long")
+    if k == "add":
+        return _expr_col(e["a"]) + _expr_col(e["b"])
+    if k == "sub":
+        return _expr_col(e["a"]) - _expr_col(e["b"])
+    if k == "mul":
+        return _expr_col(e["a"]) * _expr_col(e["b"])
+    if k in ("greatest", "least"):
+        fn = F.greatest if k == "greatest" else F.least
+        return fn(_expr_col(e["a"]), _expr_col(e["b"]))
+    if k == "abs":
+        return F.abs(_expr_col(e["a"]))
+    if k == "mod":
+        return _expr_col(e["a"]) % e["m"]
+    if k == "case":
+        return F.when(F.col(e["c"]) == e["v"], _expr_col(e["a"])).otherwise(
+            _expr_col(e["b"])
+        )
+    if k == "coalesce_nullif":
+        return F.coalesce(
+            F.nullif(F.col(e["c"]).cast("long"), F.lit(e["v"]).cast("long")),
+            _expr_col(e["d"]),
+        )
+    if k == "scol":
+        return F.col(e["c"])
+    if k == "concat":
+        return F.concat(_expr_col(e["a"]), F.lit("|"), _expr_col(e["b"]))
+    if k == "substr":
+        return F.substring(_expr_col(e["a"]), 1, e["n"])
+    if k == "replace":
+        return F.replace(_expr_col(e["a"]), F.lit(e["f"]), F.lit(e["t"]))
+    return (F.upper if k == "upper" else F.lower)(_expr_col(e["a"]))
+
+
+def _exprq_sql(q: dict) -> str:
+    cols = [f"CAST({_expr_sql(e)} AS BIGINT) AS i{i}" for i, e in enumerate(q["ints"])]
+    cols += [f"{_expr_sql(e)} AS s{i}" for i, e in enumerate(q["strs"])]
+    return (f"SELECT {q['key']} AS k, {', '.join(cols)} FROM {q['table']} "
+            f"ORDER BY k")
+
+
+def _exprq_spark(spark, q: dict):
+    df = spark.read.parquet(f"{SF_DIR}/{q['table']}.parquet")
+    cols = [_expr_col(e).cast("long").alias(f"i{i}") for i, e in enumerate(q["ints"])]
+    cols += [_expr_col(e).alias(f"s{i}") for i, e in enumerate(q["strs"])]
+    return df.select(F.col(q["key"]).alias("k"), *cols).orderBy("k")
+
+
+@pytest.mark.parametrize("seed", range(24))
+def test_differential_expression_query(seed, spark, duck):
+    q = _gen_expr(seed)
+    assert_matches_oracle(_exprq_spark(spark, q), duck, _exprq_sql(q))
