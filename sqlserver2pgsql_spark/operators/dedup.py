@@ -23,6 +23,7 @@ Everything is built from explode / groupBy / join — no UDFs, no collect().
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .text import WS, tokens
@@ -359,23 +360,32 @@ def prefix_filter_jaccard_pairs(
     Zipf-distributed shingle frequencies the prefix join is the scale
     path while q18's full posting join is the verifier."""
     post = shingle_postings(df, id_col, text_col, n)
+    # rarity rank over the DISTINCT-shingle vocabulary: sid ascends with
+    # (df, shingle), so sorting by sid IS the rare-first order. The window
+    # runs on the vocabulary table (distinct shingles — orders of magnitude
+    # smaller than the corpus; at 100 TB swap row_number for zipWithIndex
+    # over a sorted vocab partition if the vocabulary itself outgrows one).
+    # Every downstream structure then carries dense INTEGER ids instead of
+    # shingle strings: the prefix join keys, the per-doc arrays, and the
+    # array_intersect verify all shrink/speed accordingly (string-array
+    # intersect over ~256k candidate pairs was the dominant cost here).
     dfreq = post.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    # ONE groupBy builds each doc's shingles sorted rare-first (global df,
-    # then shingle) as an array — the same table serves BOTH the prefix
-    # slice and the verify pass, replacing the earlier per-doc rank window
-    # (an extra exchange + two sorts) and the exploded verify join (which
-    # re-shuffled candidate×shingle rows; array_intersect on the two
-    # ~|d|-element arrays is a per-row JVM op). Measured 9.9s -> 5.3s
-    # end-to-end at sf0.1.
-    enriched = post.join(F.broadcast(dfreq), "shingle")
+    sid = dfreq.select(
+        "shingle",
+        F.row_number()
+        .over(W.orderBy("df", "shingle"))
+        .cast("long")
+        .alias("sid"),
+    )
+    # ONE groupBy builds each doc's shingle ids sorted rare-first as an
+    # array — the same table serves BOTH the prefix slice and the verify
+    # pass (array_intersect on the two ~|d|-element int arrays is a
+    # per-row JVM op; no exploded verify join).
+    enriched = post.join(F.broadcast(sid), "shingle")
     doc_sets = (
         enriched.groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("ranked"))
-        .select(
-            "doc_id",
-            F.transform("ranked", lambda st: st["shingle"]).alias("sh"),
-            F.size("ranked").alias("n_sh"),
-        )
+        .agg(F.array_sort(F.collect_list("sid")).alias("sh"))
+        .select("doc_id", "sh", F.size("sh").alias("n_sh"))
         .localCheckpoint(eager=False)
     )
     # prefix keeps enough that a qualifying pair cannot miss (t-dependent)
