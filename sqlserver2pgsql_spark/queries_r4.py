@@ -5169,3 +5169,331 @@ def q168_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pointer doubling: list ranking / root finding in O(log n) rounds
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q169_pointer_doubling",
+    # the fixture's chains come from the per-user time order, so the oracle
+    # states root and depth in closed form (first event / row_number-1);
+    # the Spark side must reach the same answer through pointer jumping
+    oracle="""
+    SELECT event_id,
+           user_id,
+           first_value(event_id) OVER w AS root_event_id,
+           CAST(row_number() OVER w - 1 AS BIGINT) AS depth
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY event_id
+    """,
+)
+def q169_pointer_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List ranking by POINTER DOUBLING (Wyllie's algorithm): each node of a
+    linked structure learns its root and its depth in O(log chain-length)
+    self-join rounds — par'(x) = par(par(x)), d'(x) = d(x) + d(par(x)).
+    The successor lists here are each user's event chain (built from the
+    time order, which also gives the oracle a closed form); the algorithm
+    itself only ever sees (node, parent) pairs — the shape you're left
+    with when rank is NOT derivable from a sort key (linked lists,
+    provenance chains, symlink forests).
+
+    Scale: the naive walk is O(max-depth) sequential rounds; doubling is
+    O(log max-depth) rounds of one hash-join + localCheckpoint each — 10
+    rounds cover million-long chains. Convergence is data-driven (the
+    total-depth sum fixpoints), never a hardcoded round count."""
+    import math
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # round count is known BEFORE the loop: after k rounds every pointer has
+    # jumped 2^k links, so ceil(log2(max chain length)) rounds suffice — and
+    # max chain length is just the largest per-user event count (ONE cheap
+    # aggregate returning one scalar, the #groups-sized-collect pattern).
+    # This replaces a per-round fixpoint action, halving the job count.
+    max_chain = (
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c")).first()[0] or 1
+    )
+    n_rounds = max(1, math.ceil(math.log2(max_chain)))
+    links = ev.repartition(8, "user_id").select(
+        "user_id",
+        F.col("event_id").alias("id"),
+        F.coalesce(F.lag("event_id").over(w), F.col("event_id")).alias("par"),
+    )
+    labels = links.select(
+        "user_id",
+        "id",
+        "par",
+        F.when(F.col("par") == F.col("id"), F.lit(0)).otherwise(1)
+        .cast("long").alias("d"),
+    ).localCheckpoint()  # eager: each round's plan stays ONE join deep
+    for _ in range(n_rounds):
+        hop = labels.select(
+            F.col("id").alias("h_id"),
+            F.col("par").alias("h_par"),
+            F.col("d").alias("h_d"),
+        )
+        labels = (
+            labels.join(hop, labels["par"] == hop["h_id"])
+            .select(
+                "user_id",
+                "id",
+                F.col("h_par").alias("par"),
+                (F.col("d") + F.col("h_d")).cast("long").alias("d"),
+            )
+            .localCheckpoint()
+        )
+    return labels.select(
+        F.col("id").alias("event_id"),
+        "user_id",
+        F.col("par").alias("root_event_id"),
+        F.col("d").alias("depth"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution (marketing / conversion credit assignment)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q170_last_touch_attribution",
+    oracle="""
+    WITH walled AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END
+                        IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS last_click_us
+      FROM events
+    ),
+    purchases AS (
+      SELECT user_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             CASE WHEN last_click_us IS NOT NULL
+                   AND epoch_us(ts) - last_click_us <= 864000000000
+                  THEN 1 ELSE 0 END AS attributed
+      FROM walled WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(attributed) AS BIGINT) AS n_attributed,
+           CAST(sum(attributed * cents) AS BIGINT) AS attributed_cents
+    FROM purchases GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q170_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the user's most
+    recent PRECEDING click if it happened within a 10-day lookback — the
+    conversion-credit assignment behind marketing/ads reporting. The
+    "most recent preceding touch" is ONE backward ignore-nulls wall
+    (last_value ... 1 PRECEDING) over each user's ordered stream — no
+    self-join, no range probe (q117's forward-wall technique, reversed).
+    Money stays integer cents (floor(v*100+0.5)); gaps stay integer
+    microseconds. One window shuffle on user_id + one aggregate."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_id", "event_type", "value",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    eus = F.unix_micros(F.col("ts"))
+    walled = ev.withColumn(
+        "last_click_us",
+        F.last(
+            F.when(F.col("event_type") == "click", eus), ignorenulls=True
+        ).over(w),
+    )
+    purchases = walled.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        F.when(
+            F.col("last_click_us").isNotNull()
+            & (eus - F.col("last_click_us") <= 864_000_000_000),
+            1,
+        ).otherwise(0).alias("attributed"),
+    )
+    return (
+        purchases.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("attributed").cast("long").alias("n_attributed"),
+            F.sum(F.col("attributed") * F.col("cents")).cast("long")
+            .alias("attributed_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classic TPC-H join shapes: Q5, Q10, Q18 analogues
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q171_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(38,8))) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM customer c
+      JOIN orders o   ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                     AND s.s_nationkey = c.c_nationkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name ORDER BY revenue DESC, nation
+    """,
+)
+def q171_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): the 6-table join with the
+    characteristic NON-key constraint s_nationkey = c_nationkey ("local"
+    supplier), region filter, date window, revenue per nation. All four
+    dims (customer via orders is the probe side; supplier, nation, region)
+    broadcast; lineitem — the only big table — is touched once and
+    shuffles once for the final agg. Revenue is DECIMAL(38,8)-summed
+    (order-free), ONE double cast at the end."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (s["s_nationkey"] == c["c_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy(F.col("revenue").desc(), "nation")
+    )
+
+
+@register(
+    "q172_returned_item_ranking",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_name AS name,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(38,8))) AS DOUBLE) AS revenue,
+           CAST(c.c_acctbal AS DOUBLE) AS acctbal,
+           n.n_name AS nation
+    FROM customer c
+      JOIN orders o   ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1995-07-01'
+      AND o.o_orderdate < TIMESTAMP '1995-10-01'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, custkey LIMIT 20
+    """,
+)
+def q172_returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item ranking): which customers returned
+    the most revenue in a quarter. Lineitem is filtered on the return
+    flag AT THE SCAN (predicate pushdown), joined to the date-windowed
+    orders, customer+nation broadcast; top-20 rides
+    TakeOrderedAndProject with a unique (revenue, custkey) tie-break."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-07-01") & (F.col("o_orderdate") < "1995-10-01")
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    n = _t(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("custkey", "name", "revenue", "acctbal", "nation")
+        .orderBy(F.col("revenue").desc(), "custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q173_large_volume_customer",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 350
+    )
+    SELECT c.c_custkey AS custkey, c.c_name AS name,
+           o.o_orderkey AS orderkey,
+           CAST(o.o_orderdate AS VARCHAR) AS orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS totalprice,
+           CAST(sum(l.l_quantity) AS BIGINT) AS sum_qty
+    FROM customer c
+      JOIN orders o   ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN big b      ON b.l_orderkey = o.o_orderkey
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY totalprice DESC, orderkey
+    """,
+)
+def q173_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total line
+    quantity exceeds a threshold, with their customers — the classic
+    agg-then-semi-join-then-reagg. The qualifying-order set (HAVING over
+    one lineitem agg) is tiny and BROADCAST back against lineitem, so the
+    big table is scanned twice but never shuffle-joined against itself;
+    quantities are integral doubles, summed exactly and emitted BIGINT."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 350)
+        .select(F.col("l_orderkey").alias("b_orderkey"))
+    )
+    return (
+        li.join(F.broadcast(big), li["l_orderkey"] == F.col("b_orderkey"))
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").cast("string").alias("orderdate"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+        )
+        .agg(F.sum("l_quantity").cast("long").alias("sum_qty"))
+        .orderBy(F.col("totalprice").desc(), "orderkey")
+    )

@@ -71,6 +71,11 @@ BUDGETS = [
     ("q166_label_centroid_similarity", 4, 0),  # corpus agg; rest is k*dim-sized
     ("q167_leakage_safe_split", 5, 0),  # pair-gen pinned; cc join + audit + agg
     ("q168_char_entropy", 3, 0),        # (doc,bigram) agg + doc agg + sort
+    ("q169_pointer_doubling", 1, 0),    # final sort; rounds checkpoint-pinned
+    ("q170_last_touch_attribution", 2, 0),  # user window + agg
+    ("q171_local_supplier_volume", 2, 0),   # lineitem agg + sort; dims broadcast
+    ("q172_returned_item_ranking", 1, 0),   # one agg; top-20 TOAP
+    ("q173_large_volume_customer", 3, 0),   # having agg + re-agg + sort
 ]
 
 

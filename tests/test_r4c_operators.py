@@ -166,3 +166,144 @@ def test_char_entropy_closed_form_on_synthetic_docs(spark):
     assert abs(got[2] - want2) < 1e-5
     # near-uniform random text approaches ln(64) from below
     assert got[3] <= math.log(64) + 1e-6
+
+
+# --- q169: pointer doubling -------------------------------------------------
+
+
+def test_pointer_doubling_on_synthetic_forest(spark):
+    # two chains + a singleton, ids deliberately NOT in rank order so the
+    # algorithm cannot cheat off a sort key
+    #   chain A: 30 -> 10 -> 99 -> 7   (root 30)
+    #   chain B: 5 -> 80               (root 5)
+    #   singleton: 42
+    rows = [
+        (1, 1, 30), (1, 2, 10), (1, 3, 99), (1, 4, 7),
+        (2, 1, 5), (2, 2, 80),
+        (3, 1, 42),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long")
+    import math
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    labels = df.select(
+        "user_id", F.col("event_id").alias("id"),
+        F.coalesce(F.lag("event_id").over(w), F.col("event_id")).alias("par"),
+    ).select(
+        "user_id", "id", "par",
+        F.when(F.col("par") == F.col("id"), F.lit(0)).otherwise(1)
+        .cast("long").alias("d"),
+    ).localCheckpoint()
+    for _ in range(max(1, math.ceil(math.log2(4)))):
+        hop = labels.select(F.col("id").alias("h_id"),
+                            F.col("par").alias("h_par"),
+                            F.col("d").alias("h_d"))
+        labels = labels.join(hop, labels["par"] == hop["h_id"]).select(
+            "user_id", "id", F.col("h_par").alias("par"),
+            (F.col("d") + F.col("h_d")).cast("long").alias("d"),
+        ).localCheckpoint()
+    got = {r.id: (r.par, r.d) for r in labels.collect()}
+    assert got == {
+        30: (30, 0), 10: (30, 1), 99: (30, 2), 7: (30, 3),
+        5: (5, 0), 80: (5, 1), 42: (42, 0),
+    }
+
+
+def test_pointer_doubling_matches_closed_form(spark):
+    rows = entrymod.queries()["q169_pointer_doubling"](spark, SF_DIR).collect()
+    # closed form: depth = rank-1, root = first event of the user
+    from pyspark.sql import Window as W
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    want = {
+        r.event_id: (r.root, r.depth)
+        for r in ev.select(
+            "event_id",
+            F.first("event_id").over(w).alias("root"),
+            (F.row_number().over(w) - 1).cast("long").alias("depth"),
+        ).collect()
+    }
+    assert len(rows) == len(want)
+    for r in rows:
+        assert (r.root_event_id, r.depth) == want[r.event_id]
+
+
+# --- q170: last-touch attribution -------------------------------------------
+
+
+def test_last_touch_attribution_boundaries(spark):
+    day_us = 86_400_000_000
+    base = 1_600_000_000_000_000
+    rows = [
+        # user 1: click then purchase 10 days LATER exactly -> attributed
+        (1, base, 1, "click", 0.0),
+        (1, base + 10 * day_us, 2, "purchase", 5.0),
+        # user 2: click 10 days + 1us before purchase -> NOT attributed
+        (2, base, 3, "click", 0.0),
+        (2, base + 10 * day_us + 1, 4, "purchase", 7.0),
+        # user 3: purchase with no prior click -> NOT attributed
+        (3, base, 5, "purchase", 9.0),
+        # user 4: click AFTER the purchase only -> NOT attributed
+        (4, base + day_us, 6, "click", 0.0),
+        (4, base, 7, "purchase", 11.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, us long, event_id long, event_type string, value double"
+    ).select(
+        "user_id", F.timestamp_micros(F.col("us")).alias("ts"),
+        "event_id", "event_type", "value",
+    )
+    from pyspark.sql import Window as W
+
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    eus = F.unix_micros(F.col("ts"))
+    out = df.withColumn(
+        "lc", F.last(F.when(F.col("event_type") == "click", eus),
+                     ignorenulls=True).over(w)
+    ).filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.when(F.col("lc").isNotNull() & (eus - F.col("lc") <= 10 * day_us), 1)
+        .otherwise(0).alias("attributed"),
+    )
+    got = {r.user_id: r.attributed for r in out.collect()}
+    assert got == {1: 1, 2: 0, 3: 0, 4: 0}
+
+
+# --- q171-q173: TPC-H shapes ------------------------------------------------
+
+
+def test_tpch_shapes_keep_dims_broadcast(spark):
+    import contextlib, io, re
+
+    for name in ("q171_local_supplier_volume", "q172_returned_item_ranking",
+                 "q173_large_volume_customer"):
+        df = entrymod.queries()[name](spark, SF_DIR)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert not re.search(r"\bSortMergeJoin\b", plan), name
+        assert re.search(r"\bBroadcastHashJoin\b", plan), name
+
+
+def test_local_supplier_volume_enforces_locality(spark):
+    # every contributing (order, line) pair must have supplier nation ==
+    # customer nation: recompute one qualifying nation by brute force
+    sf = SF_DIR
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    o = spark.read.parquet(f"{sf}/orders.parquet").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf}/supplier.parquet")
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+    )
+    n_all = joined.count()
+    n_local = joined.filter(F.col("s_nationkey") == F.col("c_nationkey")).count()
+    assert n_local < n_all  # the locality constraint actually prunes
