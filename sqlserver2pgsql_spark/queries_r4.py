@@ -5497,3 +5497,240 @@ def q173_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("l_quantity").cast("long").alias("sum_qty"))
         .orderBy(F.col("totalprice").desc(), "orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# FIFO lot allocation (inventory costing / order matching)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q174_fifo_allocation",
+    oracle="""
+    WITH pool AS (
+      SELECT l_partkey AS part, l_linestatus AS side,
+             CAST(l_quantity AS BIGINT) AS qty,
+             l_shipdate, l_orderkey, l_linenumber
+      FROM lineitem WHERE l_partkey % 10 = 0
+    ),
+    ranged AS (
+      SELECT part, side, qty,
+             sum(qty) OVER (PARTITION BY part, side
+                            ORDER BY l_shipdate, l_orderkey, l_linenumber
+                            ROWS UNBOUNDED PRECEDING) AS hi
+      FROM pool
+    ),
+    iv AS (SELECT part, side, qty, hi - qty AS lo, hi FROM ranged),
+    alloc AS (
+      SELECT s.part,
+             least(s.hi, d.hi) - greatest(s.lo, d.lo) AS q
+      FROM iv s JOIN iv d
+        ON s.part = d.part AND s.side = 'F' AND d.side = 'O'
+       AND s.lo < d.hi AND d.lo < s.hi
+    ),
+    totals AS (
+      SELECT part,
+             CAST(sum(CASE WHEN side = 'F' THEN qty ELSE 0 END) AS BIGINT) AS supply,
+             CAST(sum(CASE WHEN side = 'O' THEN qty ELSE 0 END) AS BIGINT) AS demand
+      FROM pool GROUP BY part
+    )
+    SELECT t.part, t.supply, t.demand,
+           COALESCE(CAST(a.matched AS BIGINT), 0) AS matched,
+           COALESCE(CAST(a.n_pairs AS BIGINT), 0) AS n_pairs,
+           t.demand - COALESCE(CAST(a.matched AS BIGINT), 0) AS unmatched_demand
+    FROM totals t
+    LEFT JOIN (
+      SELECT part, sum(q) AS matched, count(*) AS n_pairs
+      FROM alloc GROUP BY part
+    ) a ON a.part = t.part
+    ORDER BY t.part
+    """,
+)
+def q174_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO lot allocation (inventory costing / trade matching): per part,
+    'F' lines are supply lots and 'O' lines are demand, both consumed in
+    ship-date order; demand row d draws from supply lot s exactly
+    ``overlap([s.lo, s.hi), [d.lo, d.hi))`` units, where lo/hi are the
+    side's RUNNING-SUM intervals — the classic set-based FIFO formulation
+    (no loops, no per-row state). Quantities are integral, so every
+    interval bound and allocation is exact BIGINT.
+
+    Shape: two window passes build the cumulative tapes (one shuffle on
+    part), then an equi-join on part with the interval-overlap predicate;
+    FIFO intervals overlap CHAIN-wise, so matched pairs are O(supply+
+    demand) per part even though the join tests the part's cross — at
+    100 TB you'd range-bucket the tapes (join on (part, hi div B)) to cut
+    the tested pairs; stated here, not needed at fixture scale."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 10 == 0)
+    pool = li.select(
+        F.col("l_partkey").alias("part"),
+        F.col("l_linestatus").alias("side"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        "l_shipdate", "l_orderkey", "l_linenumber",
+    )
+    w = (
+        W.partitionBy("part", "side")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    iv = pool.select(
+        "part", "side", "qty", (F.sum("qty").over(w)).alias("hi")
+    ).select("part", "side", "qty", (F.col("hi") - F.col("qty")).alias("lo"), "hi")
+    iv = iv.localCheckpoint(eager=False)
+    s = iv.filter(F.col("side") == "F").select(
+        "part", F.col("lo").alias("s_lo"), F.col("hi").alias("s_hi")
+    )
+    d = iv.filter(F.col("side") == "O").select(
+        "part", F.col("lo").alias("d_lo"), F.col("hi").alias("d_hi")
+    )
+    alloc = (
+        s.join(d, "part")
+        .filter((F.col("s_lo") < F.col("d_hi")) & (F.col("d_lo") < F.col("s_hi")))
+        .select(
+            "part",
+            (F.least("s_hi", "d_hi") - F.greatest("s_lo", "d_lo")).alias("q"),
+        )
+        .groupBy("part")
+        .agg(
+            F.sum("q").cast("long").alias("matched"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+    totals = pool.groupBy("part").agg(
+        F.sum(F.when(F.col("side") == "F", F.col("qty")).otherwise(0))
+        .cast("long").alias("supply"),
+        F.sum(F.when(F.col("side") == "O", F.col("qty")).otherwise(0))
+        .cast("long").alias("demand"),
+    )
+    return (
+        totals.join(alloc, "part", "left")
+        .select(
+            "part", "supply", "demand",
+            F.coalesce(F.col("matched"), F.lit(0)).cast("long").alias("matched"),
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+            (F.col("demand") - F.coalesce(F.col("matched"), F.lit(0)))
+            .cast("long").alias("unmatched_demand"),
+        )
+        .orderBy("part")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Population stability index (PSI) — distribution drift monitoring
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q175_psi_drift",
+    oracle="""
+    WITH binned AS (
+      SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 'expected'
+                  ELSE 'actual' END AS period,
+             least(CAST(floor(o_totalprice / 20000) AS BIGINT), 9) AS bin
+      FROM orders
+    ),
+    c AS (
+      SELECT bin,
+             CAST(sum(CASE WHEN period = 'expected' THEN 1 ELSE 0 END) AS BIGINT) AS e_n,
+             CAST(sum(CASE WHEN period = 'actual' THEN 1 ELSE 0 END) AS BIGINT) AS a_n
+      FROM binned GROUP BY bin
+    ),
+    t AS (SELECT CAST(sum(e_n) AS BIGINT) AS e_tot, CAST(sum(a_n) AS BIGINT) AS a_tot,
+                 CAST(count(*) AS BIGINT) AS b FROM c)
+    SELECT c.bin, c.e_n, c.a_n,
+           round((CAST(c.a_n + 1 AS DOUBLE) / (t.a_tot + t.b)
+                  - CAST(c.e_n + 1 AS DOUBLE) / (t.e_tot + t.b))
+                 * ln((CAST(c.a_n + 1 AS DOUBLE) / (t.a_tot + t.b))
+                      / (CAST(c.e_n + 1 AS DOUBLE) / (t.e_tot + t.b))),
+                 9) AS psi_term
+    FROM c CROSS JOIN t
+    ORDER BY bin
+    """,
+)
+def q175_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index (the standard ML-monitoring drift score)
+    for the order-value distribution: pre-1998 orders are the expected
+    population, 1998+ the actual; fixed-width value bins, Laplace +1
+    smoothing (integer-exact, no epsilon constants), per-bin PSI term
+    (a-e)·ln(a/e). Σ terms = the headline PSI.
+
+    Determinism: bin counts and totals are exact integers; each term is
+    ONE fixed float chain over those integers, round(9)-pinned (libm ln).
+    Shape: one scan → one (period is a CASE, not a second pass) bin agg,
+    then all math on the B-row bin table; at 100 TB the bin table is the
+    only thing that leaves the scan."""
+    o = _t(spark, sf_dir, "orders")
+    binned = o.select(
+        F.when(F.col("o_orderdate") < "1998-01-01", "expected")
+        .otherwise("actual").alias("period"),
+        F.least(F.floor(F.col("o_totalprice") / 20000).cast("long"), F.lit(9))
+        .alias("bin"),
+    )
+    c = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("period") == "expected", 1).otherwise(0))
+        .cast("long").alias("e_n"),
+        F.sum(F.when(F.col("period") == "actual", 1).otherwise(0))
+        .cast("long").alias("a_n"),
+    )
+    t = c.agg(
+        F.sum("e_n").cast("long").alias("e_tot"),
+        F.sum("a_n").cast("long").alias("a_tot"),
+        F.count(F.lit(1)).alias("b"),
+    )
+    a_p = (F.col("a_n") + 1).cast("double") / (F.col("a_tot") + F.col("b"))
+    e_p = (F.col("e_n") + 1).cast("double") / (F.col("e_tot") + F.col("b"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "bin", "e_n", "a_n",
+            F.round((a_p - e_p) * F.log(a_p / e_p), 9).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis, RNG-free)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q176_weighted_sample_es",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             round(ln((CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                   1, 15)) AS BIGINT) + 1 AS DOUBLE))
+                      / {float(1 << 60)})
+                   / n_chars, 9) AS es_key
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars, es_key
+    FROM keyed ORDER BY es_key DESC, doc_id LIMIT 50
+    """,
+)
+def q176_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis-Spirakis
+    exponential keys: each doc gets key = ln(u)/w (equivalent order to
+    u^(1/w)) with u a deterministic md5-derived uniform and w = n_chars;
+    the global top-k by key IS a weighted sample without replacement —
+    reproducible on any cluster size, resumable, no RNG state (the
+    sampling counterpart of q54's Bernoulli buckets; inclusion here is
+    weight-proportional and exactly k-sized).
+
+    Determinism: u is integer-derived ((h+1)/2^60, never 0), the key is
+    ONE float chain round(9)-pinned, ties broken by doc_id; top-50 rides
+    TakeOrderedAndProject — no global sort, no shuffle beyond it."""
+    from .operators.sketches import md5_hash60
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (md5_hash60(F.col("doc_id")) + 1).cast("double") / float(1 << 60)
+    return (
+        d.select(
+            "doc_id",
+            "n_chars",
+            F.round(F.log(u) / F.col("n_chars"), 9).alias("es_key"),
+        )
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(50)
+    )

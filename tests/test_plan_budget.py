@@ -76,6 +76,9 @@ BUDGETS = [
     ("q171_local_supplier_volume", 2, 0),   # lineitem agg + sort; dims broadcast
     ("q172_returned_item_ranking", 1, 0),   # one agg; top-20 TOAP
     ("q173_large_volume_customer", 3, 0),   # having agg + re-agg + sort
+    ("q174_fifo_allocation", 5, 0),     # tape window + interval join + aggs
+    ("q175_psi_drift", 3, 0),           # bin agg + totals agg + sort; all B-row
+    ("q176_weighted_sample_es", 0, 0),  # pure exprs + TakeOrderedAndProject
 ]
 
 

@@ -307,3 +307,72 @@ def test_local_supplier_volume_enforces_locality(spark):
     n_all = joined.count()
     n_local = joined.filter(F.col("s_nationkey") == F.col("c_nationkey")).count()
     assert n_local < n_all  # the locality constraint actually prunes
+
+
+# --- q174: FIFO allocation --------------------------------------------------
+
+
+def test_fifo_allocation_invariants(spark):
+    rows = entrymod.queries()["q174_fifo_allocation"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.matched == min(r.supply, r.demand)  # FIFO fully allocates
+        assert r.unmatched_demand == r.demand - r.matched
+        assert r.n_pairs >= 0
+
+
+def test_fifo_allocation_hand_computed(spark):
+    # supply lots 10, 5; demands 7, 6, 2  ->  pairs: (s1,d1)=7, (s1,d2)=3,
+    # (s2,d2)=3, (s2,d3)=2 ; matched=15, unmatched demand=0
+    rows = [
+        (1, "F", 10, 1), (1, "F", 5, 2),
+        (1, "O", 7, 1), (1, "O", 6, 2), (1, "O", 2, 3),
+    ]
+    df = spark.createDataFrame(rows, "part long, side string, qty long, seq long")
+    from pyspark.sql import Window as W
+
+    w = (W.partitionBy("part", "side").orderBy("seq")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    iv = df.select("part", "side", "qty", F.sum("qty").over(w).alias("hi")) \
+           .select("part", "side", "qty", (F.col("hi") - F.col("qty")).alias("lo"), "hi")
+    s = iv.filter(F.col("side") == "F").select(
+        "part", F.col("lo").alias("s_lo"), F.col("hi").alias("s_hi"))
+    d = iv.filter(F.col("side") == "O").select(
+        "part", F.col("lo").alias("d_lo"), F.col("hi").alias("d_hi"))
+    alloc = (
+        s.join(d, "part")
+        .filter((F.col("s_lo") < F.col("d_hi")) & (F.col("d_lo") < F.col("s_hi")))
+        .select((F.least("s_hi", "d_hi") - F.greatest("s_lo", "d_lo")).alias("q"))
+        .collect()
+    )
+    assert sorted(r.q for r in alloc) == [2, 3, 3, 7]
+
+
+# --- q175: PSI drift --------------------------------------------------------
+
+
+def test_psi_terms_sign_structure(spark):
+    rows = entrymod.queries()["q175_psi_drift"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    # (a-e)ln(a/e) >= 0 always (both factors share sign): PSI terms are
+    # individually non-negative — the standard property that makes PSI a sum
+    for r in rows:
+        assert r.psi_term >= 0.0, r
+
+
+# --- q176: weighted sampling (Efraimidis-Spirakis) ---------------------------
+
+
+def test_weighted_sample_es_is_weight_biased_and_deterministic(spark):
+    q = entrymod.queries()["q176_weighted_sample_es"]
+    rows = q(spark, SF_DIR).collect()
+    again = q(spark, SF_DIR).collect()
+    assert [r.doc_id for r in rows] == [r.doc_id for r in again]
+    assert len(rows) == 50
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+        F.col("n_chars") > 0
+    )
+    avg_all = docs.agg(F.avg("n_chars")).first()[0]
+    avg_sample = sum(r.n_chars for r in rows) / len(rows)
+    # weight-proportional sampling must pull the mean weight upward
+    assert avg_sample > avg_all
