@@ -477,3 +477,98 @@ def _exprq_spark(spark, q: dict):
 def test_differential_expression_query(seed, spark, duck):
     q = _gen_expr(seed)
     assert_matches_oracle(_exprq_spark(spark, q), duck, _exprq_sql(q))
+
+# --- subquery grammar ---------------------------------------------------------
+#
+# IN / NOT IN / EXISTS / NOT EXISTS / correlated-count subqueries. DuckDB runs
+# the subquery form natively; the Spark side expresses the SAME semantics the
+# way the engine's queries do — semi/anti joins and pre-aggregated count
+# joins — so the seeds differentially test that composition (decorrelation,
+# null-safe membership on non-null keys, empty-subquery edge cases).
+
+SUBFORMS = ["in", "not_in", "exists", "not_exists", "cnt_range"]
+
+
+def _gen_subq(seed: int) -> dict:
+    rng = random.Random(seed + 40_000)
+    outer, inner, ko, ki = rng.choice([
+        ("orders", "lineitem", "o_orderkey", "l_orderkey"),
+        ("customer", "orders", "c_custkey", "o_custkey"),
+        ("part", "lineitem", "p_partkey", "l_partkey"),
+    ])
+    icats = TABLES[inner]["cats"]
+    inums = TABLES[inner]["nums"]
+    if rng.random() < 0.5:
+        c = rng.choice(sorted(icats))
+        ipred = ("=", c, rng.choice(icats[c]))
+    else:
+        c = rng.choice(sorted(inums))
+        lo, hi = inums[c]
+        ipred = (rng.choice(["<", ">="]), c, rng.randrange(lo, hi + 1))
+    ocat = rng.choice(sorted(TABLES[outer]["cats"]))
+    form = rng.choice(SUBFORMS)
+    cnt_lo = rng.randrange(0, 3)
+    cnt_hi = cnt_lo + rng.randrange(1, 5)
+    return {"outer": outer, "inner": inner, "ko": ko, "ki": ki,
+            "ipred": ipred, "ocat": ocat, "form": form,
+            "cnt": (cnt_lo, cnt_hi)}
+
+
+def _subq_sql(q: dict) -> str:
+    pred = _pred_sql(q["ipred"])
+    t, ko, ki = q["outer"], q["ko"], q["ki"]
+    inner = q["inner"]
+    if q["form"] == "in":
+        where = f"{ko} IN (SELECT {ki} FROM {inner} WHERE {pred})"
+    elif q["form"] == "not_in":
+        where = f"{ko} NOT IN (SELECT {ki} FROM {inner} WHERE {pred})"
+    elif q["form"] == "exists":
+        where = (f"EXISTS (SELECT 1 FROM {inner} i "
+                 f"WHERE i.{ki} = {t}.{ko} AND {pred.replace(q['ipred'][1], 'i.' + q['ipred'][1])})")
+    elif q["form"] == "not_exists":
+        where = (f"NOT EXISTS (SELECT 1 FROM {inner} i "
+                 f"WHERE i.{ki} = {t}.{ko} AND {pred.replace(q['ipred'][1], 'i.' + q['ipred'][1])})")
+    else:
+        lo, hi = q["cnt"]
+        where = (f"(SELECT count(*) FROM {inner} i WHERE i.{ki} = {t}.{ko} "
+                 f"AND {pred.replace(q['ipred'][1], 'i.' + q['ipred'][1])}) "
+                 f"BETWEEN {lo} AND {hi}")
+    return (f"SELECT {q['ocat']} AS c, CAST(count(*) AS BIGINT) AS n "
+            f"FROM {t} WHERE {where} GROUP BY {q['ocat']} ORDER BY c")
+
+
+def _subq_spark(spark, q: dict):
+    outer = spark.read.parquet(f"{SF_DIR}/{q['outer']}.parquet")
+    inner = spark.read.parquet(f"{SF_DIR}/{q['inner']}.parquet")
+    op, c, v = q["ipred"]
+    col = F.col(c)
+    ipred = {"=": col == v, "<": col < v, ">=": col >= v,
+             "in": col.isin(v) if op == "in" else None}[op]
+    fi = inner.filter(ipred)
+    ko, ki = q["ko"], q["ki"]
+    if q["form"] in ("in", "exists"):
+        out = outer.join(fi, outer[ko] == fi[ki], "left_semi")
+    elif q["form"] in ("not_in", "not_exists"):
+        # keys are non-null in the fixture, so NOT IN == anti join
+        out = outer.join(fi, outer[ko] == fi[ki], "left_anti")
+    else:
+        lo, hi = q["cnt"]
+        cnts = fi.groupBy(F.col(ki).alias("__k")).agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        out = (
+            outer.join(cnts, outer[ko] == F.col("__k"), "left")
+            .withColumn("__n", F.coalesce(F.col("__n"), F.lit(0)))
+            .filter(F.col("__n").between(lo, hi))
+        )
+    return (
+        out.groupBy(F.col(q["ocat"]).alias("c"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("c")
+    )
+
+
+@pytest.mark.parametrize("seed", range(24))
+def test_differential_subquery(seed, spark, duck):
+    q = _gen_subq(seed)
+    assert_matches_oracle(_subq_spark(spark, q), duck, _subq_sql(q))
