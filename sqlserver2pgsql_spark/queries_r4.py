@@ -5734,3 +5734,236 @@ def q176_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("es_key").desc(), "doc_id")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape: the sole-blame supplier (multi-EXISTS decorrelation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q177_sole_blame_supplier",
+    oracle="""
+    WITH per AS (
+      SELECT l_orderkey AS okey, l_suppkey AS skey,
+             max(l_shipdate) AS s_last
+      FROM lineitem GROUP BY l_orderkey, l_suppkey
+    ),
+    o AS (
+      SELECT okey,
+             max(s_last) AS o_last,
+             CAST(count(*) AS BIGINT) AS n_supp,
+             CAST(sum(CASE WHEN s_last = max_last THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_latest
+      FROM (SELECT per.*, max(s_last) OVER (PARTITION BY okey) AS max_last
+            FROM per)
+      GROUP BY okey
+    )
+    SELECT p.skey AS suppkey,
+           CAST(count(*) AS BIGINT) AS n_blamed_orders
+    FROM per p JOIN o ON o.okey = p.okey
+    WHERE o.n_supp > 1 AND o.n_latest = 1 AND p.s_last = o.o_last
+    GROUP BY p.skey
+    ORDER BY n_blamed_orders DESC, suppkey LIMIT 10
+    """,
+)
+def q177_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for every
+    multi-supplier order whose LAST shipment came from exactly one
+    supplier, blame that supplier — the classic
+    EXISTS(another supplier) AND NOT EXISTS(another equally-late supplier)
+    pair, decorrelated into one (order, supplier) aggregate plus one
+    order-level window (no self-joins of lineitem at all; Q21's two
+    correlated subqueries both collapse into counts over the same
+    grouped table). Dates compare exactly; top-10 is
+    TakeOrderedAndProject with a unique tie-break."""
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy(
+        F.col("l_orderkey").alias("okey"), F.col("l_suppkey").alias("skey")
+    ).agg(F.max("l_shipdate").alias("s_last"))
+    wo = W.partitionBy("okey")
+    annotated = per.select(
+        "okey", "skey", "s_last",
+        F.max("s_last").over(wo).alias("o_last"),
+        F.count(F.lit(1)).over(wo).alias("n_supp"),
+        F.sum(
+            F.when(F.col("s_last") == F.max("s_last").over(wo), 1).otherwise(0)
+        ).over(wo).alias("n_latest"),
+    )
+    return (
+        annotated.filter(
+            (F.col("n_supp") > 1)
+            & (F.col("n_latest") == 1)
+            & (F.col("s_last") == F.col("o_last"))
+        )
+        .groupBy(F.col("skey").alias("suppkey"))
+        .agg(F.count(F.lit(1)).alias("n_blamed_orders"))
+        .orderBy(F.col("n_blamed_orders").desc(), "suppkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (deterministic md5 rows) with exact-count verification
+# ---------------------------------------------------------------------------
+
+_CMS_W = 256  # columns per row
+_CMS_ROWS = (1, 2, 3, 4)  # salts — 4 independent hash rows
+
+
+@register(
+    "q178_countmin_sketch",
+    oracle=f"""
+    WITH ev AS (SELECT event_type AS key FROM events),
+    cells AS (
+      SELECT r.salt,
+             CAST(('0x' || substr(md5(CAST(r.salt AS VARCHAR) || ':' || key),
+                                  1, 15)) AS BIGINT) % {_CMS_W} AS col,
+             CAST(count(*) AS BIGINT) AS c
+      FROM ev, (SELECT unnest([1, 2, 3, 4]) AS salt) r
+      GROUP BY r.salt, col
+    ),
+    probes AS (SELECT DISTINCT event_type AS key FROM events),
+    est AS (
+      SELECT p.key,
+             min(c.c) AS cms_estimate
+      FROM probes p
+      JOIN cells c
+        ON c.col = CAST(('0x' || substr(md5(CAST(c.salt AS VARCHAR) || ':' || p.key),
+                                        1, 15)) AS BIGINT) % {_CMS_W}
+      GROUP BY p.key
+    ),
+    exact AS (
+      SELECT event_type AS key, CAST(count(*) AS BIGINT) AS exact_n
+      FROM events GROUP BY event_type
+    )
+    SELECT e.key AS key, x.exact_n, CAST(e.cms_estimate AS BIGINT) AS cms_estimate,
+           CAST(e.cms_estimate - x.exact_n AS BIGINT) AS overcount
+    FROM est e JOIN exact x ON x.key = e.key
+    ORDER BY e.key
+    """,
+)
+def q178_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the event-type stream: 4 salted md5 hash rows
+    × 256 columns, built with ONE conditional-sum aggregate (each event
+    lands in 4 cells; the sketch is the shuffle — 1024 cells max, not the
+    stream), then probed for every distinct key and verified against the
+    exact counts. CMS guarantees estimate ≥ exact; `overcount` is the
+    collision inflation, reported not hidden. Everything is integer and
+    the hash is the portable md5-60 (sketches.py), so sketch AND estimates
+    are bit-identical across engines — the deterministic-sketch contract
+    of q33/q159 extended to the frequency domain.
+
+    At 100 TB: the sketch table is mergeable (cell-wise +) across
+    partitions/streams; probes broadcast against it."""
+    from .operators.sketches import md5_hash60
+
+    ev = _t(spark, sf_dir, "events").select(F.col("event_type").alias("key"))
+    salts = spark.range(1, len(_CMS_ROWS) + 1).select(
+        F.col("id").cast("long").alias("salt")
+    )
+    cells = (
+        ev.crossJoin(F.broadcast(salts))
+        .select(
+            "salt",
+            (md5_hash60(F.concat_ws(":", F.col("salt"), F.col("key"))) % _CMS_W)
+            .alias("col"),
+        )
+        .groupBy("salt", "col")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = ev.groupBy("key").agg(F.count(F.lit(1)).alias("exact_n"))
+    probes = exact.select(
+        "key", "exact_n",
+        F.explode(F.array(*[F.lit(s) for s in _CMS_ROWS])).alias("salt"),
+    ).select(
+        "key", "exact_n", "salt",
+        (md5_hash60(F.concat_ws(":", F.col("salt"), F.col("key"))) % _CMS_W)
+        .alias("col"),
+    )
+    return (
+        probes.join(F.broadcast(cells), ["salt", "col"])
+        .groupBy("key", "exact_n")
+        .agg(F.min("c").cast("long").alias("cms_estimate"))
+        .select(
+            "key", "exact_n", "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_n")).cast("long")
+            .alias("overcount"),
+        )
+        .orderBy("key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Business-day latency (calendar arithmetic without a calendar table)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q179_business_day_latency",
+    # business days in the half-open span (d1, d2], pure integer
+    # arithmetic on a Monday-anchored axis: epoch day -3 (1969-12-29) was a
+    # Monday, so with m = epoch_day + 3, Wm(x) = 5*(x//7) + least(x%7, 5)
+    # counts weekdays in [0, x) and bdays = Wm(m2+1) - Wm(m1+1)
+    oracle="""
+    WITH spans AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(datediff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))
+                  AS BIGINT) + 4 AS m1,
+             CAST(datediff('day', DATE '1970-01-01', CAST(l.l_shipdate AS DATE))
+                  AS BIGINT) + 4 AS m2
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate >= o.o_orderdate
+    ),
+    bd AS (
+      SELECT priority,
+             (5 * (m2 // 7) + least(m2 % 7, 5))
+             - (5 * (m1 // 7) + least(m1 % 7, 5)) AS bdays
+      FROM spans
+    )
+    SELECT priority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(bdays) AS BIGINT) AS total_bdays,
+           CAST(max(bdays) AS BIGINT) AS max_bdays
+    FROM bd GROUP BY priority ORDER BY priority
+    """,
+)
+def q179_business_day_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship latency in BUSINESS days per priority class — calendar
+    arithmetic with no calendar dimension: business-day count is a pure
+    integer formula over epoch-day numbers (full weeks × 5 plus a
+    ragged-tail term driven by the start weekday, weekday derived from
+    epoch_day ≡ (d+4) mod 7 — no engine weekday function, whose numbering
+    conventions differ, ever enters). Exact BIGINTs end-to-end.
+    Shape: one join (orders broadcast-side pruned to two columns), one
+    aggregate; the formula is a pure column expression."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.col("o_orderdate").cast("date").alias("od")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).filter(
+        F.col("sd") >= F.col("od")
+    )
+    m1 = F.datediff(F.col("od"), F.lit("1970-01-01").cast("date")).cast("long") + 4
+    m2 = F.datediff(F.col("sd"), F.lit("1970-01-01").cast("date")).cast("long") + 4
+
+    def wm(x):  # weekdays in [0, x) on the Monday-anchored axis
+        return (F.lit(5) * ((x - x % 7) / 7).cast("long")) + F.least(
+            x % 7, F.lit(5)
+        )
+
+    bd = j.select(
+        F.col("o_orderpriority").alias("priority"),
+        (wm(m2) - wm(m1)).alias("bdays"),
+    )
+    return (
+        bd.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("bdays").cast("long").alias("total_bdays"),
+            F.max("bdays").cast("long").alias("max_bdays"),
+        )
+        .orderBy("priority")
+    )

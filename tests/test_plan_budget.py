@@ -79,6 +79,9 @@ BUDGETS = [
     ("q174_fifo_allocation", 5, 0),     # tape window + interval join + aggs
     ("q175_psi_drift", 3, 0),           # bin agg + totals agg + sort; all B-row
     ("q176_weighted_sample_es", 0, 0),  # pure exprs + TakeOrderedAndProject
+    ("q177_sole_blame_supplier", 3, 0),  # pair agg + order window + blame agg
+    ("q178_countmin_sketch", 3, 0),     # cell agg + exact agg + probe agg
+    ("q179_business_day_latency", 2, 0),  # one join-side agg + sort
 ]
 
 

@@ -376,3 +376,68 @@ def test_weighted_sample_es_is_weight_biased_and_deterministic(spark):
     avg_sample = sum(r.n_chars for r in rows) / len(rows)
     # weight-proportional sampling must pull the mean weight upward
     assert avg_sample > avg_all
+
+
+# --- q177-q179 ----------------------------------------------------------------
+
+
+def test_sole_blame_supplier_excludes_shared_blame(spark):
+    # order 1: suppliers 10 (latest, alone) and 20 -> 10 blamed
+    # order 2: suppliers 10 and 20 tie on the latest date -> nobody blamed
+    # order 3: single supplier -> nobody blamed
+    rows = [
+        (1, 10, "2020-01-05"), (1, 20, "2020-01-02"),
+        (2, 10, "2020-02-01"), (2, 20, "2020-02-01"),
+        (3, 30, "2020-03-01"),
+    ]
+    df = spark.createDataFrame(rows, "okey long, skey long, sd string").select(
+        "okey", "skey", F.col("sd").cast("date").alias("s_last")
+    )
+    from pyspark.sql import Window as W
+
+    wo = W.partitionBy("okey")
+    ann = df.select(
+        "okey", "skey", "s_last",
+        F.max("s_last").over(wo).alias("o_last"),
+        F.count(F.lit(1)).over(wo).alias("n_supp"),
+        F.sum(F.when(F.col("s_last") == F.max("s_last").over(wo), 1)
+              .otherwise(0)).over(wo).alias("n_latest"),
+    )
+    blamed = ann.filter(
+        (F.col("n_supp") > 1) & (F.col("n_latest") == 1)
+        & (F.col("s_last") == F.col("o_last"))
+    ).collect()
+    assert [(r.okey, r.skey) for r in blamed] == [(1, 10)]
+
+
+def test_countmin_never_undercounts(spark):
+    rows = entrymod.queries()["q178_countmin_sketch"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.cms_estimate >= r.exact_n
+        assert r.overcount == r.cms_estimate - r.exact_n
+
+
+def test_business_day_formula_known_spans(spark):
+    # Thu 1970-01-01 -> Fri 1970-01-02 = 1 business day;
+    # Fri 1970-01-02 -> Mon 1970-01-05 = 1; Sat -> Sun = 0;
+    # Mon 1970-01-05 -> Mon 1970-01-12 = 5
+    rows = [
+        ("1970-01-01", "1970-01-02", 1),
+        ("1970-01-02", "1970-01-05", 1),
+        ("1970-01-03", "1970-01-04", 0),
+        ("1970-01-05", "1970-01-12", 5),
+        ("1970-01-05", "1970-01-05", 0),
+    ]
+    df = spark.createDataFrame(rows, "a string, b string, want long").select(
+        F.col("a").cast("date").alias("a"), F.col("b").cast("date").alias("b"), "want"
+    )
+    m1 = F.datediff(F.col("a"), F.lit("1970-01-01").cast("date")).cast("long") + 4
+    m2 = F.datediff(F.col("b"), F.lit("1970-01-01").cast("date")).cast("long") + 4
+
+    def wm(x):
+        return (F.lit(5) * ((x - x % 7) / 7).cast("long")) + F.least(x % 7, F.lit(5))
+
+    out = df.select("want", (wm(m2) - wm(m1)).alias("got")).collect()
+    for r in out:
+        assert r.got == r.want, r
