@@ -5967,3 +5967,207 @@ def q179_business_day_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank-biased overlap between the lexical and vector rankings
+# ---------------------------------------------------------------------------
+
+_RBO_K = 50   # truncation depth
+_RBO_P = 0.9  # persistence
+
+
+@register(
+    "q180_rbo_ranking_similarity",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    lex AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN tok IN ('join', 'hash', 'scan')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS score
+      FROM toks GROUP BY doc_id
+    ),
+    lexr AS (
+      SELECT doc_id AS id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS ra
+      FROM lex ORDER BY score DESC, doc_id LIMIT {_RBO_K}
+    ),
+    {_VFX_SQL},
+    probe AS (SELECT pos, v_fx AS p_fx FROM vfx WHERE vec_id = 0),
+    dots AS (
+      SELECT v.vec_id,
+             CAST(sum((v.v_fx - {EMB_SCALE}) * (p.p_fx - {EMB_SCALE}))
+                  AS BIGINT) AS dot_fx
+      FROM vfx v JOIN probe p USING (pos) GROUP BY v.vec_id
+    ),
+    vecr AS (
+      SELECT vec_id AS id,
+             row_number() OVER (ORDER BY dot_fx DESC, vec_id) AS rb
+      FROM dots ORDER BY dot_fx DESC, vec_id LIMIT {_RBO_K}
+    ),
+    overlap AS (
+      SELECT greatest(l.ra, v.rb) AS m
+      FROM lexr l JOIN vecr v ON l.id = v.id
+    ),
+    depths AS (SELECT unnest(range(1, {_RBO_K + 1})) AS d),
+    xd AS (
+      SELECT d.d, CAST(count(o.m) AS BIGINT) AS x_d
+      FROM depths d LEFT JOIN overlap o ON o.m <= d.d
+      GROUP BY d.d
+    ),
+    terms AS (
+      SELECT d, x_d,
+             round((1.0 - {_RBO_P}) * power({_RBO_P}, d - 1)
+                   * CAST(x_d AS DOUBLE) / d, 9) AS term
+      FROM xd
+    )
+    SELECT CAST({_RBO_K} AS BIGINT) AS depth_k,
+           CAST(count(*) AS BIGINT) AS n_depths,
+           CAST(max(x_d) AS BIGINT) AS n_overlap,
+           round(CAST(sum(CAST(term AS DECIMAL(28, 15))) AS DOUBLE), 6) AS rbo
+    FROM terms
+    """,
+)
+def q180_rbo_ranking_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al., TOIS'10) between the lexical and
+    vector top-50 rankings — the standard top-weighted agreement metric
+    for comparing retrieval systems (companion diagnostic to q163's RRF
+    fusion: RBO says HOW MUCH the fused systems agree before fusing).
+
+    Distributed form: an item with ranks (ra, rb) joins the prefix
+    intersection at depth m = max(ra, rb), so the per-depth overlap X_d is
+    a ≤-join count of the k-sized overlap table against the k-row depth
+    table — never a quadratic prefix comparison. Determinism: ranks are
+    integer-backed (q163's contract), each depth term is one float chain
+    round(9)-pinned (libm pow), the 50-term sum is DECIMAL (order-free),
+    final round(6). Only the two corpus aggregates touch data at scale."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_tok(F.col("text"))).alias("tok"))
+    lex = toks.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("tok").isin("join", "hash", "scan"), 1).otherwise(0)
+        ).cast("long").alias("score")
+    )
+    lexr = (
+        lex.orderBy(F.col("score").desc(), "doc_id").limit(_RBO_K)
+        .select(
+            F.col("doc_id").alias("id"),
+            F.row_number()
+            .over(W.orderBy(F.col("score").desc(), "doc_id")).alias("ra"),
+        )
+    )
+    vfx = _vfx(spark, sf_dir)
+    probe = vfx.filter(F.col("vec_id") == 0).select(
+        "pos", F.col("v_fx").alias("p_fx")
+    )
+    dots = (
+        vfx.join(F.broadcast(probe), "pos")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                (F.col("v_fx") - EMB_SCALE) * (F.col("p_fx") - EMB_SCALE)
+            ).cast("long").alias("dot_fx")
+        )
+    )
+    vecr = (
+        dots.orderBy(F.col("dot_fx").desc(), "vec_id").limit(_RBO_K)
+        .select(
+            F.col("vec_id").alias("id"),
+            F.row_number()
+            .over(W.orderBy(F.col("dot_fx").desc(), "vec_id")).alias("rb"),
+        )
+    )
+    overlap = lexr.join(vecr, "id").select(
+        F.greatest("ra", "rb").alias("m")
+    )
+    depths = spark.range(1, _RBO_K + 1).select(F.col("id").alias("d"))
+    xd = (
+        depths.join(F.broadcast(overlap), F.col("m") <= F.col("d"), "left")
+        .groupBy("d")
+        .agg(F.count("m").alias("x_d"))
+    )
+    term = F.round(
+        (1.0 - _RBO_P)
+        * F.pow(F.lit(_RBO_P), F.col("d") - 1)
+        * F.col("x_d").cast("double")
+        / F.col("d"),
+        9,
+    )
+    return xd.select("d", "x_d", term.alias("term")).agg(
+        F.lit(_RBO_K).cast("long").alias("depth_k"),
+        F.count(F.lit(1)).alias("n_depths"),
+        F.max("x_d").cast("long").alias("n_overlap"),
+        F.round(
+            F.sum(F.col("term").cast("decimal(28,15)")).cast("double"), 6
+        ).alias("rbo"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction plan (table-maintenance bin packing)
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 4000  # target bytes per compacted output
+
+
+@register(
+    "q181_compaction_plan",
+    oracle=f"""
+    WITH files AS (
+      SELECT source, doc_id, CAST(n_chars AS BIGINT) AS bytes
+      FROM documents
+    ),
+    packed AS (
+      SELECT source, doc_id, bytes,
+             CAST((sum(bytes) OVER (PARTITION BY source
+                                    ORDER BY bytes DESC, doc_id
+                                    ROWS UNBOUNDED PRECEDING) - bytes)
+                  // {_COMPACT_TARGET} AS BIGINT) AS bin
+      FROM files
+    )
+    SELECT source, bin,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(bytes) AS BIGINT) AS bytes,
+           CAST(min(bytes) AS BIGINT) AS min_file,
+           CAST(max(bytes) AS BIGINT) AS max_file
+    FROM packed GROUP BY source, bin ORDER BY source, bin
+    """,
+)
+def q181_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (the table-maintenance chore every
+    lakehouse runs): files (stand-in: documents, bytes = n_chars) are
+    packed per source into ~target-sized output groups by cumulative-sum
+    binning over a size-descending order — bin = (running_sum - bytes)
+    div target, the deterministic set-based form of next-fit-decreasing.
+    Emits the per-bin manifest a rewrite job would execute.
+
+    Shape: one window (partitioned by source — parallel across sources)
+    + one aggregate; everything integer. At 100 TB the 'files' input is a
+    metadata table (file listings), orders of magnitude below data scale."""
+    d = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.col("n_chars").cast("long").alias("bytes")
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy(F.col("bytes").desc(), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    run = F.sum("bytes").over(w)
+    packed = d.select(
+        "source", "doc_id", "bytes",
+        (((run - F.col("bytes")) - (run - F.col("bytes")) % _COMPACT_TARGET)
+         / _COMPACT_TARGET).cast("long").alias("bin"),
+    )
+    return (
+        packed.groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("bytes").cast("long").alias("bytes"),
+            F.min("bytes").cast("long").alias("min_file"),
+            F.max("bytes").cast("long").alias("max_file"),
+        )
+        .orderBy("source", "bin")
+    )

@@ -82,6 +82,8 @@ BUDGETS = [
     ("q177_sole_blame_supplier", 3, 0),  # pair agg + order window + blame agg
     ("q178_countmin_sketch", 3, 0),     # cell agg + exact agg + probe agg
     ("q179_business_day_latency", 2, 0),  # one join-side agg + sort
+    ("q180_rbo_ranking_similarity", 2, 0),  # the two corpus aggs; rest k-sized
+    ("q181_compaction_plan", 3, 0),     # source window + bin agg + sort
 ]
 
 

@@ -441,3 +441,32 @@ def test_business_day_formula_known_spans(spark):
     out = df.select("want", (wm(m2) - wm(m1)).alias("got")).collect()
     for r in out:
         assert r.got == r.want, r
+
+
+# --- q180: rank-biased overlap ------------------------------------------------
+
+
+def test_rbo_bounds_and_identity(spark):
+    row = entrymod.queries()["q180_rbo_ranking_similarity"](spark, SF_DIR).first()
+    assert 0.0 <= row.rbo <= 1.0
+    assert row.n_depths == row.depth_k == 50
+    assert 0 <= row.n_overlap <= 50
+    # identical rankings at p=0.9, k=50 give truncated RBO = sum of the
+    # full per-depth weights: X_d = d for all d
+    want_identity = sum(0.1 * 0.9 ** (d - 1) for d in range(1, 51))
+    # our two DIFFERENT rankings must score strictly below the identity
+    assert row.rbo < want_identity
+
+
+# --- q181: compaction plan ----------------------------------------------------
+
+
+def test_compaction_plan_bins_capped_and_complete(spark):
+    rows = entrymod.queries()["q181_compaction_plan"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert sum(r.n_files for r in rows) == docs.count()
+    assert sum(r.bytes for r in rows) == docs.agg(F.sum("n_chars")).first()[0]
+    # next-fit binning: a bin only overflows by less than its LAST file,
+    # and every file is far below target -> bins stay under target + max_file
+    for r in rows:
+        assert r.bytes < 4000 + r.max_file
