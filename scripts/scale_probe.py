@@ -391,6 +391,102 @@ def main() -> None:
     )
     probe("triangle_count(oriented)", triangles, li.select("l_orderkey", "l_partkey"), li_t_big)
 
+    # pointer doubling: replicate events WITHOUT shifting user_id, so each
+    # user's chain grows replicas× — this stresses data volume AND chain
+    # depth together (rounds grow by ~log2(replicas), the designed behavior)
+    def pointer_double(ev):
+        import math
+
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        max_chain = (
+            ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.max("c")).first()[0] or 1
+        )
+        labels = ev.repartition(8, "user_id").select(
+            "user_id", F.col("event_id").alias("id"),
+            F.coalesce(F.lag("event_id").over(w), F.col("event_id")).alias("par"),
+        ).select(
+            "user_id", "id", "par",
+            F.when(F.col("par") == F.col("id"), F.lit(0)).otherwise(1)
+            .cast("long").alias("d"),
+        ).localCheckpoint()
+        import math as _m
+
+        for _ in range(max(1, _m.ceil(_m.log2(max_chain)))):
+            hop = labels.select(F.col("id").alias("h_id"),
+                                F.col("par").alias("h_par"),
+                                F.col("d").alias("h_d"))
+            labels = labels.join(hop, labels["par"] == hop["h_id"]).select(
+                "user_id", "id", F.col("h_par").alias("par"),
+                (F.col("d") + F.col("h_d")).cast("long").alias("d"),
+            ).localCheckpoint()
+        return labels
+
+    probe(
+        "pointer_doubling(chains x10)",
+        pointer_double,
+        events.select("user_id", "ts", "event_id"),
+        events_big.select("user_id", "ts", "event_id"),
+    )
+
+    # FIFO allocation: shift partkeys so per-part tape density is constant
+    # (the realistic growth mode); the bucketed interval join must scale
+    # with the tape, not the per-part cross
+    def fifo(li_in):
+        from pyspark.sql import Window as W
+
+        pool = li_in.select(
+            F.col("l_partkey").alias("part"), F.col("l_linestatus").alias("side"),
+            F.col("l_quantity").cast("long").alias("qty"),
+            "l_shipdate", "l_orderkey", "l_linenumber",
+        )
+        w = (W.partitionBy("part", "side")
+             .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+        iv = pool.select("part", "side", "qty", F.sum("qty").over(w).alias("hi")) \
+                 .select("part", "side", "qty",
+                         (F.col("hi") - F.col("qty")).alias("lo"), "hi") \
+                 .localCheckpoint(eager=False)
+        B = 256
+
+        def bucketed(sdf, lo, hi):
+            return sdf.select(
+                "part", lo, hi,
+                F.explode(F.sequence(
+                    ((F.col(lo) - F.col(lo) % B) / B).cast("long"),
+                    ((F.col(hi) - 1 - (F.col(hi) - 1) % B) / B).cast("long"),
+                )).alias("bucket"),
+            )
+
+        s = bucketed(iv.filter(F.col("side") == "F").select(
+            "part", F.col("lo").alias("s_lo"), F.col("hi").alias("s_hi")), "s_lo", "s_hi")
+        d = bucketed(iv.filter(F.col("side") == "O").select(
+            "part", F.col("lo").alias("d_lo"), F.col("hi").alias("d_hi")), "d_lo", "d_hi")
+        return (
+            s.join(d, ["part", "bucket"])
+            .filter((F.col("s_lo") < F.col("d_hi")) & (F.col("d_lo") < F.col("s_hi")))
+            .dropDuplicates(["part", "s_lo", "d_lo"])
+            .select("part", (F.least("s_hi", "d_hi") - F.greatest("s_lo", "d_lo")).alias("q"))
+            .groupBy("part")
+            .agg(F.sum("q").alias("matched"), F.count(F.lit(1)).alias("n_pairs"))
+        )
+
+    li_fifo = li.filter(F.col("l_partkey") % 10 == 0)
+    li_fifo_big = (
+        li.filter(F.col("l_partkey") % 10 == 0)
+        .select("l_partkey", "l_linestatus", "l_quantity",
+                "l_shipdate", "l_orderkey", "l_linenumber", rr)
+        .select(
+            (F.col("l_partkey") + F.col("__r").cast("long") * 1_000_000).alias("l_partkey"),
+            "l_linestatus", "l_quantity", "l_shipdate",
+            (F.col("l_orderkey") + F.col("__r").cast("long") * 100_000_000).alias("l_orderkey"),
+            "l_linenumber",
+        )
+    )
+    probe("fifo_allocation(bucketed)", fifo, li_fifo, li_fifo_big)
+
 
 if __name__ == "__main__":
     main()

@@ -5556,11 +5556,12 @@ def q174_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval bound and allocation is exact BIGINT.
 
     Shape: two window passes build the cumulative tapes (one shuffle on
-    part), then an equi-join on part with the interval-overlap predicate;
-    FIFO intervals overlap CHAIN-wise, so matched pairs are O(supply+
-    demand) per part even though the join tests the part's cross — at
-    100 TB you'd range-bucket the tapes (join on (part, hi div B)) to cut
-    the tested pairs; stated here, not needed at fixture scale."""
+    part), then the interval join runs BUCKETED: each interval explodes to
+    the width-B tape buckets it covers (≤ qty/B + 1 each) and the join key
+    is (part, bucket), so tested pairs are the per-bucket locals — linear
+    in the tape, never the part's supply×demand cross; pairs touching
+    multiple buckets are deduped before the overlap math. FIFO intervals
+    overlap chain-wise, so output is O(supply+demand) per part."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 10 == 0)
     pool = li.select(
         F.col("l_partkey").alias("part"),
@@ -5577,15 +5578,35 @@ def q174_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "part", "side", "qty", (F.sum("qty").over(w)).alias("hi")
     ).select("part", "side", "qty", (F.col("hi") - F.col("qty")).alias("lo"), "hi")
     iv = iv.localCheckpoint(eager=False)
-    s = iv.filter(F.col("side") == "F").select(
-        "part", F.col("lo").alias("s_lo"), F.col("hi").alias("s_hi")
+    B = 256  # tape-bucket width; intervals are ≤ 50 units, so ≤ 2 buckets
+
+    def bucketed(side_df, lo, hi):
+        return side_df.select(
+            "part", lo, hi,
+            F.explode(
+                F.sequence(
+                    ((F.col(lo) - F.col(lo) % B) / B).cast("long"),
+                    ((F.col(hi) - 1 - (F.col(hi) - 1) % B) / B).cast("long"),
+                )
+            ).alias("bucket"),
+        )
+
+    s = bucketed(
+        iv.filter(F.col("side") == "F").select(
+            "part", F.col("lo").alias("s_lo"), F.col("hi").alias("s_hi")
+        ),
+        "s_lo", "s_hi",
     )
-    d = iv.filter(F.col("side") == "O").select(
-        "part", F.col("lo").alias("d_lo"), F.col("hi").alias("d_hi")
+    d = bucketed(
+        iv.filter(F.col("side") == "O").select(
+            "part", F.col("lo").alias("d_lo"), F.col("hi").alias("d_hi")
+        ),
+        "d_lo", "d_hi",
     )
     alloc = (
-        s.join(d, "part")
+        s.join(d, ["part", "bucket"])
         .filter((F.col("s_lo") < F.col("d_hi")) & (F.col("d_lo") < F.col("s_hi")))
+        .dropDuplicates(["part", "s_lo", "d_lo"])
         .select(
             "part",
             (F.least("s_hi", "d_hi") - F.greatest("s_lo", "d_lo")).alias("q"),
