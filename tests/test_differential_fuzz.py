@@ -572,3 +572,93 @@ def _subq_spark(spark, q: dict):
 def test_differential_subquery(seed, spark, duck):
     q = _gen_subq(seed)
     assert_matches_oracle(_subq_spark(spark, q), duck, _subq_sql(q))
+
+# --- outer-join grammar ---------------------------------------------------------
+#
+# LEFT / RIGHT / FULL outer joins with filters placed BEFORE the join (on
+# either side) and null-probing predicates AFTER it — the null-semantics
+# surface (unmatched-side NULLs, COUNT(col) vs COUNT(*), IS NULL filters)
+# where engines classically diverge.
+
+OJKINDS = ["left", "right", "full"]
+
+
+def _gen_ojoin(seed: int) -> dict:
+    rng = random.Random(seed + 50_000)
+    t1, t2, k1, k2 = rng.choice(JOINS)
+    kind = rng.choice(OJKINDS)
+
+    def side_pred(t):
+        meta = TABLES[t]
+        if rng.random() < 0.5:
+            c = rng.choice(sorted(meta["cats"]))
+            return ("=", c, rng.choice(meta["cats"][c]))
+        c = rng.choice(sorted(meta["nums"]))
+        lo, hi = meta["nums"][c]
+        return (rng.choice(["<", ">="]), c, rng.randrange(lo, hi + 1))
+
+    p1 = side_pred(t1) if rng.random() < 0.7 else None
+    p2 = side_pred(t2) if rng.random() < 0.7 else None
+    # post-join probe on the nullable side's key
+    null_side_key = {"left": k2, "right": k1,
+                     "full": rng.choice([k1, k2])}[kind]
+    post = rng.choice([None, "is_null", "not_null"])
+    gcat = rng.choice(sorted(TABLES[t1]["cats"]) + sorted(TABLES[t2]["cats"]))
+    gtab = t1 if gcat in TABLES[t1]["cats"] else t2
+    count_col = rng.choice([k1, k2])
+    return {"t1": t1, "t2": t2, "k1": k1, "k2": k2, "kind": kind,
+            "p1": p1, "p2": p2, "post": post, "post_key": null_side_key,
+            "gcat": gcat, "gtab": gtab, "count_col": count_col}
+
+
+def _ojoin_sql(q: dict) -> str:
+    w1 = f"(SELECT * FROM {q['t1']}" + (
+        f" WHERE {_pred_sql(q['p1'])})" if q["p1"] else ")")
+    w2 = f"(SELECT * FROM {q['t2']}" + (
+        f" WHERE {_pred_sql(q['p2'])})" if q["p2"] else ")")
+    kind = {"left": "LEFT", "right": "RIGHT", "full": "FULL"}[q["kind"]]
+    post = ""
+    if q["post"] == "is_null":
+        post = f" WHERE {q['post_key']} IS NULL"
+    elif q["post"] == "not_null":
+        post = f" WHERE {q['post_key']} IS NOT NULL"
+    # group key may itself be NULL on an unmatched side: grouped and counted
+    return (
+        f"SELECT {q['gcat']} AS g, CAST(count(*) AS BIGINT) AS n_rows, "
+        f"CAST(count({q['count_col']}) AS BIGINT) AS n_keyed "
+        f"FROM {w1} a {kind} JOIN {w2} b ON a.{q['k1']} = b.{q['k2']}{post} "
+        f"GROUP BY {q['gcat']} ORDER BY g NULLS FIRST"
+    )
+
+
+def _ojoin_spark(spark, q: dict):
+    def load(t, p):
+        df = spark.read.parquet(f"{SF_DIR}/{t}.parquet")
+        if p:
+            op, c, v = p
+            col = F.col(c)
+            df = df.filter({"=": col == v, "<": col < v, ">=": col >= v}[op])
+        return df
+
+    a = load(q["t1"], q["p1"])
+    b = load(q["t2"], q["p2"])
+    out = a.join(b, a[q["k1"]] == b[q["k2"]],
+                 {"left": "left", "right": "right", "full": "full_outer"}[q["kind"]])
+    if q["post"] == "is_null":
+        out = out.filter(F.col(q["post_key"]).isNull())
+    elif q["post"] == "not_null":
+        out = out.filter(F.col(q["post_key"]).isNotNull())
+    return (
+        out.groupBy(F.col(q["gcat"]).alias("g"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.col(q["count_col"])).alias("n_keyed"),
+        )
+        .orderBy(F.col("g").asc_nulls_first())
+    )
+
+
+@pytest.mark.parametrize("seed", range(24))
+def test_differential_outer_join(seed, spark, duck):
+    q = _gen_ojoin(seed)
+    assert_matches_oracle(_ojoin_spark(spark, q), duck, _ojoin_sql(q))
