@@ -6192,3 +6192,251 @@ def q181_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Remaining classic TPC-H shapes: Q4, Q6, Q12, Q14, Q16, Q22 analogues
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q182_order_priority_check",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-07-01'
+      AND o.o_orderdate < TIMESTAMP '1995-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o.o_orderpriority ORDER BY priority
+    """,
+)
+def q182_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): orders in a quarter with
+    at least one line shipped >30 days after ordering, counted by
+    priority. The correlated EXISTS (comparing a lineitem column against
+    an OUTER column) becomes a left-semi join whose inequality rides the
+    join condition — Catalyst keeps the equi-part hashable and applies
+    the date comparison as a join residual; lineitem never aggregates."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-07-01") & (F.col("o_orderdate") < "1995-10-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > F.date_add(F.col("o_orderdate"), 30)),
+        "left_semi",
+    )
+    return (
+        late.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("priority")
+    )
+
+
+@register(
+    "q183_forecast_revenue_change",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,8)))
+                AS DOUBLE) AS promo_revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def q183_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): the pure scan-filter-
+    aggregate — ALL THREE predicates (date range, discount band, quantity
+    cap) push to the parquet scan, the aggregate is one map-side-combined
+    DECIMAL sum, zero joins, zero windows. The canonical measure of
+    scan+pushdown efficiency; plan-audited to exactly one exchange."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast(DEC))
+        .cast("double").alias("promo_revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q184_shipping_mode_priority",
+    oracle="""
+    SELECT l.l_linestatus AS ship_class,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l.l_linestatus ORDER BY ship_class
+    """,
+)
+def q184_shipping_mode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping mode vs order priority): late-shipped
+    lines (>60 days after ordering, within a year) classified by line
+    status, counting high- vs low-priority orders per class — the
+    conditional-sum pivot over a join with a residual date inequality.
+    One join shuffle, one aggregate."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    ).select("l_orderkey", "l_linestatus", "l_shipdate")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+@register(
+    "q185_promo_revenue_share",
+    oracle="""
+    WITH j AS (
+      SELECT p.p_type,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,8)) AS rev
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+        AND l.l_shipdate < TIMESTAMP '1996-06-01'
+    )
+    SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
+                                       ELSE CAST(0 AS DECIMAL(38,8)) END)
+                          AS DOUBLE)
+                 / CAST(sum(rev) AS DOUBLE), 9) AS promo_share_pct,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM j
+    """,
+)
+def q185_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): the share of quarterly revenue
+    from PROMO-type parts. Both the conditional and total revenue sums
+    are DECIMAL(38,8) (order-free); the percentage is ONE float chain
+    over the two exact sums, round(9). Part broadcasts into the
+    date-pruned lineitem scan; one aggregate, no shuffle of part."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-06-01")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        "p_type", rev.alias("rev")
+    )
+    zero = F.lit(0).cast(DEC)
+    return j.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(zero))
+            .cast("double")
+            / F.sum("rev").cast("double"),
+            9,
+        ).alias("promo_share_pct"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q186_supplier_part_counts",
+    oracle="""
+    WITH complaints AS (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+    )
+    SELECT p.p_brand AS brand, p.p_size AS size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size IN (1, 10, 20, 30, 40, 49)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM complaints)
+    GROUP BY p.p_brand, p.p_size
+    ORDER BY supplier_cnt DESC, brand, size
+    """,
+)
+def q186_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct suppliers
+    per (brand, size) over a size whitelist, EXCLUDING complaint
+    suppliers — the NOT IN subquery is a broadcast anti join (keys
+    non-null, so anti ≡ NOT IN); part broadcasts; the only big-table
+    shuffle is the distinct aggregation."""
+    s_bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(1, 10, 20, 30, 40, 49)
+    ).select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s_bad), li["l_suppkey"] == s_bad["s_suppkey"], "left_anti")
+        .groupBy(F.col("p_brand").alias("brand"), F.col("p_size").alias("size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "brand", "size")
+    )
+
+
+@register(
+    "q187_global_sales_opportunity",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(38,8))) AS DOUBLE)
+             / count(*) AS a
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey AS nationkey,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(38,8))) AS DOUBLE) AS total_bal
+    FROM customer c CROSS JOIN avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_nationkey ORDER BY nationkey
+    """,
+)
+def q187_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers richer than
+    the positive-balance average with no URGENT order on file, grouped
+    by nation. The scalar subquery (global average) is computed as an exact
+    DECIMAL sum ÷ count (ONE float division, identical in both engines)
+    and broadcast; NOT EXISTS is an anti join against orders. Two scans
+    of customer (one for the average, one filtered) and one anti-join
+    shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("a")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("total_bal"),
+        )
+        .orderBy("nationkey")
+    )

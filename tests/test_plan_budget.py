@@ -84,6 +84,12 @@ BUDGETS = [
     ("q179_business_day_latency", 2, 0),  # one join-side agg + sort
     ("q180_rbo_ranking_similarity", 2, 0),  # the two corpus aggs; rest k-sized
     ("q181_compaction_plan", 3, 0),     # source window + bin agg + sort
+    ("q182_order_priority_check", 2, 0),    # semi join + agg (Q4 shape)
+    ("q183_forecast_revenue_change", 0, 0),  # Q6: pure scan+pushdown+map agg
+    ("q184_shipping_mode_priority", 2, 0),  # join + conditional-sum agg (Q12)
+    ("q185_promo_revenue_share", 0, 0),     # Q14: broadcast part + map agg
+    ("q186_supplier_part_counts", 3, 0),    # distinct agg (Q16); dims broadcast
+    ("q187_global_sales_opportunity", 2, 0),  # Q22: scalar bcast + anti + agg
 ]
 
 

@@ -470,3 +470,40 @@ def test_compaction_plan_bins_capped_and_complete(spark):
     # and every file is far below target -> bins stay under target + max_file
     for r in rows:
         assert r.bytes < 4000 + r.max_file
+
+
+# --- q182-q187: classic TPC-H shapes ------------------------------------------
+
+
+def test_tpch_q6_and_q14_shapes_zero_shuffle(spark):
+    import contextlib, io, re
+
+    for name in ("q183_forecast_revenue_change", "q185_promo_revenue_share"):
+        df = entrymod.queries()[name](spark, SF_DIR)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert not re.search(r"Arguments: (?:hash|range)partitioning", plan), name
+        assert "PushedFilters" in plan, name
+
+
+def test_q182_semi_join_counts_orders_once(spark):
+    # an order with MANY late lines still counts once (semi-join, not join)
+    rows = entrymod.queries()["q182_order_priority_check"](spark, SF_DIR).collect()
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+        (F.col("o_orderdate") >= "1995-07-01") & (F.col("o_orderdate") < "1995-10-01")
+    )
+    assert sum(r.n_orders for r in rows) <= o.count()
+
+
+def test_q187_excludes_urgent_customers(spark):
+    rows = entrymod.queries()["q187_global_sales_opportunity"](spark, SF_DIR)
+    got = rows.agg(F.sum("n_customers")).first()[0] or 0
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    urgent_cust = o.select("o_custkey").distinct().count()
+    assert got <= c.count() - 0  # sanity: bounded by customer count
+    assert urgent_cust > 0  # the exclusion actually bites on this fixture
