@@ -662,3 +662,79 @@ def _ojoin_spark(spark, q: dict):
 def test_differential_outer_join(seed, spark, duck):
     q = _gen_ojoin(seed)
     assert_matches_oracle(_ojoin_spark(spark, q), duck, _ojoin_sql(q))
+
+# --- filtered-aggregate grammar -------------------------------------------------
+#
+# FILTER (WHERE ...) aggregates — DuckDB runs the SQL-standard clause, Spark
+# expresses the same semantics as conditional aggregation (sum(when),
+# count(when), count(DISTINCT when) with NULL-skipping). Mixes plain,
+# filtered, and filtered-DISTINCT aggregates over 0-2 group keys.
+
+
+def _gen_fagg(seed: int) -> dict:
+    rng = random.Random(seed + 60_000)
+    table = rng.choice(["orders", "lineitem", "customer"])
+    meta = TABLES[table]
+    group = rng.sample(sorted(meta["cats"]), k=rng.randrange(0, min(2, len(meta["cats"])) + 1))
+
+    def fpred():
+        if rng.random() < 0.5:
+            c = rng.choice(sorted(meta["cats"]))
+            return ("=", c, rng.choice(meta["cats"][c]))
+        c = rng.choice(sorted(meta["nums"]))
+        lo, hi = meta["nums"][c]
+        return (rng.choice(["<", ">="]), c, rng.randrange(lo, hi + 1))
+
+    aggs = []
+    for i in range(rng.randrange(2, 5)):
+        kind = rng.choice(["cnt_f", "sum_f", "min_f", "cntd_f", "cnt_plain"])
+        col = rng.choice(sorted(meta["nums"]))
+        aggs.append((kind, col, fpred(), f"a{i}"))
+    return {"table": table, "group": group, "aggs": aggs}
+
+
+def _fagg_sql(q: dict) -> str:
+    cols = []
+    for kind, col, p, alias in q["aggs"]:
+        pred = _pred_sql(p)
+        body = {
+            "cnt_f": f"count(*) FILTER (WHERE {pred})",
+            "sum_f": f"coalesce(sum(CAST({col} AS BIGINT)) FILTER (WHERE {pred}), 0)",
+            "min_f": f"min(CAST({col} AS BIGINT)) FILTER (WHERE {pred})",
+            "cntd_f": f"count(DISTINCT {col}) FILTER (WHERE {pred})",
+            "cnt_plain": "count(*)",
+        }[kind]
+        cols.append(f"CAST({body} AS BIGINT) AS {alias}")
+    sel = ", ".join(q["group"] + cols)
+    grp = f" GROUP BY {', '.join(q['group'])}" if q["group"] else ""
+    order = ", ".join(q["group"] + [a[3] for a in q["aggs"]])
+    return f"SELECT {sel} FROM {q['table']}{grp} ORDER BY {order}"
+
+
+def _fagg_spark(spark, q: dict):
+    df = spark.read.parquet(f"{SF_DIR}/{q['table']}.parquet")
+
+    def pc(p):
+        op, c, v = p
+        col = F.col(c)
+        return {"=": col == v, "<": col < v, ">=": col >= v}[op]
+
+    aggs = []
+    for kind, col, p, alias in q["aggs"]:
+        w = F.when(pc(p), F.col(col))
+        expr = {
+            "cnt_f": F.count(F.when(pc(p), F.lit(1))),
+            "sum_f": F.coalesce(F.sum(w.cast("long")), F.lit(0)),
+            "min_f": F.min(w.cast("long")),
+            "cntd_f": F.countDistinct(w),
+            "cnt_plain": F.count(F.lit(1)),
+        }[kind]
+        aggs.append(expr.cast("long").alias(alias))
+    out = df.groupBy(*q["group"]).agg(*aggs) if q["group"] else df.agg(*aggs)
+    return out.orderBy(*(q["group"] + [a[3] for a in q["aggs"]]))
+
+
+@pytest.mark.parametrize("seed", range(24))
+def test_differential_filtered_aggregate(seed, spark, duck):
+    q = _gen_fagg(seed)
+    assert_matches_oracle(_fagg_spark(spark, q), duck, _fagg_sql(q))
