@@ -6440,3 +6440,112 @@ def q187_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution end-to-end (block -> match -> cluster -> survive)
+# ---------------------------------------------------------------------------
+
+#: dirty-record generator shared by the query and its oracle: every 7th
+#: customer gains a copy with one character dropped (a padding zero, so the
+#: last-5 blocking key is preserved) and a shifted id
+_ER_CORPUS_SQL = """
+      SELECT c_custkey AS rid, c_name AS name FROM customer
+      UNION ALL
+      SELECT c_custkey + 1000000 AS rid,
+             substr(c_name, 1, 12) || substr(c_name, 14) AS name
+      FROM customer WHERE c_custkey % 7 = 0
+"""
+
+
+@register(
+    "q188_entity_resolution",
+    oracle=f"""
+    WITH RECURSIVE corpus AS ({_ER_CORPUS_SQL}),
+    blocked AS (
+      SELECT a.rid AS id1, b.rid AS id2
+      FROM corpus a JOIN corpus b
+        ON right(a.name, 5) = right(b.name, 5) AND a.rid < b.rid
+      WHERE abs(length(a.name) - length(b.name)) <= 1
+        AND levenshtein(a.name, b.name) <= 1
+    ),
+    edges AS (
+      SELECT id1 AS a, id2 AS b FROM blocked
+      UNION ALL SELECT id2, id1 FROM blocked
+    ),
+    reach(node, lbl) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    cc AS (SELECT node, min(lbl) AS canonical FROM reach GROUP BY node),
+    assigned AS (
+      SELECT c.rid, COALESCE(cc.canonical, c.rid) AS canonical
+      FROM corpus c LEFT JOIN cc ON cc.node = c.rid
+    )
+    SELECT canonical,
+           CAST(count(*) AS BIGINT) AS n_records
+    FROM assigned GROUP BY canonical HAVING count(*) > 1
+    ORDER BY canonical
+    """,
+)
+def q188_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end — the flagship record-linkage
+    composition (blocking → pairwise matching → transitive clustering →
+    survivorship): a dirty customer corpus (every 7th record duplicated
+    with one dropped character) is blocked on the name's last-5 key,
+    candidate pairs are matched by Levenshtein ≤ 1 behind a length
+    prefilter, matches feed connected components, and each multi-record
+    cluster reports its canonical (minimum) id — the q81 matcher, q51
+    cluster engine, and q87 survivorship policy fused into one pipeline.
+
+    Scale shape: the only corpus-sized shuffles are the block-key
+    self-join (bounded per block; blocks here are ~2 records) and the CC
+    loop's edge-sized iterations; Levenshtein runs ONLY inside blocks,
+    never across the corpus cross product."""
+    from .operators.graph import connected_components
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("rid"), F.col("c_name").alias("name")
+    )
+    dirty = c.filter(F.col("rid") % 7 == 0).select(
+        (F.col("rid") + 1_000_000).alias("rid"),
+        F.concat(
+            F.substring("name", 1, 12),
+            F.substring(F.col("name"), 14, 1_000),
+        ).alias("name"),
+    )
+    corpus = c.unionByName(dirty).localCheckpoint(eager=False)
+    blocked = corpus.select(
+        "rid", "name", F.expr("right(name, 5)").alias("bkey"),
+        F.length("name").alias("ln"),
+    )
+    a = blocked.select(
+        F.col("rid").alias("id1"), F.col("name").alias("n1"),
+        "bkey", F.col("ln").alias("l1"),
+    )
+    b = blocked.select(
+        F.col("rid").alias("id2"), F.col("name").alias("n2"),
+        "bkey", F.col("ln").alias("l2"),
+    )
+    pairs = (
+        a.join(b, "bkey")
+        .filter(
+            (F.col("id1") < F.col("id2"))
+            & (F.abs(F.col("l1") - F.col("l2")) <= 1)
+            & (F.levenshtein("n1", "n2") <= 1)
+        )
+        .select("id1", "id2")
+    )
+    cc = connected_components(pairs, "id1", "id2")
+    assigned = corpus.join(
+        cc.select(F.col("node").alias("rid"), "cluster_id"), "rid", "left"
+    ).select(
+        "rid", F.coalesce(F.col("cluster_id"), F.col("rid")).alias("canonical")
+    )
+    return (
+        assigned.groupBy("canonical")
+        .agg(F.count(F.lit(1)).alias("n_records"))
+        .filter(F.col("n_records") > 1)
+        .orderBy("canonical")
+    )

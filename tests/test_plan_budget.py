@@ -90,6 +90,7 @@ BUDGETS = [
     ("q185_promo_revenue_share", 0, 0),     # Q14: broadcast part + map agg
     ("q186_supplier_part_counts", 3, 0),    # distinct agg (Q16); dims broadcast
     ("q187_global_sales_opportunity", 2, 0),  # Q22: scalar bcast + anti + agg
+    ("q188_entity_resolution", 6, 0),   # block join + cc-pinned + cluster agg
 ]
 
 

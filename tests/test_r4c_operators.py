@@ -507,3 +507,17 @@ def test_q187_excludes_urgent_customers(spark):
     urgent_cust = o.select("o_custkey").distinct().count()
     assert got <= c.count() - 0  # sanity: bounded by customer count
     assert urgent_cust > 0  # the exclusion actually bites on this fixture
+
+
+# --- q188: entity resolution ----------------------------------------------------
+
+
+def test_entity_resolution_finds_exactly_the_planted_dupes(spark):
+    rows = entrymod.queries()["q188_entity_resolution"](spark, SF_DIR).collect()
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    planted = c.filter(F.col("c_custkey") % 7 == 0).count()
+    # every planted dirty copy lands in a 2-record cluster with its original
+    assert len(rows) == planted
+    for r in rows:
+        assert r.n_records == 2
+        assert r.canonical % 7 == 0  # canonical is the original record
