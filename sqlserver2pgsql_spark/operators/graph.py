@@ -161,15 +161,22 @@ def connected_components_star(
 
     rounds = 0
     cur = e.select("u", "v").distinct().localCheckpoint(eager=False)
+    n_cur = cur.count()
     for _ in range(max_iter):
         rounds += 1
         nxt = small_star(large_star(cur)).localCheckpoint(eager=False)
-        # convergence = edge set unchanged; exceptAll is one extra
-        # edge-bounded shuffle and is exact (no checksum collisions)
-        if nxt.exceptAll(cur).isEmpty() and cur.exceptAll(nxt).isEmpty():
-            cur = nxt
-            break
-        cur = nxt
+        # convergence = edge set unchanged. Two-tier check: the count (one
+        # cheap action that ALSO materializes the checkpoint) rules out
+        # change in the common case; only equal counts pay the exact
+        # symmetric difference — and that runs as ONE action (union of the
+        # two anti-directions), not two separate exceptAll jobs
+        n_nxt = nxt.count()
+        if n_nxt == n_cur:
+            sym_diff = nxt.exceptAll(cur).unionByName(cur.exceptAll(nxt))
+            if sym_diff.isEmpty():
+                cur = nxt
+                break
+        cur, n_cur = nxt, n_nxt
     # at convergence edges form stars (child -> component min); roots label
     # themselves
     roots = cur.select(F.col("v").alias("node")).distinct().select(
