@@ -30,12 +30,14 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q.q06_incremental_diff(spark, SMOKE_SF_DIR)
 
 
-# Names already driver-certified green in CORRECTNESS_r03.json. The driver's
-# correctness window checks the first 50 entries in insertion order, so queries
-# WITHOUT a driver row yet (r3's q31/q33-q39/q59-q89, plus anything new this
-# round) are registered FIRST; the r03-certified 50 keep their green rows on
-# record and take the tail slots. Rotate this list each round so every query
-# gets a driver certification at least every other round (VERDICT r3 #2).
+# The driver's correctness window checks the first 50 entries in insertion
+# order. Queries WITHOUT a green driver row in any committed
+# CORRECTNESS_r*.json are registered FIRST (numeric order), so every round
+# the window certifies 50 never-certified queries automatically; previously
+# certified queries keep their recorded rows and take the tail slots
+# (VERDICT r3 #2). `_certified_names()` derives the rotation from the
+# driver's own records; the frozen r03 list below is the fallback when no
+# record parses.
 _CERTIFIED_R03 = frozenset({
     "q01_pricing_summary", "q02_segment_revenue", "q03_top_customers_per_segment",
     "q04_orders_with_big_lineitems_semi", "q05_customers_without_orders_anti",
@@ -56,6 +58,34 @@ _CERTIFIED_R03 = frozenset({
 })
 
 
+def _certified_names() -> frozenset[str]:
+    """Union of query names with a fully-green row in any committed
+    CORRECTNESS_r*.json — the driver's own certification record. Falls
+    back to the frozen r03 list if no record is readable."""
+    import glob
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    certified: set[str] = set()
+    found = False
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                rec = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rec, dict):
+            continue
+        found = True
+        for name, row in rec.items():
+            if isinstance(row, dict) and row.get("err") is None and all(
+                row.get(k) is True
+                for k in ("rows_match", "schema_match", "hash_match")
+            ):
+                certified.add(name)
+    return frozenset(certified) if found else _CERTIFIED_R03
+
+
 def _qnum(name: str) -> tuple[int, str]:
     """Numeric-aware sort key: 'q100_x' must sort after 'q99_x' (plain
     string sort puts three-digit ids first, which would push the r3
@@ -67,8 +97,9 @@ def _qnum(name: str) -> tuple[int, str]:
 
 
 def _window_order(names: list[str]) -> list[str]:
-    uncertified = sorted((n for n in names if n not in _CERTIFIED_R03), key=_qnum)
-    certified = sorted((n for n in names if n in _CERTIFIED_R03), key=_qnum)
+    cert = _certified_names()
+    uncertified = sorted((n for n in names if n not in cert), key=_qnum)
+    certified = sorted((n for n in names if n in cert), key=_qnum)
     return uncertified + certified
 
 

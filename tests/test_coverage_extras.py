@@ -103,3 +103,32 @@ def test_diff_key_range_windows_both_sides(spark):
     assert all(f == FLAG_IDENTICAL for k, f in flags.items() if k != 50)
     # plan: range predicate pushes into both parquet-less scans as filters
     assert d.count() > windowed.count()
+
+
+def test_correctness_window_rotates_from_driver_records():
+    """The driver's 50-entry window must always see never-certified queries
+    first: _certified_names() unions green rows from committed
+    CORRECTNESS_r*.json and _window_order sorts uncertified-first."""
+    import __spark_entry__ as e
+
+    cert = e._certified_names()
+    assert cert, "committed records should certify at least round 1's window"
+    order = list(e.queries())
+    n_uncert = sum(1 for n in order if n not in cert)
+    # every uncertified query precedes every certified one
+    assert all(n not in cert for n in order[: min(50, n_uncert)])
+    tail_start = n_uncert
+    assert all(n in cert for n in order[tail_start:])
+    # numeric ordering inside each block (q99 before q100)
+    nums = [e._qnum(n) for n in order[:tail_start]]
+    assert nums == sorted(nums)
+
+
+def test_certified_names_falls_back_without_records(monkeypatch, tmp_path):
+    import __spark_entry__ as e
+
+    monkeypatch.setattr(
+        "os.path.dirname", lambda _p, _real=__import__("os").path.dirname: str(tmp_path)
+    )
+    # no CORRECTNESS files in tmp_path -> frozen r03 fallback
+    assert e._certified_names() == e._CERTIFIED_R03
