@@ -738,3 +738,90 @@ def _fagg_spark(spark, q: dict):
 def test_differential_filtered_aggregate(seed, spark, duck):
     q = _gen_fagg(seed)
     assert_matches_oracle(_fagg_spark(spark, q), duck, _fagg_sql(q))
+
+# --- window-frame grammar --------------------------------------------------------
+#
+# ROWS / RANGE frames with random bound pairs over integer order keys.
+# ROWS frames order on (num, key) — a unique total order, so frame content
+# is engine-independent; RANGE frames order on the single numeric key and
+# include peers (the SQL-standard tie semantics both engines implement).
+
+FRAME_AGGS = ["sum", "min", "max", "count"]
+
+
+def _gen_frame(seed: int) -> dict:
+    rng = random.Random(seed + 70_000)
+    table = rng.choice(["orders", "lineitem"])
+    meta = TABLES[table]
+    part = rng.choice(sorted(meta["cats"]))
+    order = rng.choice(sorted(meta["nums"]))
+    val = rng.choice(sorted(meta["nums"]))
+    mode = rng.choice(["rows", "range"])
+    lo = rng.choice(["unbounded", rng.randrange(0, 200), "current"])
+    hi = rng.choice([rng.randrange(0, 200), "current", "unbounded"])
+    # normalize invalid pairs (lo bound must not start after hi bound)
+    if lo == "current" and hi == "current":
+        hi = rng.randrange(1, 100)
+    agg = rng.choice(FRAME_AGGS)
+    return {"table": table, "part": part, "order": order, "val": val,
+            "mode": mode, "lo": lo, "hi": hi, "agg": agg,
+            "key": meta["key"]}
+
+
+def _frame_sql_bound(b, side: str) -> str:
+    if b == "unbounded":
+        return f"UNBOUNDED {'PRECEDING' if side == 'lo' else 'FOLLOWING'}"
+    if b == "current":
+        return "CURRENT ROW"
+    return f"{b} {'PRECEDING' if side == 'lo' else 'FOLLOWING'}"
+
+
+def _frame_sql(q: dict) -> str:
+    frame = f"{q['mode'].upper()} BETWEEN {_frame_sql_bound(q['lo'], 'lo')} AND {_frame_sql_bound(q['hi'], 'hi')}"
+    order = (f"ORDER BY {q['order']}, {q['key']}" if q["mode"] == "rows"
+             else f"ORDER BY {q['order']}")
+    body = {
+        "sum": f"sum(CAST({q['val']} AS BIGINT))",
+        "min": f"min(CAST({q['val']} AS BIGINT))",
+        "max": f"max(CAST({q['val']} AS BIGINT))",
+        "count": "count(*)",
+    }[q["agg"]]
+    return (
+        f"SELECT {q['part']} AS p, {q['key']} AS k, "
+        f"CAST({body} OVER (PARTITION BY {q['part']} {order} {frame}) AS BIGINT) AS w "
+        f"FROM {q['table']} ORDER BY p, k"
+    )
+
+
+def _frame_spark(spark, q: dict):
+    from pyspark.sql import Window as W
+
+    df = spark.read.parquet(f"{SF_DIR}/{q['table']}.parquet")
+
+    def bound(b, side):
+        if b == "unbounded":
+            return W.unboundedPreceding if side == "lo" else W.unboundedFollowing
+        if b == "current":
+            return W.currentRow
+        return -b if side == "lo" else b
+
+    base = (W.partitionBy(q["part"]).orderBy(q["order"], q["key"])
+            if q["mode"] == "rows"
+            else W.partitionBy(q["part"]).orderBy(q["order"]))
+    lo, hi = bound(q["lo"], "lo"), bound(q["hi"], "hi")
+    w = base.rowsBetween(lo, hi) if q["mode"] == "rows" else base.rangeBetween(lo, hi)
+    col = F.col(q["val"]).cast("long")
+    expr = {
+        "sum": F.sum(col), "min": F.min(col), "max": F.max(col),
+        "count": F.count(F.lit(1)),
+    }[q["agg"]]
+    return df.select(
+        F.col(q["part"]).alias("p"), F.col(q["key"]).alias("k"),
+        expr.over(w).cast("long").alias("w"),
+    ).orderBy("p", "k")
+
+
+@pytest.mark.parametrize("seed", range(24))
+def test_differential_window_frame(seed, spark, duck):
+    q = _gen_frame(seed)
+    assert_matches_oracle(_frame_spark(spark, q), duck, _frame_sql(q))
