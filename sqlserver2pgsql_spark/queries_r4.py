@@ -6549,3 +6549,184 @@ def q188_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_records") > 1)
         .orderBy("canonical")
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence + Cramér's V (categorical association)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q189_chi_square_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderpriority AS r, o_orderstatus AS c,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    margins AS (
+      SELECT r, CAST(sum(n) AS BIGINT) AS nr FROM cells GROUP BY r
+    ),
+    colm AS (
+      SELECT c, CAST(sum(n) AS BIGINT) AS nc FROM cells GROUP BY c
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                   CAST(count(DISTINCT r) AS BIGINT) AS kr,
+                   CAST(count(DISTINCT c) AS BIGINT) AS kc
+            FROM cells),
+    terms AS (
+      SELECT round(
+               (CAST(cells.n AS DOUBLE)
+                - CAST(m.nr AS DOUBLE) * cm.nc / t.nn)
+               * (CAST(cells.n AS DOUBLE)
+                  - CAST(m.nr AS DOUBLE) * cm.nc / t.nn)
+               / (CAST(m.nr AS DOUBLE) * cm.nc / t.nn), 9) AS term,
+             t.nn, t.kr, t.kc
+      FROM cells JOIN margins m USING (r) JOIN colm cm USING (c)
+      CROSS JOIN tot t
+    )
+    SELECT CAST(any_value(nn) AS BIGINT) AS n,
+           CAST((any_value(kr) - 1) * (any_value(kc) - 1) AS BIGINT) AS dof,
+           round(CAST(sum(CAST(term AS DECIMAL(28,15))) AS DOUBLE), 6)
+             AS chi2,
+           round(sqrt(CAST(sum(CAST(term AS DECIMAL(28,15))) AS DOUBLE)
+                      / (any_value(nn)
+                         * least(any_value(kr) - 1, any_value(kc) - 1))), 6)
+             AS cramers_v
+    FROM terms
+    """,
+)
+def q189_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between order priority and
+    order status, plus Cramér's V effect size — the categorical
+    association test that completes the statistical battery (KS q154,
+    Welch q152, Benford q158). Observed counts and margins are exact
+    integers from ONE contingency aggregate; each cell's (O-E)²/E is one
+    float chain round(9)-pinned; the k_r·k_c terms sum as DECIMAL
+    (order-free) and V = sqrt(χ²/(n·min(k-1))). At 100 TB only the
+    contingency aggregate touches data; all test math runs on the
+    k_r×k_c cell table."""
+    o = _t(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("r"), F.col("o_orderstatus").alias("c")
+    ).agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=False)
+    nr = cells.groupBy("r").agg(F.sum("n").alias("nr"))
+    nc = cells.groupBy("c").agg(F.sum("n").alias("nc"))
+    tot = cells.agg(
+        F.sum("n").alias("nn"),
+        F.countDistinct("r").alias("kr"),
+        F.countDistinct("c").alias("kc"),
+    )
+    e = F.col("nr").cast("double") * F.col("nc") / F.col("nn")
+    term = F.round(
+        (F.col("n").cast("double") - e) * (F.col("n").cast("double") - e) / e, 9
+    )
+    terms = (
+        cells.join(F.broadcast(nr), "r")
+        .join(F.broadcast(nc), "c")
+        .crossJoin(F.broadcast(tot))
+        .select(term.alias("term"), "nn", "kr", "kc")
+    )
+    chi2 = F.sum(F.col("term").cast("decimal(28,15)")).cast("double")
+    return terms.agg(
+        F.any_value(F.col("nn")).cast("long").alias("n"),
+        ((F.any_value(F.col("kr")) - 1) * (F.any_value(F.col("kc")) - 1))
+        .cast("long").alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                chi2
+                / (
+                    F.any_value(F.col("nn"))
+                    * F.least(
+                        F.any_value(F.col("kr")) - 1, F.any_value(F.col("kc")) - 1
+                    )
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test (integer-exact S statistic per user)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q190_mann_kendall_trend",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS i
+      FROM events WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+      SELECT a.user_id,
+             CASE WHEN b.value > a.value THEN 1
+                  WHEN b.value < a.value THEN -1 ELSE 0 END AS sgn
+      FROM seq a JOIN seq b
+        ON a.user_id = b.user_id AND a.i < b.i
+    ),
+    counts AS (
+      SELECT user_id, CAST(max(i) AS BIGINT) AS n_obs FROM seq GROUP BY user_id
+    ),
+    ps AS (
+      SELECT user_id, CAST(sum(sgn) AS BIGINT) AS s_stat
+      FROM pairs GROUP BY user_id
+    )
+    SELECT c.user_id, c.n_obs,
+           CAST(coalesce(p.s_stat, 0) AS BIGINT) AS s_stat
+    FROM counts c LEFT JOIN ps p ON p.user_id = c.user_id
+    WHERE c.n_obs >= 2
+    ORDER BY c.user_id
+    """,
+)
+def q190_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per user over purchase values: the
+    S statistic Σ_{i<j} sign(x_j − x_i) — the standard non-parametric
+    monotone-trend detector, INTEGER-exact (no distributional math, no
+    float accumulation; S > 0 means rising, the magnitude feeds the
+    normal approximation downstream). Pairs are generated per user with
+    a rank self-join; per-user series are bounded (≤ a user's event
+    count), so the quadratic stays group-local — the documented pattern
+    shared with q126/q18 (grouped bounded pair-gen); at larger n per
+    group, S can be computed from a merge-sort inversion count instead.
+
+    NOTE the pairs join is deliberately id<id on RANKS (not values), so
+    duplicate values contribute 0 — tie handling identical in both
+    engines."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "ts", "event_id", "value")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "value", F.row_number().over(w).alias("i")
+    ).localCheckpoint(eager=False)
+    a = seq.select("user_id", F.col("value").alias("va"), F.col("i").alias("ia"))
+    b = seq.select("user_id", F.col("value").alias("vb"), F.col("i").alias("ib"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("ia") < F.col("ib"))
+        .select(
+            "user_id",
+            F.when(F.col("vb") > F.col("va"), 1)
+            .when(F.col("vb") < F.col("va"), -1)
+            .otherwise(0).alias("sgn"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("sgn").alias("s_stat"))
+    )
+    return (
+        seq.groupBy("user_id")
+        .agg(F.max("i").alias("n_obs"))
+        .filter(F.col("n_obs") >= 2)
+        .join(pairs, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("n_obs").cast("long").alias("n_obs"),
+            F.coalesce(F.col("s_stat"), F.lit(0)).cast("long").alias("s_stat"),
+        )
+        .orderBy("user_id")
+    )

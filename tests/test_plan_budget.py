@@ -91,6 +91,8 @@ BUDGETS = [
     ("q186_supplier_part_counts", 3, 0),    # distinct agg (Q16); dims broadcast
     ("q187_global_sales_opportunity", 2, 0),  # Q22: scalar bcast + anti + agg
     ("q188_entity_resolution", 6, 0),   # block join + cc-pinned + cluster agg
+    ("q189_chi_square_independence", 3, 0),  # contingency agg; cell-table math
+    ("q190_mann_kendall_trend", 4, 0),  # rank window + grouped pair agg + join
 ]
 
 

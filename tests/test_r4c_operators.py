@@ -521,3 +521,45 @@ def test_entity_resolution_finds_exactly_the_planted_dupes(spark):
     for r in rows:
         assert r.n_records == 2
         assert r.canonical % 7 == 0  # canonical is the original record
+
+
+# --- q189-q190: statistical battery additions -----------------------------------
+
+
+def test_chi_square_nonnegative_and_v_bounds(spark):
+    row = entrymod.queries()["q189_chi_square_independence"](spark, SF_DIR).first()
+    assert row.chi2 >= 0.0
+    assert 0.0 <= row.cramers_v <= 1.0 + 1e-9
+    assert row.dof >= 1
+
+
+def test_mann_kendall_known_trends(spark):
+    # strictly rising -> S = n(n-1)/2; strictly falling -> -n(n-1)/2;
+    # constant -> 0
+    rows = (
+        [(1, i, float(i)) for i in range(6)]        # rising
+        + [(2, i, float(10 - i)) for i in range(6)]  # falling
+        + [(3, i, 5.0) for i in range(6)]            # constant
+    )
+    df = spark.createDataFrame(rows, "user_id long, i long, value double")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("i")
+    seq = df.select("user_id", "value", F.row_number().over(w).alias("i"))
+    a = seq.select("user_id", F.col("value").alias("va"), F.col("i").alias("ia"))
+    b = seq.select("user_id", F.col("value").alias("vb"), F.col("i").alias("ib"))
+    got = {
+        r.user_id: r.s
+        for r in a.join(b, "user_id")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("vb") > F.col("va"), 1)
+                .when(F.col("vb") < F.col("va"), -1)
+                .otherwise(0)
+            ).alias("s")
+        )
+        .collect()
+    }
+    assert got == {1: 15, 2: -15, 3: 0}
