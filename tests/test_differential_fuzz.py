@@ -825,3 +825,79 @@ def _frame_spark(spark, q: dict):
 def test_differential_window_frame(seed, spark, duck):
     q = _gen_frame(seed)
     assert_matches_oracle(_frame_spark(spark, q), duck, _frame_sql(q))
+
+# --- date/time-function grammar ---------------------------------------------------
+#
+# Calendar derivations (year/month/day/quarter, date_trunc, last_day, day
+# arithmetic, day diffs) grouped and counted — the cross-engine calendar
+# surface, restricted to functions whose semantics are convention-free
+# (weekday numbering and week-of-year are deliberately excluded; the
+# engine's own queries derive weekdays arithmetically — see q179).
+
+DATE_TABLES = {"orders": "o_orderdate", "lineitem": "l_shipdate"}
+
+
+def _gen_dateq(seed: int) -> dict:
+    rng = random.Random(seed + 80_000)
+    table = rng.choice(sorted(DATE_TABLES))
+    col = DATE_TABLES[table]
+    derive = rng.choice(["year", "month", "quarter", "trunc_month",
+                         "trunc_year", "last_day", "add_days"])
+    add_n = rng.randrange(-90, 90)
+    diff_anchor = f"199{rng.randrange(5, 9)}-0{rng.randrange(1, 9)}-15"
+    key = TABLES[table]["key"]
+    return {"table": table, "col": col, "derive": derive, "add_n": add_n,
+            "anchor": diff_anchor, "key": key}
+
+
+def _dateq_sql(q: dict) -> str:
+    c = f"CAST({q['col']} AS DATE)"
+    # date-valued keys are compared as ISO strings (the harness's pandas
+    # compare sees datetime.date vs datetime64 otherwise — same values,
+    # different physical types; the engine queries use the same contract)
+    g = {
+        "year": f"CAST(year({c}) AS BIGINT)",
+        "month": f"CAST(month({c}) AS BIGINT)",
+        "quarter": f"CAST(quarter({c}) AS BIGINT)",
+        "trunc_month": f"CAST(CAST(date_trunc('month', {c}) AS DATE) AS VARCHAR)",
+        "trunc_year": f"CAST(CAST(date_trunc('year', {c}) AS DATE) AS VARCHAR)",
+        "last_day": f"CAST(last_day({c}) AS VARCHAR)",
+        "add_days": f"CAST({c} + {q['add_n']} AS VARCHAR)",
+    }[q["derive"]]
+    return (
+        f"SELECT {g} AS g, CAST(count(*) AS BIGINT) AS n, "
+        f"CAST(min(datediff('day', DATE '{q['anchor']}', {c})) AS BIGINT) AS min_dd, "
+        f"CAST(max(datediff('day', DATE '{q['anchor']}', {c})) AS BIGINT) AS max_dd "
+        f"FROM {q['table']} GROUP BY 1 ORDER BY g"
+    )
+
+
+def _dateq_spark(spark, q: dict):
+    df = spark.read.parquet(f"{SF_DIR}/{q['table']}.parquet")
+    c = F.col(q["col"]).cast("date")
+    g = {
+        "year": F.year(c).cast("long"),
+        "month": F.month(c).cast("long"),
+        "quarter": F.quarter(c).cast("long"),
+        "trunc_month": F.date_trunc("month", c).cast("date").cast("string"),
+        "trunc_year": F.date_trunc("year", c).cast("date").cast("string"),
+        "last_day": F.last_day(c).cast("string"),
+        "add_days": F.date_add(c, q["add_n"]).cast("string"),
+    }[q["derive"]]
+    dd = F.datediff(c, F.lit(q["anchor"]).cast("date")).cast("long")
+    return (
+        df.select(g.alias("g"), dd.alias("dd"))
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("dd").alias("min_dd"),
+            F.max("dd").alias("max_dd"),
+        )
+        .orderBy("g")
+    )
+
+
+@pytest.mark.parametrize("seed", range(24))
+def test_differential_date_functions(seed, spark, duck):
+    q = _gen_dateq(seed)
+    assert_matches_oracle(_dateq_spark(spark, q), duck, _dateq_sql(q))
