@@ -6730,3 +6730,110 @@ def q190_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Wilson score intervals for grouped proportions (conversion-rate CIs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q191_wilson_interval",
+    # z = 1.96 exactly; the Wilson center/half-width is ONE float chain
+    # over integer (successes, trials), round(9)-pinned
+    oracle="""
+    WITH t AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS trials,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS conv
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, trials, conv,
+           round((CAST(conv AS DOUBLE) / trials + 1.96 * 1.96 / (2 * trials)
+                  - 1.96 * sqrt((CAST(conv AS DOUBLE) / trials)
+                                * (1.0 - CAST(conv AS DOUBLE) / trials) / trials
+                                + 1.96 * 1.96 / (4.0 * trials * trials)))
+                 / (1.0 + 1.96 * 1.96 / trials), 9) AS wilson_lo,
+           round((CAST(conv AS DOUBLE) / trials + 1.96 * 1.96 / (2 * trials)
+                  + 1.96 * sqrt((CAST(conv AS DOUBLE) / trials)
+                                * (1.0 - CAST(conv AS DOUBLE) / trials) / trials
+                                + 1.96 * 1.96 / (4.0 * trials * trials)))
+                 / (1.0 + 1.96 * 1.96 / trials), 9) AS wilson_hi
+    FROM t WHERE trials >= 5 ORDER BY user_id
+    """,
+)
+def q191_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score interval for each user's purchase-conversion rate —
+    the proportion CI that behaves at small n and p≈0/1 (unlike the
+    normal approximation), the standard for conversion dashboards and
+    A/B readouts. (successes, trials) are exact integers from ONE
+    aggregate; lo/hi are each a single fixed float chain over those
+    integers (sqrt is IEEE-exact), round(9). Scale: one groupBy; the CI
+    math runs on the #groups-sized table."""
+    ev = _t(spark, sf_dir, "events")
+    t = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("trials"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long").alias("conv"),
+    ).filter(F.col("trials") >= 5)
+    z = 1.96
+    p = F.col("conv").cast("double") / F.col("trials")
+    n = F.col("trials")
+    center = p + z * z / (2 * n)
+    half = z * F.sqrt(p * (F.lit(1.0) - p) / n + z * z / (4.0 * n * n))
+    denom = F.lit(1.0) + z * z / n
+    return t.select(
+        "user_id", "trials", "conv",
+        F.round((center - half) / denom, 9).alias("wilson_lo"),
+        F.round((center + half) / denom, 9).alias("wilson_hi"),
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Geometric and harmonic means (rate-correct aggregation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q192_geometric_harmonic_means",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderpriority AS priority, o_totalprice AS x
+      FROM orders WHERE o_totalprice > 0
+    )
+    SELECT priority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(exp(CAST(sum(CAST(round(ln(x), 9) AS DECIMAL(28,15)))
+                          AS DOUBLE) / count(*)), 6) AS geo_mean,
+           round(count(*) / CAST(sum(CAST(round(1.0 / x, 12)
+                                          AS DECIMAL(28,18))) AS DOUBLE), 6)
+             AS harm_mean
+    FROM v GROUP BY priority ORDER BY priority
+    """,
+)
+def q192_geometric_harmonic_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric and harmonic means of order value per priority — the
+    means that aggregate RATES and RATIOS correctly (growth factors →
+    geometric; speeds/unit-costs → harmonic; the arithmetic mean
+    overstates both). Determinism: each ln(x) / 1/x term is
+    round-pinned (libm), summed as DECIMAL (order-free), ONE exp/divide
+    at the end, round(6) — the q146/q168 float-sum contract applied to
+    the aggregation family. One hash aggregate; means emerge from the
+    group table."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    ln_term = F.round(F.log(F.col("o_totalprice")), 9).cast("decimal(28,15)")
+    inv_term = F.round(F.lit(1.0) / F.col("o_totalprice"), 12).cast("decimal(28,18)")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.exp(F.sum(ln_term).cast("double") / F.count(F.lit(1))), 6
+            ).alias("geo_mean"),
+            F.round(
+                F.count(F.lit(1)) / F.sum(inv_term).cast("double"), 6
+            ).alias("harm_mean"),
+        )
+        .orderBy("priority")
+    )

@@ -93,6 +93,8 @@ BUDGETS = [
     ("q188_entity_resolution", 6, 0),   # block join + cc-pinned + cluster agg
     ("q189_chi_square_independence", 3, 0),  # contingency agg; cell-table math
     ("q190_mann_kendall_trend", 4, 0),  # rank window + grouped pair agg + join
+    ("q191_wilson_interval", 2, 0),     # one groupBy; CI math on group table
+    ("q192_geometric_harmonic_means", 2, 0),  # one hash agg + sort
 ]
 
 

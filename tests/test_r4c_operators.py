@@ -563,3 +563,37 @@ def test_mann_kendall_known_trends(spark):
         .collect()
     }
     assert got == {1: 15, 2: -15, 3: 0}
+
+
+# --- q191-q192 ------------------------------------------------------------------
+
+
+def test_wilson_interval_properties(spark):
+    rows = entrymod.queries()["q191_wilson_interval"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        p = r.conv / r.trials
+        assert 0.0 <= r.wilson_lo <= r.wilson_hi <= 1.0
+        assert r.wilson_lo - 1e-9 <= p <= r.wilson_hi + 1e-9
+        # Wilson never touches the degenerate endpoints unless p does
+        if 0 < r.conv < r.trials:
+            assert r.wilson_lo > 0.0 and r.wilson_hi < 1.0
+
+
+def test_mean_inequality_am_gm_hm(spark):
+    # arithmetic >= geometric >= harmonic on positive data (strict unless
+    # all values in the group are equal)
+    rows = entrymod.queries()["q192_geometric_harmonic_means"](
+        spark, SF_DIR
+    ).collect()
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+        F.col("o_totalprice") > 0
+    )
+    am = {
+        r.priority: r.am
+        for r in o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.avg("o_totalprice").alias("am"))
+        .collect()
+    }
+    for r in rows:
+        assert am[r.priority] >= r.geo_mean >= r.harm_mean > 0
