@@ -6837,3 +6837,116 @@ def q192_geometric_harmonic_means(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling (contrastive-training data prep)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q193_negative_sampling",
+    oracle="""
+    WITH ring AS (
+      SELECT vec_id, label,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               AS pos
+      FROM embeddings
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM ring),
+    doubled AS (
+      SELECT vec_id, label, pos FROM ring
+      UNION ALL
+      SELECT vec_id, label, pos + nn FROM ring CROSS JOIN n
+    ),
+    walled AS (
+      SELECT vec_id, label, pos,
+             list(struct_pack(p := pos, id := vec_id, lb := label))
+               OVER (ORDER BY pos
+                     ROWS BETWEEN 1 FOLLOWING AND 8 FOLLOWING) AS nxt
+      FROM doubled
+    ),
+    anchors AS (
+      SELECT w.vec_id AS anchor_id, w.label AS anchor_label, u.cand
+      FROM walled w CROSS JOIN n
+      , LATERAL (SELECT unnest(list_sort(w.nxt, 'ASC')) AS cand) u
+      WHERE w.pos <= n.nn
+    ),
+    negs AS (
+      SELECT anchor_id, anchor_label,
+             cand.id AS neg_id,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY cand.p) AS neg_rank
+      FROM anchors WHERE cand.lb <> anchor_label
+    )
+    SELECT anchor_id, anchor_label, neg_id,
+           CAST(neg_rank AS BIGINT) AS neg_rank
+    FROM negs WHERE neg_rank <= 2
+    ORDER BY anchor_id, neg_rank
+    """,
+)
+def q193_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: every
+    vector takes its 2 nearest OTHER-label successors on an md5-ordered
+    ring (doubled for wrap-around, so tail anchors sample from the head) —
+    reproducible in-batch negatives with NO RNG state, no cross join, no
+    label-stratified shuffle: the same (anchor, negative) pairs emerge on
+    any cluster size or partition layout, which is what makes training
+    runs repeatable.
+
+    Shape: one rank window assigns ring positions (at real scale this is
+    the one global-order step — use zipWithIndex over a sorted write or
+    q165's shard+offset arithmetic); the 8-successor gather itself is a
+    BUCKETED BAND JOIN (anchors explode to their two pos-div-8 candidate
+    buckets, equi-join on bucket, range filter) — fully parallel, no
+    global window touches the candidate generation; candidates-per-anchor
+    is a constant 8, so work is linear in the corpus. On a label-skewed
+    corpus raise the lookahead or fall back to per-label rings — stated,
+    not needed at fixture label balance."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    ring = emb.select(
+        "vec_id", "label",
+        F.row_number().over(
+            W.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        ).cast("long").alias("pos"),
+    ).localCheckpoint(eager=False)
+    nn = ring.count()  # one scalar: the ring size (drives the wrap union)
+    doubled = ring.unionByName(
+        ring.select("vec_id", "label", (F.col("pos") + nn).alias("pos"))
+    )
+    # band join, bucketed: successor positions pos+1..pos+8 live in the
+    # anchor's pos-div-8 bucket or the next one
+    anchors = ring.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("pos").alias("apos"),
+        F.explode(
+            F.array(
+                F.expr("pos div 8").cast("long"),
+                (F.expr("pos div 8") + 1).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    candidates = doubled.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("pos").alias("cpos"),
+        F.expr("pos div 8").cast("long").alias("bucket"),
+    )
+    cand = (
+        anchors.join(candidates, "bucket")
+        .filter(
+            (F.col("cpos") > F.col("apos"))
+            & (F.col("cpos") <= F.col("apos") + 8)
+            & (F.col("neg_label") != F.col("anchor_label"))
+        )
+    )
+    wrank = W.partitionBy("anchor_id").orderBy(F.col("cpos"))
+    return (
+        cand.select(
+            "anchor_id", "anchor_label", "neg_id",
+            F.row_number().over(wrank).cast("long").alias("neg_rank"),
+        )
+        .filter(F.col("neg_rank") <= 2)
+        .orderBy("anchor_id", "neg_rank")
+    )

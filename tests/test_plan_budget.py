@@ -95,6 +95,7 @@ BUDGETS = [
     ("q190_mann_kendall_trend", 4, 0),  # rank window + grouped pair agg + join
     ("q191_wilson_interval", 2, 0),     # one groupBy; CI math on group table
     ("q192_geometric_harmonic_means", 2, 0),  # one hash agg + sort
+    ("q193_negative_sampling", 5, 0),   # ring rank + band join + rank window
 ]
 
 

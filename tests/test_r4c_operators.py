@@ -597,3 +597,28 @@ def test_mean_inequality_am_gm_hm(spark):
     }
     for r in rows:
         assert am[r.priority] >= r.geo_mean >= r.harm_mean > 0
+
+
+# --- q193: negative sampling ------------------------------------------------------
+
+
+def test_negative_sampling_contract(spark):
+    rows = entrymod.queries()["q193_negative_sampling"](spark, SF_DIR).collect()
+    assert rows
+    emb = {
+        r.vec_id: r.label
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "label").collect()
+    }
+    by_anchor = {}
+    for r in rows:
+        # a negative never shares the anchor's label, and never IS the anchor
+        assert emb[r.neg_id] != r.anchor_label
+        assert r.neg_id != r.anchor_id
+        by_anchor.setdefault(r.anchor_id, []).append(r.neg_rank)
+    for ranks in by_anchor.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 2
+    # rerun-identical (no RNG state)
+    again = entrymod.queries()["q193_negative_sampling"](spark, SF_DIR).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
