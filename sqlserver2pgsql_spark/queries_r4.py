@@ -6950,3 +6950,103 @@ def q193_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("neg_rank") <= 2)
         .orderBy("anchor_id", "neg_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive training triplets (anchor, positive, negative) — one pass
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q194_contrastive_triplets",
+    oracle="""
+    WITH ring AS (
+      SELECT vec_id, label,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               AS pos
+      FROM embeddings
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM ring),
+    doubled AS (
+      SELECT vec_id, label, pos FROM ring
+      UNION ALL
+      SELECT vec_id, label, pos + nn FROM ring CROSS JOIN n
+    ),
+    cand AS (
+      SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+             c.vec_id AS cand_id, c.label AS cand_label, c.pos AS cpos
+      FROM ring a JOIN doubled c
+        ON c.pos > a.pos AND c.pos <= a.pos + 16
+    ),
+    picks AS (
+      SELECT anchor_id, anchor_label,
+             arg_min(CASE WHEN cand_label = anchor_label THEN cand_id END,
+                     CASE WHEN cand_label = anchor_label THEN cpos END)
+               AS pos_id,
+             arg_min(CASE WHEN cand_label <> anchor_label THEN cand_id END,
+                     CASE WHEN cand_label <> anchor_label THEN cpos END)
+               AS neg_id
+      FROM cand GROUP BY anchor_id, anchor_label
+    )
+    SELECT anchor_id, anchor_label, pos_id, neg_id
+    FROM picks WHERE pos_id IS NOT NULL AND neg_id IS NOT NULL
+    ORDER BY anchor_id
+    """,
+)
+def q194_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training triplets in one pass: each anchor pairs with
+    its FIRST same-label ring successor (the positive) and its FIRST
+    other-label successor (the negative) within a 16-step lookahead on
+    the md5 ring — the (anchor, positive, negative) artifact a triplet-
+    loss trainer consumes, deterministic end-to-end (q193's negative
+    machinery plus the positive pick, one aggregate instead of a rank
+    window). Anchors missing either side within the lookahead drop out
+    (bounded, stated). Shape: the same bucketed band join (buckets of 16,
+    anchor explodes to 2), then ONE min_by aggregate per anchor —
+    candidates per anchor constant, work linear in the corpus."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    ring = emb.select(
+        "vec_id", "label",
+        F.row_number().over(
+            W.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        ).cast("long").alias("pos"),
+    ).localCheckpoint(eager=False)
+    nn = ring.count()
+    doubled = ring.unionByName(
+        ring.select("vec_id", "label", (F.col("pos") + nn).alias("pos"))
+    )
+    anchors = ring.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("pos").alias("apos"),
+        F.explode(
+            F.array(
+                F.expr("pos div 16").cast("long"),
+                (F.expr("pos div 16") + 1).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    candidates = doubled.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        F.col("pos").alias("cpos"),
+        F.expr("pos div 16").cast("long").alias("bucket"),
+    )
+    same = F.col("cand_label") == F.col("anchor_label")
+    picks = (
+        anchors.join(candidates, "bucket")
+        .filter((F.col("cpos") > F.col("apos")) & (F.col("cpos") <= F.col("apos") + 16))
+        .groupBy("anchor_id", "anchor_label")
+        .agg(
+            F.min_by(
+                F.when(same, F.col("cand_id")), F.when(same, F.col("cpos"))
+            ).alias("pos_id"),
+            F.min_by(
+                F.when(~same, F.col("cand_id")), F.when(~same, F.col("cpos"))
+            ).alias("neg_id"),
+        )
+    )
+    return (
+        picks.filter(F.col("pos_id").isNotNull() & F.col("neg_id").isNotNull())
+        .orderBy("anchor_id")
+    )

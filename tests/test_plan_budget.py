@@ -96,6 +96,7 @@ BUDGETS = [
     ("q191_wilson_interval", 2, 0),     # one groupBy; CI math on group table
     ("q192_geometric_harmonic_means", 2, 0),  # one hash agg + sort
     ("q193_negative_sampling", 5, 0),   # ring rank + band join + rank window
+    ("q194_contrastive_triplets", 5, 0),  # band join + one min_by agg
 ]
 
 

@@ -622,3 +622,19 @@ def test_negative_sampling_contract(spark):
     # rerun-identical (no RNG state)
     again = entrymod.queries()["q193_negative_sampling"](spark, SF_DIR).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_contrastive_triplets_contract(spark):
+    rows = entrymod.queries()["q194_contrastive_triplets"](spark, SF_DIR).collect()
+    assert rows
+    emb = {
+        r.vec_id: r.label
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "label").collect()
+    }
+    seen = set()
+    for r in rows:
+        assert r.anchor_id not in seen  # one triplet per anchor
+        seen.add(r.anchor_id)
+        assert emb[r.pos_id] == r.anchor_label and r.pos_id != r.anchor_id
+        assert emb[r.neg_id] != r.anchor_label
