@@ -7050,3 +7050,110 @@ def q194_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         picks.filter(F.col("pos_id").isNotNull() & F.col("neg_id").isNotNull())
         .orderBy("anchor_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card: the one-row corpus datasheet
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q195_dataset_card",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+      FROM documents
+    ),
+    langs AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY lang
+    ),
+    lang_entropy AS (
+      SELECT round(ln((SELECT CAST(count(*) AS DOUBLE) FROM base))
+                   - CAST(sum(CAST(round(n * ln(CAST(n AS DOUBLE)), 9)
+                                   AS DECIMAL(28,15))) AS DOUBLE)
+                     / (SELECT count(*) FROM base), 6) AS h
+      FROM langs
+    ),
+    ranked AS (
+      SELECT n_chars, row_number() OVER (ORDER BY n_chars, doc_id) AS r
+      FROM base
+    ),
+    qs AS (
+      SELECT max(CASE WHEN r <= (SELECT (count(*) + 1) // 2 FROM base)
+                      THEN n_chars END) AS len_p50,
+             max(CASE WHEN r <= (SELECT (count(*) * 9 + 9) // 10 FROM base)
+                      THEN n_chars END) AS len_p90
+      FROM ranked
+    ),
+    dedup AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique
+      FROM base
+    )
+    SELECT d.n_docs,
+           CAST((SELECT count(*) FROM langs) AS BIGINT) AS n_langs,
+           CAST((SELECT count(DISTINCT source) FROM base) AS BIGINT)
+             AS n_sources,
+           CAST((SELECT sum(n_chars) FROM base) AS BIGINT) AS total_chars,
+           CAST(q.len_p50 AS BIGINT) AS len_p50,
+           CAST(q.len_p90 AS BIGINT) AS len_p90,
+           le.h AS lang_entropy,
+           d.n_unique,
+           round(1.0 - CAST(d.n_unique AS DOUBLE) / d.n_docs, 6) AS dup_rate
+    FROM dedup d CROSS JOIN qs q CROSS JOIN lang_entropy le
+    """,
+)
+def q195_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card: one row summarizing the corpus the way a
+    datasheet/model card reports it — document and source counts, total
+    characters, exact rank-based length quantiles (p50/p90), language-mix
+    Shannon entropy (the diversity headline), and the exact-duplicate
+    rate (md5 distinct). Every number reuses an established contract:
+    rank quantiles (q35), entropy via round-pinned n·ln n DECIMAL sums
+    (q168), md5 dedup (q17). Shape: one base scan feeding three
+    aggregates and one rank window; everything after is single-row math —
+    the cheap, always-on report a curation pipeline emits per snapshot."""
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    ).localCheckpoint(eager=False)
+    n_docs = base.count()  # one scalar; also pins the checkpoint
+    langs = base.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    nlnn = F.sum(
+        F.round(F.col("n") * F.log(F.col("n").cast("double")), 9)
+        .cast("decimal(28,15)")
+    )
+    lang_entropy = langs.agg(
+        F.round(
+            F.log(F.lit(float(n_docs))) - nlnn.cast("double") / F.lit(n_docs), 6
+        ).alias("lang_entropy")
+    )
+    w = W.orderBy("n_chars", "doc_id")
+    ranked = base.select("n_chars", F.row_number().over(w).alias("r"))
+    p50_r = (n_docs + 1) // 2
+    p90_r = (n_docs * 9 + 9) // 10
+    qs = ranked.agg(
+        F.max(F.when(F.col("r") <= p50_r, F.col("n_chars"))).alias("len_p50"),
+        F.max(F.when(F.col("r") <= p90_r, F.col("n_chars"))).alias("len_p90"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(qs))
+        .crossJoin(F.broadcast(lang_entropy))
+        .select(
+            "n_docs", "n_langs", "n_sources", "total_chars",
+            F.col("len_p50").cast("long").alias("len_p50"),
+            F.col("len_p90").cast("long").alias("len_p90"),
+            "lang_entropy",
+            "n_unique",
+            F.round(
+                F.lit(1.0) - F.col("n_unique").cast("double") / F.col("n_docs"), 6
+            ).alias("dup_rate"),
+        )
+    )

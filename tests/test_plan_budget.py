@@ -97,6 +97,7 @@ BUDGETS = [
     ("q192_geometric_harmonic_means", 2, 0),  # one hash agg + sort
     ("q193_negative_sampling", 5, 0),   # ring rank + band join + rank window
     ("q194_contrastive_triplets", 5, 0),  # band join + one min_by agg
+    ("q195_dataset_card", 5, 0),        # base aggs + rank window; 1-row math
 ]
 
 
