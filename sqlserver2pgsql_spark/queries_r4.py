@@ -7157,3 +7157,495 @@ def q195_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Completing the classic TPC-H 22: Q2, Q8, Q9, Q11, Q13, Q15, Q17, Q19, Q20
+# analogues. The fixture schema has no partsupp table and lineitem lacks
+# commitdate/shipmode, so supply-cost / availqty shapes are re-derived from
+# lineitem history (cost proxy = min extended price per supplier-part pair;
+# availability proxy = shipped-quantity concentration) — the JOIN/subquery
+# SHAPES are the point, and each is preserved exactly.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q196_min_cost_supplier",
+    oracle="""
+    WITH pairs AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    elig AS (
+      SELECT pr.p_partkey, pr.p_brand, s.s_name, s.s_acctbal, pa.cost
+      FROM pairs pa
+      JOIN supplier s ON s.s_suppkey = pa.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+      JOIN part pr ON pr.p_partkey = pa.l_partkey
+      WHERE pr.p_type = 'STANDARD' AND pr.p_size <= 10
+    )
+    SELECT e.p_partkey, e.p_brand, e.s_name, e.s_acctbal, e.cost
+    FROM elig e
+    JOIN (SELECT p_partkey, min(cost) AS mincost FROM elig GROUP BY p_partkey) m
+      ON m.p_partkey = e.p_partkey AND e.cost = m.mincost
+    ORDER BY e.s_acctbal DESC, e.p_partkey, e.s_name
+    """,
+)
+def q196_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for every small STANDARD
+    part, the EUROPE supplier offering it cheapest — the correlated
+    min-subquery becomes a groupBy-min + equality join-back (never a
+    window over the whole eligible set). Cost proxy: min l_extendedprice
+    per (part, supplier) pair from lineitem history, since the fixture
+    has no partsupp (ref regression suite exercises the same correlated
+    shape via views). Supplier/nation/region dims broadcast; the only
+    big shuffle is the pair aggregation on lineitem."""
+    li = _t(spark, sf_dir, "lineitem").groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("cost")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    )
+    elig = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .join(F.broadcast(r), F.col("n_regionkey") == r["r_regionkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select("p_partkey", "p_brand", "s_name", "s_acctbal", "cost")
+    )
+    mins = elig.groupBy("p_partkey").agg(F.min("cost").alias("mincost"))
+    return (
+        elig.join(
+            F.broadcast(mins.withColumnRenamed("p_partkey", "mk")),
+            (F.col("p_partkey") == F.col("mk")) & (F.col("cost") == F.col("mincost")),
+        )
+        .select("p_partkey", "p_brand", "s_name", "s_acctbal", "cost")
+        .orderBy(F.desc("s_acctbal"), "p_partkey", "s_name")
+    )
+
+
+@register(
+    "q197_national_market_share",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+           round(
+             CAST(sum(CASE WHEN sn.n_name = 'NATION_2'
+                           THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                     AS DECIMAL(38,8))
+                           ELSE CAST(0 AS DECIMAL(38,8)) END) AS DOUBLE)
+             / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(38,8))) AS DOUBLE), 9) AS mkt_share,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = cn.n_regionkey AND r.r_name = 'ASIA'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'ECONOMY'
+    GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q197_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): NATION_2's share of the
+    ASIA ECONOMY-part market by order year. Seven-table join where every
+    dimension (customer/nation/region/supplier/nation/part) broadcasts
+    and lineitem->orders is the single big shuffle; the share is two
+    DECIMAL sums (order-free) with ONE final IEEE division, round(9)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_reg")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("sn_name")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey"
+    )
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(DEC)
+    zero = F.lit(0).cast(DEC)
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_reg") == r["r_regionkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("sn_name") == "NATION_2", rev).otherwise(zero))
+            .alias("num"),
+            F.sum(rev).alias("den"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            "o_year",
+            F.round(
+                F.col("num").cast("double") / F.col("den").cast("double"), 9
+            ).alias("mkt_share"),
+            "n_lines",
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q198_product_type_profit",
+    oracle="""
+    SELECT sn.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(38,8))
+                    - CAST(0.5 * p.p_retailprice * l.l_quantity
+                           AS DECIMAL(38,8))) AS DOUBLE) AS profit,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%widget%'
+    GROUP BY nation, o_year ORDER BY nation, o_year DESC
+    """,
+)
+def q198_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): per supplier-nation per
+    order-year profit on widget parts, where profit = revenue minus a
+    cost proxy (half retail price x quantity — the fixture has no
+    ps_supplycost). Both products are cast to DECIMAL(38,8) BEFORE the
+    subtraction so the sum is order-free; dims broadcast; the lineitem->
+    orders join is the one big shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sn = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(DEC)
+    cost = (F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")).cast(DEC)
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(sn), F.col("s_nationkey") == sn["n_nationkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.sum(rev - cost).cast("double").alias("profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "q199_important_stock",
+    oracle="""
+    WITH v AS (
+      SELECT l.l_partkey AS p_key,
+             sum(CAST(l.l_quantity * p.p_retailprice AS DECIMAL(38,8))) AS val
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'AFRICA'
+      JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p_key
+    ),
+    tot AS (SELECT sum(val) AS total, count(*) AS n_parts FROM v)
+    SELECT v.p_key AS p_partkey, CAST(v.val AS DOUBLE) AS stock_value
+    FROM v, tot
+    WHERE v.val * tot.n_parts > tot.total * 2
+    ORDER BY stock_value DESC, p_partkey
+    """,
+)
+def q199_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): parts whose
+    AFRICA-supplied inventory value exceeds twice the average part's —
+    the global-scalar HAVING threshold, made scale-invariant (a fixed
+    fraction like TPC-H's 0.0001 empties or floods as the part count
+    changes). The scalar (total, n_parts) rides a broadcast crossJoin
+    of a 1-row aggregate, and the comparison val*n_parts > total*2
+    stays in DECIMAL x BIGINT space — no division, no drift between
+    engines. One aggregate shuffle on partkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    v = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .join(F.broadcast(r), F.col("n_regionkey") == r["r_regionkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.col("l_partkey").alias("p_key"))
+        .agg(
+            F.sum((F.col("l_quantity") * F.col("p_retailprice")).cast(DEC)).alias(
+                "val"
+            )
+        )
+    )
+    tot = v.agg(F.sum("val").alias("total"), F.count(F.lit(1)).alias("n_parts"))
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .filter(F.col("val") * F.col("n_parts") > F.col("total") * 2)
+        .select(
+            F.col("p_key").alias("p_partkey"),
+            F.col("val").cast("double").alias("stock_value"),
+        )
+        .orderBy(F.desc("stock_value"), "p_partkey")
+    )
+
+
+@register(
+    "q200_customer_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q200_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT join so
+    zero-order customers survive with c_count=0, the join predicate (not
+    a WHERE) carrying the priority exclusion, then a second aggregate
+    over the counts. Two shuffles: custkey join+agg, then the tiny
+    distribution agg. count(o_orderkey) — not count(*) — so NULL
+    (no-match) rows count as zero, matching SQL semantics exactly."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q201_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,8)))
+               AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY supplier_no
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_rev
+    FROM supplier s
+    JOIN revenue r ON r.supplier_no = s.s_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q201_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
+    return every supplier tying the maximum — the scalar-max subquery
+    over a derived view. The max rides a broadcast crossJoin of a 1-row
+    aggregate and the tie test compares DECIMAL to DECIMAL (exact), cast
+    to DOUBLE only in the output projection."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(DEC)
+        ).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q202_small_quantity_revenue",
+    oracle="""
+    WITH stats AS (
+      SELECT l_partkey AS pk, sum(l_quantity) AS sq,
+             count(*) AS cnt
+      FROM lineitem GROUP BY pk
+    )
+    SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,8)))
+                 AS DOUBLE) / 7.0, 6) AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#1'
+    JOIN stats st ON st.pk = l.l_partkey
+    WHERE l.l_quantity * 5 * st.cnt < st.sq
+    """,
+)
+def q202_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): lines whose
+    quantity is below 20% of their part's average — the correlated
+    per-part AVG becomes a groupBy stats table joined back, and the
+    fractional comparison qty < 0.2*sum/cnt is cross-multiplied to
+    qty*5*cnt < sum so it stays in exact integral-double space (every
+    l_quantity is integral; sums stay under 2^53). One agg shuffle +
+    one join-back shuffle; part dim broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    stats = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("l_quantity").alias("sq"), F.count(F.lit(1)).alias("cnt")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select(
+        "p_partkey"
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(stats, li["l_partkey"] == stats["pk"])
+        .filter(F.col("l_quantity") * 5 * F.col("cnt") < F.col("sq"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / 7.0, 6
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q203_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(38,8))) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q203_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates): an
+    OR-of-ANDs mixing both join sides. The partkey equi-join stays
+    hashable with the disjunction applied as a join residual — Catalyst
+    must NOT fall back to a nested-loop join; part pre-filters to the
+    union of the three brands so the broadcast side stays tiny."""
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#2", "Brand#13", "Brand#24")
+    ).select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    q = F.col("l_quantity")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 5)
+            & q.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 10)
+            & q.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#24")
+            & F.col("p_size").between(1, 15)
+            & q.between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(branch)
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+                    DEC
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q204_part_promotion_suppliers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l.l_suppkey, l.l_partkey,
+             sum(CASE WHEN l.l_shipdate >= TIMESTAMP '1997-01-01'
+                       AND l.l_shipdate < TIMESTAMP '1998-01-01'
+                      THEN l.l_quantity ELSE 0 END) AS q97,
+             sum(l.l_quantity) AS qall
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+      GROUP BY l.l_suppkey, l.l_partkey
+    )
+    SELECT s.s_name, n.n_name AS nation
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM shipped WHERE q97 * 2 > qall)
+    ORDER BY s.s_name
+    """,
+)
+def q204_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers whose 1997
+    shipments of a PROMO part exceed half that pair's all-time volume —
+    the nested IN-subquery chain (part filter inside quantity threshold
+    inside supplier IN) becomes agg -> filter -> LEFT SEMI join, the
+    availqty>0.5*shipped test cross-multiplied (q97*2 > qall) to stay in
+    exact integral-double space. No DISTINCT needed: semi join dedups."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    in97 = (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    shipped = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in97, F.col("l_quantity")).otherwise(F.lit(0.0))).alias(
+                "q97"
+            ),
+            F.sum("l_quantity").alias("qall"),
+        )
+        .filter(F.col("q97") * 2 > F.col("qall"))
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        s.join(shipped, s["s_suppkey"] == shipped["l_suppkey"], "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .select("s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_name")
+    )

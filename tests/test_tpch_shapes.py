@@ -1,0 +1,92 @@
+"""Plan audits for the classic TPC-H 22 completion (q196-q204): the scale
+claims in each docstring must be visible in the physical plan — broadcast
+dims, hashable equi-joins despite residual disjunctions, semi-join
+compilation of IN subqueries, and zero Python evaluation anywhere."""
+
+from __future__ import annotations
+
+from sqlserver2pgsql_spark import queries_r4 as QR
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q196_min_cost_join_back_broadcasts(spark):
+    """Q2 shape: the per-part min joins back via broadcast; dims broadcast;
+    no window over the eligible set."""
+    plan = _plan(QR.q196_min_cost_supplier(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q197_market_share_single_big_shuffle(spark):
+    """Q8 shape: every dimension broadcasts — the only SortMergeJoin/
+    ShuffledHashJoin permitted is lineitem->orders."""
+    plan = _plan(QR.q197_national_market_share(spark, SF_DIR))
+    n_shuffle_joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert n_shuffle_joins <= 1, plan
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+
+
+def test_q203_disjunction_stays_hash_join(spark):
+    """Q19 shape: the OR-of-ANDs must ride the partkey equi-join as a
+    residual — never a nested-loop fallback."""
+    plan = _plan(QR.q203_disjunctive_revenue(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # Catalyst decomposes the OR into per-side implied predicates: the brand
+    # disjunction reaches the part scan and the quantity bands reach the
+    # lineitem scan (some PushedFilters section carries each)
+    pushed = [s[:600] for s in plan.split("PushedFilters")[1:]]
+    assert any("p_brand" in s for s in pushed), plan
+    assert any("l_quantity" in s for s in pushed), plan
+
+
+def test_q204_in_subquery_compiles_to_semi(spark):
+    """Q20 shape: the supplier IN (...) chain compiles to LEFT SEMI, and
+    the PROMO part filter pushes into the part scan."""
+    plan = _plan(QR.q204_part_promotion_suppliers(spark, SF_DIR))
+    assert "LeftSemi" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q200_left_join_preserves_zero_customers(spark, tmp_path):
+    """Q13 shape: the priority exclusion must sit in the join predicate,
+    not a post-join filter. The fixture has no order-less customers at
+    sf0.001, so synthesize the two cases that distinguish the join-
+    predicate placement: a customer with NO orders and one whose ONLY
+    order is 1-URGENT — both must land in the c_count=0 bucket."""
+    import pandas as pd
+
+    # single-file parquet, matching the fixture layout the loader sniffs
+    pd.DataFrame({"c_custkey": [1, 2, 3], "c_name": list("abc")}).to_parquet(
+        tmp_path / "customer.parquet"
+    )
+    pd.DataFrame(
+        {
+            "o_orderkey": [10, 11, 12],
+            "o_custkey": [1, 3, 3],
+            "o_orderpriority": ["1-URGENT", "3-MEDIUM", "1-URGENT"],
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+    pdf = QR.q200_customer_order_distribution(spark, str(tmp_path)).toPandas()
+    dist = dict(zip(pdf["c_count"], pdf["custdist"]))
+    assert dist == {0: 2, 1: 1}, dist
+
+
+def test_q201_scalar_max_is_broadcast(spark):
+    """Q15 shape: the scalar max joins via a 1-row broadcast, and the tie
+    comparison happens in DECIMAL space (no double equality)."""
+    plan = _plan(QR.q201_top_supplier(spark, SF_DIR))
+    assert "Broadcast" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
