@@ -7640,11 +7640,12 @@ def q204_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .filter(F.col("q97") * 2 > F.col("qall"))
         .select("l_suppkey")
+        .distinct()  # bounded by supplier count — broadcastable at any scale
     )
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
-        s.join(shipped, s["s_suppkey"] == shipped["l_suppkey"], "left_semi")
+        s.join(F.broadcast(shipped), s["s_suppkey"] == shipped["l_suppkey"], "left_semi")
         .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
         .select("s_name", F.col("n_name").alias("nation"))
         .orderBy("s_name")

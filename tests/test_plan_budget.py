@@ -98,6 +98,15 @@ BUDGETS = [
     ("q193_negative_sampling", 5, 0),   # ring rank + band join + rank window
     ("q194_contrastive_triplets", 5, 0),  # band join + one min_by agg
     ("q195_dataset_card", 5, 0),        # base aggs + rank window; 1-row math
+    ("q196_min_cost_supplier", 4, 0),   # pair agg + min agg + join-back + sort (Q2)
+    ("q197_national_market_share", 2, 0),  # one big join shuffle + year agg (Q8)
+    ("q198_product_type_profit", 2, 0),    # one big join shuffle + nation agg (Q9)
+    ("q199_important_stock", 3, 0),     # part agg + scalar bcast + sort (Q11)
+    ("q200_customer_order_distribution", 3, 0),  # cust join-agg + dist agg (Q13)
+    ("q201_top_supplier", 3, 0),        # quarter agg + scalar max bcast (Q15)
+    ("q202_small_quantity_revenue", 1, 0),  # stats agg; join-back + map agg (Q17)
+    ("q203_disjunctive_revenue", 0, 0),  # Q19: bcast part + residual OR + map agg
+    ("q204_part_promotion_suppliers", 3, 0),  # pair agg + distinct bcast semi (Q20)
 ]
 
 
