@@ -7650,3 +7650,278 @@ def q204_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("s_name", F.col("n_name").alias("nation"))
         .orderBy("s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential-recurrence and manifest operators: EWMA (affine fold), Merkle
+# corpus manifest, Lindley-reflected running balance, embedding covariance
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q205_ewma_smoothing",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, ts, event_id
+    )
+    SELECT user_id,
+           list_reduce(list(value), (acc, x) -> 0.5 * x + 0.5 * acc) AS ewma,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM seq GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q205_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha=0.5) of event value per
+    user — a sequential recurrence s_t = a*x_t + (1-a)*s_{t-1} that no
+    window frame expresses directly. Both engines run the IDENTICAL
+    left-fold over the identically-ordered per-user sequence (Spark
+    F.aggregate over a sorted collect_list vs DuckDB list_reduce over an
+    ordered list), so every IEEE operation matches bit-for-bit — exact
+    equality without rounding. The per-user array is bounded by user
+    history; at 100 TB the chunked alternative composes affine maps
+    (s_out = A*s_in + B per chunk, A=(1-a)^k) which are associative and
+    re-combinable — documented, not needed at fixture scale."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    seq = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("hist")
+    )
+    return seq.select(
+        "user_id",
+        F.aggregate(
+            F.slice("hist", 2, F.size("hist") - 1),
+            F.element_at("hist", 1)["value"],
+            lambda acc, x: F.lit(0.5) * x["value"] + F.lit(0.5) * acc,
+        ).alias("ewma"),
+        F.size("hist").cast("long").alias("n_events"),
+    ).orderBy("user_id")
+
+
+@register(
+    "q206_merkle_manifest",
+    oracle="""
+    WITH leaf AS (
+      SELECT source, doc_id % 16 AS bucket, md5(text) AS h
+      FROM documents
+    ),
+    shard AS (
+      SELECT source, bucket,
+             md5(string_agg(h, '' ORDER BY h)) AS shard_hash,
+             count(*) AS n_docs
+      FROM leaf GROUP BY source, bucket
+    )
+    SELECT source,
+           md5(string_agg(shard_hash, '' ORDER BY bucket)) AS root_hash,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_shards
+    FROM shard GROUP BY source ORDER BY source
+    """,
+)
+def q206_merkle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level Merkle manifest per corpus source: leaf = md5(text),
+    shard hash = md5 over the SORTED concatenation of its leaves (order-
+    free by construction), root = md5 over shard hashes in bucket order.
+    The audit primitive for corpus snapshots — two manifests differ iff
+    some document differs, and the differing shard is locatable without
+    rescanning (the reference's checksum-compare mode, sqlserver2pgsql.pl
+    diff domain, lifted to content manifests). The two-level tree bounds
+    every concat to one shard's hashes — no single giant string_agg at
+    100 TB; deepen the tree for wider corpora."""
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        (F.col("doc_id") % 16).alias("bucket"),
+        F.md5("text").alias("h"),
+    )
+    shard = d.groupBy("source", "bucket").agg(
+        F.md5(F.concat_ws("", F.array_sort(F.collect_list("h")))).alias(
+            "shard_hash"
+        ),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return (
+        shard.groupBy("source")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("bucket", "shard_hash"))
+                        ),
+                        lambda s: s["shard_hash"],
+                    ),
+                )
+            ).alias("root_hash"),
+            F.sum("n_docs").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_shards"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q207_clamped_running_balance",
+    oracle="""
+    WITH RECURSIVE s AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) - 10000 AS d
+      FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+      SELECT user_id, rn, GREATEST(CAST(0 AS BIGINT), d) AS bal
+      FROM s WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.rn, GREATEST(CAST(0 AS BIGINT), r.bal + s.d)
+      FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id,
+           max(CASE WHEN rn = mx THEN bal END) AS final_cents,
+           max(bal) AS peak_cents,
+           CAST(mx AS BIGINT) AS n_purchases
+    FROM (SELECT r.*, max(rn) OVER (PARTITION BY user_id) AS mx FROM r)
+    GROUP BY user_id, mx ORDER BY user_id
+    """,
+)
+def q207_clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-clamped running balance (inventory that can't go negative):
+    b_t = max(0, b_{t-1} + d_t) — a NON-linear recurrence. The oracle runs
+    the literal recursion (recursive CTE, one row per step); the Spark
+    side uses the closed-form Lindley/Skorokhod reflection identity
+    b_t = p_t - min(0, min_{i<=t} p_i) over plain prefix-sum windows — an
+    independent derivation, so a bug in either side surfaces as a
+    mismatch (the two-formulation discipline the shared-formula oracle
+    trap demands). Deltas are integer cents (floor(v*100+0.5) - 10000),
+    so every comparison is exact. Two window passes over one shuffle."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    d = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long") - F.lit(10000)
+        ).alias("d"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_rn = W.partitionBy("user_id").orderBy("rn")
+    bal = (
+        d.select(
+            "user_id",
+            F.row_number().over(w).alias("rn"),
+            F.sum("d").over(w).alias("p"),
+        )
+        .select(
+            "user_id",
+            "rn",
+            "p",
+            F.least(F.lit(0).cast("long"), F.min("p").over(w_rn)).alias("floor_p"),
+        )
+        .select("user_id", "rn", (F.col("p") - F.col("floor_p")).alias("bal"))
+    )
+    return (
+        bal.groupBy("user_id")
+        .agg(
+            F.max_by("bal", "rn").alias("final_cents"),
+            F.max("bal").alias("peak_cents"),
+            F.count(F.lit(1)).alias("n_purchases"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q208_embedding_covariance",
+    oracle=f"""
+    WITH {_VFX_SQL},
+    pairs AS (
+      SELECT a.label, a.pos AS pos_x, b.pos AS pos_y,
+             CAST(a.v_fx * b.v_fx AS DECIMAL(38,0)) AS xy,
+             CAST(a.v_fx AS DECIMAL(38,0)) AS x,
+             CAST(b.v_fx AS DECIMAL(38,0)) AS y
+      FROM vfx a JOIN vfx b
+        ON a.vec_id = b.vec_id AND a.label = b.label
+       AND a.pos < 8 AND b.pos < 8 AND a.pos <= b.pos
+    )
+    SELECT label, pos_x, pos_y,
+           round(CAST(count(*) * sum(xy) - sum(x) * sum(y) AS DOUBLE)
+                 / (CAST(count(*) AS DOUBLE) * count(*)
+                    * {float(EMB_SCALE)} * {float(EMB_SCALE)}), 12) AS cov,
+           CAST(count(*) AS BIGINT) AS n
+    FROM pairs GROUP BY label, pos_x, pos_y
+    ORDER BY label, pos_x, pos_y
+    """,
+)
+def q208_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label covariance matrix over the first 8 embedding dimensions
+    (36 upper-triangle cells per label) — the drift-detection /
+    whitening primitive. All moments (n, Sx, Sy, Sxy) accumulate in
+    DECIMAL(38,0) fixed-point (the +1.0 offset cancels: covariance is
+    shift-invariant), so sums are order-free; cov = (n*Sxy - Sx*Sy)/n^2
+    is ONE final double expression, round(12). The pair products are
+    generated per row BEFORE aggregation (a flat transform over the
+    8-dim slice — no self-join, unlike the oracle), so the single
+    shuffle carries only 36 partial cells per label per map task."""
+    emb = _t(spark, sf_dir, "embeddings")
+    fx = emb.select(
+        "label",
+        F.transform(
+            F.slice("embedding", 1, 8),
+            lambda v: F.floor((v.cast("double") + F.lit(1.0)) * EMB_SCALE).cast(
+                "long"
+            ),
+        ).alias("fx"),
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda i: F.transform(
+                F.sequence(i, F.lit(7)),
+                lambda j: F.struct(
+                    i.alias("pos_x"),
+                    j.alias("pos_y"),
+                    (
+                        F.element_at("fx", i + 1) * F.element_at("fx", j + 1)
+                    ).alias("xy"),
+                    F.element_at("fx", i + 1).alias("x"),
+                    F.element_at("fx", j + 1).alias("y"),
+                ),
+            ),
+        )
+    )
+    cells = fx.select("label", F.explode(pair_structs).alias("c")).select(
+        "label",
+        F.col("c.pos_x").cast("long").alias("pos_x"),
+        F.col("c.pos_y").cast("long").alias("pos_y"),
+        F.col("c.xy").cast("decimal(38,0)").alias("xy"),
+        F.col("c.x").cast("decimal(38,0)").alias("x"),
+        F.col("c.y").cast("decimal(38,0)").alias("y"),
+    )
+    s2 = float(EMB_SCALE) * float(EMB_SCALE)
+    return (
+        cells.groupBy("label", "pos_x", "pos_y")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xy").alias("sxy"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+        )
+        .select(
+            "label",
+            "pos_x",
+            "pos_y",
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                    "double"
+                )
+                / (F.col("n").cast("double") * F.col("n") * F.lit(s2)),
+                12,
+            ).alias("cov"),
+            "n",
+        )
+        .orderBy("label", "pos_x", "pos_y")
+    )
