@@ -901,3 +901,209 @@ def _dateq_spark(spark, q: dict):
 def test_differential_date_functions(seed, spark, duck):
     q = _gen_dateq(seed)
     assert_matches_oracle(_dateq_spark(spark, q), duck, _dateq_sql(q))
+
+# --- grouping-sets / rollup / cube grammar -----------------------------------
+#
+# Random multi-level aggregations: ROLLUP / CUBE / explicit GROUPING SETS over
+# one categorical + one derived integer bucket, with GROUPING() indicators and
+# exact BIGINT aggregates. Exercises the Expand-based planning path (each
+# input row replicated per grouping set) that plain GROUP BY never touches.
+# Group values coalesce to a sentinel on BOTH sides so the super-aggregate
+# NULLs never depend on engine null-sorting.
+
+GSET_AGGS = ["count", "sum", "min", "max"]
+
+
+def _gen_gset(seed: int) -> dict:
+    rng = random.Random(seed + 90_000)
+    table = rng.choice(["orders", "lineitem", "customer"])
+    meta = TABLES[table]
+    cat = rng.choice(sorted(meta["cats"]))
+    num = rng.choice(sorted(meta["nums"]))
+    k = rng.choice([3, 5, 7])
+    mode = rng.choice(["rollup", "cube", "sets"])
+    sets = None
+    if mode == "sets":
+        universe = [["cat", "bkt"], ["cat"], ["bkt"], []]
+        sets = rng.sample(universe, k=rng.randrange(2, 5))
+    agg = rng.choice(GSET_AGGS)
+    val = rng.choice(sorted(meta["nums"]))
+    return {"table": table, "cat": cat, "num": num, "k": k, "mode": mode,
+            "sets": sets, "agg": agg, "val": val}
+
+
+def _gset_sql(q: dict) -> str:
+    bkt = f"(CAST({q['num']} AS BIGINT) % {q['k']})"
+    if q["mode"] == "rollup":
+        gb = f"ROLLUP({q['cat']}, {bkt})"
+    elif q["mode"] == "cube":
+        gb = f"CUBE({q['cat']}, {bkt})"
+    else:
+        rendered = []
+        for s in q["sets"]:
+            cols = [({"cat": q["cat"], "bkt": bkt})[c] for c in s]
+            rendered.append(f"({', '.join(cols)})")
+        gb = f"GROUPING SETS ({', '.join(rendered)})"
+    body = {
+        "count": "count(*)",
+        "sum": f"sum(CAST({q['val']} AS BIGINT))",
+        "min": f"min(CAST({q['val']} AS BIGINT))",
+        "max": f"max(CAST({q['val']} AS BIGINT))",
+    }[q["agg"]]
+    return (
+        f"SELECT coalesce({q['cat']}, '<all>') AS c, "
+        f"coalesce(CAST({bkt} AS VARCHAR), '<all>') AS b, "
+        f"CAST(grouping({q['cat']}) AS BIGINT) AS gc, "
+        f"CAST(grouping({bkt}) AS BIGINT) AS gb, "
+        f"CAST({body} AS BIGINT) AS v "
+        f"FROM {q['table']} GROUP BY {gb} ORDER BY c, b, gc, gb"
+    )
+
+
+def _gset_spark(spark, q: dict):
+    df = spark.read.parquet(f"{SF_DIR}/{q['table']}.parquet")
+    bkt = (F.col(q["num"]).cast("long") % q["k"]).alias("bkt")
+    df = df.select(F.col(q["cat"]).alias("cat"), bkt, F.col(q["val"]).alias("val"))
+    if q["mode"] == "rollup":
+        g = df.rollup("cat", "bkt")
+    elif q["mode"] == "cube":
+        g = df.cube("cat", "bkt")
+    else:
+        g = df.groupingSets([list(s) for s in q["sets"]], "cat", "bkt")
+    body = {
+        "count": F.count(F.lit(1)),
+        "sum": F.sum(F.col("val").cast("long")),
+        "min": F.min(F.col("val").cast("long")),
+        "max": F.max(F.col("val").cast("long")),
+    }[q["agg"]]
+    return (
+        g.agg(
+            body.cast("long").alias("v"),
+            F.grouping("cat").cast("long").alias("gc"),
+            F.grouping("bkt").cast("long").alias("gb"),
+        )
+        .select(
+            F.coalesce(F.col("cat"), F.lit("<all>")).alias("c"),
+            F.coalesce(F.col("bkt").cast("string"), F.lit("<all>")).alias("b"),
+            "gc", "gb", "v",
+        )
+        .orderBy("c", "b", "gc", "gb")
+    )
+
+
+@pytest.mark.parametrize("seed", range(24))
+def test_differential_grouping_sets(seed, spark, duck):
+    q = _gen_gset(seed)
+    assert_matches_oracle(_gset_spark(spark, q), duck, _gset_sql(q))
+
+
+# --- string-function grammar -------------------------------------------------
+#
+# Deep compositions of the string functions the scalar grammar doesn't reach:
+# lpad/rpad, trim family, reverse, repeat, left/right, split_part, translate,
+# plus a LIKE predicate. Every function in the set has identical 1-based /
+# padding / empty-string semantics in Spark SQL and DuckDB; the composition
+# depth (3) surfaces fold bugs no single-function test would.
+
+STR_COLS = {
+    "customer": ["c_name", "c_mktsegment"],
+    "part": ["p_name", "p_brand"],
+    "orders": ["o_orderpriority", "o_orderstatus"],
+}
+
+
+def _gen_strfn(seed: int) -> dict:
+    rng = random.Random(seed + 100_000)
+    table = rng.choice(sorted(STR_COLS))
+
+    def node(depth: int) -> dict:
+        if depth == 0:
+            return {"k": "col", "c": rng.choice(STR_COLS[table])}
+        k = rng.choice(
+            ["lpad", "rpad", "trim", "reverse", "repeat", "left", "right",
+             "split_part", "translate", "concat"]
+        )
+        if k in ("lpad", "rpad"):
+            return {"k": k, "a": node(depth - 1), "n": rng.randrange(1, 20),
+                    "p": rng.choice("*#.")}
+        if k == "repeat":
+            return {"k": k, "a": node(depth - 1), "n": rng.randrange(1, 3)}
+        if k in ("left", "right"):
+            return {"k": k, "a": node(depth - 1), "n": rng.randrange(1, 12)}
+        if k == "split_part":
+            return {"k": k, "a": node(depth - 1), "d": rng.choice([" ", "-"]),
+                    "n": rng.randrange(1, 3)}
+        if k == "translate":
+            return {"k": k, "a": node(depth - 1), "f": "aeo", "t": "@30"}
+        if k == "concat":
+            return {"k": k, "a": node(depth - 1), "b": node(depth - 1)}
+        return {"k": k, "a": node(depth - 1)}
+
+    like = rng.choice([None, "%a%", "%e%", "B%", "%1%"])
+    return {"table": table, "key": TABLES[table]["key"],
+            "expr": node(rng.randrange(2, 4)), "like": like}
+
+
+def _strfn_sql(e: dict) -> str:
+    k = e["k"]
+    if k == "col":
+        return e["c"]
+    a = _strfn_sql(e["a"])
+    if k in ("lpad", "rpad"):
+        return f"{k}({a}, {e['n']}, {e['p']!r})"
+    if k == "repeat":
+        return f"repeat({a}, {e['n']})"
+    if k in ("left", "right"):
+        return f"{k}({a}, {e['n']})"
+    if k == "split_part":
+        return f"split_part({a}, {e['d']!r}, {e['n']})"
+    if k == "translate":
+        return f"translate({a}, {e['f']!r}, {e['t']!r})"
+    if k == "concat":
+        return f"({a} || '|' || {_strfn_sql(e['b'])})"
+    return f"trim({a})" if k == "trim" else f"reverse({a})"
+
+
+def _strfn_col(e: dict):
+    k = e["k"]
+    if k == "col":
+        return F.col(e["c"])
+    a = _strfn_col(e["a"])
+    if k == "lpad":
+        return F.lpad(a, e["n"], e["p"])
+    if k == "rpad":
+        return F.rpad(a, e["n"], e["p"])
+    if k == "repeat":
+        return F.repeat(a, e["n"])
+    if k == "left":
+        return F.left(a, F.lit(e["n"]))
+    if k == "right":
+        return F.right(a, F.lit(e["n"]))
+    if k == "split_part":
+        return F.split_part(a, F.lit(e["d"]), F.lit(e["n"]))
+    if k == "translate":
+        return F.translate(a, e["f"], e["t"])
+    if k == "concat":
+        return F.concat(a, F.lit("|"), _strfn_col(e["b"]))
+    return F.trim(a) if k == "trim" else F.reverse(a)
+
+
+def _strfnq_sql(q: dict) -> str:
+    where = f"WHERE {STR_COLS[q['table']][0]} LIKE {q['like']!r}" if q["like"] else ""
+    return (f"SELECT {q['key']} AS k, {_strfn_sql(q['expr'])} AS s "
+            f"FROM {q['table']} {where} ORDER BY k")
+
+
+def _strfnq_spark(spark, q: dict):
+    df = spark.read.parquet(f"{SF_DIR}/{q['table']}.parquet")
+    if q["like"]:
+        df = df.filter(F.col(STR_COLS[q["table"]][0]).like(q["like"]))
+    return df.select(
+        F.col(q["key"]).alias("k"), _strfn_col(q["expr"]).alias("s")
+    ).orderBy("k")
+
+
+@pytest.mark.parametrize("seed", range(24))
+def test_differential_string_functions(seed, spark, duck):
+    q = _gen_strfn(seed)
+    assert_matches_oracle(_strfnq_spark(spark, q), duck, _strfnq_sql(q))
