@@ -7925,3 +7925,138 @@ def q208_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "pos_x", "pos_y")
     )
+
+
+@register(
+    "q209_span_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, i, md5(array_to_string(t[i:i+7], ' ')) AS h
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i) g
+      WHERE len(t) >= 8
+    ),
+    dup AS (
+      SELECT h FROM spans GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ),
+    marked AS (SELECT s.doc_id, s.i FROM spans s JOIN dup USING (h)),
+    islands AS (
+      SELECT doc_id, i AS s, i + 7 AS e,
+             CASE WHEN i > coalesce(max(i + 7) OVER (
+                    PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ), -1) + 1 THEN 1 ELSE 0 END AS brk
+      FROM marked
+    ),
+    merged AS (
+      SELECT doc_id,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY s) AS island,
+             s, e
+      FROM islands
+    ),
+    covered AS (
+      SELECT doc_id, CAST(sum(mx - mn + 1) AS BIGINT) AS covered_tokens
+      FROM (SELECT doc_id, island, min(s) AS mn, max(e) AS mx
+            FROM merged GROUP BY doc_id, island)
+      GROUP BY doc_id
+    ),
+    per_doc AS (
+      SELECT s.doc_id,
+             CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(count(*) FILTER (WHERE d.h IS NOT NULL) AS BIGINT)
+               AS n_dup_spans
+      FROM spans s LEFT JOIN dup d USING (h)
+      GROUP BY s.doc_id
+    )
+    SELECT p.doc_id, p.n_spans, p.n_dup_spans,
+           coalesce(c.covered_tokens, 0) AS covered_tokens,
+           round(CAST(p.n_dup_spans AS DOUBLE) / p.n_spans, 6) AS dup_ratio
+    FROM per_doc p LEFT JOIN covered c ON c.doc_id = p.doc_id
+    ORDER BY p.doc_id
+    """,
+)
+def q209_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring dedup (the training-data dedup primitive
+    of Lee et al., 'Deduplicating Training Data Makes Language Models
+    Better', ACL'22 — suffix-array spans re-expressed as rolling 8-token
+    window hashes, which Spark aggregates natively): a span is duplicated
+    when its hash appears in >=2 distinct documents. Per doc: total
+    spans, duplicated spans, and the token count covered by the MERGED
+    duplicated extents (overlapping spans coalesced with the island-gap
+    window trick, q144's shape at token granularity) — the number a
+    rewrite pass would remove. Scale shape: one postings aggregation on
+    span hash (count-distinct-docs), one hash join back, one doc window
+    — no suffix array, no global sort; the span table is ~|tokens| rows,
+    linear in corpus size."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("t")
+    ).filter(F.size("t") >= 8)
+    spans = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 7),
+                lambda i: F.struct(
+                    i.alias("i"),
+                    F.md5(F.concat_ws(" ", F.slice("t", i, 8))).alias("h"),
+                ),
+            )
+        ).alias("sp"),
+    ).select("doc_id", F.col("sp.i").alias("i"), F.col("sp.h").alias("h"))
+    dup = (
+        spans.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    tagged = spans.join(dup.withColumn("is_dup", F.lit(1)), "h", "left")
+    per_doc = tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).cast("long").alias(
+            "n_dup_spans"
+        ),
+    )
+    marked = tagged.filter(F.col("is_dup") == 1).select(
+        "doc_id", "i", (F.col("i") + 7).alias("e")
+    )
+    w_prev = (
+        W.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    islands = marked.select(
+        "doc_id",
+        "i",
+        "e",
+        F.when(
+            F.col("i") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)) + 1, 1
+        ).otherwise(0).alias("brk"),
+    ).select(
+        "doc_id",
+        "i",
+        "e",
+        F.sum("brk").over(W.partitionBy("doc_id").orderBy("i")).alias("island"),
+    )
+    covered = (
+        islands.groupBy("doc_id", "island")
+        .agg(F.min("i").alias("mn"), F.max("e").alias("mx"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("mx") - F.col("mn") + 1).cast("long").alias(
+            "covered_tokens"
+        ))
+    )
+    return (
+        per_doc.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            F.round(
+                F.col("n_dup_spans").cast("double") / F.col("n_spans"), 6
+            ).alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
+    )

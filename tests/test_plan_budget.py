@@ -107,6 +107,11 @@ BUDGETS = [
     ("q202_small_quantity_revenue", 1, 0),  # stats agg; join-back + map agg (Q17)
     ("q203_disjunctive_revenue", 0, 0),  # Q19: bcast part + residual OR + map agg
     ("q204_part_promotion_suppliers", 3, 0),  # pair agg + distinct bcast semi (Q20)
+    ("q205_ewma_smoothing", 2, 0),      # one user agg (sorted-list fold) + sort
+    ("q206_merkle_manifest", 3, 0),     # shard agg + root agg + sort
+    ("q207_clamped_running_balance", 2, 0),  # one user window + final agg
+    ("q208_embedding_covariance", 2, 0),     # one cell agg (36/label) + sort
+    ("q209_span_dedup", 7, 0),          # postings agg + join-back + islands window
 ]
 
 
