@@ -8060,3 +8060,53 @@ def q209_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q210_orc_roundtrip",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE)
+             AS sum_price,
+           CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q210_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink→source round-trip through ORC (the second columnar format the
+    engine supports natively, zlib-compressed): lineitem written as ORC,
+    read back with a date predicate that must reach the ORC reader as a
+    pushed filter (ORC keeps min/max stripe statistics exactly for this),
+    aggregated. The oracle sees only the original parquet — the format
+    conversion must be lossless including timestamps and doubles. Extends
+    the reference's bulk-load sink surface (sqlserver2pgsql.pl job
+    generation) to a second interchange format."""
+    import shutil
+    import tempfile
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_shipdate",
+        "l_extendedprice", "l_quantity",
+    )
+    out = tempfile.mkdtemp(prefix="spark_graft_q210_")
+    try:
+        li.write.mode("overwrite").option("compression", "zlib").orc(out)
+        back = spark.read.orc(out).filter(F.col("l_shipdate") >= "1997-01-01")
+        result = (
+            back.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias(
+                    "sum_price"
+                ),
+                F.sum("l_quantity").cast("double").alias("sum_qty"),
+            )
+            .orderBy("l_returnflag", "l_linestatus")
+        )
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -90,3 +90,23 @@ def test_q201_scalar_max_is_broadcast(spark):
     plan = _plan(QR.q201_top_supplier(spark, SF_DIR))
     assert "Broadcast" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q210_orc_filter_pushdown(spark, tmp_path):
+    """The ORC read-back path must push the date predicate into the ORC
+    scan (stripe-statistics pruning at scale)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+    from sqlserver2pgsql_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_shipdate", "l_quantity")
+    out = str(tmp_path / "orc")
+    li.write.orc(out)
+    back = spark.read.orc(out).filter(F.col("l_shipdate") >= "1997-01-01")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200], plan
