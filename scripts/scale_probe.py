@@ -487,6 +487,82 @@ def main() -> None:
     )
     probe("fifo_allocation(bucketed)", fifo, li_fifo, li_fifo_big)
 
+    # --- fourth wave: span dedup, EWMA fold, Merkle manifest ----------------
+
+    def span_dedup(d):
+        toks = d.select(
+            "doc_id", F.split(F.lower("text"), " ").alias("t")
+        ).filter(F.size("t") >= 8)
+        spans = toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 7),
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.md5(F.concat_ws(" ", F.slice("t", i, 8))).alias("h"),
+                    ),
+                )
+            ).alias("sp"),
+        ).select("doc_id", F.col("sp.h").alias("h"))
+        dup = (
+            spans.groupBy("h")
+            .agg(F.countDistinct("doc_id").alias("nd"))
+            .filter(F.col("nd") >= 2)
+            .select("h")
+        )
+        return (
+            spans.join(dup.withColumn("is_dup", F.lit(1)), "h", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_spans"),
+                F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_dup"),
+            )
+        )
+
+    probe("span_dedup(postings)", span_dedup, docs, docs_big)
+
+    def ewma(ev):
+        seq = ev.groupBy("user_id").agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("hist")
+        )
+        return seq.select(
+            "user_id",
+            F.aggregate(
+                F.slice("hist", 2, F.size("hist") - 1),
+                F.element_at("hist", 1)["value"],
+                lambda acc, x: F.lit(0.5) * x["value"] + F.lit(0.5) * acc,
+            ).alias("ewma"),
+        )
+
+    events_big = replicate(events, "user_id", replicas, 1_000_000)
+    probe("ewma_fold(per-user)", ewma, events, events_big)
+
+    def merkle(d):
+        leaf = d.select(
+            "source",
+            (F.col("doc_id") % 16).alias("bucket"),
+            F.md5("text").alias("h"),
+        )
+        shard = leaf.groupBy("source", "bucket").agg(
+            F.md5(F.concat_ws("", F.array_sort(F.collect_list("h")))).alias("sh")
+        )
+        return shard.groupBy("source").agg(
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("bucket", "sh"))),
+                        lambda s: s["sh"],
+                    ),
+                )
+            ).alias("root")
+        )
+
+    probe("merkle_manifest(2-level)", merkle, docs, docs_big)
+
 
 if __name__ == "__main__":
     main()
