@@ -8110,3 +8110,217 @@ def q210_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return result.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "q211_anova_oneway",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS DECIMAL(38,0)) AS s,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      * CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS DECIMAL(38,0)) AS q
+      FROM events GROUP BY event_type
+    ),
+    terms AS (
+      SELECT event_type, n, s, q,
+             CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 9)
+                  AS DECIMAL(28,9)) AS sq_over_n
+      FROM g
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn,
+             CAST(count(*) AS BIGINT) AS k,
+             sum(s) AS ss, sum(q) AS qq, sum(sq_over_n) AS b
+      FROM terms
+    )
+    SELECT t.event_type,
+           t.n,
+           round(CAST(t.s AS DOUBLE) / (t.n * 100.0), 6) AS mean_value,
+           round(
+             CAST(
+               (CAST(tot.b AS DOUBLE)
+                - CAST(tot.ss AS DOUBLE) * CAST(tot.ss AS DOUBLE) / tot.nn)
+               / (tot.k - 1)
+             AS DOUBLE)
+             / ((CAST(tot.qq AS DOUBLE) - CAST(tot.b AS DOUBLE))
+                / (tot.nn - tot.k)),
+             6) AS f_stat
+    FROM terms t, tot ORDER BY t.event_type
+    """,
+)
+def q211_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across event types (completes the hypothesis-test
+    suite beside Welch-t, chi-square, KS, Mann-Kendall): F = between-group
+    variance / within-group variance. All moments (n, S, Q) accumulate in
+    integer-cents DECIMAL(38,0) (order-free); the one order-sensitive
+    float reduction — summing S_g^2/n_g across groups — is rounded to 9
+    places per term and summed in DECIMAL(28,9), the round-then-decimal
+    trick that makes the sum order-free too. One aggregate shuffle over
+    k=|event_type| groups; the F math runs on the k-row table with a
+    broadcast of the 1-row grand totals."""
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    g = (
+        _t(spark, sf_dir, "events")
+        .select("event_type", cents.alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c").cast("decimal(38,0)")).alias("s"),
+            F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("q"),
+        )
+    )
+    terms = g.select(
+        "*",
+        F.round(
+            F.col("s").cast("double") * F.col("s").cast("double") / F.col("n"), 9
+        ).cast("decimal(28,9)").alias("sq_over_n"),
+    )
+    tot = terms.agg(
+        F.sum("n").alias("nn"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("s").alias("ss"),
+        F.sum("q").alias("qq"),
+        F.sum("sq_over_n").alias("b"),
+    )
+    ssb = (
+        F.col("b").cast("double")
+        - F.col("ss").cast("double") * F.col("ss").cast("double") / F.col("nn")
+    )
+    ssw = F.col("qq").cast("double") - F.col("b").cast("double")
+    return (
+        terms.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "n",
+            F.round(F.col("s").cast("double") / (F.col("n") * F.lit(100.0)), 6)
+            .alias("mean_value"),
+            F.round(
+                (ssb / (F.col("k") - 1)) / (ssw / (F.col("nn") - F.col("k"))), 6
+            ).alias("f_stat"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q212_nested_roundtrip",
+    oracle="""
+    SELECT o.o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(38,8))) AS DOUBLE) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+    """,
+)
+def q212_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-schema round-trip: orders nested with their lineitems as an
+    array<struct> column (the document-shaped layout denormalized feeds
+    and JSON-lake tables use), written to parquet, read back, exploded,
+    and aggregated — against a flat-join oracle that never sees the
+    nested form. Verifies lossless nested parquet encoding, including
+    array-of-struct field order and decimal-valued doubles. The nested
+    build is one groupBy on orderkey (the same shuffle the join would
+    pay); at 100 TB the nested table is written once and every
+    per-order access pattern afterwards is shuffle-free."""
+    import shutil
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    nested = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.collect_list(
+                F.struct("l_extendedprice", "l_discount")
+            ).alias("lines")
+        )
+        .join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .select("o_orderkey", "o_orderstatus", "lines")
+    )
+    out = tempfile.mkdtemp(prefix="spark_graft_q212_")
+    try:
+        nested.write.mode("overwrite").parquet(out)
+        back = spark.read.parquet(out)
+        result = (
+            back.select("o_orderstatus", F.explode("lines").alias("ln"))
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.sum(
+                    (
+                        F.col("ln.l_extendedprice")
+                        * (F.lit(1) - F.col("ln.l_discount"))
+                    ).cast(DEC)
+                ).cast("double").alias("revenue"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "q213_schema_evolution_merge",
+    oracle="""
+    WITH unioned AS (
+      SELECT event_id, user_id, value, NULL AS event_type
+      FROM events WHERE event_id % 2 = 0
+      UNION ALL
+      SELECT event_id, user_id, value, event_type
+      FROM events WHERE event_id % 2 = 1
+    )
+    SELECT coalesce(event_type, '<pre-schema>') AS event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS sum_value,
+           CAST(min(event_id) AS BIGINT) AS min_id
+    FROM unioned GROUP BY 1 ORDER BY 1
+    """,
+)
+def q213_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: an old batch written WITHOUT event_type and
+    a new batch written WITH it land in the same dataset; the reader
+    merges the schemas (mergeSchema=true) and old rows surface with NULL
+    in the added column — the append-only schema-evolution contract every
+    long-lived lake table needs (the reference handles this as ALTER
+    TABLE ADD COLUMN mid-sync; here it's metadata-only). The oracle
+    builds the same union explicitly. Aggregation groups the NULL
+    old-schema rows under a sentinel."""
+    import shutil
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    old = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id", "value"
+    )
+    new = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    out = tempfile.mkdtemp(prefix="spark_graft_q213_")
+    try:
+        old.write.mode("overwrite").parquet(out + "/batch=1")
+        new.write.mode("overwrite").parquet(out + "/batch=2")
+        back = spark.read.option("mergeSchema", "true").parquet(out)
+        result = (
+            back.groupBy(
+                F.coalesce("event_type", F.lit("<pre-schema>")).alias(
+                    "event_type"
+                )
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+                F.min("event_id").alias("min_id"),
+            )
+            .orderBy("event_type")
+        )
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
