@@ -8324,3 +8324,187 @@ def q213_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         return result.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "q214_binned_quantile_sketch",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events
+    ),
+    bins AS (
+      SELECT c // 64 AS bin, CAST(count(*) AS BIGINT) AS cnt
+      FROM cents GROUP BY bin
+    ),
+    cum AS (
+      SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum,
+             (SELECT count(*) FROM cents) AS n
+      FROM bins
+    ),
+    qs AS (SELECT unnest([25, 50, 75, 90, 99]) AS q),
+    ranks AS (
+      SELECT q, CAST(ceil(q * (SELECT count(*) FROM cents) / 100.0)
+                     AS BIGINT) AS r
+      FROM qs
+    ),
+    sketch AS (
+      SELECT r.q, r.r, min(c.bin) AS hit_bin
+      FROM ranks r JOIN cum c ON c.cum >= r.r
+      GROUP BY r.q, r.r
+    ),
+    vals AS (
+      SELECT c, CAST(count(*) AS BIGINT) AS cnt FROM cents GROUP BY c
+    ),
+    vcum AS (SELECT c, sum(cnt) OVER (ORDER BY c) AS cum FROM vals),
+    exact AS (
+      SELECT r.q, min(v.c) AS exact_cents
+      FROM ranks r JOIN vcum v ON v.cum >= r.r
+      GROUP BY r.q
+    )
+    SELECT s.q AS quantile,
+           s.hit_bin * 64 AS sketch_lo_cents,
+           s.hit_bin * 64 + 63 AS sketch_hi_cents,
+           e.exact_cents,
+           CAST(e.exact_cents >= s.hit_bin * 64
+                AND e.exact_cents <= s.hit_bin * 64 + 63 AS BOOLEAN)
+             AS bin_contains_exact
+    FROM sketch s JOIN exact e ON e.q = s.q
+    ORDER BY quantile
+    """,
+)
+def q214_binned_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable binned-quantile sketch with exact verification (the
+    fourth sketch beside HLL, count-min, and Misra-Gries): values bin to
+    64-cent buckets — per-partition bin counts merge by addition, the
+    mergeability that t-digest/KLL buy with far more machinery — and each
+    requested quantile resolves to the first bin whose cumulative count
+    reaches ceil(q*n). The verifier computes the true quantile from exact
+    value counts and asserts it falls inside the sketch bin (boolean
+    column, so the oracle comparison proves the containment guarantee,
+    not just the estimate). All integer math. Plan: one ~766-row bin agg
+    + one value-count agg bounded by the cents domain; the cumulative
+    windows run on sketch-sized tables."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c")
+    )
+    n_row = ev.agg(F.count(F.lit(1)).alias("n"))
+    bins = ev.groupBy((F.col("c") / 64).cast("long").alias("bin")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cum = bins.select(
+        "bin", "cnt", F.sum("cnt").over(W.orderBy("bin")).alias("cum")
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(v) for v in (25, 50, 75, 90, 99)])).alias("q")
+    )
+    ranks = qs.crossJoin(F.broadcast(n_row)).select(
+        "q", F.ceil(F.col("q") * F.col("n") / F.lit(100.0)).cast("long").alias("r")
+    )
+    sketch = (
+        cum.crossJoin(F.broadcast(ranks))
+        .filter(F.col("cum") >= F.col("r"))
+        .groupBy("q")
+        .agg(F.min("bin").alias("hit_bin"))
+    )
+    vals = ev.groupBy("c").agg(F.count(F.lit(1)).alias("cnt"))
+    vcum = vals.select("c", F.sum("cnt").over(W.orderBy("c")).alias("cum"))
+    exact = (
+        vcum.crossJoin(F.broadcast(ranks))
+        .filter(F.col("cum") >= F.col("r"))
+        .groupBy("q")
+        .agg(F.min("c").alias("exact_cents"))
+    )
+    return (
+        sketch.join(exact, "q")
+        .select(
+            F.col("q").alias("quantile"),
+            (F.col("hit_bin") * 64).alias("sketch_lo_cents"),
+            (F.col("hit_bin") * 64 + 63).alias("sketch_hi_cents"),
+            "exact_cents",
+            (
+                (F.col("exact_cents") >= F.col("hit_bin") * 64)
+                & (F.col("exact_cents") <= F.col("hit_bin") * 64 + 63)
+            ).alias("bin_contains_exact"),
+        )
+        .orderBy("quantile")
+    )
+
+
+@register(
+    "q215_silhouette_score",
+    oracle=f"""
+    WITH {_VFX_SQL},
+    cent AS (
+      SELECT label, pos, CAST(sum(v_fx) // count(*) AS BIGINT) AS c_fx
+      FROM vfx GROUP BY label, pos
+    ),
+    dist AS (
+      SELECT v.vec_id, v.label AS true_label, c.label AS cand,
+             CAST(sum((v.v_fx - c.c_fx) * (v.v_fx - c.c_fx)) AS BIGINT) AS d2
+      FROM vfx v JOIN cent c ON v.pos = c.pos
+      GROUP BY v.vec_id, v.label, c.label
+    ),
+    ab AS (
+      SELECT vec_id, true_label,
+             max(CASE WHEN cand = true_label THEN d2 END) AS a2,
+             min(CASE WHEN cand <> true_label THEN d2 END) AS b2
+      FROM dist GROUP BY vec_id, true_label
+    ),
+    s AS (
+      SELECT vec_id, true_label,
+             CASE WHEN greatest(a2, b2) = 0 THEN CAST(0 AS DECIMAL(28,9))
+                  ELSE CAST(round((sqrt(CAST(b2 AS DOUBLE))
+                                   - sqrt(CAST(a2 AS DOUBLE)))
+                                  / sqrt(CAST(greatest(a2, b2) AS DOUBLE)), 9)
+                            AS DECIMAL(28,9)) END AS sil
+      FROM ab
+    )
+    SELECT true_label AS label,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(sil) AS DOUBLE) / count(*), 6) AS mean_silhouette
+    FROM s GROUP BY true_label ORDER BY label
+    """,
+)
+def q215_silhouette_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette score per label — the
+    clustering-quality metric: a = distance to own centroid, b = distance
+    to the nearest other centroid, s = (b-a)/max(a,b). Distances are
+    exact BIGINT fixed-point squares; sqrt is IEEE-correctly-rounded so
+    both engines produce identical doubles; per-point scores round(9)
+    into DECIMAL(28,9) before the per-label mean so the reduction is
+    order-free (the round-then-decimal discipline). Same centroid
+    broadcast shape as the k-means E-step (q103): the corpus shuffles
+    twice, centroid table is k*dim rows."""
+    vfx = _vfx(spark, sf_dir).localCheckpoint(eager=False)
+    cent = vfx.groupBy(F.col("label").alias("clabel"), "pos").agg(
+        F.expr("sum(v_fx) div count(1)").cast("long").alias("c_fx")
+    )
+    diff = F.col("v_fx") - F.col("c_fx")
+    dist = (
+        vfx.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum(diff * diff).cast("long").alias("d2"))
+    )
+    ab = dist.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("clabel") == F.col("label"), F.col("d2"))).alias("a2"),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("d2"))).alias("b2"),
+    )
+    g = F.greatest("a2", "b2")
+    sil = F.when(g == 0, F.lit(0).cast("decimal(28,9)")).otherwise(
+        F.round(
+            (F.sqrt(F.col("b2").cast("double")) - F.sqrt(F.col("a2").cast("double")))
+            / F.sqrt(g.cast("double")),
+            9,
+        ).cast("decimal(28,9)")
+    )
+    return (
+        ab.select("label", sil.alias("sil"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("sil").cast("double") / F.count(F.lit(1)), 6).alias(
+                "mean_silhouette"
+            ),
+        )
+        .orderBy("label")
+    )
