@@ -8508,3 +8508,103 @@ def q215_silhouette_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "q216_isotonic_calibration",
+    oracle="""
+    WITH base AS (
+      SELECT event_type AS g, value, event_id,
+             CAST(event_id % 2 AS BIGINT) AS y,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn
+      FROM events WHERE user_id < 12
+    ),
+    pre AS (
+      SELECT g, rn, y,
+             sum(y) OVER (PARTITION BY g ORDER BY rn) AS p
+      FROM base
+    ),
+    pairs AS (
+      SELECT a.g, a.rn AS j, b.rn AS k,
+             CAST(b.p - a.p + a.y AS DOUBLE) / (b.rn - a.rn + 1) AS avg_jk
+      FROM pre a JOIN pre b ON a.g = b.g AND b.rn >= a.rn
+    ),
+    suffix_min AS (
+      SELECT g, j, min(avg_jk) AS m FROM pairs GROUP BY g, j
+    ),
+    fitted AS (
+      SELECT g, j AS rn,
+             max(m) OVER (PARTITION BY g ORDER BY j) AS fit
+      FROM suffix_min
+    )
+    SELECT b.g AS event_type, b.rn AS rn, b.y, round(f.fit, 9) AS fitted
+    FROM base b JOIN fitted f ON f.g = b.g AND f.rn = b.rn
+    ORDER BY event_type, b.rn
+    """,
+)
+def q216_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression (probability calibration) per event type: fit
+    the best monotone non-decreasing approximation of a binary outcome
+    ordered by score — computed via the minimax closed form
+    fit[i] = max_{j<=i} min_{k>=j} avg(y[j..k]), which equals the
+    pool-adjacent-violators solution (Robertson et al., 'Order Restricted
+    Statistical Inference', the PAV minimax identity) but needs no
+    sequential pool-merge loop: prefix sums turn every interval average
+    into one identical IEEE division, a pair join + group-min gives the
+    suffix minima, a running-max window finishes. Verified against a
+    literal numpy PAV in pytest (the oracle shares the minimax formula,
+    so the unit test carries the independent-derivation burden). The
+    pair join is O(n^2) per group — bounded here by the user filter;
+    the documented scale path blocks the sequence and PAVs block
+    summaries (each block's pools are O(block) and adjacent-block merges
+    touch only boundary pools)."""
+    base = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 12)
+        .select(
+            F.col("event_type").alias("g"),
+            "value",
+            "event_id",
+            (F.col("event_id") % 2).cast("long").alias("y"),
+        )
+        .select(
+            "g", "y",
+            F.row_number()
+            .over(W.partitionBy("g").orderBy("value", "event_id"))
+            .alias("rn"),
+        )
+    )
+    pre = base.select(
+        "g", "rn", "y",
+        F.sum("y").over(W.partitionBy("g").orderBy("rn")).alias("p"),
+    )
+    a = pre.select(
+        F.col("g"), F.col("rn").alias("j"), F.col("y").alias("ay"),
+        F.col("p").alias("ap"),
+    )
+    b = pre.select(
+        F.col("g").alias("bg"), F.col("rn").alias("k"), F.col("p").alias("bp")
+    )
+    pairs = a.join(
+        b, (a["g"] == b["bg"]) & (F.col("k") >= F.col("j"))
+    ).select(
+        "g", "j",
+        (
+            (F.col("bp") - F.col("ap") + F.col("ay")).cast("double")
+            / (F.col("k") - F.col("j") + 1)
+        ).alias("avg_jk"),
+    )
+    suffix_min = pairs.groupBy("g", "j").agg(F.min("avg_jk").alias("m"))
+    fitted = suffix_min.select(
+        "g", F.col("j").alias("rn"),
+        F.max("m").over(W.partitionBy("g").orderBy("j")).alias("fit"),
+    )
+    return (
+        base.join(fitted, ["g", "rn"])
+        .select(
+            F.col("g").alias("event_type"), "rn", "y",
+            F.round("fit", 9).alias("fitted"),
+        )
+        .orderBy("event_type", "rn")
+    )

@@ -112,6 +112,13 @@ BUDGETS = [
     ("q207_clamped_running_balance", 2, 0),  # one user window + final agg
     ("q208_embedding_covariance", 2, 0),     # one cell agg (36/label) + sort
     ("q209_span_dedup", 7, 0),          # postings agg + join-back + islands window
+    ("q210_orc_roundtrip", 0, 0),       # checkpointed aggregate (ORC sink+scan)
+    ("q211_anova_oneway", 3, 0),        # moment agg + k-row terms + 1-row bcast
+    ("q212_nested_roundtrip", 0, 0),    # checkpointed aggregate (nested parquet)
+    ("q213_schema_evolution_merge", 0, 0),  # checkpointed aggregate (mergeSchema)
+    ("q214_binned_quantile_sketch", 2, 0),  # bin agg + value agg; windows sketch-sized
+    ("q215_silhouette_score", 5, 0),    # vfx agg + dist agg + ab agg + label agg
+    ("q216_isotonic_calibration", 4, 0),    # rank window + pair join + suffix-min + fit
 ]
 
 

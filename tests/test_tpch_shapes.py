@@ -110,3 +110,36 @@ def test_q210_orc_filter_pushdown(spark, tmp_path):
         back.explain("formatted")
     plan = buf.getvalue()
     assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200], plan
+
+
+def test_q216_minimax_equals_literal_pav(spark):
+    """The minimax closed form both engines share must equal the literal
+    pool-adjacent-violators algorithm — run PAV in numpy on the same
+    (group, ordered-y) sequences and compare every fitted value."""
+    import numpy as np
+
+    from sqlserver2pgsql_spark import queries_r4 as QR4
+
+    pdf = QR4.q216_isotonic_calibration(spark, SF_DIR).toPandas()
+
+    def pav(y):
+        # stack of pools: (sum, count)
+        pools = []
+        for v in y:
+            pools.append([float(v), 1])
+            while len(pools) > 1 and (
+                pools[-2][0] / pools[-2][1] >= pools[-1][0] / pools[-1][1]
+            ):
+                s, c = pools.pop()
+                pools[-1][0] += s
+                pools[-1][1] += c
+        out = []
+        for s, c in pools:
+            out.extend([s / c] * c)
+        return out
+
+    for g, grp in pdf.groupby("event_type"):
+        grp = grp.sort_values("rn")
+        expect = np.round(pav(grp["y"].tolist()), 9)
+        got = grp["fitted"].to_numpy()
+        assert np.allclose(got, expect, atol=1e-9), g
