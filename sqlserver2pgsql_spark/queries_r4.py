@@ -8608,3 +8608,170 @@ def q216_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "rn")
     )
+
+
+@register(
+    "q217_ndcg_eval",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT t.term, x.doc_id, CAST(count(*) AS BIGINT) AS tf
+      FROM toks x JOIN (SELECT unnest(['join', 'hash', 'scan']) AS term) t
+        ON x.tok = t.term
+      GROUP BY t.term, x.doc_id
+    ),
+    graded AS (
+      SELECT term, doc_id, tf, least(tf, 3) AS rel,
+             row_number() OVER (PARTITION BY term
+                                ORDER BY tf DESC, doc_id) AS rk,
+             row_number() OVER (PARTITION BY term
+                                ORDER BY least(tf, 3) DESC, doc_id) AS irk
+      FROM tf
+    ),
+    terms AS (
+      SELECT term,
+             CASE WHEN rk <= 10 THEN
+               CAST(round((pow(2, rel) - 1) / log2(rk + 1.0), 9)
+                    AS DECIMAL(28,9)) ELSE CAST(0 AS DECIMAL(28,9)) END AS dg,
+             CASE WHEN irk <= 10 THEN
+               CAST(round((pow(2, rel) - 1) / log2(irk + 1.0), 9)
+                    AS DECIMAL(28,9)) ELSE CAST(0 AS DECIMAL(28,9)) END AS ig
+      FROM graded
+    )
+    SELECT term,
+           CAST(sum(dg) AS DOUBLE) AS dcg10,
+           CAST(sum(ig) AS DOUBLE) AS idcg10,
+           round(CAST(sum(dg) AS DOUBLE) / CAST(sum(ig) AS DOUBLE), 6)
+             AS ndcg10
+    FROM terms GROUP BY term ORDER BY term
+    """,
+)
+def q217_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation: nDCG@10 per probe query — the IR
+    metric that grades the retrieval stack (q142 index, q147 BM25, q163
+    fusion). System ranking orders by exact term frequency; graded
+    relevance rel = min(tf, 3); ideal ranking re-sorts by relevance.
+    Every DCG term (2^rel - 1)/log2(rank+1) rounds to 9 places into
+    DECIMAL(28,9) before summation (log2 differs from libm in the last
+    ulp; the round-then-decimal trick pins both engines), and nDCG is
+    one final division. Plan: one tf aggregation (probe terms filter
+    BEFORE the agg — the scan carries 3 terms, not the vocabulary), two
+    rank windows per term partition, one 10-row-per-term reduce."""
+    terms = ("join", "hash", "scan")
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    ).filter(F.col("tok").isin(*terms))
+    tf = toks.groupBy(F.col("tok").alias("term"), "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    rel = F.least(F.col("tf"), F.lit(3))
+    graded = tf.select(
+        "term", "doc_id", "tf", rel.alias("rel"),
+        F.row_number()
+        .over(W.partitionBy("term").orderBy(F.desc("tf"), "doc_id"))
+        .alias("rk"),
+        F.row_number()
+        .over(W.partitionBy("term").orderBy(rel.desc(), "doc_id"))
+        .alias("irk"),
+    )
+    zero = F.lit(0).cast("decimal(28,9)")
+    gain = lambda r: (F.pow(F.lit(2.0), F.col("rel")) - 1) / F.log2(
+        F.col(r) + F.lit(1.0)
+    )
+    dg = F.when(
+        F.col("rk") <= 10, F.round(gain("rk"), 9).cast("decimal(28,9)")
+    ).otherwise(zero)
+    ig = F.when(
+        F.col("irk") <= 10, F.round(gain("irk"), 9).cast("decimal(28,9)")
+    ).otherwise(zero)
+    return (
+        graded.select("term", dg.alias("dg"), ig.alias("ig"))
+        .groupBy("term")
+        .agg(
+            F.sum("dg").cast("double").alias("dcg10"),
+            F.sum("ig").cast("double").alias("idcg10"),
+        )
+        .select(
+            "term", "dcg10", "idcg10",
+            F.round(F.col("dcg10") / F.col("idcg10"), 6).alias("ndcg10"),
+        )
+        .orderBy("term")
+    )
+
+
+@register(
+    "q218_two_hop_reach",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey HAVING count(*) >= 3
+    ),
+    edges AS (
+      SELECT p1 AS src, p2 AS dst FROM pairs
+      UNION ALL SELECT p2, p1 FROM pairs
+    ),
+    two_hop AS (
+      SELECT e1.src, e2.dst FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+      WHERE e2.dst <> e1.src
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT src, dst FROM two_hop
+    )
+    SELECT r.src AS part,
+           CAST((SELECT count(*) FROM edges e WHERE e.src = r.src)
+                AS BIGINT) AS n_1hop,
+           CAST(count(*) AS BIGINT) AS n_reach2
+    FROM reach r GROUP BY r.src ORDER BY part
+    """,
+)
+def q218_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop neighborhood reach on the co-purchase graph: for every
+    part, how many distinct parts are within <=2 hops of co-order edges
+    (support >= 3) — the multi-hop graph traversal pattern (friend-of-
+    friend, related-item expansion). Edges derive from the same grouped
+    pair generator as q126; the 2-hop expansion is ONE self-join on the
+    symmetric edge list followed by a UNION-distinct with the 1-hop set.
+    At scale the expansion is degree-bounded: cap per-node neighbor
+    lists (top-k by support) before the self-join — the support filter
+    here plays that role. Two aggregation shuffles + one join shuffle."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= 3)
+        .select("pa", "pb")
+    )
+    edges = pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionByName(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    e2 = edges.select(F.col("src").alias("mid"), F.col("dst").alias("dst2"))
+    two_hop = (
+        edges.join(e2, edges["dst"] == e2["mid"])
+        .filter(F.col("dst2") != F.col("src"))
+        .select("src", F.col("dst2").alias("dst"))
+    )
+    reach = edges.unionByName(two_hop).distinct()
+    one_hop = edges.groupBy("src").agg(F.count(F.lit(1)).alias("n_1hop"))
+    return (
+        reach.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n_reach2"))
+        .join(one_hop, "src")
+        .select(F.col("src").alias("part"), "n_1hop", "n_reach2")
+        .orderBy("part")
+    )
