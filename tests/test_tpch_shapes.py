@@ -143,3 +143,51 @@ def test_q216_minimax_equals_literal_pav(spark):
         expect = np.round(pav(grp["y"].tolist()), 9)
         got = grp["fitted"].to_numpy()
         assert np.allclose(got, expect, atol=1e-9), g
+
+
+def test_runtime_bloom_filter_join_injection(spark):
+    """Runtime bloom-filter join (SPARK-32268): with a selective build
+    side, Spark injects a bloom filter from the filtered dims into the
+    big fact scan — the runtime semi-join pushdown that prunes shuffle
+    input at 100 TB. Local fixtures sit under the default 10 GB
+    application-side threshold, so the test lowers it to prove the
+    session supports the rewrite; production keeps the default."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+    from sqlserver2pgsql_spark.sources.tables import load_table
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, SF_DIR, "lineitem")
+        o = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        assert "might_contain" in buf.getvalue().lower(), buf.getvalue()[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
