@@ -8775,3 +8775,94 @@ def q218_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("src").alias("part"), "n_1hop", "n_reach2")
         .orderBy("part")
     )
+
+
+@register(
+    "q219_user_feature_matrix",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, ts, event_type, value,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_errors,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents,
+           round(CAST(sum(cents) AS DOUBLE) / (100.0 * count(*)), 6)
+             AS mean_value,
+           CAST(date_diff('second', min(ts), max(ts)) AS BIGINT)
+             AS tenure_seconds,
+           CAST(max(CASE WHEN rn = 1 THEN NULL
+                         ELSE date_diff('second', prev_ts, ts) END)
+                AS BIGINT) AS max_gap_seconds,
+           round(CAST(sum(CASE WHEN event_type = 'purchase' THEN cents
+                               ELSE 0 END) AS DOUBLE)
+                 / greatest(CAST(sum(cents) AS DOUBLE), 1.0), 6)
+             AS purchase_value_share
+    FROM base GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q219_user_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store assembly: ten per-user model features — activity
+    counts, conditional counts, exact money moments (integer cents),
+    tenure and max inter-event gap (a window feature folded into the
+    same single pass), and a bounded ratio — in ONE scan, one window
+    shuffle and one aggregation on the same key (Catalyst reuses the
+    user_id partitioning; no second exchange). The pattern every
+    training-data pipeline ends with: wide deterministic projections,
+    not a chain of per-feature joins."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.select(
+        "user_id", "ts", "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        F.row_number().over(w).alias("rn"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    gap = F.when(
+        F.col("rn") == 1, F.lit(None).cast("long")
+    ).otherwise(F.unix_timestamp("ts") - F.unix_timestamp("prev_ts"))
+    is_p = F.col("event_type") == "purchase"
+    return (
+        base.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.sum(F.when(is_p, 1).otherwise(0)).cast("long").alias("n_purchases"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long").alias("n_errors"),
+            F.sum("cents").alias("total_cents"),
+            F.max("cents").alias("max_cents"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+            .alias("tenure_seconds"),
+            F.max(gap).alias("max_gap_seconds"),
+            F.sum(F.when(is_p, F.col("cents")).otherwise(0)).alias("_pcents"),
+        )
+        .select(
+            "user_id", "n_events", "n_types", "n_purchases", "n_errors",
+            "total_cents", "max_cents",
+            F.round(
+                F.col("total_cents").cast("double")
+                / (F.lit(100.0) * F.col("n_events")),
+                6,
+            ).alias("mean_value"),
+            "tenure_seconds",
+            "max_gap_seconds",
+            F.round(
+                F.col("_pcents").cast("double")
+                / F.greatest(F.col("total_cents").cast("double"), F.lit(1.0)),
+                6,
+            ).alias("purchase_value_share"),
+        )
+        .orderBy("user_id")
+    )

@@ -119,6 +119,7 @@ BUDGETS = [
     ("q214_binned_quantile_sketch", 2, 0),  # bin agg + value agg; windows sketch-sized
     ("q215_silhouette_score", 5, 0),    # vfx agg + dist agg + ab agg + label agg
     ("q216_isotonic_calibration", 4, 0),    # rank window + pair join + suffix-min + fit
+    ("q219_user_feature_matrix", 2, 0),     # one user window reused by the agg + sort
 ]
 
 
