@@ -191,3 +191,51 @@ def test_runtime_bloom_filter_join_injection(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_aqe_skew_join_split(spark):
+    """AQE skew-join (SPARK-29544): a hot key concentrating ~90% of the
+    probe side must be detected at runtime and split into subpartitions —
+    the executed adaptive plan carries SortMergeJoin(skew=true). This is
+    the runtime complement to the explicit salting operator (q59): AQE
+    handles skew discovered mid-job, salting handles skew known upfront.
+    Thresholds are lowered so fixture-scale bytes trigger the detector;
+    production keeps the defaults."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    keys = (
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+    )
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        left = spark.range(200000).select(
+            F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k").groupBy().agg(F.count(F.lit(1)).alias("n"))
+        j.collect()  # AQE marks skew only in the EXECUTED plan
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        assert "skew=true" in buf.getvalue(), buf.getvalue()[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
