@@ -8866,3 +8866,111 @@ def q219_user_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q220_time_band_counts",
+    oracle="""
+    SELECT
+      (SELECT count(*) FROM events
+        WHERE hour(ts) BETWEEN 0 AND 2 AND event_type = 'click') AS h0,
+      (SELECT count(*) FROM events
+        WHERE hour(ts) BETWEEN 3 AND 5 AND event_type = 'click') AS h3,
+      (SELECT count(*) FROM events
+        WHERE hour(ts) BETWEEN 6 AND 8 AND event_type = 'view') AS h6,
+      (SELECT count(*) FROM events
+        WHERE hour(ts) BETWEEN 9 AND 11 AND event_type = 'view') AS h9,
+      (SELECT count(*) FROM events
+        WHERE hour(ts) BETWEEN 12 AND 14 AND event_type = 'purchase') AS h12,
+      (SELECT count(*) FROM events
+        WHERE hour(ts) BETWEEN 15 AND 17 AND event_type = 'purchase') AS h15,
+      (SELECT count(*) FROM events
+        WHERE hour(ts) BETWEEN 18 AND 20 AND event_type = 'signup') AS h18,
+      (SELECT count(*) FROM events
+        WHERE hour(ts) BETWEEN 21 AND 23 AND event_type = 'error') AS h21
+    """,
+)
+def q220_time_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q88 shape (multi-band store-hour counts): eight independent
+    filtered counts presented as one row. The oracle states it the
+    literal way — eight scalar subqueries, eight scans; the Spark side
+    states the OPTIMIZED form the shape demands at scale: ONE scan with
+    eight conditional sums (each subquery's predicate becomes a
+    when/otherwise), which is the rewrite a fact table read 8x over
+    100 TB cannot skip. Zero joins, zero windows, one map-side-combined
+    aggregate."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.hour("ts").alias("h"), "event_type"
+    )
+    bands = [
+        ("h0", 0, 2, "click"), ("h3", 3, 5, "click"),
+        ("h6", 6, 8, "view"), ("h9", 9, 11, "view"),
+        ("h12", 12, 14, "purchase"), ("h15", 15, 17, "purchase"),
+        ("h18", 18, 20, "signup"), ("h21", 21, 23, "error"),
+    ]
+    return ev.agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("h").between(lo, hi) & (F.col("event_type") == t), 1
+                ).otherwise(0)
+            ).cast("long").alias(name)
+            for name, lo, hi, t in bands
+        ]
+    )
+
+
+@register(
+    "q221_cross_format_union",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE)
+             AS total,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def q221_cross_format_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-format federation: the same orders table split three ways —
+    one third stays parquet, one third written as ORC, one third as
+    JSONL — read back through three format-specific readers with an
+    explicit shared schema, unioned, aggregated. The oracle sees only
+    the original parquet: the federation must be lossless across all
+    three encodings, including timestamps (JSON round-trips them as ISO
+    strings — the explicit read schema restores the type; a schema-less
+    JSON read would silently degrade to strings and is the classic lake
+    bug this query pins). The multi-source union every migration
+    pipeline runs during a format transition."""
+    import shutil
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders")
+    part1 = o.filter(F.col("o_orderkey") % 3 == 0)
+    part2 = o.filter(F.col("o_orderkey") % 3 == 1)
+    part3 = o.filter(F.col("o_orderkey") % 3 == 2)
+    out = tempfile.mkdtemp(prefix="spark_graft_q221_")
+    try:
+        part1.write.mode("overwrite").parquet(out + "/pq")
+        part2.write.mode("overwrite").orc(out + "/orc")
+        part3.write.mode("overwrite").json(out + "/jsonl")
+        schema = o.schema
+        back = (
+            spark.read.schema(schema).parquet(out + "/pq")
+            .unionByName(spark.read.schema(schema).orc(out + "/orc"))
+            .unionByName(spark.read.schema(schema).json(out + "/jsonl"))
+        )
+        result = (
+            back.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias(
+                    "total"
+                ),
+                F.countDistinct("o_custkey").alias("n_custs"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
