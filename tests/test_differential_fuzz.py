@@ -1107,3 +1107,74 @@ def _strfnq_spark(spark, q: dict):
 def test_differential_string_functions(seed, spark, duck):
     q = _gen_strfn(seed)
     assert_matches_oracle(_strfnq_spark(spark, q), duck, _strfnq_sql(q))
+
+
+# --- navigation / distribution window-function grammar -----------------------
+#
+# The rank-family grammar's sibling: ntile, lag/lead with offsets and
+# defaults, nth_value, percent_rank, cume_dist — the navigation and
+# distribution functions. Ordering is always (num, key): a unique total
+# order, so offsets and tile boundaries are engine-independent.
+# percent_rank/cume_dist are single-division rationals of exact integer
+# ranks — identical IEEE results on both engines, no rounding needed.
+
+NAV_FNS = ["ntile", "lag", "lead", "nth_value", "percent_rank", "cume_dist"]
+
+
+def _gen_nav(seed: int) -> dict:
+    rng = random.Random(seed + 110_000)
+    table = rng.choice(["orders", "lineitem", "customer"])
+    meta = TABLES[table]
+    part = rng.choice(sorted(meta["cats"]))
+    order = rng.choice(sorted(meta["nums"]))
+    fn = rng.choice(NAV_FNS)
+    return {
+        "table": table, "key": meta["key"], "part": part, "order": order,
+        "fn": fn,
+        "n": rng.randrange(2, 7),          # ntile buckets / nth position
+        "off": rng.randrange(1, 4),        # lag/lead offset
+        "dflt": rng.randrange(-5, 0),      # lag/lead default
+    }
+
+
+def _nav_sql(q: dict) -> str:
+    over = f"OVER (PARTITION BY {q['part']} ORDER BY {q['order']}, {q['key']})"
+    val = f"CAST({q['order']} AS BIGINT)"
+    body = {
+        "ntile": f"CAST(ntile({q['n']}) {over} AS BIGINT)",
+        "lag": f"lag({val}, {q['off']}, {q['dflt']}) {over}",
+        "lead": f"lead({val}, {q['off']}, {q['dflt']}) {over}",
+        "nth_value": f"nth_value({val}, {q['n']}) {over}",
+        "percent_rank": f"percent_rank() {over}",
+        "cume_dist": f"cume_dist() {over}",
+    }[q["fn"]]
+    return (
+        f"SELECT {q['part']} AS p, {q['key']} AS k, {body} AS w "
+        f"FROM {q['table']} ORDER BY p, k"
+    )
+
+
+def _nav_spark(spark, q: dict):
+    from pyspark.sql import Window as W
+
+    df = spark.read.parquet(f"{SF_DIR}/{q['table']}.parquet")
+    w = W.partitionBy(q["part"]).orderBy(q["order"], q["key"])
+    val = F.col(q["order"]).cast("long")
+    expr = {
+        "ntile": lambda: F.ntile(q["n"]).over(w).cast("long"),
+        "lag": lambda: F.lag(val, q["off"], q["dflt"]).over(w),
+        "lead": lambda: F.lead(val, q["off"], q["dflt"]).over(w),
+        "nth_value": lambda: F.nth_value(val, q["n"]).over(w),
+        "percent_rank": lambda: F.percent_rank().over(w),
+        "cume_dist": lambda: F.cume_dist().over(w),
+    }[q["fn"]]()
+    return df.select(
+        F.col(q["part"]).alias("p"), F.col(q["key"]).alias("k"),
+        expr.alias("w"),
+    ).orderBy("p", "k")
+
+
+@pytest.mark.parametrize("seed", range(24))
+def test_differential_navigation_window(seed, spark, duck):
+    q = _gen_nav(seed)
+    assert_matches_oracle(_nav_spark(spark, q), duck, _nav_sql(q))
