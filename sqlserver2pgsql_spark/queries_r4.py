@@ -8556,9 +8556,9 @@ def q216_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal numpy PAV in pytest (the oracle shares the minimax formula,
     so the unit test carries the independent-derivation burden). The
     pair join is O(n^2) per group — bounded here by the user filter;
-    the documented scale path blocks the sequence and PAVs block
-    summaries (each block's pools are O(block) and adjacent-block merges
-    touch only boundary pools)."""
+    the scale path is operators/isotonic.py:isotonic_fit (blocked PAV:
+    O(B^2) per block + a weighted pool-level pass, verified bit-equal
+    to this direct form in test_blocked_pav_equals_direct_minimax)."""
     base = (
         _t(spark, sf_dir, "events")
         .filter(F.col("user_id") < 12)

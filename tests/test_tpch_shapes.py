@@ -239,3 +239,56 @@ def test_aqe_skew_join_split(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_blocked_pav_equals_direct_minimax(spark):
+    """The blocked PAV operator (the documented scale path for q216) must
+    reproduce the direct O(n^2) minimax solution exactly — block size 32
+    forces multiple blocks and cross-block pool merges on this data."""
+    from pyspark.sql import functions as F
+
+    from sqlserver2pgsql_spark import queries_r4 as QR4
+    from sqlserver2pgsql_spark.operators.isotonic import isotonic_fit
+    from sqlserver2pgsql_spark.sources.tables import load_table
+
+    direct = (
+        QR4.q216_isotonic_calibration(spark, SF_DIR)
+        .select("event_type", "rn", "fitted")
+        .toPandas()
+        .sort_values(["event_type", "rn"], ignore_index=True)
+    )
+    ev = load_table(spark, SF_DIR, "events").filter(F.col("user_id") < 12)
+    blocked = (
+        isotonic_fit(
+            ev, "event_type", ["value", "event_id"],
+            (F.col("event_id") % 2), block=32,
+        )
+        .select("event_type", "rn", F.round("fitted", 9).alias("fitted"))
+        .toPandas()
+        .sort_values(["event_type", "rn"], ignore_index=True)
+    )
+    assert len(direct) == len(blocked) and len(direct) > 0
+    assert (direct["fitted"] == blocked["fitted"]).all(), (
+        direct.compare(blocked).head()
+    )
+
+
+def test_blocked_pav_monotone_and_mean_preserving(spark):
+    """PAV invariants on the blocked operator: fitted is non-decreasing
+    within each group, and the fitted sum equals the y sum (pool means
+    preserve mass)."""
+    from pyspark.sql import functions as F
+
+    from sqlserver2pgsql_spark.operators.isotonic import isotonic_fit
+    from sqlserver2pgsql_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    pdf = (
+        isotonic_fit(ev, "event_type", ["ts", "event_id"],
+                     (F.col("user_id") % 3), block=64)
+        .toPandas()
+        .sort_values(["event_type", "rn"], ignore_index=True)
+    )
+    for g, grp in pdf.groupby("event_type"):
+        assert (grp["fitted"].diff().dropna() >= -1e-12).all(), g
+        assert abs(grp["fitted"].sum() - grp["y"].sum()) < 1e-6, g
