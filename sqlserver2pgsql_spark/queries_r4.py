@@ -8974,3 +8974,60 @@ def q221_cross_format_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         return result.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "q222_blocked_isotonic",
+    oracle="""
+    WITH base AS (
+      SELECT event_type AS g,
+             CAST(user_id % 3 AS BIGINT) AS y,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    pre AS (
+      SELECT g, rn, y, sum(y) OVER (PARTITION BY g ORDER BY rn) AS p
+      FROM base
+    ),
+    pairs AS (
+      SELECT a.g, a.rn AS j,
+             CAST(b.p - a.p + a.y AS DOUBLE) / (b.rn - a.rn + 1) AS avg_jk
+      FROM pre a JOIN pre b ON a.g = b.g AND b.rn >= a.rn
+    ),
+    suffix_min AS (SELECT g, j, min(avg_jk) AS m FROM pairs GROUP BY g, j),
+    fitted AS (
+      SELECT g, j AS rn, max(m) OVER (PARTITION BY g ORDER BY j) AS fit
+      FROM suffix_min
+    )
+    SELECT b.g AS event_type, b.rn AS rn, b.y,
+           round(f.fit, 9) AS fitted
+    FROM base b JOIN fitted f ON f.g = b.g AND f.rn = b.rn
+    ORDER BY event_type, b.rn
+    """,
+)
+def q222_blocked_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked PAV at full corpus width (operators/isotonic.py): the
+    Spark side runs the SCALED algorithm — block-local minimax, exact
+    integer pool summaries, one weighted pool-level pass — while the
+    oracle runs the direct O(n^2) minimax. Two INDEPENDENT formulations
+    whose exact agreement is the strongest check this suite has for an
+    iterative-equivalent operator (q216 verifies the formula; this
+    verifies the distributed decomposition). ~2000 rows/group means the
+    blocked side touches block-bounded pair rows per group instead of 4M
+    (block=256 balances the two stages: bigger blocks cost more in
+    stage 1 but collapse stage 3's pool count)."""
+    from .operators.isotonic import isotonic_fit
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        isotonic_fit(
+            ev, "event_type", ["ts", "event_id"],
+            (F.col("user_id") % 3), block=256,
+        )
+        .select(
+            "event_type", "rn", "y",
+            F.round("fitted", 9).alias("fitted"),
+        )
+        .orderBy("event_type", "rn")
+    )
