@@ -120,6 +120,9 @@ BUDGETS = [
     ("q215_silhouette_score", 5, 0),    # vfx agg + dist agg + ab agg + label agg
     ("q216_isotonic_calibration", 4, 0),    # rank window + pair join + suffix-min + fit
     ("q219_user_feature_matrix", 2, 0),     # one user window reused by the agg + sort
+    ("q220_time_band_counts", 0, 0),        # TPC-DS Q88: one conditional-sum scan
+    ("q221_cross_format_union", 0, 0),      # checkpointed (3-format federation)
+    ("q222_blocked_isotonic", 24, 0),       # 3-stage blocked PAV: block/pool/global
 ]
 
 
