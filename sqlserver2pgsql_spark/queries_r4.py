@@ -9031,3 +9031,87 @@ def q222_blocked_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "rn")
     )
+
+
+@register(
+    "q223_pandas_udf_polynomial",
+    oracle="""
+    SELECT event_id,
+           ((value * 0.125 + 3.0) * value - 2.5) * value + 1.0 AS score
+    FROM events WHERE event_type = 'purchase'
+    ORDER BY event_id
+    """,
+)
+def q223_pandas_udf_polynomial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-vectorized UDF path under the exactness gate: a Horner-
+    form cubic evaluated in a pandas_udf (numpy double ops — the same
+    IEEE operations DuckDB's expression engine runs, in the same order,
+    so results match bit-for-bit with no rounding). Every other query
+    keeps Python out of the hot path; this one exists to prove the
+    escape hatch ITSELF is correctness-gated — when a pipeline genuinely
+    needs custom Python math, the Arrow batch transfer and the
+    column-slice semantics must not perturb values. One scan, one Arrow
+    eval, zero shuffles beyond the output sort."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _horner(v: "pd.Series") -> "pd.Series":
+        return ((v * 0.125 + 3.0) * v - 2.5) * v + 1.0
+
+    _horner.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    horner = pandas_udf(_horner, "double")
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return ev.select("event_id", horner("value").alias("score")).orderBy(
+        "event_id"
+    )
+
+
+@register(
+    "q224_session_paths",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM ordered WHERE rn <= 3 GROUP BY user_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path LIMIT 20
+    """,
+)
+def q224_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-path mining: the top opening paths (first three events per
+    user, '>'-joined) — the Sankey/flow-analysis primitive that Markov
+    transitions (q143) can't give because it keeps ORDER-SENSITIVE
+    multi-step sequences, not pairwise rates. WindowGroupLimit prunes
+    each user's history to 3 rows before the path concat; the path
+    aggregation carries at most |event_type|^3 distinct groups."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = (
+        ev.select("user_id", "ts", "event_id", "event_type",
+                  F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+    paths = firsts.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(20)
+    )
