@@ -92,3 +92,69 @@ def test_stateful_user_totals_matches_batch(spark):
     )
     exp = {r.user_id: (r.n, r.cents) for r in batch.collect()}
     assert got == exp
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Watermark late-data semantics, observed and pinned: Spark applies
+    the late-row filter with a ONE-BATCH LAG — the watermark advanced by
+    batch N's data takes effect for filtering in batch N+2 (batch N+1
+    still runs under the pre-N watermark; its progress REPORTS the new
+    value but does not filter with it). Three files forced into three
+    batches via maxFilesPerTrigger=1 + mtime ordering: the first late row
+    (batch 1) is admitted, the second (batch 2) is dropped with
+    numRowsDroppedByWatermark=1. Production monitoring must therefore
+    treat the drop metric as lagging, and idempotent sinks — not the
+    watermark — are the real guard for the first late batch."""
+    import json
+    import os
+    import time
+
+    src = tmp_path / "src"
+    src.mkdir()
+    on_time = [
+        {"event_id": i, "ts": f"2024-01-01T10:{30 + i}:00.000Z", "user_id": 1,
+         "event_type": "click", "value": 1.0}
+        for i in range(3)
+    ]
+    late1 = [{"event_id": 99, "ts": "2024-01-01T09:00:00.000Z", "user_id": 1,
+              "event_type": "click", "value": 1.0}]
+    late2 = [{"event_id": 98, "ts": "2024-01-01T08:00:00.000Z", "user_id": 1,
+              "event_type": "click", "value": 1.0}]
+    files = [(src / "a.jsonl", on_time, 100), (src / "b.jsonl", late1, 50),
+             (src / "c.jsonl", late2, 0)]
+    now = time.time()
+    for path, rows, age in files:
+        path.write_text("\n".join(json.dumps(r) for r in rows))
+        os.utime(path, (now - age, now - age))
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    dedup = stream.withWatermark("ts", "10 minutes").dropDuplicates(
+        ["event_id", "ts"]
+    )
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_drop_test")
+        .start()
+    )
+    q.processAllAvailable()
+    progress = list(q.recentProgress)
+    q.stop()
+    assert [p["batchId"] for p in progress] == [0, 1, 2], progress
+    drops = [
+        sum(op.get("numRowsDroppedByWatermark", 0)
+            for op in p["stateOperators"])
+        for p in progress
+    ]
+    # batch 1: watermark 10:22 is REPORTED but not yet filtering (lag);
+    # batch 2: the same watermark now drops the older row
+    assert progress[1]["eventTime"]["watermark"] == "2024-01-01T10:22:00.000Z"
+    assert drops == [0, 0, 1], drops
+    ids = {r[0] for r in spark.sql("SELECT event_id FROM wm_drop_test").collect()}
+    assert 98 not in ids and 99 in ids, ids
