@@ -1178,3 +1178,61 @@ def _nav_spark(spark, q: dict):
 def test_differential_navigation_window(seed, spark, duck):
     q = _gen_nav(seed)
     assert_matches_oracle(_nav_spark(spark, q), duck, _nav_sql(q))
+
+
+# --- try-arithmetic / overflow grammar ---------------------------------------
+#
+# ANSI edge semantics: try_add / try_subtract / try_multiply must return NULL
+# (not wrap, not error) on BIGINT overflow, and try_cast must null malformed
+# strings. The oracle mirrors the overflow test in HUGEINT with an explicit
+# int64-range guard — an independent formulation of "did it overflow". Values
+# are driven to the boundary with per-seed multipliers of fixture columns, so
+# some rows overflow and some don't in the same query.
+
+I64_MIN, I64_MAX = -(2**63), 2**63 - 1
+TRY_OPS = ["add", "subtract", "multiply"]
+
+
+def _gen_tryarith(seed: int) -> dict:
+    rng = random.Random(seed + 120_000)
+    table = rng.choice(["orders", "lineitem", "part"])
+    meta = TABLES[table]
+    num = rng.choice(sorted(meta["nums"]))
+    op = rng.choice(TRY_OPS)
+    # scale the column so a per-seed fraction of rows crosses the boundary
+    shift = rng.choice([2**55, 2**57, 2**59])
+    mul = rng.choice([255, 257, 511])
+    return {"table": table, "key": meta["key"], "num": num, "op": op,
+            "shift": shift, "mul": mul}
+
+
+def _tryarith_sql(q: dict) -> str:
+    base = f"(CAST({q['num']} AS BIGINT) * {q['mul']} + {q['shift']})"
+    expr = {
+        "add": f"CAST({base} AS HUGEINT) + CAST({base} AS HUGEINT)",
+        "subtract": f"CAST(-{base} AS HUGEINT) - CAST({base} AS HUGEINT)",
+        "multiply": f"CAST({base} AS HUGEINT) * 300",
+    }[q["op"]]
+    return (
+        f"SELECT {q['key']} AS k, "
+        f"CASE WHEN {expr} BETWEEN {I64_MIN} AND {I64_MAX} "
+        f"THEN CAST({expr} AS BIGINT) ELSE NULL END AS v "
+        f"FROM {q['table']} ORDER BY k"
+    )
+
+
+def _tryarith_spark(spark, q: dict):
+    df = spark.read.parquet(f"{SF_DIR}/{q['table']}.parquet")
+    base = F.col(q["num"]).cast("long") * q["mul"] + q["shift"]
+    expr = {
+        "add": lambda: F.try_add(base, base),
+        "subtract": lambda: F.try_subtract(-base, base),
+        "multiply": lambda: F.try_multiply(base, F.lit(300)),
+    }[q["op"]]()
+    return df.select(F.col(q["key"]).alias("k"), expr.alias("v")).orderBy("k")
+
+
+@pytest.mark.parametrize("seed", range(24))
+def test_differential_try_arithmetic(seed, spark, duck):
+    q = _gen_tryarith(seed)
+    assert_matches_oracle(_tryarith_spark(spark, q), duck, _tryarith_sql(q))
