@@ -9115,3 +9115,50 @@ def q224_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), "path")
         .limit(20)
     )
+
+
+@register(
+    "q225_compaction_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS sum_value,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q225_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTED small-file compaction (q181 plans it; this one does it):
+    events deliberately fragmented into 64 tiny files, compacted with a
+    4-way repartition rewrite, read back and aggregated against the
+    original-table oracle — content must survive the rewrite exactly
+    (the compare covers count, DECIMAL sums, and distinct ids). The
+    pytest side additionally asserts the file count actually dropped;
+    here the oracle-gated claim is losslessness. The small-file problem
+    is THE lake maintenance task at 100 TB scale: same shape, bigger
+    numbers, partition-pruned per-partition rewrites."""
+    import glob
+    import shutil
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="spark_graft_q225_")
+    try:
+        ev.repartition(64).write.mode("overwrite").parquet(out + "/frag")
+        frag = spark.read.parquet(out + "/frag")
+        frag.repartition(4).write.mode("overwrite").parquet(out + "/compact")
+        n_files = len(glob.glob(out + "/compact/part-*.parquet"))
+        assert n_files <= 4, n_files
+        back = spark.read.parquet(out + "/compact")
+        result = (
+            back.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+                F.countDistinct("event_id").alias("n_ids"),
+            )
+            .orderBy("event_type")
+        )
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

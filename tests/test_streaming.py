@@ -158,3 +158,63 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert drops == [0, 0, 1], drops
     ids = {r[0] for r in spark.sql("SELECT event_id FROM wm_drop_test").collect()}
     assert 98 not in ids and 99 in ids, ids
+
+
+def test_checkpoint_restart_recovers_state(spark, tmp_path):
+    """The operational contract for production streams: stop a stateful
+    query, deliver more data, restart with the SAME checkpoint — state
+    must recover (counts continue) and already-processed files must not
+    replay. A fresh query name reading the same source from a FRESH
+    checkpoint would instead recount from zero; the recovered totals
+    prove the state store round-trip."""
+    import json
+    import os
+    import time
+
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    batch1 = [
+        {"user_id": 1, "value": 1.0}, {"user_id": 1, "value": 2.0},
+        {"user_id": 2, "value": 5.0},
+    ]
+    (src / "a.jsonl").write_text("\n".join(json.dumps(r) for r in batch1))
+    schema = "user_id long, value double"
+
+    def start():
+        stream = spark.readStream.schema(schema).json(str(src))
+        agg = stream.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        return (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("ckpt_restart_test")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    first = {
+        r.user_id: (r.n, r.cents)
+        for r in spark.sql("SELECT * FROM ckpt_restart_test").collect()
+    }
+    q.stop()
+    assert first == {1: (2, 300), 2: (1, 500)}, first
+
+    batch2 = [{"user_id": 1, "value": 4.0}, {"user_id": 3, "value": 7.0}]
+    f2 = src / "b.jsonl"
+    f2.write_text("\n".join(json.dumps(r) for r in batch2))
+    os.utime(f2, (time.time() + 1, time.time() + 1))
+
+    q2 = start()
+    q2.processAllAvailable()
+    second = {
+        r.user_id: (r.n, r.cents)
+        for r in spark.sql("SELECT * FROM ckpt_restart_test").collect()
+    }
+    q2.stop()
+    # user 1 continued from recovered state; user 3 is new; user 2 untouched
+    assert second == {1: (3, 700), 2: (1, 500), 3: (1, 700)}, second
