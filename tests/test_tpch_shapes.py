@@ -292,3 +292,31 @@ def test_blocked_pav_monotone_and_mean_preserving(spark):
     for g, grp in pdf.groupby("event_type"):
         assert (grp["fitted"].diff().dropna() >= -1e-12).all(), g
         assert abs(grp["fitted"].sum() - grp["y"].sum()) < 1e-6, g
+
+
+def test_observe_inflight_metrics(spark):
+    """Spark's Observation API: in-flight metrics collected during a
+    normal action — the zero-extra-pass audit hook (row counts, null
+    counts, sums piggyback on the job instead of a second scan). The
+    observed values must equal a direct aggregate."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+    from sqlserver2pgsql_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    obs = Observation("audit")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
+        F.count(F.when(F.col("event_type").isNull(), 1)).alias("null_types"),
+    )
+    sink_rows = observed.filter(F.col("event_type") == "purchase").count()
+    direct = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
+    ).collect()[0]
+    got = obs.get
+    assert got["n"] == direct["n"] and got["cents"] == direct["cents"]
+    assert got["null_types"] == 0
+    assert 0 < sink_rows < got["n"]
