@@ -9162,3 +9162,85 @@ def q225_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return result.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "q226_fiscal_calendar_rollup",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+             CAST(max(o_orderdate) AS DATE) AS hi
+      FROM orders
+    ),
+    cal AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+               AS d
+      FROM bounds
+    ),
+    dim AS (
+      SELECT d,
+             CAST(year(d) + CASE WHEN month(d) >= 2 THEN 1 ELSE 0 END
+                  AS BIGINT) AS fiscal_year,
+             CAST(((month(d) + 10) % 12) // 3 + 1 AS BIGINT)
+               AS fiscal_quarter,
+             CAST(week(d) AS BIGINT) AS iso_week,
+             CAST(isodow(d) - 1 AS BIGINT) AS weekday,
+             isodow(d) >= 6 AS is_weekend
+      FROM cal
+    )
+    SELECT dim.fiscal_year, dim.fiscal_quarter,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(38,8))) AS DOUBLE)
+             AS revenue,
+           CAST(sum(CASE WHEN dim.is_weekend THEN 1 ELSE 0 END)
+                AS BIGINT) AS weekend_orders,
+           CAST(count(DISTINCT dim.iso_week) AS BIGINT) AS weeks_active
+    FROM orders o JOIN dim ON CAST(o.o_orderdate AS DATE) = dim.d
+    GROUP BY dim.fiscal_year, dim.fiscal_quarter
+    ORDER BY fiscal_year, fiscal_quarter
+    """,
+)
+def q226_fiscal_calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated fiscal calendar dimension (Feb-start fiscal year, fiscal
+    quarters, ISO weeks, weekend flags) joined to the fact table — the
+    warehouse date-dim pattern with the dimension GENERATED via
+    sequence(), not stored (a few thousand rows spanning the fact range;
+    broadcast, never shuffled). Weekday parity rides Spark weekday() ==
+    DuckDB isodow-1 (both Monday=0; raw dayofweek disagrees between
+    engines and is avoided). One fact aggregation shuffle."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("d"),
+        "o_orderkey", "o_totalprice",
+    )
+    bounds = o.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    wd = F.weekday("d")
+    dim = cal.select(
+        "d",
+        (
+            F.year("d")
+            + F.when(F.month("d") >= 2, 1).otherwise(0)
+        ).cast("long").alias("fiscal_year"),
+        (((F.month("d") + 10) % 12 / 3).cast("long") + 1).alias(
+            "fiscal_quarter"
+        ),
+        F.weekofyear("d").cast("long").alias("iso_week"),
+        wd.cast("long").alias("weekday"),
+        (wd >= 5).alias("is_weekend"),
+    )
+    return (
+        o.join(F.broadcast(dim), "d")
+        .groupBy("fiscal_year", "fiscal_quarter")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias(
+                "revenue"
+            ),
+            F.sum(F.when(F.col("is_weekend"), 1).otherwise(0)).cast("long")
+            .alias("weekend_orders"),
+            F.countDistinct("iso_week").alias("weeks_active"),
+        )
+        .orderBy("fiscal_year", "fiscal_quarter")
+    )
