@@ -9244,3 +9244,94 @@ def q226_fiscal_calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fiscal_year", "fiscal_quarter")
     )
+
+
+@register(
+    "q227_checksum_repair_roundtrip",
+    oracle="""
+    WITH chunks AS (
+      SELECT DISTINCT event_id // 1000 AS chunk FROM events
+    ),
+    corrupted AS (
+      SELECT DISTINCT event_id // 1000 AS chunk FROM events
+      WHERE event_id % 37 = 0
+    )
+    SELECT CAST((SELECT count(*) FROM chunks) AS BIGINT) AS n_chunks,
+           CAST((SELECT count(*) FROM corrupted) AS BIGINT) AS n_repaired,
+           CAST((SELECT count(*) FROM events) AS BIGINT) AS n_rows_final,
+           CAST((SELECT sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                 FROM events) AS BIGINT) AS cents_final
+    """,
+)
+def q227_checksum_repair_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTED anti-entropy repair (q111 detects; this one repairs): a
+    target replica with deterministic corruption (value+1 wherever
+    event_id%37=0) is chunk-checksummed against the source (md5 over
+    sorted row-hashes per 1000-id chunk — q206's manifest shape), only
+    the mismatched chunks are rewritten from source, and the repaired
+    replica's row count and exact cents total must equal the source
+    (the oracle computes them from the source alone — a failed repair
+    can't match). Rewrites touch ONLY damaged chunks: the repair cost
+    scales with corruption, not table size — the incremental-sync
+    contract (reference's diff mode) at maintenance time."""
+    import shutil
+    import tempfile
+
+    src_df = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    out = tempfile.mkdtemp(prefix="spark_graft_q227_")
+    try:
+        corrupt = src_df.withColumn(
+            "value",
+            F.when(F.col("event_id") % 37 == 0, F.col("value") + 1).otherwise(
+                F.col("value")
+            ),
+        )
+        corrupt.withColumn("chunk", (F.col("event_id") / 1000).cast("long")) \
+            .write.mode("overwrite").partitionBy("chunk").parquet(out + "/tgt")
+
+        chunked = lambda df: df.withColumn(
+            "chunk", (F.col("event_id") / 1000).cast("long")
+        )
+        row_h = F.md5(
+            F.concat_ws(
+                "|",
+                F.col("event_id"),
+                F.col("ts").cast("string"),
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+            )
+        )
+        cks = lambda df: (
+            chunked(df)
+            .select("chunk", row_h.alias("h"))
+            .groupBy("chunk")
+            .agg(F.md5(F.concat_ws("", F.array_sort(F.collect_list("h"))))
+                 .alias("cksum"))
+        )
+        src_ck = cks(src_df)
+        tgt_ck = cks(spark.read.parquet(out + "/tgt").drop("chunk")
+                     .select("event_id", "ts", "value"))
+        bad = (
+            src_ck.alias("s")
+            .join(tgt_ck.alias("t"), "chunk")
+            .filter(F.col("s.cksum") != F.col("t.cksum"))
+            .select("chunk")
+        )
+        n_chunks = src_ck.count()
+        bad_chunks = [r.chunk for r in bad.collect()]  # repair plan: small
+        # rewrite ONLY damaged chunk partitions from source
+        chunked(src_df).filter(F.col("chunk").isin(bad_chunks)) \
+            .write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("chunk").parquet(out + "/tgt")
+        repaired = spark.read.parquet(out + "/tgt")
+        result = repaired.agg(
+            F.lit(n_chunks).cast("long").alias("n_chunks"),
+            F.lit(len(bad_chunks)).cast("long").alias("n_repaired"),
+            F.count(F.lit(1)).alias("n_rows_final"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("cents_final"),
+        )
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
