@@ -9335,3 +9335,58 @@ def q227_checksum_repair_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         return result.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "q228_target_encoding_loo",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, event_type,
+             CAST(user_id % 2 AS BIGINT) AS y
+      FROM events
+    ),
+    grp AS (
+      SELECT event_type, CAST(sum(y) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM base GROUP BY event_type
+    )
+    SELECT b.event_id, b.event_type,
+           CASE WHEN g.n > 1
+                THEN round(CAST(g.s - b.y AS DOUBLE) / (g.n - 1), 9)
+                ELSE NULL END AS te_loo,
+           round(CAST(g.s AS DOUBLE) / g.n, 9) AS te_plain
+    FROM base b JOIN grp g USING (event_type)
+    ORDER BY b.event_id
+    """,
+)
+def q228_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the feature-engineering transform
+    that replaces a categorical with the target mean EXCLUDING the row's
+    own label (the standard leakage guard; plain means leak the row's
+    own target into its feature). LOO mean = (S - y_i)/(n - 1) from ONE
+    group aggregate broadcast back — never a per-row re-aggregation.
+    Integer sums, one IEEE division per row, round(9). Singleton
+    categories yield NULL (0/0 guarded on both engines)."""
+    base = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        (F.col("user_id") % 2).cast("long").alias("y"),
+    )
+    grp = base.groupBy("event_type").agg(
+        F.sum("y").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        base.join(F.broadcast(grp), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.when(
+                F.col("n") > 1,
+                F.round(
+                    (F.col("s") - F.col("y")).cast("double") / (F.col("n") - 1),
+                    9,
+                ),
+            ).otherwise(F.lit(None).cast("double")).alias("te_loo"),
+            F.round(F.col("s").cast("double") / F.col("n"), 9).alias("te_plain"),
+        )
+        .orderBy("event_id")
+    )
