@@ -123,6 +123,12 @@ BUDGETS = [
     ("q220_time_band_counts", 0, 0),        # TPC-DS Q88: one conditional-sum scan
     ("q221_cross_format_union", 0, 0),      # checkpointed (3-format federation)
     ("q222_blocked_isotonic", 24, 0),       # 3-stage blocked PAV: block/pool/global
+    ("q223_pandas_udf_polynomial", 1, 2),   # the Arrow escape hatch, gated
+    ("q224_session_paths", 2, 0),           # WindowGroupLimit + path agg
+    ("q225_compaction_roundtrip", 0, 0),    # checkpointed (64->4 file rewrite)
+    ("q226_fiscal_calendar_rollup", 3, 0),  # bounds agg + bcast dim + fact agg
+    ("q227_checksum_repair_roundtrip", 0, 0),  # checkpointed (chunk repair)
+    ("q228_target_encoding_loo", 2, 0),     # one group agg bcast + sort
 ]
 
 
