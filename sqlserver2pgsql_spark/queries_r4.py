@@ -9390,3 +9390,208 @@ def q228_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "q229_month_spine_mom",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('month', min(o_orderdate)) AS lo,
+             date_trunc('month', max(o_orderdate)) AS hi
+      FROM orders
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH))
+                  AS DATE) AS m
+      FROM bounds
+    ),
+    rev AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(38,8)))
+                  AS DECIMAL(38,8)) AS r,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders WHERE o_orderstatus = 'P'
+      GROUP BY m
+    ),
+    sp AS (
+      SELECT s.m, coalesce(rev.n, 0) AS n, rev.r,
+             lag(rev.r) OVER (ORDER BY s.m) AS prev_r
+      FROM spine s LEFT JOIN rev ON rev.m = s.m
+    )
+    SELECT CAST(m AS TIMESTAMP) AS m, n,
+           CAST(r AS DOUBLE) AS revenue,
+           CASE WHEN r IS NOT NULL AND prev_r IS NOT NULL AND prev_r <> 0
+                THEN round(CAST(r - prev_r AS DOUBLE)
+                           / CAST(prev_r AS DOUBLE), 9)
+                ELSE NULL END AS mom_change
+    FROM sp ORDER BY m
+    """,
+)
+def q229_month_spine_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-safe month-over-month change: the lag runs over a GENERATED
+    month spine, so a month with no qualifying orders contributes a NULL
+    comparison instead of silently lagging to the previous ACTIVE month
+    — the classic BI off-by-a-gap trap (plain lag over the aggregate
+    compares Jan to Nov when Dec is empty). The filter (status 'P')
+    makes gaps real in the fixture. Spine rows are #months — generated,
+    broadcast, never shuffled; the delta is DECIMAL-exact with one
+    final division."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("m"),
+        "o_orderstatus", "o_totalprice",
+    )
+    bounds = o.agg(F.min("m").alias("lo"), F.max("m").alias("hi"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))
+        ).alias("m0")
+    ).select(F.col("m0").cast("date").alias("m"))
+    rev = (
+        o.filter(F.col("o_orderstatus") == "P")
+        .groupBy("m")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("r"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    sp = spine.join(rev, "m", "left").select(
+        "m",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        "r",
+        F.lag("r").over(W.orderBy("m")).alias("prev_r"),
+    )
+    return sp.select(
+        F.col("m").cast("timestamp").alias("m"),
+        "n",
+        F.col("r").cast("double").alias("revenue"),
+        F.when(
+            F.col("r").isNotNull()
+            & F.col("prev_r").isNotNull()
+            & (F.col("prev_r") != 0),
+            F.round(
+                (F.col("r") - F.col("prev_r")).cast("double")
+                / F.col("prev_r").cast("double"),
+                9,
+            ),
+        ).alias("mom_change"),
+    ).orderBy("m")
+
+
+@register(
+    "q230_quantization_recall",
+    oracle=f"""
+    WITH {_VFX_SQL},
+    raw AS (
+      SELECT vec_id, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS v
+      FROM embeddings, LATERAL (SELECT unnest(range(0, 64)) AS i) g
+    ),
+    rng AS (
+      SELECT pos, min(v) AS mn, max(v) AS mx FROM raw GROUP BY pos
+    ),
+    quant AS (
+      SELECT r.vec_id, r.pos,
+             CAST(floor((r.v - g.mn) / (g.mx - g.mn) * 255 + 0.5)
+                  AS BIGINT) AS q
+      FROM raw r JOIN rng g ON g.pos = r.pos
+    ),
+    probes AS (SELECT unnest([0, 1, 2]) AS qid),
+    exact_dot AS (
+      SELECT p.qid, v.vec_id,
+             CAST(sum((v.v_fx - {EMB_SCALE}) * (qv.v_fx - {EMB_SCALE}))
+                  AS BIGINT) AS dot
+      FROM vfx v
+      JOIN probes p ON true
+      JOIN vfx qv ON qv.vec_id = p.qid AND qv.pos = v.pos
+      WHERE v.vec_id <> p.qid
+      GROUP BY p.qid, v.vec_id
+    ),
+    quant_dot AS (
+      SELECT p.qid, v.vec_id,
+             CAST(sum(v.q * qv.q) AS BIGINT) AS dot
+      FROM quant v
+      JOIN probes p ON true
+      JOIN quant qv ON qv.vec_id = p.qid AND qv.pos = v.pos
+      WHERE v.vec_id <> p.qid
+      GROUP BY p.qid, v.vec_id
+    ),
+    et AS (
+      SELECT qid, vec_id,
+             row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id)
+               AS rk
+      FROM exact_dot
+    ),
+    qt AS (
+      SELECT qid, vec_id,
+             row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id)
+               AS rk
+      FROM quant_dot
+    )
+    SELECT e.qid AS query_id,
+           CAST(count(q.vec_id) AS BIGINT) AS n_overlap,
+           round(count(q.vec_id) / 5.0, 6) AS recall5
+    FROM (SELECT * FROM et WHERE rk <= 5) e
+    LEFT JOIN (SELECT * FROM qt WHERE rk <= 5) q
+      ON q.qid = e.qid AND q.vec_id = e.vec_id
+    GROUP BY e.qid ORDER BY query_id
+    """,
+)
+def q230_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization with measured recall — the ANN memory/
+    accuracy tradeoff every vector store ships: per-dimension min/max
+    scaling to 0..255 (the quantization division is ONE identical IEEE
+    op per value on both engines), then recall@5 of the quantized
+    ranking against the exact fixed-point dot ranking for three probe
+    vectors. Integer dots both sides (255^2*64 fits easily in BIGINT);
+    ranking ties broken by vec_id. Plan: one per-dim min/max aggregate
+    broadcast back, probes broadcast (the corpus never shuffles for the
+    dot — q21's shape), two rank windows, one 15-row compare."""
+    emb = _t(spark, sf_dir, "embeddings")
+    raw = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v0")
+    ).select("vec_id", "pos", F.col("v0").cast("double").alias("v"))
+    rng = raw.groupBy("pos").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    quant = raw.join(F.broadcast(rng), "pos").select(
+        "vec_id", "pos",
+        F.floor(
+            (F.col("v") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255
+            + F.lit(0.5)
+        ).cast("long").alias("q"),
+    )
+    vfx = _vfx(spark, sf_dir).select("vec_id", "pos", "v_fx")
+    probes = [0, 1, 2]
+
+    def ranked(vals, col):
+        pr = vals.filter(F.col("vec_id").isin(probes)).select(
+            F.col("vec_id").alias("qid"), "pos", F.col(col).alias("pv")
+        )
+        dots = (
+            vals.join(F.broadcast(pr), "pos")
+            .filter(F.col("vec_id") != F.col("qid"))
+            .groupBy("qid", "vec_id")
+            .agg(F.sum(F.col(col) * F.col("pv")).cast("long").alias("dot"))
+        )
+        w = W.partitionBy("qid").orderBy(F.desc("dot"), "vec_id")
+        return dots.select(
+            "qid", "vec_id", F.row_number().over(w).alias("rk")
+        ).filter(F.col("rk") <= 5)
+
+    centered = vfx.select(
+        "vec_id", "pos", (F.col("v_fx") - EMB_SCALE).alias("c")
+    )
+    et = ranked(centered, "c")
+    qt = ranked(quant, "q").select(
+        F.col("qid").alias("q_qid"), F.col("vec_id").alias("q_vid")
+    )
+    return (
+        et.join(
+            qt,
+            (F.col("qid") == F.col("q_qid")) & (F.col("vec_id") == F.col("q_vid")),
+            "left",
+        )
+        .groupBy(F.col("qid").alias("query_id"))
+        .agg(
+            F.count("q_vid").alias("n_overlap"),
+            F.round(F.count("q_vid") / F.lit(5.0), 6).alias("recall5"),
+        )
+        .orderBy("query_id")
+    )
