@@ -1236,3 +1236,84 @@ def _tryarith_spark(spark, q: dict):
 def test_differential_try_arithmetic(seed, spark, duck):
     q = _gen_tryarith(seed)
     assert_matches_oracle(_tryarith_spark(spark, q), duck, _tryarith_sql(q))
+
+
+# --- array / higher-order-function grammar -----------------------------------
+#
+# Array pipelines over split() token arrays: sort, distinct (canonicalized by
+# a following sort — Spark preserves first-occurrence order, DuckDB does not),
+# reverse, slice, with a terminal join / size / element_at / contains.
+# element_at is 1-based with NULL out-of-range on BOTH engines; slices are
+# rendered as Spark slice(a, i, n) == DuckDB a[i:i+n-1].
+
+ARR_SRC = {
+    "part": "p_name",
+    "customer": "c_name",
+    "orders": "o_orderpriority",
+}
+ARR_OPS = ["sort", "distinct_sorted", "reverse", "slice"]
+ARR_TERM = ["join", "size", "element_at", "contains"]
+
+
+def _gen_arr(seed: int) -> dict:
+    rng = random.Random(seed + 130_000)
+    table = rng.choice(sorted(ARR_SRC))
+    delim = rng.choice([" ", "-"])
+    ops = [
+        ({"k": op, "i": rng.randrange(1, 4), "n": rng.randrange(1, 3)}
+         if op == "slice" else {"k": op})
+        for op in rng.sample(ARR_OPS, k=rng.randrange(1, 4))
+    ]
+    term = rng.choice(ARR_TERM)
+    return {"table": table, "key": TABLES[table]["key"],
+            "col": ARR_SRC[table], "delim": delim, "ops": ops,
+            "term": term, "ti": rng.randrange(1, 4),
+            "tv": rng.choice(["widget", "bolt", "1-URGENT", "x"])}
+
+
+def _arr_sql(q: dict) -> str:
+    e = f"string_split({q['col']}, {q['delim']!r})"
+    for op in q["ops"]:
+        if op["k"] == "sort":
+            e = f"list_sort({e})"
+        elif op["k"] == "distinct_sorted":
+            e = f"list_sort(list_distinct({e}))"
+        elif op["k"] == "reverse":
+            e = f"list_reverse({e})"
+        else:
+            e = f"({e})[{op['i']}:{op['i'] + op['n'] - 1}]"
+    term = {
+        "join": f"array_to_string({e}, '|')",
+        "size": f"CAST(len({e}) AS BIGINT)",
+        "element_at": f"({e})[{q['ti']}]",
+        "contains": f"list_contains({e}, {q['tv']!r})",
+    }[q["term"]]
+    return (f"SELECT {q['key']} AS k, {term} AS v FROM {q['table']} "
+            f"ORDER BY k")
+
+
+def _arr_spark(spark, q: dict):
+    df = spark.read.parquet(f"{SF_DIR}/{q['table']}.parquet")
+    e = F.split(F.col(q["col"]), q["delim"])
+    for op in q["ops"]:
+        if op["k"] == "sort":
+            e = F.array_sort(e)
+        elif op["k"] == "distinct_sorted":
+            e = F.array_sort(F.array_distinct(e))
+        elif op["k"] == "reverse":
+            e = F.reverse(e)
+        else:
+            e = F.slice(e, op["i"], op["n"])
+    term = {
+        "join": lambda: F.array_join(e, "|"),
+        "size": lambda: F.size(e).cast("long"),
+        "element_at": lambda: F.try_element_at(e, F.lit(q["ti"])),
+        "contains": lambda: F.array_contains(e, q["tv"]),
+    }[q["term"]]()
+    return df.select(F.col(q["key"]).alias("k"), term.alias("v")).orderBy("k")
+
+
+@pytest.mark.parametrize("seed", range(24))
+def test_differential_array_functions(seed, spark, duck):
+    q = _gen_arr(seed)
+    assert_matches_oracle(_arr_spark(spark, q), duck, _arr_sql(q))
