@@ -9595,3 +9595,108 @@ def q230_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "q231_span_corruption_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    tagged AS (
+      SELECT doc_id, i, t[i] AS tok,
+             CAST(CAST('0x' || substr(md5(doc_id || ':' || ((i - 1) // 4)),
+                                      1, 8) AS BIGINT) % 5 AS BIGINT) = 0
+               AS masked
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) g
+      WHERE len(t) >= 8
+    )
+    SELECT doc_id,
+           string_agg(CASE WHEN masked THEN '<X>' ELSE tok END, ' '
+                      ORDER BY i) AS corrupted,
+           coalesce(string_agg(CASE WHEN masked THEN tok END, ' '
+                               ORDER BY i), '') AS target,
+           CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_masked,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM tagged GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q231_span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption: deterministic pseudo-random 4-token
+    spans are masked (md5(doc_id:span_index) % 5 == 0 → ~20% corruption
+    rate, reproducible across runs and engines — the masking decision is
+    data-derived, never an RNG), producing (corrupted input, target)
+    training pairs plus mask accounting. Adjacent masked spans collapse
+    into the sentinel naturally at 4-token granularity. Pure column
+    exprs: one explode, one per-doc aggregation; linear in corpus
+    size."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).filter(F.size("t") >= 8)
+    tagged = d.select(
+        "doc_id",
+        F.posexplode("t").alias("i0", "tok"),
+    ).select(
+        "doc_id",
+        (F.col("i0") + 1).alias("i"),
+        "tok",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "", F.col("doc_id"), F.lit(":"),
+                            ((F.col("i0")) / 4).cast("long"),
+                        )
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long") % 5
+            == 0
+        ).alias("masked"),
+    )
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "i",
+                                F.when(F.col("masked"), F.lit("<X>"))
+                                .otherwise(F.col("tok")).alias("out"),
+                            )
+                        )
+                    ),
+                    lambda s: s["out"],
+                ),
+            ).alias("corrupted"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    "i",
+                                    F.when(F.col("masked"), F.col("tok"))
+                                    .alias("mt"),
+                                )
+                            )
+                        ),
+                        lambda s: s["mt"].isNotNull(),
+                    ),
+                    lambda s: s["mt"],
+                ),
+            ).alias("target"),
+            F.sum(F.when(F.col("masked"), 1).otherwise(0)).cast("long").alias(
+                "n_masked"
+            ),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
