@@ -9700,3 +9700,69 @@ def q231_span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _q232_oracle() -> str:
+    from .queries_llm import _JACCARD_ORACLE_BODY
+
+    return (
+        _JACCARD_ORACLE_BODY.replace("WITH corpus", "WITH RECURSIVE corpus", 1)
+        + """
+    , pairs AS (SELECT id1, id2 FROM scored WHERE jaccard >= 0.6),
+    edges AS (
+      SELECT id1 AS a, id2 AS b FROM pairs
+      UNION ALL SELECT id2 AS a, id1 AS b FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    clusters AS (
+      SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node
+    ),
+    all_docs AS (
+      SELECT c.doc_id, coalesce(cl.cluster_id, c.doc_id) AS cluster_id
+      FROM corpus c LEFT JOIN clusters cl ON cl.node = c.doc_id
+    ),
+    csizes AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+      FROM all_docs GROUP BY cluster_id
+    )
+    SELECT sz AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(sz) AS BIGINT) AS n_docs
+    FROM csizes GROUP BY sz ORDER BY cluster_size
+    """
+    )
+
+
+@register("q232_cluster_size_histogram", oracle=_q232_oracle())
+def q232_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality reporting: the cluster-size distribution of the
+    near-dup graph INCLUDING singletons (docs touching no pair — q51
+    reports only clustered docs; the histogram needs the whole corpus,
+    since the singleton rate IS the headline dedup statistic). Rides the
+    same CC output; one left join against the corpus, two sketch-sized
+    aggregations. The shape every dedup run reports before anyone
+    trusts its keeper list."""
+    from .operators.graph import connected_components
+    from .queries_llm import _neardup_corpus
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.6)
+    cc = connected_components(pairs, "id1", "id2").select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    all_docs = corpus.select("doc_id").join(cc, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+    sizes = all_docs.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.groupBy(F.col("sz").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("sz").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
