@@ -129,6 +129,10 @@ BUDGETS = [
     ("q226_fiscal_calendar_rollup", 3, 0),  # bounds agg + bcast dim + fact agg
     ("q227_checksum_repair_roundtrip", 0, 0),  # checkpointed (chunk repair)
     ("q228_target_encoding_loo", 2, 0),     # one group agg bcast + sort
+    ("q229_month_spine_mom", 1, 0),         # month agg; spine bcast, global lag tiny
+    ("q230_quantization_recall", 10, 0),    # rng agg + 2 dot aggs + 2 rank windows
+    ("q231_span_corruption_pairs", 2, 0),   # one doc agg + sort
+    ("q232_cluster_size_histogram", 5, 0),  # CC-pinned + corpus join + 2 aggs
 ]
 
 
