@@ -9766,3 +9766,56 @@ def q232_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+@register(
+    "q233_sql_text_analytics",
+    oracle="""
+    WITH seg AS (
+      SELECT c.c_mktsegment AS segment, o.o_orderkey, o.o_totalprice,
+             year(o.o_orderdate) AS y
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    ),
+    yearly AS (
+      SELECT segment, y,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(38,8)))
+                  AS DECIMAL(38,8)) AS rev
+      FROM seg GROUP BY segment, y
+    )
+    SELECT segment, CAST(y AS INT) AS y, n,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(rank() OVER (PARTITION BY y ORDER BY rev DESC, segment)
+                AS BIGINT) AS rev_rank
+    FROM yearly ORDER BY y, rev_rank
+    """,
+)
+def q233_sql_text_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-TEXT front end as a first-class surface: this query is
+    authored as a multi-CTE SQL string executed via spark.sql over
+    registered temp views — not the DataFrame API — proving both
+    front-ends compile to the same exact-correct plans (every other
+    registry query exercises the DataFrame side; a migrating user
+    brings SQL text first). Same exactness discipline inside the SQL:
+    DECIMAL accumulation, rank tie-broken, final DOUBLE cast."""
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        WITH seg AS (
+          SELECT c.c_mktsegment AS segment, o.o_orderkey, o.o_totalprice,
+                 year(o.o_orderdate) AS y
+          FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        ),
+        yearly AS (
+          SELECT segment, y,
+                 count(*) AS n,
+                 sum(CAST(o_totalprice AS DECIMAL(38,8))) AS rev
+          FROM seg GROUP BY segment, y
+        )
+        SELECT segment, CAST(y AS INT) AS y, n,
+               CAST(rev AS DOUBLE) AS revenue,
+               CAST(rank() OVER (PARTITION BY y ORDER BY rev DESC, segment)
+                    AS BIGINT) AS rev_rank
+        FROM yearly ORDER BY y, rev_rank
+    """)

@@ -320,3 +320,50 @@ def test_observe_inflight_metrics(spark):
     assert got["n"] == direct["n"] and got["cents"] == direct["cents"]
     assert got["null_types"] == 0
     assert 0 < sink_rows < got["n"]
+
+
+def test_blocked_pav_property_random_sequences(spark):
+    """Hypothesis-style property sweep (deterministic seeds): random
+    y-sequences and block sizes — blocked PAV must equal the literal
+    numpy pool-adjacent-violators on every one, including block=1
+    (every row its own block) and block >= n (single block)."""
+    import random as _random
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from sqlserver2pgsql_spark.operators.isotonic import isotonic_fit
+
+    def pav(y):
+        pools = []
+        for v in y:
+            pools.append([float(v), 1])
+            while len(pools) > 1 and (
+                pools[-2][0] / pools[-2][1] >= pools[-1][0] / pools[-1][1]
+            ):
+                s, c = pools.pop()
+                pools[-1][0] += s
+                pools[-1][1] += c
+        out = []
+        for s, c in pools:
+            out.extend([s / c] * c)
+        return out
+
+    for seed in range(6):
+        rng = _random.Random(seed)
+        n = rng.randrange(5, 60)
+        ys = [rng.randrange(0, 4) for _ in range(n)]
+        block = rng.choice([1, 3, 8, n, n + 10])
+        pdf = pd.DataFrame(
+            {"g": ["a"] * n, "ord": list(range(n)), "y": ys}
+        )
+        df = spark.createDataFrame(pdf)
+        got = (
+            isotonic_fit(df, "g", ["ord"], F.col("y"), block=block)
+            .toPandas()
+            .sort_values("rn", ignore_index=True)["fitted"]
+            .to_numpy()
+        )
+        expect = np.array(pav(ys))
+        assert np.allclose(got, expect, atol=1e-12), (seed, block, ys)
