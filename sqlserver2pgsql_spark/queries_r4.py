@@ -9819,3 +9819,129 @@ def q233_sql_text_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS rev_rank
         FROM yearly ORDER BY y, rev_rank
     """)
+
+
+@register(
+    "q234_equi_depth_histogram",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+      FROM orders
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM cents),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c) AS rk FROM cents
+    ),
+    bucketed AS (
+      SELECT c, ((rk - 1) * 8) // total AS bucket
+      FROM ranked, n
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(c) AS lo_cents, max(c) AS hi_cents
+    FROM bucketed GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q234_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (8 buckets of equal row count — the
+    optimizer statistic DuckDB/Postgres keep, where q106's equi-WIDTH
+    bins would collapse under skew): bucket = floor((rank-1)*k/n), so
+    bucket populations differ by at most one row and the boundaries ARE
+    the observed quantiles. Exact integer arithmetic throughout; ties
+    split deterministically by the rank's total order. The global rank
+    window is the one global sort — at scale this IS the well-known
+    sort-based statistics build (or swap in q214's mergeable sketch for
+    the approximate variant)."""
+    cents = _t(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("c")
+    )
+    n_row = cents.agg(F.count(F.lit(1)).alias("total"))
+    ranked = cents.select(
+        "c", F.row_number().over(W.orderBy("c")).alias("rk")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n_row))
+        .select(
+            "c",
+            ((F.col("rk") - 1) * 8 / F.col("total")).cast("long").alias(
+                "bucket"
+            ),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("c").alias("lo_cents"),
+            F.max("c").alias("hi_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "q235_late_arriving_dimension",
+    oracle="""
+    WITH dim_batch1 AS (
+      SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 <> 0
+    ),
+    first_pass AS (
+      SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, d.c_mktsegment
+      FROM orders o LEFT JOIN dim_batch1 d ON d.c_custkey = o.o_custkey
+    ),
+    parked AS (
+      SELECT * FROM first_pass WHERE c_mktsegment IS NULL
+    ),
+    retry AS (
+      SELECT p.o_orderkey, c.c_mktsegment
+      FROM parked p JOIN customer c ON c.c_custkey = p.o_custkey
+    ),
+    final AS (
+      SELECT o_orderkey, c_mktsegment FROM first_pass
+      WHERE c_mktsegment IS NOT NULL
+      UNION ALL
+      SELECT o_orderkey, c_mktsegment FROM retry
+    )
+    SELECT f.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST((SELECT count(*) FROM parked) AS BIGINT) AS n_parked,
+           CAST((SELECT count(*) FROM retry) AS BIGINT) AS n_recovered
+    FROM final f GROUP BY f.c_mktsegment ORDER BY segment
+    """,
+)
+def q235_late_arriving_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving dimension handling — the ETL pattern the
+    reference's incremental mode hits whenever facts outrun their dims:
+    first-pass LEFT join against the incomplete dim (a third of
+    customers withheld), unmatched facts PARKED (never dropped, never
+    poisoned with defaults), then re-joined when the dimension catches
+    up; the final rollup proves zero loss (parked == recovered, and
+    every order lands in its true segment). Broadcast dim joins; the
+    parked set is the only intermediate, sized by the dim gap, not the
+    fact table."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    dim1 = cust.filter(F.col("c_custkey") % 3 != 0)
+    first = o.join(F.broadcast(dim1), o["o_custkey"] == dim1["c_custkey"], "left")
+    parked = first.filter(F.col("c_mktsegment").isNull()).select(
+        "o_orderkey", "o_custkey"
+    )
+    n_parked = parked.count()
+    retry = parked.join(
+        F.broadcast(cust), parked["o_custkey"] == cust["c_custkey"]
+    ).select("o_orderkey", "c_mktsegment")
+    n_recovered = retry.count()
+    final = (
+        first.filter(F.col("c_mktsegment").isNotNull())
+        .select("o_orderkey", "c_mktsegment")
+        .unionByName(retry)
+    )
+    return (
+        final.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.lit(n_parked).cast("long").alias("n_parked"),
+            F.lit(n_recovered).cast("long").alias("n_recovered"),
+        )
+        .orderBy("segment")
+    )
