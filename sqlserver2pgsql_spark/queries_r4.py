@@ -9945,3 +9945,66 @@ def q235_late_arriving_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "q236_csv_adversarial_roundtrip",
+    oracle="""
+    WITH synth AS (
+      SELECT doc_id,
+             substr(text, 1, 40) || ',"quoted,comma"' || chr(10)
+               || 'line2	tab\\slash' AS payload
+      FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT md5(payload)) AS BIGINT) AS n_distinct,
+           min(md5(payload)) AS min_hash,
+           max(md5(payload)) AS max_hash
+    FROM synth
+    """,
+)
+def q236_csv_adversarial_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV escaping torture test: payloads carrying embedded delimiters,
+    double quotes, newlines, tabs and backslashes are written to CSV
+    (quoteAll + escaped quotes + multiLine read-back) and must survive
+    byte-identical — the oracle computes the payload hashes from the
+    SYNTHESIS EXPRESSION alone and never sees the CSV, so any quoting/
+    escape asymmetry between writer and reader shows up as a hash
+    mismatch. This is the reference's delimited-text interchange surface
+    (its Kettle templates move everything as delimited text) under the
+    exactness gate."""
+    import shutil
+    import tempfile
+
+    synth = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(',"quoted,comma"'),
+            F.lit("\n"),
+            F.lit("line2\ttab\\slash"),
+        ).alias("payload"),
+    )
+    out = tempfile.mkdtemp(prefix="spark_graft_q236_")
+    try:
+        (
+            synth.write.mode("overwrite")
+            .option("quoteAll", "true")
+            .option("escape", '"')
+            .csv(out)
+        )
+        back = (
+            spark.read.schema("doc_id long, payload string")
+            .option("multiLine", "true")
+            .option("escape", '"')
+            .csv(out)
+        )
+        result = back.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(F.md5("payload")).alias("n_distinct"),
+            F.min(F.md5("payload")).alias("min_hash"),
+            F.max(F.md5("payload")).alias("max_hash"),
+        )
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

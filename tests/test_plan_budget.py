@@ -133,6 +133,9 @@ BUDGETS = [
     ("q230_quantization_recall", 10, 0),    # rng agg + 2 dot aggs + 2 rank windows
     ("q231_span_corruption_pairs", 2, 0),   # one doc agg + sort
     ("q232_cluster_size_histogram", 5, 0),  # CC-pinned + corpus join + 2 aggs
+    ("q233_sql_text_analytics", 3, 0),      # SQL front end: join agg + window + sort
+    ("q234_equi_depth_histogram", 0, 0),    # global rank (1-part window) + bucket agg
+    ("q235_late_arriving_dimension", 2, 0), # bcast dim joins; parked set tiny
 ]
 
 
