@@ -136,6 +136,7 @@ BUDGETS = [
     ("q233_sql_text_analytics", 3, 0),      # SQL front end: join agg + window + sort
     ("q234_equi_depth_histogram", 0, 0),    # global rank (1-part window) + bucket agg
     ("q235_late_arriving_dimension", 2, 0), # bcast dim joins; parked set tiny
+    ("q236_csv_adversarial_roundtrip", 0, 0),  # checkpointed (CSV torture)
 ]
 
 
