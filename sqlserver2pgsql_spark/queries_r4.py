@@ -10116,3 +10116,305 @@ def q237_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st")["b"].alias("trend"),
         (F.col("st")["l"] + F.col("st")["b"]).alias("forecast_1"),
     ).orderBy("flag")
+
+
+@register(
+    "q238_autocorrelation",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+             CAST(max(o_orderdate) AS DATE) AS hi
+      FROM orders
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+      FROM bounds
+    ),
+    counts AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1
+    ),
+    series AS (
+      SELECT spine.d, COALESCE(counts.c, 0) AS c
+      FROM spine LEFT JOIN counts ON spine.d = counts.d
+    ),
+    pairs AS (
+      SELECT lags.lag, a.c AS x, b.c AS y
+      FROM series a
+      CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS lag) lags
+      JOIN series b ON b.d = a.d + CAST(lags.lag AS INTEGER)
+    ),
+    moms AS (
+      SELECT lag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS acf
+    FROM moms ORDER BY lag
+    """,
+)
+def q238_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (lags 1-7) of the daily order-arrival
+    series over a DENSE date spine (missing days count 0 — the spine is
+    generated, not assumed). Every moment (n, Sx, Sy, Sxy, Sxx, Syy) is an
+    exact BIGINT; the Pearson ratio is ONE final IEEE chain (divide,
+    2 sqrts, 1 multiply — sqrt is correctly rounded, so no rounding
+    discipline needed). The lag pairing is an equi-join of the spine with
+    its date-shifted self (7 lags via explode), not a window over a global
+    sort; the series is calendar-bounded (~2.4k rows), so every join side
+    is broadcastable at any corpus scale — only the per-day count agg
+    scans the fact table. The seasonality-diagnostic companion to q149's
+    decomposition."""
+    o = _t(spark, sf_dir, "orders")
+    counts = (
+        o.select(F.to_date("o_orderdate").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    spine = (
+        o.agg(
+            F.min(F.to_date("o_orderdate")).alias("lo"),
+            F.max(F.to_date("o_orderdate")).alias("hi"),
+        )
+        .select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    )
+    series = (
+        spine.join(F.broadcast(counts), "d", "left")
+        .select("d", F.coalesce("c", F.lit(0)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)  # spine+counts feed both join sides
+    )
+    a = series.withColumn(
+        "lag", F.explode(F.array([F.lit(i) for i in range(1, 8)]))
+    ).select("lag", F.col("d").alias("da"), F.col("c").alias("x"))
+    b = series.select(F.col("d").alias("db"), F.col("c").alias("y"))
+    pairs = a.join(
+        F.broadcast(b), F.col("db") == F.date_add(F.col("da"), F.col("lag"))
+    )
+    moms = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return moms.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n",
+        (
+            (n * sxy - sx * sy).cast("double")
+            / (
+                F.sqrt((n * sxx - sx * sx).cast("double"))
+                * F.sqrt((n * syy - sy * sy).cast("double"))
+            )
+        ).alias("acf"),
+    ).orderBy("lag")
+
+
+@register(
+    "q239_theil_sen",
+    oracle="""
+    WITH monthly AS (
+      SELECT n.n_name AS nation,
+             (CAST(year(l.l_shipdate) AS BIGINT) * 12
+              + CAST(month(l.l_shipdate) AS BIGINT) - 1) AS m,
+             CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                  + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ),
+    slopes AS (
+      SELECT a.nation,
+             CAST(b.cents - a.cents AS DOUBLE)
+               / CAST(b.m - a.m AS DOUBLE) AS slope
+      FROM monthly a JOIN monthly b
+        ON a.nation = b.nation AND a.m < b.m
+    ),
+    ranked AS (
+      SELECT nation, slope,
+             row_number() OVER (PARTITION BY nation ORDER BY slope) AS rn,
+             count(*) OVER (PARTITION BY nation) AS cnt
+      FROM slopes
+    )
+    SELECT nation, CAST(max(cnt) AS BIGINT) AS n_pairs,
+           sum(slope) / count(*) AS ts_slope
+    FROM ranked
+    WHERE rn = CAST(floor((cnt + 1) / 2) AS BIGINT)
+       OR rn = CAST(floor((cnt + 2) / 2) AS BIGINT)
+    GROUP BY nation ORDER BY nation
+    """,
+)
+def q239_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimate: per nation, the MEDIAN of all
+    pairwise slopes of the monthly-revenue series — immune to the outlier
+    months that wreck least-squares. Slopes are one IEEE division of an
+    exact cents-delta by an exact month-delta; the median is selected
+    positionally from the sorted slope list on BOTH sides (no engine
+    median() — interpolation semantics differ), with the even case
+    averaging two doubles (commutative, exact). Pair generation is
+    per-nation over the calendar-bounded monthly series (~80 points ->
+    ~3.4k pairs), never over raw rows — the fact table is touched only by
+    the month agg, and the dims broadcast. Robust-regression companion to
+    q125's exact least-squares."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    monthly = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            (
+                F.year("l_shipdate").cast("long") * 12
+                + F.month("l_shipdate").cast("long")
+                - 1
+            ).alias("m"),
+            cents.alias("c"),
+        )
+        .groupBy("nation", "m")
+        .agg(F.sum("c").alias("cents"))
+        .localCheckpoint(eager=False)  # both pair sides read it
+    )
+    a = monthly.select(
+        "nation", F.col("m").alias("ma"), F.col("cents").alias("ca")
+    )
+    b = monthly.select(
+        "nation", F.col("m").alias("mb"), F.col("cents").alias("cb")
+    )
+    slopes = (
+        a.join(b, "nation")
+        .filter(F.col("ma") < F.col("mb"))
+        .select(
+            "nation",
+            (
+                (F.col("cb") - F.col("ca")).cast("double")
+                / (F.col("mb") - F.col("ma")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    wn = W.partitionBy("nation")
+    ranked = slopes.select(
+        "nation",
+        "slope",
+        F.row_number().over(wn.orderBy("slope")).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("cnt"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("cnt") + 1) / 2).cast("long"))
+        | (F.col("rn") == F.floor((F.col("cnt") + 2) / 2).cast("long"))
+    )
+    return (
+        mid.groupBy("nation")
+        .agg(
+            F.max("cnt").cast("long").alias("n_pairs"),
+            (F.sum("slope") / F.count(F.lit(1))).alias("ts_slope"),
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
+    "q240_woe_iv_binning",
+    oracle="""
+    WITH binned AS (
+      SELECT ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_bad
+      FROM orders
+    ),
+    per_bin AS (
+      SELECT bin,
+             CAST(sum(1 - is_bad) AS BIGINT) AS n_good,
+             CAST(sum(is_bad) AS BIGINT) AS n_bad
+      FROM binned GROUP BY bin
+    ),
+    shares AS (
+      SELECT bin, n_good, n_bad,
+             CAST(n_good AS DOUBLE)
+               / CAST(sum(n_good) OVER () AS DOUBLE) AS gs,
+             CAST(n_bad AS DOUBLE)
+               / CAST(sum(n_bad) OVER () AS DOUBLE) AS bs
+      FROM per_bin
+    ),
+    woed AS (
+      SELECT bin, n_good, n_bad, gs, bs,
+             CAST(round(ln(gs), 9) AS DECIMAL(28, 9))
+               - CAST(round(ln(bs), 9) AS DECIMAL(28, 9)) AS woe_dec
+      FROM shares
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, n_good, n_bad,
+           CAST(woe_dec AS DOUBLE) AS woe,
+           CAST(sum(CAST(round((gs - bs) * CAST(woe_dec AS DOUBLE), 9)
+                AS DECIMAL(28, 9))) OVER () AS DOUBLE) AS iv_total
+    FROM woed ORDER BY bin
+    """,
+)
+def q240_woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value binning — the credit-scoring
+    (and feature-selection) primitive: decile-bin a continuous driver
+    (order totalprice), score each bin's separation of a binary outcome
+    (finalized orders) as WOE = ln(good share) - ln(bad share), and roll
+    the bins into one IV statistic. Shares are single IEEE divisions of
+    exact counts; each ln() is rounded to 9 decimals BEFORE entering
+    arithmetic (libm log differs across engines in the last ulp), WOE is
+    then exact decimal subtraction and IV an exact decimal sum of
+    per-term-rounded products. The global ntile runs on the raw fact rows
+    (one range shuffle); at 100 TB the binning would switch to
+    approx-quantile fences (q234's equi-depth histogram is that scale
+    path) — the WOE/IV layer above is a 10-row computation either way."""
+    o = _t(spark, sf_dir, "orders")
+    binned = o.select(
+        F.ntile(10)
+        .over(W.orderBy("o_totalprice", "o_orderkey"))
+        .alias("bin"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("is_bad"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum(F.lit(1) - F.col("is_bad")).alias("n_good"),
+        F.sum("is_bad").alias("n_bad"),
+    )
+    wall = W.partitionBy()
+    shares = per_bin.select(
+        "bin",
+        "n_good",
+        "n_bad",
+        (
+            F.col("n_good").cast("double")
+            / F.sum("n_good").over(wall).cast("double")
+        ).alias("gs"),
+        (
+            F.col("n_bad").cast("double")
+            / F.sum("n_bad").over(wall).cast("double")
+        ).alias("bs"),
+    )
+    woed = shares.withColumn(
+        "woe_dec",
+        F.round(F.log("gs"), 9).cast("decimal(28,9)")
+        - F.round(F.log("bs"), 9).cast("decimal(28,9)"),
+    )
+    return woed.select(
+        F.col("bin").cast("long").alias("bin"),
+        "n_good",
+        "n_bad",
+        F.col("woe_dec").cast("double").alias("woe"),
+        F.sum(
+            F.round(
+                (F.col("gs") - F.col("bs")) * F.col("woe_dec").cast("double"), 9
+            ).cast("decimal(28,9)")
+        )
+        .over(wall)
+        .cast("double")
+        .alias("iv_total"),
+    ).orderBy("bin")
