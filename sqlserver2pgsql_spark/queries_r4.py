@@ -10418,3 +10418,402 @@ def q240_woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("iv_total"),
     ).orderBy("bin")
+
+
+@register(
+    "q241_longest_streak",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    islands AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY d) AS INTEGER) AS grp
+      FROM days
+    ),
+    runs AS (
+      SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len,
+             min(d) AS run_start
+      FROM islands GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           strftime(min(run_start) FILTER (
+             WHERE len = (SELECT max(r2.len) FROM runs r2
+                          WHERE r2.user_id = runs.user_id)),
+             '%Y-%m-%d') AS first_best_start,
+           CAST(sum(len) AS BIGINT) AS n_active_days
+    FROM runs GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q241_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands consecutive-day streaks: per user, the longest run
+    of consecutive active days (distinct event dates), when that best run
+    first started, and total active days. The island key is the classic
+    date-minus-row_number constant — one window shuffle on user_id, then
+    two hash aggs; no self-join, no spine. All outputs are integers/dates
+    (exact). The correlated max-per-user subquery in the oracle is a
+    window argmax on the Spark side — same contract. Engagement-streak
+    companion to q133's weekly churn."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    wu = W.partitionBy("user_id").orderBy("d")
+    islands = days.select(
+        "user_id",
+        "d",
+        F.date_sub(F.col("d"), F.row_number().over(wu)).alias("grp"),
+    )
+    runs = islands.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len"), F.min("d").alias("run_start")
+    )
+    wbest = W.partitionBy("user_id")
+    flagged = runs.select(
+        "user_id",
+        "len",
+        "run_start",
+        F.max("len").over(wbest).alias("best"),
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(
+            F.max("len").cast("long").alias("longest_streak"),
+            F.date_format(
+                F.min(
+                    F.when(F.col("len") == F.col("best"), F.col("run_start"))
+                ),
+                "yyyy-MM-dd",
+            ).alias("first_best_start"),
+            F.sum("len").cast("long").alias("n_active_days"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q242_kruskal_wallis",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority AS grp,
+             CAST(rank() OVER (ORDER BY o_totalprice) AS BIGINT) AS rmin,
+             CAST(count(*) OVER (PARTITION BY o_totalprice) AS BIGINT) AS tie
+      FROM orders
+    ),
+    per_group AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n_j,
+             CAST(sum(CAST(rmin AS DECIMAL(28, 1))
+                  + CAST(tie - 1 AS DECIMAL(28, 1)) / 2) AS DECIMAL(38, 1))
+               AS r_j
+      FROM ranked GROUP BY grp
+    ),
+    ties AS (
+      SELECT CAST(sum(tie * tie * tie - tie) AS BIGINT) AS tsum,
+             CAST(sum(tie) AS BIGINT) AS n
+      FROM (SELECT CAST(count(*) AS BIGINT) AS tie
+            FROM orders GROUP BY o_totalprice)
+    ),
+    s AS (
+      SELECT CAST(sum(CAST(round(
+               CAST(r_j AS DOUBLE) * CAST(r_j AS DOUBLE)
+                 / CAST(n_j AS DOUBLE), 6) AS DECIMAL(38, 6)))
+             AS DOUBLE) AS s2
+      FROM per_group
+    )
+    SELECT g.grp, g.n_j, CAST(g.r_j AS DOUBLE) AS rank_sum,
+           (CAST(12 AS DOUBLE) / (CAST(t.n AS DOUBLE) * CAST(t.n + 1 AS DOUBLE)))
+             * s.s2 - CAST(3 AS DOUBLE) * CAST(t.n + 1 AS DOUBLE) AS h_stat,
+           ((CAST(12 AS DOUBLE) / (CAST(t.n AS DOUBLE) * CAST(t.n + 1 AS DOUBLE)))
+             * s.s2 - CAST(3 AS DOUBLE) * CAST(t.n + 1 AS DOUBLE))
+             / (CAST(1 AS DOUBLE)
+                - CAST(t.tsum AS DOUBLE)
+                  / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)
+                     * CAST(t.n AS DOUBLE) - CAST(t.n AS DOUBLE)))
+             AS h_corrected
+    FROM per_group g CROSS JOIN ties t CROSS JOIN s
+    ORDER BY g.grp
+    """,
+)
+def q242_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test (one-way ANOVA on ranks): do the five order
+    priorities draw from the same totalprice distribution? Average ranks
+    for ties are half-integers (min-rank + (tie-1)/2) kept EXACT as
+    DECIMAL(38,1); rank sums are exact decimal; the H statistic is a fixed
+    IEEE chain over those exact inputs with the per-group R^2/n terms
+    rounded to 6 decimals and decimal-summed (order-free), including the
+    standard tie correction from exact integer tie counts. The global rank
+    is one range-partitioned sort (at 100 TB: q234's equi-depth fences
+    pre-bucket the sort ranges); everything after the first agg is
+    group-count-sized. The rank-based robust sibling of q211's ANOVA."""
+    o = _t(spark, sf_dir, "orders")
+    ranked = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.rank().over(W.orderBy("o_totalprice")).cast("long").alias("rmin"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("o_totalprice"))
+        .cast("long")
+        .alias("tie"),
+    )
+    per_group = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_j"),
+        F.sum(
+            F.col("rmin").cast("decimal(28,1)")
+            + (F.col("tie") - 1).cast("decimal(28,1)") / 2
+        )
+        .cast("decimal(38,1)")
+        .alias("r_j"),
+    )
+    ties = (
+        o.groupBy("o_totalprice")
+        .agg(F.count(F.lit(1)).alias("tie"))
+        .agg(
+            F.sum(
+                F.col("tie") * F.col("tie") * F.col("tie") - F.col("tie")
+            ).alias("tsum"),
+            F.sum("tie").alias("n"),
+        )
+    )
+    s2 = per_group.agg(
+        F.sum(
+            F.round(
+                F.col("r_j").cast("double")
+                * F.col("r_j").cast("double")
+                / F.col("n_j").cast("double"),
+                6,
+            ).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("s2")
+    )
+    nD = F.col("n").cast("double")
+    h = (F.lit(12.0) / (nD * (F.col("n") + 1).cast("double"))) * F.col(
+        "s2"
+    ) - F.lit(3.0) * (F.col("n") + 1).cast("double")
+    corr = F.lit(1.0) - F.col("tsum").cast("double") / (
+        nD * nD * nD - nD
+    )
+    return (
+        per_group.crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(s2))
+        .select(
+            "grp",
+            F.col("n_j").cast("long").alias("n_j"),
+            F.col("r_j").cast("double").alias("rank_sum"),
+            h.alias("h_stat"),
+            (h / corr).alias("h_corrected"),
+        )
+        .orderBy("grp")
+    )
+
+
+@register(
+    "q243_bom_subtree_rollup",
+    oracle="""
+    WITH RECURSIVE anc AS (
+      SELECT p_partkey AS node, p_partkey AS anc FROM part
+      UNION ALL
+      SELECT node, CAST(floor((anc - 1) / 5.0) AS BIGINT) FROM anc
+      WHERE anc > 0
+    ),
+    val AS (
+      SELECT p_partkey AS node,
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM part
+    )
+    SELECT a.anc AS part_node,
+           CAST(count(*) AS BIGINT) AS n_subtree,
+           CAST(sum(v.cents) AS BIGINT) AS subtree_cents,
+           CAST(max(CASE WHEN a.node = a.anc THEN v.cents END) AS BIGINT)
+             AS own_cents
+    FROM anc a JOIN val v ON a.node = v.node
+    GROUP BY a.anc ORDER BY a.anc
+    """,
+)
+def q243_bom_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bill-of-materials subtree rollup over a synthetic 5-ary part
+    hierarchy (parent(k) = floor((k-1)/5), root 0): every node's subtree
+    size and total retail cents, computed by EXPLODING each node's
+    ancestor-or-self chain with a depth-bounded iterative loop (depth =
+    log5(N) — 6 rounds at 2k parts, ~10 at 100 TB part counts) and one
+    hash agg on the ancestor key; the oracle derives the same chains with
+    a recursive CTE. All values are exact integer cents. This is the
+    recursive-hierarchy traversal surface (org charts, category trees,
+    BOMs) the reference's flat migration model never had — per round the
+    frontier shrinks 5x, and the only full-size shuffle is the final
+    groupBy. Complements q169's pointer-doubling (path compression) with
+    aggregation OVER the paths."""
+    part = _t(spark, sf_dir, "part")
+    val = part.select(
+        F.col("p_partkey").alias("node"),
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    nodes = val.select("node")
+    pairs = nodes.select("node", F.col("node").alias("anc"))
+    frontier = pairs
+    while True:
+        frontier = (
+            frontier.filter(F.col("anc") > 0)
+            .select(
+                "node",
+                F.floor((F.col("anc") - 1) / 5.0).cast("long").alias("anc"),
+            )
+            .localCheckpoint(eager=True)  # truncate lineage per level
+        )
+        if frontier.isEmpty():
+            break
+        pairs = pairs.unionByName(frontier)
+    joined = pairs.join(val, "node")
+    return (
+        joined.groupBy(F.col("anc").alias("part_node"))
+        .agg(
+            F.count(F.lit(1)).alias("n_subtree"),
+            F.sum("cents").alias("subtree_cents"),
+            F.max(
+                F.when(F.col("node") == F.col("anc"), F.col("cents"))
+            ).alias("own_cents"),
+        )
+        .orderBy("part_node")
+    )
+
+
+@register(
+    "q244_logrank_test",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(user_id % 2 AS BIGINT) AS grp,
+             CAST(min(CAST(ts AS DATE)) AS DATE) AS t0,
+             min(CASE WHEN event_type = 'error'
+                 THEN CAST(ts AS DATE) END) AS t_event,
+             CAST(max(CAST(ts AS DATE)) AS DATE) AS t_last
+      FROM events GROUP BY user_id
+    ),
+    surv AS (
+      SELECT user_id, grp,
+             CAST(datediff('day', t0, COALESCE(t_event, t_last)) AS BIGINT)
+               AS dur,
+             CASE WHEN t_event IS NOT NULL THEN 1 ELSE 0 END AS observed
+      FROM per_user
+    ),
+    event_days AS (
+      SELECT dur AS d,
+             CAST(sum(observed) AS BIGINT) AS d_all,
+             CAST(sum(CASE WHEN grp = 1 THEN observed ELSE 0 END) AS BIGINT)
+               AS d_g1
+      FROM surv WHERE observed = 1 GROUP BY dur
+    ),
+    risk AS (
+      SELECT e.d, e.d_all, e.d_g1,
+             CAST(count(*) AS BIGINT) AS n_all,
+             CAST(sum(CASE WHEN s.grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_g1
+      FROM event_days e JOIN surv s ON s.dur >= e.d
+      GROUP BY e.d, e.d_all, e.d_g1
+    ),
+    terms AS (
+      SELECT d, d_g1,
+             CAST(round(CAST(d_all AS DOUBLE) * CAST(n_g1 AS DOUBLE)
+                  / CAST(n_all AS DOUBLE), 9) AS DECIMAL(28, 9)) AS e_term,
+             CAST(round(CASE WHEN n_all > 1 THEN
+                  CAST(d_all AS DOUBLE)
+                  * (CAST(n_g1 AS DOUBLE) / CAST(n_all AS DOUBLE))
+                  * (1 - CAST(n_g1 AS DOUBLE) / CAST(n_all AS DOUBLE))
+                  * (CAST(n_all - d_all AS DOUBLE)
+                     / CAST(n_all - 1 AS DOUBLE))
+                  ELSE 0 END, 9) AS DECIMAL(28, 9)) AS v_term
+      FROM risk
+    )
+    SELECT CAST(sum(d_g1) AS BIGINT) AS o1,
+           CAST(sum(e_term) AS DOUBLE) AS e1,
+           CAST(sum(v_term) AS DOUBLE) AS var1,
+           round((CAST(sum(d_g1) AS DOUBLE) - CAST(sum(e_term) AS DOUBLE))
+                 * (CAST(sum(d_g1) AS DOUBLE) - CAST(sum(e_term) AS DOUBLE))
+                 / CAST(sum(v_term) AS DOUBLE), 6) AS chi2
+    FROM terms
+    """,
+)
+def q244_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test: do two user cohorts (even vs odd user ids) share the
+    same time-to-first-error survival curve? Durations run from each
+    user's first event to first error (censored at last activity).
+    Per-event-day terms E and V are fixed double chains over exact
+    integer at-risk/event counts, rounded to 9 decimals and decimal-summed
+    (order-free); the chi-square is one final rounded chain. The risk-set
+    join (event days x user durations) is bounded by distinct DAYS, not
+    users — at 100 TB the same rollup comes from a descending-duration
+    cumulative window (documented; the day-join keeps the oracle
+    literal). Extends q150's single-arm Kaplan-Meier to the two-arm
+    hypothesis test."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "error", F.to_date("ts"))
+        ).alias("t_event"),
+        F.max(F.to_date("ts")).alias("t_last"),
+    )
+    surv = per_user.select(
+        (F.col("user_id") % 2).cast("long").alias("grp"),
+        F.datediff(
+            F.coalesce("t_event", "t_last"), F.col("t0")
+        )
+        .cast("long")
+        .alias("dur"),
+        F.when(F.col("t_event").isNotNull(), 1).otherwise(0).alias("observed"),
+    ).localCheckpoint(eager=False)  # feeds event-day agg AND risk join
+    event_days = (
+        surv.filter(F.col("observed") == 1)
+        .groupBy(F.col("dur").alias("d"))
+        .agg(
+            F.sum("observed").alias("d_all"),
+            F.sum(
+                F.when(F.col("grp") == 1, F.col("observed")).otherwise(0)
+            ).alias("d_g1"),
+        )
+    )
+    risk = (
+        F.broadcast(event_days)
+        .join(surv, surv["dur"] >= event_days["d"])
+        .groupBy("d", "d_all", "d_g1")
+        .agg(
+            F.count(F.lit(1)).alias("n_all"),
+            F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n_g1"),
+        )
+    )
+    dA, nA, nG = (
+        F.col("d_all").cast("double"),
+        F.col("n_all").cast("double"),
+        F.col("n_g1").cast("double"),
+    )
+    terms = risk.select(
+        "d",
+        "d_g1",
+        F.round(dA * nG / nA, 9).cast("decimal(28,9)").alias("e_term"),
+        F.round(
+            F.when(
+                F.col("n_all") > 1,
+                dA
+                * (nG / nA)
+                * (F.lit(1) - nG / nA)
+                * (
+                    (F.col("n_all") - F.col("d_all")).cast("double")
+                    / (F.col("n_all") - 1).cast("double")
+                ),
+            ).otherwise(F.lit(0.0)),
+            9,
+        )
+        .cast("decimal(28,9)")
+        .alias("v_term"),
+    )
+    agg = terms.agg(
+        F.sum("d_g1").cast("long").alias("o1"),
+        F.sum("e_term").cast("double").alias("e1"),
+        F.sum("v_term").cast("double").alias("var1"),
+    )
+    diff = F.col("o1").cast("double") - F.col("e1")
+    return agg.select(
+        "o1",
+        "e1",
+        "var1",
+        F.round(diff * diff / F.col("var1"), 6).alias("chi2"),
+    )
