@@ -10817,3 +10817,349 @@ def q244_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "var1",
         F.round(diff * diff / F.col("var1"), 6).alias("chi2"),
     )
+
+
+@register(
+    "q245_js_divergence_pairs",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    st AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      FROM toks WHERE tok <> '' GROUP BY 1, 2
+    ),
+    vocab AS (SELECT DISTINCT tok FROM st),
+    srcs AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n FROM st GROUP BY source
+    ),
+    grid AS (
+      SELECT s.source, s.n, v.tok, COALESCE(st.c, 0) AS c
+      FROM srcs s CROSS JOIN vocab v
+      LEFT JOIN st ON st.source = s.source AND st.tok = v.tok
+    ),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b, a.tok,
+             CAST(a.c AS DOUBLE) / CAST(a.n AS DOUBLE) AS p,
+             CAST(b.c AS DOUBLE) / CAST(b.n AS DOUBLE) AS q
+      FROM grid a JOIN grid b ON a.tok = b.tok AND a.source < b.source
+      WHERE a.c + b.c > 0
+    ),
+    terms AS (
+      SELECT src_a, src_b,
+             CAST(round(
+               (CASE WHEN p > 0
+                     THEN 0.5 * p * ln(2 * p / (p + q)) ELSE 0 END)
+               + (CASE WHEN q > 0
+                       THEN 0.5 * q * ln(2 * q / (p + q)) ELSE 0 END),
+               9) AS DECIMAL(28, 9)) AS d
+      FROM pairs
+    )
+    SELECT src_a, src_b, CAST(sum(d) AS DOUBLE) AS jsd
+    FROM terms GROUP BY src_a, src_b
+    ORDER BY jsd DESC, src_a, src_b LIMIT 25
+    """,
+)
+def q245_js_divergence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between every two sources'
+    unigram distributions — the SYMMETRIC, bounded drift metric used to
+    pick which corpus slices to mix (q146's KL is one-vs-global and
+    asymmetric). Distributions are zero-filled over the shared vocabulary
+    so one-sided tokens contribute their full ln(2) mass; each per-token
+    term is a fixed double chain rounded to 9 decimals then decimal-
+    summed. The pair join is vocabulary x source-pairs sized (never
+    corpus-sized): the only full-data pass is the (source, tok) count agg;
+    at 100 TB the vocab side is the broadcast side. Top-25 most-divergent
+    pairs returned."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(_tok(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    st = (
+        toks.groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # feeds vocab, totals and the grid
+    )
+    vocab = st.select("tok").distinct()
+    srcs = st.groupBy("source").agg(F.sum("c").alias("n"))
+    grid = (
+        srcs.crossJoin(F.broadcast(vocab))
+        .join(F.broadcast(st), ["source", "tok"], "left")
+        .select("source", "n", "tok", F.coalesce("c", F.lit(0)).alias("c"))
+        .localCheckpoint(eager=False)  # both pair sides read it
+    )
+    a = grid.select(
+        F.col("source").alias("src_a"),
+        "tok",
+        (F.col("c").cast("double") / F.col("n").cast("double")).alias("p"),
+        F.col("c").alias("ca"),
+    )
+    b = grid.select(
+        F.col("source").alias("src_b"),
+        "tok",
+        (F.col("c").cast("double") / F.col("n").cast("double")).alias("q"),
+        F.col("c").alias("cb"),
+    )
+    pairs = (
+        a.join(F.broadcast(b), "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .filter(F.col("ca") + F.col("cb") > 0)
+    )
+    p, q = F.col("p"), F.col("q")
+    term = F.round(
+        F.when(p > 0, F.lit(0.5) * p * F.log(F.lit(2) * p / (p + q))).otherwise(
+            F.lit(0.0)
+        )
+        + F.when(
+            q > 0, F.lit(0.5) * q * F.log(F.lit(2) * q / (p + q))
+        ).otherwise(F.lit(0.0)),
+        9,
+    ).cast("decimal(28,9)")
+    return (
+        pairs.select("src_a", "src_b", term.alias("d"))
+        .groupBy("src_a", "src_b")
+        .agg(F.sum("d").cast("double").alias("jsd"))
+        .orderBy(F.desc("jsd"), "src_a", "src_b")
+        .limit(25)
+    )
+
+
+#: 2^40 — the exact power-of-two rescale that keeps power-iteration
+#: magnitudes inside DECIMAL(38,6) at any corpus size (fx products carry
+#: 2 x 20 fractional bits)
+_PI_SCALE = float(1 << 40)
+
+
+def _power_iter_oracle(n_iter: int = 3) -> str:
+    parts = [
+        f"WITH {_VFX_SQL}",
+        """,
+    m AS (
+      SELECT a.pos AS i, b.pos AS j,
+             CAST(sum(CAST(a.v_fx * b.v_fx AS DECIMAL(38, 0)))
+                  AS DECIMAL(38, 0)) AS m
+      FROM vfx a JOIN vfx b ON a.vec_id = b.vec_id
+      GROUP BY 1, 2
+    ),
+    v0 AS (SELECT DISTINCT i, CAST(1.0 AS DOUBLE) AS v FROM m)""",
+    ]
+    for k in range(1, n_iter + 1):
+        parts.append(f""",
+    w{k} AS (
+      SELECT m.i,
+             CAST(sum(CAST(round(CAST(m.m AS DOUBLE) / {_PI_SCALE!r} * v.v, 6)
+                  AS DECIMAL(38, 6))) AS DOUBLE) AS w
+      FROM m JOIN v{k - 1} v ON m.j = v.i GROUP BY m.i
+    ),
+    n{k} AS (
+      SELECT sqrt(CAST(sum(CAST(round(w * w, 6) AS DECIMAL(38, 6)))
+                  AS DOUBLE)) AS nrm
+      FROM w{k}
+    ),
+    v{k} AS (SELECT i, w / nrm AS v FROM w{k}, n{k})""")
+    parts.append(f"""
+    SELECT CAST(v.i AS BIGINT) AS pos, v.v AS loading, n.nrm AS eigenvalue
+    FROM v{n_iter} v, n{n_iter} n
+    ORDER BY pos""")
+    return "".join(parts)
+
+
+@register("q246_power_iteration", oracle=_power_iter_oracle())
+def q246_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top eigenvector of the 64x64 embedding second-moment (Gram) matrix
+    by THREE unrolled power iterations, expressed as distributed matvecs:
+    the matrix lives as (i, j, value) triples built from one exact
+    fixed-point pair aggregation (the only corpus-sized pass — the same
+    flat-transform shuffle shape as q208), and each iteration is a
+    64-row join + groupBy. Determinism: matrix cells are exact
+    DECIMAL(38,0) fixed-point sums; the power-of-two rescale (2^40) is an
+    EXACT double division; every dot-product term is rounded to 6
+    decimals then decimal-summed (order-free); normalization is one sqrt
+    + one division per element. The eigenvalue is the final pre-
+    normalization norm (previous iterate is unit). This is the PCA /
+    spectral primitive (whitening direction, dominant drift axis) at the
+    scale where the MATRIX fits per-executor but the DATA doesn't —
+    exactly the 100 TB embedding-analytics regime."""
+    emb = _t(spark, sf_dir, "embeddings")
+    fx = emb.select(
+        F.transform(
+            F.col("embedding"),
+            lambda v: F.floor(
+                (v.cast("double") + F.lit(1.0)) * F.lit(float(EMB_SCALE))
+            ).cast("long"),
+        ).alias("fx")
+    )
+    cell_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    (
+                        F.element_at("fx", i + 1) * F.element_at("fx", j + 1)
+                    )
+                    .cast("decimal(38,0)")
+                    .alias("xy"),
+                ),
+            ),
+        )
+    )
+    m = (
+        fx.select(F.explode(cell_structs).alias("c"))
+        .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+        .agg(F.sum("c.xy").alias("m"))
+        .localCheckpoint(eager=False)  # reused by all three matvecs
+    )
+    v = m.select("i").distinct().select("i", F.lit(1.0).alias("v"))
+    norm = None
+    for _ in range(3):
+        w = (
+            m.join(
+                F.broadcast(v.select(F.col("i").alias("j"), "v")), "j"
+            )
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.round(
+                        F.col("m").cast("double")
+                        / F.lit(_PI_SCALE)
+                        * F.col("v"),
+                        6,
+                    ).cast("decimal(38,6)")
+                )
+                .cast("double")
+                .alias("w")
+            )
+        )
+        norm = w.agg(
+            F.sqrt(
+                F.sum(
+                    F.round(F.col("w") * F.col("w"), 6).cast("decimal(38,6)")
+                ).cast("double")
+            ).alias("nrm")
+        )
+        v = w.crossJoin(F.broadcast(norm)).select(
+            "i", (F.col("w") / F.col("nrm")).alias("v")
+        )
+    return (
+        v.crossJoin(F.broadcast(norm))
+        .select(
+            F.col("i").cast("long").alias("pos"),
+            F.col("v").alias("loading"),
+            F.col("nrm").alias("eigenvalue"),
+        )
+        .orderBy("pos")
+    )
+
+
+@register(
+    "q247_item_item_cf",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    item AS (SELECT part, CAST(count(*) AS BIGINT) AS c FROM baskets GROUP BY part),
+    co AS (
+      SELECT a.part AS pi, b.part AS pj, CAST(count(*) AS BIGINT) AS co
+      FROM baskets a JOIN baskets b
+        ON a.cust = b.cust AND a.part < b.part
+      GROUP BY 1, 2
+    ),
+    sym AS (
+      SELECT pi, pj, co FROM co
+      UNION ALL
+      SELECT pj AS pi, pi AS pj, co FROM co
+    ),
+    scored AS (
+      SELECT s.pi, s.pj, s.co,
+             CAST(s.co AS DOUBLE)
+               / (sqrt(CAST(ia.c AS DOUBLE)) * sqrt(CAST(ib.c AS DOUBLE)))
+               AS cosine
+      FROM sym s
+      JOIN item ia ON s.pi = ia.part
+      JOIN item ib ON s.pj = ib.part
+    ),
+    ranked AS (
+      SELECT pi, pj, co, cosine,
+             row_number() OVER (
+               PARTITION BY pi
+               ORDER BY cosine DESC, co DESC, pj) AS rnk
+      FROM scored
+    )
+    SELECT pi AS part, CAST(rnk AS BIGINT) AS rnk, pj AS neighbor,
+           co AS n_co, cosine
+    FROM ranked WHERE rnk <= 5
+    ORDER BY part, rnk
+    """,
+)
+def q247_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: top-5 neighbors per part by
+    cosine similarity over binary customer-purchase vectors — cosine =
+    co-count / (sqrt(|A|) * sqrt(|B|)), all from exact integers with a
+    3-op IEEE chain (2 correctly-rounded sqrts + 1 divide — no rounding
+    discipline needed). Pair generation is per-customer (bounded by
+    basket size, the q126 shape), co-counts aggregate in one shuffle, the
+    part-popularity side is item-count-sized and broadcast, and the top-5
+    is a WindowGroupLimit (rank pushdown), not a global sort. At 100 TB
+    the basket-size cap + minimum co-count threshold bound the pair
+    explosion (documented: the DIMSUM sampling scheme is the probabilistic
+    alternative when baskets are power-law)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    baskets = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds item counts AND pair gen
+    )
+    item = baskets.groupBy("part").agg(F.count(F.lit(1)).alias("c"))
+    a = baskets.select("cust", F.col("part").alias("pi"))
+    b = baskets.select("cust", F.col("part").alias("pj"))
+    co = (
+        a.join(b, "cust")
+        .filter(F.col("pi") < F.col("pj"))
+        .groupBy("pi", "pj")
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    sym = co.unionByName(
+        co.select(F.col("pj").alias("pi"), F.col("pi").alias("pj"), "co")
+    )
+    ia = item.select(F.col("part").alias("pi"), F.col("c").alias("ca"))
+    ib = item.select(F.col("part").alias("pj"), F.col("c").alias("cb"))
+    scored = (
+        sym.join(F.broadcast(ia), "pi")
+        .join(F.broadcast(ib), "pj")
+        .select(
+            "pi",
+            "pj",
+            "co",
+            (
+                F.col("co").cast("double")
+                / (
+                    F.sqrt(F.col("ca").cast("double"))
+                    * F.sqrt(F.col("cb").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+    )
+    wp = W.partitionBy("pi").orderBy(
+        F.desc("cosine"), F.desc("co"), F.asc("pj")
+    )
+    return (
+        scored.select(
+            "pi", "pj", "co", "cosine", F.row_number().over(wp).alias("rnk")
+        )
+        .filter(F.col("rnk") <= 5)
+        .select(
+            F.col("pi").alias("part"),
+            F.col("rnk").cast("long").alias("rnk"),
+            F.col("pj").alias("neighbor"),
+            F.col("co").alias("n_co"),
+            "cosine",
+        )
+        .orderBy("part", "rnk")
+    )
