@@ -10295,7 +10295,7 @@ def q239_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nation", F.col("m").alias("mb"), F.col("cents").alias("cb")
     )
     slopes = (
-        a.join(b, "nation")
+        a.join(F.broadcast(b), "nation")
         .filter(F.col("ma") < F.col("mb"))
         .select(
             "nation",
@@ -11124,6 +11124,7 @@ def q247_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pi") < F.col("pj"))
         .groupBy("pi", "pj")
         .agg(F.count(F.lit(1)).alias("co"))
+        .localCheckpoint(eager=False)  # read twice by the symmetric union
     )
     sym = co.unionByName(
         co.select(F.col("pj").alias("pi"), F.col("pi").alias("pj"), "co")

@@ -137,6 +137,16 @@ BUDGETS = [
     ("q234_equi_depth_histogram", 0, 0),    # global rank (1-part window) + bucket agg
     ("q235_late_arriving_dimension", 2, 0), # bcast dim joins; parked set tiny
     ("q236_csv_adversarial_roundtrip", 0, 0),  # checkpointed (CSV torture)
+    ("q237_holt_linear", 3, 0),             # month agg + flag collect + sort
+    ("q238_autocorrelation", 2, 0),         # day agg + lag agg; spine bcast
+    ("q239_theil_sen", 2, 0),               # month agg + median window; pairs bcast
+    ("q240_woe_iv_binning", 0, 0),          # global ntile = single-part exchanges
+    ("q241_longest_streak", 3, 0),          # distinct + user window + final agg
+    ("q242_kruskal_wallis", 1, 0),          # global rank single-part; one group agg
+    ("q243_bom_subtree_rollup", 3, 0),      # per-level frontier + ancestor agg
+    ("q244_logrank_test", 2, 0),            # user agg + risk-join agg
+    ("q245_js_divergence_pairs", 2, 0),     # (source,tok) agg + pair agg; grid bcast
+    ("q247_item_item_cf", 5, 0),            # basket distinct + pair agg + rank window
 ]
 
 
