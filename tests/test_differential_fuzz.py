@@ -1317,3 +1317,130 @@ def _arr_spark(spark, q: dict):
 def test_differential_array_functions(seed, spark, duck):
     q = _gen_arr(seed)
     assert_matches_oracle(_arr_spark(spark, q), duck, _arr_sql(q))
+
+
+# --- conditional-expression grammar ------------------------------------------
+#
+# Nested CASE WHEN / coalesce(nullif(..)) / least / greatest / abs over
+# integer columns — all exact integer semantics on both engines. NULLs are
+# introduced ONLY by nullif and immediately swallowed by the enclosing
+# coalesce, so the least/greatest null-handling difference surface is never
+# exercised (Spark skips nulls, older DuckDB propagates — deliberately out
+# of grammar).
+
+COND_TABLES = {
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_partkey", "l_suppkey", "l_quantity"],
+    "customer": ["c_custkey", "c_nationkey"],
+}
+
+
+def _gen_cond(seed: int) -> dict:
+    rng = random.Random(seed + 140_000)
+    table = rng.choice(sorted(COND_TABLES))
+    cols = COND_TABLES[table]
+
+    def atom():
+        if rng.random() < 0.6:
+            c = rng.choice(cols)
+            if rng.random() < 0.4:
+                return {"k": "mod", "col": c, "m": rng.randrange(2, 9)}
+            return {"k": "col", "col": c}
+        return {"k": "lit", "v": rng.randrange(-20, 100)}
+
+    def expr(depth):
+        if depth == 0:
+            return atom()
+        kind = rng.choice(["case", "coalesce_nullif", "least", "greatest", "abs"])
+        if kind == "case":
+            return {
+                "k": "case",
+                "pred_col": rng.choice(cols),
+                "pred_op": rng.choice(["<", ">=", "%2=0", "%3=1"]),
+                "pred_v": rng.randrange(0, 1000),
+                "then": expr(depth - 1),
+                "els": expr(depth - 1),
+            }
+        if kind == "coalesce_nullif":
+            return {"k": "coalesce_nullif", "a": expr(depth - 1),
+                    "null_v": rng.randrange(0, 50), "b": expr(depth - 1)}
+        if kind == "abs":
+            return {"k": "abs", "a": expr(depth - 1)}
+        return {"k": kind, "a": expr(depth - 1), "b": expr(depth - 1)}
+
+    return {"table": table, "key": TABLES[table]["key"],
+            "expr": expr(rng.randrange(1, 3))}
+
+
+def _cond_sql_expr(e: dict) -> str:
+    k = e["k"]
+    if k == "col":
+        return f"CAST({e['col']} AS BIGINT)"
+    if k == "mod":
+        return f"(CAST({e['col']} AS BIGINT) % {e['m']})"
+    if k == "lit":
+        return f"CAST({e['v']} AS BIGINT)"
+    if k == "case":
+        c, v = e["pred_col"], e["pred_v"]
+        pred = {
+            "<": f"{c} < {v}",
+            ">=": f"{c} >= {v}",
+            "%2=0": f"{c} % 2 = 0",
+            "%3=1": f"{c} % 3 = 1",
+        }[e["pred_op"]]
+        return (f"CASE WHEN {pred} THEN {_cond_sql_expr(e['then'])} "
+                f"ELSE {_cond_sql_expr(e['els'])} END")
+    if k == "coalesce_nullif":
+        return (f"coalesce(nullif({_cond_sql_expr(e['a'])}, {e['null_v']}), "
+                f"{_cond_sql_expr(e['b'])})")
+    if k == "abs":
+        return f"abs({_cond_sql_expr(e['a'])})"
+    return f"{k}({_cond_sql_expr(e['a'])}, {_cond_sql_expr(e['b'])})"
+
+
+def _cond_spark_expr(e: dict):
+    k = e["k"]
+    if k == "col":
+        return F.col(e["col"]).cast("long")
+    if k == "mod":
+        return F.col(e["col"]).cast("long") % e["m"]
+    if k == "lit":
+        return F.lit(e["v"]).cast("long")
+    if k == "case":
+        c, v = F.col(e["pred_col"]), e["pred_v"]
+        pred = {
+            "<": c < v,
+            ">=": c >= v,
+            "%2=0": c % 2 == 0,
+            "%3=1": c % 3 == 1,
+        }[e["pred_op"]]
+        return F.when(pred, _cond_spark_expr(e["then"])).otherwise(
+            _cond_spark_expr(e["els"])
+        )
+    if k == "coalesce_nullif":
+        return F.coalesce(
+            F.nullif(_cond_spark_expr(e["a"]), F.lit(e["null_v"]).cast("long")),
+            _cond_spark_expr(e["b"]),
+        )
+    if k == "abs":
+        return F.abs(_cond_spark_expr(e["a"]))
+    fn = {"least": F.least, "greatest": F.greatest}[k]
+    return fn(_cond_spark_expr(e["a"]), _cond_spark_expr(e["b"]))
+
+
+def _cond_sql(q: dict) -> str:
+    return (f"SELECT {q['key']} AS k, {_cond_sql_expr(q['expr'])} AS v "
+            f"FROM {q['table']} ORDER BY k")
+
+
+def _cond_spark(spark, q: dict):
+    df = spark.read.parquet(f"{SF_DIR}/{q['table']}.parquet")
+    return df.select(
+        F.col(q["key"]).alias("k"), _cond_spark_expr(q["expr"]).alias("v")
+    ).orderBy("k")
+
+
+@pytest.mark.parametrize("seed", range(24))
+def test_differential_conditional_expr(seed, spark, duck):
+    q = _gen_cond(seed)
+    assert_matches_oracle(_cond_spark(spark, q), duck, _cond_sql(q))
