@@ -11164,3 +11164,305 @@ def q247_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part", "rnk")
     )
+
+
+@register(
+    "q248_sequence_support",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id, event_type,
+             min(ts) AS first_ts, max(ts) AS last_ts
+      FROM events GROUP BY user_id, event_type
+    ),
+    users AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+              FROM events),
+    pairs AS (
+      SELECT a.event_type AS src, b.event_type AS dst,
+             CAST(count(*) AS BIGINT) AS support
+      FROM spans a JOIN spans b
+        ON a.user_id = b.user_id AND a.event_type <> b.event_type
+      WHERE a.first_ts < b.last_ts
+      GROUP BY 1, 2
+    )
+    SELECT p.src, p.dst, p.support,
+           CAST(p.support AS DOUBLE) / CAST(u.n_users AS DOUBLE)
+             AS support_ratio
+    FROM pairs p CROSS JOIN users u
+    ORDER BY p.src, p.dst
+    """,
+)
+def q248_sequence_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern support: for every ordered event-type pair
+    (A -> B), how many users exhibit SOME A before SOME B. The existence
+    test collapses to an interval comparison — min_ts(A) < max_ts(B) —
+    so the per-user explosion is |event types|^2 rows per user (25), not
+    a quadratic self-join over raw events: one (user, type) span agg,
+    one span self-join on the user key, one count. Support ratio is a
+    single exact-integer IEEE division. The market-basket-style
+    sequence-mining primitive (SPADE's co-occurrence step) over the
+    event stream; complements q143's adjacent-transition matrix with
+    gap-tolerant ordering."""
+    ev = _t(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    ).localCheckpoint(eager=False)  # both self-join sides
+    n_users = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+    a = spans.select(
+        "user_id", F.col("event_type").alias("src"), "first_ts"
+    )
+    b = spans.select(
+        "user_id", F.col("event_type").alias("dst"), "last_ts"
+    )
+    pairs = (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("src") != F.col("dst"))
+            & (F.col("first_ts") < F.col("last_ts"))
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n_users))
+        .select(
+            "src",
+            "dst",
+            "support",
+            (
+                F.col("support").cast("double")
+                / F.col("n_users").cast("double")
+            ).alias("support_ratio"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+@register(
+    "q249_source_jaccard_matrix",
+    oracle=r"""
+    WITH st AS (
+      SELECT DISTINCT source,
+             unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    clean AS (SELECT source, tok FROM st WHERE tok <> ''),
+    sizes AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM clean GROUP BY source
+    ),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS n_inter
+      FROM clean a JOIN clean b
+        ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b, i.n_inter,
+           sa.n + sb.n - i.n_inter AS n_union,
+           CAST(i.n_inter AS DOUBLE)
+             / CAST(sa.n + sb.n - i.n_inter AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.src_a = sa.source
+    JOIN sizes sb ON i.src_b = sb.source
+    ORDER BY i.src_a, i.src_b
+    """,
+)
+def q249_source_jaccard_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level vocabulary-overlap matrix: token-SET Jaccard for every
+    source pair, from one distinct (source, token) projection — the
+    set-theoretic companion to q245's distribution-level JSD (a pair can
+    share all tokens yet diverge in frequencies). Intersections come from
+    a vocabulary-keyed equi-join (never a document-level comparison);
+    Jaccard is one exact-integer division. At 100 TB the (source, token)
+    distinct table is vocabulary x sources sized — the corpus is touched
+    once."""
+    d = _t(spark, sf_dir, "documents")
+    clean = (
+        d.select("source", F.explode(_tok(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+        .localCheckpoint(eager=False)  # sizes + both join sides
+    )
+    sizes = clean.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = clean.select(F.col("source").alias("src_a"), "tok")
+    b = clean.select(F.col("source").alias("src_b"), "tok")
+    inter = (
+        a.join(F.broadcast(b), "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_inter",
+            (F.col("na") + F.col("nb") - F.col("n_inter")).alias("n_union"),
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+@register(
+    "q250_knn_loo_eval",
+    oracle=f"""
+    WITH {_VFX_SQL},
+    norms AS (
+      SELECT vec_id, label,
+             CAST(sum(CAST(v_fx * v_fx AS DECIMAL(38, 0))) AS DECIMAL(38, 0))
+               AS n2
+      FROM vfx GROUP BY vec_id, label
+    ),
+    dots AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             CAST(sum(CAST(q.v_fx * c.v_fx AS DECIMAL(38, 0)))
+                  AS DECIMAL(38, 0)) AS dot
+      FROM vfx q JOIN vfx c ON q.pos = c.pos
+      WHERE q.vec_id % 10 = 0 AND c.vec_id <> q.vec_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.qid, d.cid, nc.label AS c_label,
+             CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE)))
+               AS cos
+      FROM dots d
+      JOIN norms nq ON d.qid = nq.vec_id
+      JOIN norms nc ON d.cid = nc.vec_id
+    ),
+    top5 AS (
+      SELECT qid, cid, c_label, cos,
+             row_number() OVER (
+               PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+      FROM scored
+    ),
+    votes AS (
+      SELECT qid, c_label, CAST(count(*) AS BIGINT) AS n_votes
+      FROM top5 WHERE rn <= 5 GROUP BY qid, c_label
+    ),
+    pred AS (
+      SELECT qid, c_label AS pred_label, n_votes,
+             row_number() OVER (
+               PARTITION BY qid ORDER BY n_votes DESC, c_label) AS vr
+      FROM votes
+    )
+    SELECT p.qid AS vec_id, CAST(n.label AS BIGINT) AS label,
+           CAST(p.pred_label AS BIGINT) AS pred_label, p.n_votes,
+           CAST(CASE WHEN p.pred_label = n.label THEN 1 ELSE 0 END AS BIGINT)
+             AS correct
+    FROM pred p JOIN norms n ON p.qid = n.vec_id
+    WHERE p.vr = 1
+    ORDER BY vec_id
+    """,
+)
+def q250_knn_loo_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out kNN classification audit over the embedding corpus:
+    every 10th vector is a query, its 5 nearest neighbors (exact
+    fixed-point cosine — integer dot products and norms, one IEEE
+    divide + 2 sqrts) vote on its label, majority (ties to the smaller
+    label) vs ground truth. This is the embedding-quality measurement a
+    curation pipeline runs before trusting semantic dedup (q73) or ANN
+    retrieval (q41): if LOO accuracy is low, neighbor-based curation is
+    noise. Spark shape: the query subset is BROADCAST against the corpus
+    (the corpus never shuffles — q21's topology), dot products are
+    zip_with/aggregate over the arrays (no per-dim explode), top-5 is a
+    WindowGroupLimit. The oracle re-derives the same from per-dimension
+    rows. At 100 TB the query side stays bounded and the brute-force
+    scan becomes q41's IVF probe — same output contract."""
+    emb = _t(spark, sf_dir, "embeddings")
+    fx = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding"),
+            lambda v: F.floor(
+                (v.cast("double") + F.lit(1.0)) * F.lit(float(EMB_SCALE))
+            ).cast("long"),
+        ).alias("fx"),
+    )
+    norms = fx.select(
+        "vec_id",
+        "label",
+        "fx",
+        F.aggregate(
+            F.transform(F.col("fx"), lambda x: (x * x).cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, x: acc + x,
+        ).alias("n2"),
+    ).localCheckpoint(eager=False)  # query side + corpus side
+    q = norms.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("q_label"),
+        F.col("fx").alias("qfx"),
+        F.col("n2").alias("qn2"),
+    )
+    c = norms.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("c_label"),
+        F.col("fx").alias("cfx"),
+        F.col("n2").alias("cn2"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "q_label",
+            "cid",
+            "c_label",
+            (
+                F.aggregate(
+                    F.zip_with(
+                        "qfx", "cfx", lambda x, y: (x * y).cast("decimal(38,0)")
+                    ),
+                    F.lit(0).cast("decimal(38,0)"),
+                    lambda acc, x: acc + x,
+                ).cast("double")
+                / (
+                    F.sqrt(F.col("qn2").cast("double"))
+                    * F.sqrt(F.col("cn2").cast("double"))
+                )
+            ).alias("cos"),
+        )
+    )
+    top5 = scored.select(
+        "qid",
+        "q_label",
+        "c_label",
+        F.row_number()
+        .over(W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid")))
+        .alias("rn"),
+    ).filter(F.col("rn") <= 5)
+    votes = top5.groupBy("qid", "q_label", "c_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    pred = votes.select(
+        "qid",
+        "q_label",
+        "c_label",
+        "n_votes",
+        F.row_number()
+        .over(
+            W.partitionBy("qid").orderBy(F.desc("n_votes"), F.asc("c_label"))
+        )
+        .alias("vr"),
+    ).filter(F.col("vr") == 1)
+    return pred.select(
+        F.col("qid").alias("vec_id"),
+        F.col("q_label").cast("long").alias("label"),
+        F.col("c_label").cast("long").alias("pred_label"),
+        "n_votes",
+        F.when(F.col("c_label") == F.col("q_label"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("correct"),
+    ).orderBy("vec_id")
