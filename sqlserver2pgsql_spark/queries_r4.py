@@ -11466,3 +11466,280 @@ def q250_knn_loo_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("correct"),
     ).orderBy("vec_id")
+
+
+@register(
+    "q251_bigram_lm_nll",
+    oracle=r"""
+    WITH arrs AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS a
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, unnest(list_zip(a[1:len(a) - 1], a[2:len(a)])) AS z
+      FROM arrs WHERE len(a) >= 2
+    ),
+    bigrams AS (
+      SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM bg
+    ),
+    c12 AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bigrams GROUP BY 1, 2
+    ),
+    c1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS n FROM c12 GROUP BY w1),
+    vocab AS (
+      SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM (
+        SELECT unnest(a) AS tok FROM arrs
+      )
+    ),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(round(-ln(CAST(c12.c + 1 AS DOUBLE)
+                            / CAST(c1.n + vocab.v AS DOUBLE)), 9)
+                  AS DECIMAL(28, 9)) AS nll
+      FROM bigrams b
+      JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+      JOIN c1 ON b.w1 = c1.w1
+      CROSS JOIN vocab
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(nll) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_nll
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q251_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity proxy under a corpus-trained bigram LM with
+    add-one smoothing — the statistical quality scorer a curation
+    pipeline uses between heuristics (q24) and a real LM: documents
+    whose bigrams surprise the corpus model rank as noise. p(w2|w1) =
+    (c12+1)/(c1+V) is an exact-integer ratio; each -ln(p) is rounded to
+    9 decimals and decimal-summed per doc (order-free), then one final
+    division by the bigram count. The model is VOCABULARY-sized (c12 is
+    |V|^2-bounded) and broadcast back to the bigram stream — two corpus
+    passes (count, score), zero corpus shuffles beyond the doc-level
+    agg. The n-gram-LM counterpart of q112's rule-based lm-quality."""
+    d = _t(spark, sf_dir, "documents")
+    arrs = d.select(
+        "doc_id",
+        F.filter(_tok(F.col("text")), lambda x: x != "").alias("a"),
+    ).localCheckpoint(eager=False)  # bigrams + vocab count
+    bigrams = (
+        arrs.filter(F.size("a") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("a") - 1),
+                    lambda i: F.struct(
+                        F.element_at("a", i).alias("w1"),
+                        F.element_at("a", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("z"),
+        )
+        .select("doc_id", F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2"))
+        .localCheckpoint(eager=False)  # counts + scoring pass
+    )
+    c12 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    c1 = c12.groupBy("w1").agg(F.sum("c").alias("n"))
+    vocab = arrs.select(F.explode("a").alias("tok")).agg(
+        F.countDistinct("tok").cast("long").alias("v")
+    )
+    scored = (
+        bigrams.join(F.broadcast(c12), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(
+                -F.log(
+                    (F.col("c") + 1).cast("double")
+                    / (F.col("n") + F.col("v")).cast("double")
+                ),
+                9,
+            )
+            .cast("decimal(28,9)")
+            .alias("nll"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.sum("nll").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q252_degree_assortativity",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT DISTINCT a.part AS pi, b.part AS pj
+      FROM baskets a JOIN baskets b
+        ON a.cust = b.cust AND a.part < b.part
+    ),
+    deg AS (
+      SELECT part, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT pi AS part FROM edges UNION ALL SELECT pj AS part FROM edges
+      ) GROUP BY part
+    ),
+    ends AS (
+      SELECT da.d AS x, db.d AS y FROM edges e
+      JOIN deg da ON e.pi = da.part
+      JOIN deg db ON e.pj = db.part
+      UNION ALL
+      SELECT db.d AS x, da.d AS y FROM edges e
+      JOIN deg da ON e.pi = da.part
+      JOIN deg db ON e.pj = db.part
+    ),
+    moms AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM ends
+    )
+    SELECT n / 2 AS n_edges,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS assortativity
+    FROM moms
+    """,
+)
+def q252_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: Pearson correlation
+    of endpoint degrees over all (symmetrized) edges — do hub parts
+    connect to hubs (r>0) or to the periphery (r<0)? All six moments are
+    exact BIGINTs over the doubled edge list (both orientations, the
+    standard definition), the coefficient is one IEEE chain. Edge
+    generation is the bounded per-customer pair shape shared with q247;
+    degrees come from one count agg on the edge list and broadcast back.
+    The graph-topology health metric for neighbor-based curation
+    (q247/q73): strong disassortativity warns that hub-capping is needed
+    before LSH bucketing."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    baskets = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a = baskets.select("cust", F.col("part").alias("pi"))
+    b = baskets.select("cust", F.col("part").alias("pj"))
+    edges = (
+        a.join(b, "cust")
+        .filter(F.col("pi") < F.col("pj"))
+        .select("pi", "pj")
+        .distinct()
+        .localCheckpoint(eager=False)  # degree agg + both end joins
+    )
+    deg = (
+        edges.select(F.col("pi").alias("part"))
+        .unionByName(edges.select(F.col("pj").alias("part")))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("part").alias("pi"), F.col("d").alias("dx"))
+    db = deg.select(F.col("part").alias("pj"), F.col("d").alias("dy"))
+    joined = edges.join(F.broadcast(da), "pi").join(F.broadcast(db), "pj")
+    ends = joined.select(
+        F.col("dx").alias("x"), F.col("dy").alias("y")
+    ).unionByName(joined.select(F.col("dy").alias("x"), F.col("dx").alias("y")))
+    moms = ends.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return moms.select(
+        (n / 2).cast("long").alias("n_edges"),
+        (
+            (n * sxy - sx * sy).cast("double")
+            / (
+                F.sqrt((n * sxx - sx * sx).cast("double"))
+                * F.sqrt((n * syy - sy * sy).cast("double"))
+            )
+        ).alias("assortativity"),
+    )
+
+
+@register(
+    "q253_bitemporal_asof",
+    oracle="""
+    WITH log AS (
+      SELECT user_id, event_id, event_type, value, ts,
+             ts + INTERVAL (event_id % 5) DAY AS knowledge_ts
+      FROM events
+    ),
+    visible AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM log
+      WHERE ts <= TIMESTAMP '2024-06-30 00:00:00'
+        AND knowledge_ts <= TIMESTAMP '2024-07-02 00:00:00'
+    )
+    SELECT user_id, event_id, event_type, value, ts AS valid_ts,
+           knowledge_ts
+    FROM visible WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def q253_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal point-in-time query: each user's state as of VALID time
+    2024-06-30 *as it was known by* 2024-07-02 — records carry both an
+    event time and a (synthesized, deterministic) knowledge time, and
+    late-arriving corrections must NOT rewrite what a report dated
+    earlier showed. One filter + one per-user window (single shuffle on
+    the key). Knowledge time = ts + (event_id % 5) days models 0-4-day
+    arrival lag. The two-axis generalization of q97's SCD2 and q109's
+    temporal join — the reproducible-snapshot contract an audited
+    migration (the reference's domain) must honor."""
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        "ts",
+        (
+            F.col("ts")
+            + F.make_dt_interval(days=(F.col("event_id") % 5))
+        ).alias("knowledge_ts"),
+    )
+    visible = log.filter(
+        (F.col("ts") <= F.lit("2024-06-30 00:00:00").cast("timestamp"))
+        & (
+            F.col("knowledge_ts")
+            <= F.lit("2024-07-02 00:00:00").cast("timestamp")
+        )
+    )
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        visible.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.col("ts").alias("valid_ts"),
+            "knowledge_ts",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("user_id")
+    )
