@@ -11743,3 +11743,273 @@ def q253_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("user_id")
     )
+
+
+def _setcover_oracle(rounds: int = 5) -> str:
+    parts = [r"""
+    WITH arrs AS (
+      SELECT source,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS a
+      FROM documents
+    ),
+    items AS (
+      SELECT DISTINCT source, z[1] || ' ' || z[2] AS item FROM (
+        SELECT source, unnest(list_zip(a[1:len(a) - 1], a[2:len(a)])) AS z
+        FROM arrs WHERE len(a) >= 2
+      )
+    ),
+    cand1 AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS cnt
+      FROM items GROUP BY source
+    ),
+    pick1 AS (SELECT source, cnt FROM cand1 ORDER BY cnt DESC, source LIMIT 1),
+    cov1 AS (SELECT DISTINCT item FROM items JOIN pick1 USING (source)),
+    picked1 AS (SELECT source FROM pick1)"""]
+    for k in range(2, rounds + 1):
+        parts.append(f""",
+    cand{k} AS (
+      SELECT i.source, CAST(count(*) AS BIGINT) AS cnt FROM items i
+      WHERE i.source NOT IN (SELECT source FROM picked{k - 1})
+        AND i.item NOT IN (SELECT item FROM cov{k - 1})
+      GROUP BY i.source
+    ),
+    pick{k} AS (SELECT source, cnt FROM cand{k}
+                ORDER BY cnt DESC, source LIMIT 1),
+    cov{k} AS (SELECT item FROM cov{k - 1}
+               UNION
+               SELECT item FROM items JOIN pick{k} USING (source)),
+    picked{k} AS (SELECT source FROM picked{k - 1}
+                  UNION ALL SELECT source FROM pick{k})""")
+    sels = [
+        f"""SELECT CAST({k} AS BIGINT) AS round, source,
+               cnt AS newly_covered,
+               (SELECT CAST(count(*) AS BIGINT) FROM cov{k}) AS cum_covered
+        FROM pick{k}"""
+        for k in range(1, rounds + 1)
+    ]
+    parts.append("\n    " + "\n    UNION ALL\n    ".join(sels))
+    parts.append("\n    ORDER BY round")
+    return "".join(parts)
+
+
+@register("q254_greedy_set_cover", oracle=_setcover_oracle())
+def q254_greedy_set_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy set-cover source selection: 5 rounds of 'pick the source
+    adding the most still-uncovered bigrams' — the data-mixing primitive
+    for assembling a maximal-diversity training subset under a source
+    budget (greedy is the classic (1-1/e) approximation). Each round is
+    three bounded ops: anti-join away covered items, one per-source
+    count, a 1-row argmax (orderBy+limit over the SOURCE-cardinality
+    candidate table — never the corpus); the covered set lives as a
+    distributed item table, eagerly checkpointed per round so lineage
+    stays flat. All outputs are exact integers. The corpus is scanned
+    once to build the (source, bigram) incidence; everything iterative
+    is vocabulary-sized — the 100 TB shape. Ties break (count desc,
+    source asc) identically in both engines."""
+    d = _t(spark, sf_dir, "documents")
+    arrs = d.select(
+        "source", F.filter(_tok(F.col("text")), lambda x: x != "").alias("a")
+    )
+    items = (
+        arrs.filter(F.size("a") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("a") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("a", i), F.element_at("a", i + 1)
+                    ),
+                )
+            ).alias("item"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # scanned every round
+    )
+    covered = None
+    picked = None
+    out_rows = None
+    for k in range(1, 6):
+        rem = items
+        if picked is not None:
+            rem = rem.join(picked, "source", "left_anti")
+        if covered is not None:
+            rem = rem.join(covered, "item", "left_anti")
+        cand = rem.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+        pick = (
+            cand.orderBy(F.desc("cnt"), F.asc("source"))
+            .limit(1)
+            .localCheckpoint(eager=True)  # tiny; flattens round lineage
+        )
+        new_cov = items.join(pick.select("source"), "source").select("item")
+        covered = (
+            new_cov
+            if covered is None
+            else covered.unionByName(new_cov).distinct()
+        ).localCheckpoint(eager=True)
+        picked = (
+            pick.select("source")
+            if picked is None
+            else picked.unionByName(pick.select("source"))
+        )
+        n_cov = covered.count()
+        row = pick.select(
+            F.lit(k).cast("long").alias("round"),
+            "source",
+            F.col("cnt").alias("newly_covered"),
+            F.lit(n_cov).cast("long").alias("cum_covered"),
+        )
+        out_rows = row if out_rows is None else out_rows.unionByName(row)
+    return out_rows.orderBy("round")
+
+
+@register(
+    "q255_fano_burstiness",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo,
+             date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ),
+    hours AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    counts AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT t.event_type, hrs.h, COALESCE(c.c, 0) AS c
+      FROM types t CROSS JOIN hours hrs
+      LEFT JOIN counts c ON c.event_type = t.event_type AND c.h = hrs.h
+    ),
+    moms AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS sx,
+             CAST(sum(c * c) AS BIGINT) AS sxx
+      FROM series GROUP BY event_type
+    )
+    SELECT event_type, n AS n_hours, sx AS total,
+           CAST(n * sxx - sx * sx AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) AS fano
+    FROM moms ORDER BY event_type
+    """,
+)
+def q255_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean ratio) of hourly arrival counts per
+    event type over a DENSE hour spine — the burstiness diagnostic that
+    separates Poisson-like traffic (F~1) from bursty (F>1) or clocked
+    (F<1) sources. Algebra: var/mean = (n*Sxx - Sx^2)/(n*Sx), ONE IEEE
+    division over exact integer moments — no float mean ever
+    materializes. The spine is calendar-bounded and broadcast; the fact
+    table contributes one hash agg. Companion to q127's burst detection
+    (which finds WHEN; this scores HOW MUCH overall)."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    series = (
+        types.crossJoin(F.broadcast(hours))
+        .join(F.broadcast(counts), ["event_type", "h"], "left")
+        .select("event_type", "h", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    moms = series.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sx"),
+        F.sum(F.col("c") * F.col("c")).alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    return moms.select(
+        "event_type",
+        n.alias("n_hours"),
+        sx.alias("total"),
+        (
+            (n * sxx - sx * sx).cast("double")
+            / (n.cast("double") * sx.cast("double"))
+        ).alias("fano"),
+    ).orderBy("event_type")
+
+
+@register(
+    "q256_returns_above_nation_avg",
+    oracle="""
+    WITH cust_returns AS (
+      SELECT c.c_custkey, c.c_nationkey,
+             CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                  * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE l.l_returnflag = 'R'
+      GROUP BY 1, 2
+    ),
+    nation_avg AS (
+      SELECT c_nationkey,
+             CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_cents
+      FROM cust_returns GROUP BY c_nationkey
+    )
+    SELECT r.c_custkey, n.n_name AS nation, r.cents AS return_cents,
+           a.avg_cents AS nation_avg_cents
+    FROM cust_returns r
+    JOIN nation_avg a ON r.c_nationkey = a.c_nationkey
+    JOIN nation n ON r.c_nationkey = n.n_nationkey
+    WHERE CAST(r.cents AS DOUBLE) > 1.2 * a.avg_cents
+    ORDER BY r.c_custkey
+    """,
+)
+def q256_returns_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q1-shaped correlated filter: customers whose returned-item
+    revenue exceeds 1.2x the average return revenue of their own nation.
+    The correlation is decorrelated into one per-customer agg + one
+    nation-level agg broadcast back (what Catalyst does to the correlated
+    subquery form). Revenue accumulates in exact integer cents; the
+    threshold compare is a deterministic 2-op IEEE chain (one divide, one
+    multiply) identical on both sides — exactness survives even AT the
+    boundary because both engines compute the same doubles. Dims
+    broadcast; the fact table shuffles once on custkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    cust_returns = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .select("c_custkey", "c_nationkey", cents.alias("cc"))
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.sum("cc").alias("cents"))
+        .localCheckpoint(eager=False)  # feeds the nation agg and the probe
+    )
+    nation_avg = cust_returns.groupBy("c_nationkey").agg(
+        (
+            F.sum("cents").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avg_cents")
+    )
+    return (
+        cust_returns.join(F.broadcast(nation_avg), "c_nationkey")
+        .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
+        .filter(F.col("cents").cast("double") > F.lit(1.2) * F.col("avg_cents"))
+        .select(
+            "c_custkey",
+            F.col("n_name").alias("nation"),
+            F.col("cents").alias("return_cents"),
+            F.col("avg_cents").alias("nation_avg_cents"),
+        )
+        .orderBy("c_custkey")
+    )
