@@ -12013,3 +12013,103 @@ def q256_returns_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "q257_forecast_backtest",
+    oracle="""
+    WITH monthly AS (
+      SELECT (CAST(year(l_shipdate) AS BIGINT) * 12
+              + CAST(month(l_shipdate) AS BIGINT) - 1) AS m,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                  + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1
+    ),
+    lagged AS (
+      SELECT m, cents,
+             lag(cents, 12) OVER (ORDER BY m) AS f,
+             lag(cents, 1) OVER (ORDER BY m) AS prev
+      FROM monthly
+    ),
+    scored AS (
+      SELECT m, cents, f,
+             abs(cents - f) AS abs_err,
+             CAST(round(2 * CAST(abs(cents - f) AS DOUBLE)
+                  / CAST(cents + f AS DOUBLE), 9) AS DECIMAL(28, 9)) AS smape,
+             abs(cents - prev) AS naive_err
+      FROM lagged WHERE f IS NOT NULL
+    )
+    SELECT m, cents AS actual_cents, f AS forecast_cents, abs_err,
+           CAST(smape AS DOUBLE) AS smape,
+           CAST(sum(abs_err) OVER () AS DOUBLE)
+             / CAST(sum(naive_err) OVER () AS DOUBLE) AS mase_vs_naive1,
+           CAST(CAST(sum(smape) OVER () AS DOUBLE)
+                / CAST(count(*) OVER () AS DOUBLE) AS DOUBLE) AS avg_smape
+    FROM scored ORDER BY m
+    """,
+)
+def q257_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict month m's revenue as
+    month m-12's, score every forecastable month with sMAPE and the whole
+    backtest with MASE (seasonal error over one-step-naive error). MASE
+    is a ratio of two exact-integer error sums — ONE IEEE division, no
+    float accumulation anywhere; sMAPE terms are fixed chains rounded to
+    9 decimals and decimal-averaged. The monthly series is
+    calendar-bounded, so the lag windows run on one tiny partition; the
+    corpus contributes a single month agg. The honest-baseline companion
+    to q237's Holt smoothing — a model that can't beat this backtest
+    shouldn't ship."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    monthly = (
+        li.select(
+            (
+                F.year("l_shipdate").cast("long") * 12
+                + F.month("l_shipdate").cast("long")
+                - 1
+            ).alias("m"),
+            cents.alias("c"),
+        )
+        .groupBy("m")
+        .agg(F.sum("c").alias("cents"))
+    )
+    w = W.orderBy("m")
+    lagged = monthly.select(
+        "m",
+        "cents",
+        F.lag("cents", 12).over(w).alias("f"),
+        F.lag("cents", 1).over(w).alias("prev"),
+    )
+    scored = lagged.filter(F.col("f").isNotNull()).select(
+        "m",
+        "cents",
+        "f",
+        F.abs(F.col("cents") - F.col("f")).alias("abs_err"),
+        F.round(
+            F.lit(2)
+            * F.abs(F.col("cents") - F.col("f")).cast("double")
+            / (F.col("cents") + F.col("f")).cast("double"),
+            9,
+        )
+        .cast("decimal(28,9)")
+        .alias("smape"),
+        F.abs(F.col("cents") - F.col("prev")).alias("naive_err"),
+    )
+    wall = W.partitionBy()
+    return scored.select(
+        "m",
+        F.col("cents").alias("actual_cents"),
+        F.col("f").alias("forecast_cents"),
+        "abs_err",
+        F.col("smape").cast("double").alias("smape"),
+        (
+            F.sum("abs_err").over(wall).cast("double")
+            / F.sum("naive_err").over(wall).cast("double")
+        ).alias("mase_vs_naive1"),
+        (
+            F.sum("smape").over(wall).cast("double")
+            / F.count(F.lit(1)).over(wall).cast("double")
+        ).alias("avg_smape"),
+    ).orderBy("m")

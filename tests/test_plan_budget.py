@@ -147,6 +147,16 @@ BUDGETS = [
     ("q244_logrank_test", 2, 0),            # user agg + risk-join agg
     ("q245_js_divergence_pairs", 2, 0),     # (source,tok) agg + pair agg; grid bcast
     ("q247_item_item_cf", 5, 0),            # basket distinct + pair agg + rank window
+    ("q248_sequence_support", 3, 0),        # span agg + self-join + pair agg
+    ("q249_source_jaccard_matrix", 4, 0),   # distinct + sizes + inter agg
+    ("q250_knn_loo_eval", 2, 0),            # rank window + vote agg; corpus never shuffles
+    ("q251_bigram_lm_nll", 6, 0),           # bigram counts + marginal + doc agg
+    ("q252_degree_assortativity", 4, 0),    # basket distinct + edge distinct + moments
+    ("q253_bitemporal_asof", 2, 0),         # one user window + sort
+    ("q254_greedy_set_cover", 1, 0),        # rounds pre-checkpointed; final sort
+    ("q255_fano_burstiness", 3, 0),         # hour agg + series agg; spine bcast
+    ("q256_returns_above_nation_avg", 2, 0),  # cust agg; nation avg bcast
+    ("q257_forecast_backtest", 1, 0),       # month agg; calendar windows 1-part
 ]
 
 
