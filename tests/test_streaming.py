@@ -218,3 +218,87 @@ def test_checkpoint_restart_recovers_state(spark, tmp_path):
     q2.stop()
     # user 1 continued from recovered state; user 3 is new; user 2 untouched
     assert second == {1: (3, 700), 2: (1, 500), 3: (1, 700)}, second
+
+
+def test_outer_stream_join_withholds_unevicted_tail(spark):
+    """PINS Spark's left-outer stream-stream join emission contract under
+    availableNow: matched rows equal the batch join exactly, but a NULL
+    (no-match) row is emitted ONLY once the final watermark passes the
+    click's join-window end — clicks whose state survives stream
+    termination never surface. Expected withheld set is derived from the
+    batch side with wm = min(max event time per input) - delay: a null
+    row requires click_ts + 30min < wm. Anyone porting a batch left join
+    to streaming must know the tail is silently open — this test fails
+    loudly if an engine upgrade changes the eviction timing."""
+    from pyspark.sql import functions as F
+
+    from sqlserver2pgsql_spark.streaming.jobs import (
+        run_stream_to_memory,
+        stream_events,
+    )
+
+    sf = SF_DIR
+    delay = "10 minutes"
+
+    def sides(reader):
+        c = (
+            reader.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("click_ts"),
+            )
+        )
+        p = (
+            reader.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("purchase_ts"),
+            )
+        )
+        return c, p
+
+    cond = lambda: (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        )
+    )
+    sc, sp = sides(stream_events(spark, sf))
+    j = sc.withWatermark("click_ts", delay).join(
+        sp.withWatermark("purchase_ts", delay), cond(), "left_outer"
+    )
+    run_stream_to_memory(j, "loj_pin", output_mode="append")
+    got = spark.sql("select * from loj_pin")
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    bc, bp = sides(ev)
+    batch = bc.join(bp, cond(), "left_outer")
+
+    # matched rows: exact equality
+    gm = got.filter(F.col("purchase_id").isNotNull())
+    bm = batch.filter(F.col("purchase_id").isNotNull())
+    assert gm.count() == bm.count()
+    assert gm.exceptAll(bm).isEmpty() and bm.exceptAll(gm).isEmpty()
+
+    # null rows: batch nulls whose join window closed before the final
+    # watermark (min over inputs of max event time, minus the delay)
+    wm_row = (
+        bc.agg(F.max("click_ts").alias("mc"))
+        .crossJoin(bp.agg(F.max("purchase_ts").alias("mp")))
+        .select(
+            (F.least("mc", "mp") - F.expr("INTERVAL 10 MINUTES")).alias("wm")
+        )
+    )
+    expected_nulls = (
+        batch.filter(F.col("purchase_id").isNull())
+        .crossJoin(wm_row)
+        .filter(F.col("click_ts") + F.expr("INTERVAL 30 MINUTES") < F.col("wm"))
+        .select("click_id")
+    )
+    got_nulls = got.filter(F.col("purchase_id").isNull()).select("click_id")
+    assert got_nulls.exceptAll(expected_nulls).isEmpty()
+    assert expected_nulls.exceptAll(got_nulls).isEmpty()
