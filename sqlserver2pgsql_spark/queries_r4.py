@@ -12113,3 +12113,211 @@ def q257_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).over(wall).cast("double")
         ).alias("avg_smape"),
     ).orderBy("m")
+
+
+@register(
+    "q258_mann_whitney_u",
+    oracle="""
+    WITH two AS (
+      SELECT o_orderpriority AS grp, o_totalprice AS v FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    ranked AS (
+      SELECT grp,
+             CAST(rank() OVER (ORDER BY v) AS BIGINT) AS rmin,
+             CAST(count(*) OVER (PARTITION BY v) AS BIGINT) AS tie
+      FROM two
+    ),
+    gsum AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(rmin AS DECIMAL(28, 1))
+                  + CAST(tie - 1 AS DECIMAL(28, 1)) / 2) AS DECIMAL(38, 1))
+               AS r
+      FROM ranked GROUP BY grp
+    ),
+    u AS (
+      SELECT a.n AS n1, b.n AS n2,
+             CAST(a.r AS DOUBLE)
+               - CAST(a.n AS DOUBLE) * CAST(a.n + 1 AS DOUBLE) / 2 AS u1
+      FROM gsum a JOIN gsum b
+        ON a.grp = '1-URGENT' AND b.grp = '5-LOW'
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2, u1,
+           1 - 2 * u1 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+             AS rank_biserial
+    FROM u
+    """,
+)
+def q258_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (two-sample Wilcoxon) between urgent and low-
+    priority order values, with the rank-biserial effect size — the
+    2-group special case of q242's Kruskal-Wallis, reported the way an
+    experimenter reads it (direction + magnitude, not just a p-value).
+    Tie-averaged ranks are exact half-integers in DECIMAL(38,1);
+    U1 = R1 - n1(n1+1)/2 and the effect size are short fixed IEEE chains
+    over those exact sums. One global rank (range shuffle on the filtered
+    two-group subset), one group agg."""
+    o = _t(spark, sf_dir, "orders")
+    two = o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(F.col("o_orderpriority").alias("grp"), F.col("o_totalprice").alias("v"))
+    ranked = two.select(
+        "grp",
+        F.rank().over(W.orderBy("v")).cast("long").alias("rmin"),
+        F.count(F.lit(1)).over(W.partitionBy("v")).cast("long").alias("tie"),
+    )
+    gsum = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.col("rmin").cast("decimal(28,1)")
+            + (F.col("tie") - 1).cast("decimal(28,1)") / 2
+        )
+        .cast("decimal(38,1)")
+        .alias("r"),
+    )
+    a = gsum.filter(F.col("grp") == "1-URGENT").select(
+        F.col("n").alias("n1"), F.col("r").alias("r1")
+    )
+    b = gsum.filter(F.col("grp") == "5-LOW").select(F.col("n").alias("n2"))
+    u1 = (
+        F.col("r1").cast("double")
+        - F.col("n1").cast("double") * (F.col("n1") + 1).cast("double") / 2
+    )
+    return (
+        a.crossJoin(b)
+        .select(
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            u1.alias("u1"),
+            (
+                F.lit(1)
+                - F.lit(2)
+                * u1
+                / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+            ).alias("rank_biserial"),
+        )
+    )
+
+
+@register(
+    "q259_rfm_segmentation",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(datediff('day', max(CAST(o_orderdate AS DATE)),
+                  DATE '2001-09-01') AS BIGINT) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey,
+             ntile(5) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+             ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey)
+               AS m_score,
+             monetary_cents
+      FROM per_cust
+    )
+    SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(monetary_cents) AS BIGINT) AS segment_cents
+    FROM scored GROUP BY 1, 2, 3
+    ORDER BY r_score, f_score, m_score
+    """,
+)
+def q259_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation — the
+    classic CRM cube: per customer, days since last order, order count,
+    and lifetime cents; each dimension quintiled (ties broken by custkey
+    so NTILE is deterministic), then segment cells aggregated. All
+    integers end to end. The three global ntiles run over the CUSTOMER
+    table (already one agg down from the fact table); at 100 TB the
+    quintile fences would come from q234's equi-depth histogram instead
+    of a global sort — same cell contract."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("2001-09-01").cast("date"), F.max(F.to_date("o_orderdate"))
+        )
+        .cast("long")
+        .alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("monetary_cents"),
+    )
+    scored = per_cust.select(
+        "monetary_cents",
+        F.ntile(5).over(W.orderBy("recency_days", "o_custkey")).alias("r_score"),
+        F.ntile(5)
+        .over(W.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(W.orderBy(F.desc("monetary_cents"), F.asc("o_custkey")))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy(
+            F.col("r_score").cast("long").alias("r_score"),
+            F.col("f_score").cast("long").alias("f_score"),
+            F.col("m_score").cast("long").alias("m_score"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary_cents").alias("segment_cents"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+@register(
+    "q260_late_arrival_audit",
+    oracle="""
+    WITH lagged AS (
+      SELECT event_type, CAST(event_id % 5 AS BIGINT) AS lag_days
+      FROM events
+    ),
+    counts AS (
+      SELECT event_type, lag_days, CAST(count(*) AS BIGINT) AS n
+      FROM lagged GROUP BY 1, 2
+    )
+    SELECT event_type, lag_days, n,
+           CAST(sum(n) OVER (PARTITION BY event_type ORDER BY lag_days)
+                AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE)
+             AS cum_share,
+           CAST(sum(n) OVER (PARTITION BY event_type ORDER BY lag_days)
+                AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE) >= 0.95
+             AS covers_p95
+    FROM counts ORDER BY event_type, lag_days
+    """,
+)
+def q260_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arrival (event-time vs arrival-time) audit: the distribution
+    of arrival lag per event type with cumulative shares — the
+    measurement that SIZES a streaming watermark (q253's knowledge-time
+    model: lag = event_id % 5 days). covers_p95 marks the smallest lag
+    bound admitting >=95% of events: choose the watermark delay one row
+    past it. Cumulative shares are single IEEE divisions of exact
+    integer running sums; the window runs over the type x lag grid (25
+    rows), after one corpus-sized agg."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.select(
+        "event_type", (F.col("event_id") % 5).cast("long").alias("lag_days")
+    ).groupBy("event_type", "lag_days").agg(F.count(F.lit(1)).alias("n"))
+    wt = W.partitionBy("event_type")
+    cum = F.sum("n").over(wt.orderBy("lag_days")).cast("double") / F.sum(
+        "n"
+    ).over(wt).cast("double")
+    return counts.select(
+        "event_type",
+        "lag_days",
+        "n",
+        cum.alias("cum_share"),
+        (cum >= 0.95).alias("covers_p95"),
+    ).orderBy("event_type", "lag_days")

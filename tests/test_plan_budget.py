@@ -157,6 +157,9 @@ BUDGETS = [
     ("q255_fano_burstiness", 3, 0),         # hour agg + series agg; spine bcast
     ("q256_returns_above_nation_avg", 2, 0),  # cust agg; nation avg bcast
     ("q257_forecast_backtest", 1, 0),       # month agg; calendar windows 1-part
+    ("q258_mann_whitney_u", 1, 0),          # group agg; global rank single-part
+    ("q259_rfm_segmentation", 1, 0),        # cust agg; ntiles single-part
+    ("q260_late_arrival_audit", 3, 0),      # type x lag agg + window + sort
 ]
 
 
