@@ -12321,3 +12321,248 @@ def q260_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum.alias("cum_share"),
         (cum >= 0.95).alias("covers_p95"),
     ).orderBy("event_type", "lag_days")
+
+
+@register(
+    "q261_open_shipments_sweepline",
+    oracle="""
+    WITH li AS (
+      SELECT CAST(o.o_orderdate AS DATE) AS d_start,
+             CAST(l.l_shipdate AS DATE) + 1 AS d_end
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    deltas AS (
+      SELECT d, CAST(sum(delta) AS BIGINT) AS delta FROM (
+        SELECT d_start AS d, 1 AS delta FROM li
+        UNION ALL
+        SELECT d_end AS d, -1 AS delta FROM li
+      ) GROUP BY d
+    )
+    SELECT CAST(d AS TIMESTAMP) AS day, delta,
+           CAST(sum(delta) OVER (ORDER BY d) AS BIGINT) AS open_count
+    FROM deltas ORDER BY day
+    """,
+)
+def q261_open_shipments_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval concurrency: how many line items are 'open'
+    (ordered but not yet shipped) on each day. The classic max-overlap
+    problem solved without a per-day rescan: each interval
+    [o_orderdate, l_shipdate] contributes +1 at its start and -1 the day
+    after its end; a running sum over the DELTA table (one row per
+    distinct boundary day, ~date-range-sized) reconstructs the open
+    count. The fact-table work is two hash aggs; the single-partition
+    running-sum window runs over #days rows, never the fact table. All
+    integers — exact."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("d_start")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.date_add(F.col("l_shipdate").cast("date"), 1).alias("d_end")
+    )
+    iv = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select("d_start", "d_end")
+    deltas = (
+        iv.select(F.col("d_start").alias("d"), F.lit(1).alias("delta"))
+        .unionAll(iv.select(F.col("d_end").alias("d"), F.lit(-1).alias("delta")))
+        .groupBy("d")
+        .agg(F.sum("delta").cast("long").alias("delta"))
+    )
+    return deltas.select(
+        F.col("d").cast("timestamp").alias("day"),
+        "delta",
+        F.sum("delta").over(W.orderBy("d")).cast("long").alias("open_count"),
+    ).orderBy("day")
+
+
+@register(
+    "q262_position_attribution",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS BIGINT) AS journey
+      FROM events
+    ),
+    touches AS (
+      SELECT user_id, journey, event_type,
+             CAST(row_number() OVER (PARTITION BY user_id, journey
+                                     ORDER BY ts, event_id) AS BIGINT) AS pos,
+             CAST(count(*) OVER (PARTITION BY user_id, journey)
+                  AS BIGINT) AS n
+      FROM seq WHERE event_type <> 'purchase'
+    ),
+    purchases AS (
+      SELECT user_id, journey,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM seq WHERE event_type = 'purchase'
+    ),
+    attributed AS (
+      SELECT t.event_type,
+             CAST(p.cents AS DOUBLE)
+               * (CASE WHEN t.n = 1 THEN 0.5 + 0.5
+                       WHEN t.n = 2 THEN 0.5
+                       WHEN t.pos = 1 OR t.pos = t.n THEN 0.4
+                       ELSE 0.2 / CAST(t.n - 2 AS DOUBLE) END)
+               / 100 AS dollars
+      FROM touches t JOIN purchases p
+        ON t.user_id = p.user_id AND t.journey = p.journey
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(CAST(round(dollars, 9) AS DECIMAL(28, 9)))
+                AS DOUBLE) AS attributed_dollars
+    FROM attributed GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q262_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) multi-touch attribution: each
+    purchase's value is credited across the non-purchase touches since the
+    user's previous purchase — 40% first touch, 40% last, the middle 20%
+    split evenly (100% / 50-50 for 1- and 2-touch journeys). Journey
+    assignment is one running count over the user timeline (one key
+    shuffle); touches join back to their closing purchase on
+    (user, journey). Per-touch dollars are a fixed IEEE chain off integer
+    cents, rounded to 9 places and summed in DECIMAL so the total is
+    summation-order-free."""
+    ev = _t(spark, sf_dir, "events")
+    wseq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .over(wseq.rowsBetween(W.unboundedPreceding, -1))
+        .cast("long")
+        .alias("journey"),
+    )
+    wj = W.partitionBy("user_id", "journey")
+    touches = seq.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        "journey",
+        "event_type",
+        F.row_number().over(wj.orderBy("ts", "event_id")).cast("long").alias("pos"),
+        F.count(F.lit(1)).over(wj).cast("long").alias("n"),
+    )
+    purchases = seq.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "journey",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    w = (
+        F.when(F.col("n") == 1, F.lit(0.5) + F.lit(0.5))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2).cast("double"))
+    )
+    dollars = F.col("cents").cast("double") * w / 100
+    return (
+        touches.join(purchases, ["user_id", "journey"])
+        .select("event_type", dollars.alias("dollars"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum(F.round(F.col("dollars"), 9).cast("decimal(28,9)"))
+            .cast("double")
+            .alias("attributed_dollars"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q263_damerau_levenshtein_linkage",
+    oracle="""
+    WITH names AS (
+      SELECT p_name,
+             regexp_extract(p_name, '([a-z]+)$', 1) AS block,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM part GROUP BY 1, 2
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(damerau_levenshtein(a.p_name, b.p_name) AS BIGINT)
+             AS distance,
+           a.cnt * b.cnt AS n_part_pairs
+    FROM names a JOIN names b
+      ON a.block = b.block AND a.p_name < b.p_name
+    WHERE damerau_levenshtein(a.p_name, b.p_name) <= 4
+    ORDER BY name_a, name_b
+    """,
+)
+def q263_damerau_levenshtein_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage by UNRESTRICTED Damerau-Levenshtein distance
+    (adjacent transposition counts 1 even with later edits between the
+    pair — the Lowrance-Wagner DP, strictly stronger than Spark's builtin
+    levenshtein and than OSA). Spark lacks the function, so it runs as an
+    Arrow-batched pandas UDF over the candidate pairs; DuckDB has it
+    natively, giving an independent engine check of the DP. Scale shape:
+    distances are computed on DISTINCT names only (vocabulary-sized after
+    the first agg), blocked by trailing token, with pair multiplicity
+    joined back as cnt_a*cnt_b — the fact table is touched once. Integer
+    distances — exact."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _dl_pair(a: str, b: str) -> int:
+        da: dict[str, int] = {}
+        maxd = len(a) + len(b)
+        d = [[maxd] * (len(b) + 2) for _ in range(len(a) + 2)]
+        for i in range(len(a) + 1):
+            d[i + 1][1] = i
+        for j in range(len(b) + 1):
+            d[1][j + 1] = j
+        for i in range(1, len(a) + 1):
+            db = 0
+            for j in range(1, len(b) + 1):
+                k = da.get(b[j - 1], 0)
+                l = db
+                if a[i - 1] == b[j - 1]:
+                    cost = 0
+                    db = j
+                else:
+                    cost = 1
+                d[i + 1][j + 1] = min(
+                    d[i][j] + cost,
+                    d[i + 1][j] + 1,
+                    d[i][j + 1] + 1,
+                    d[k][l] + (i - 1 - k) + 1 + (j - 1 - l),
+                )
+            da[a[i - 1]] = i
+        return d[len(a) + 1][len(b) + 1]
+
+    def _dl(a, b):
+        return pd.Series(
+            [_dl_pair(x, y) for x, y in zip(a, b)], dtype="int64"
+        )
+
+    _dl.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    dl = pandas_udf(_dl, "long")
+
+    names = (
+        _t(spark, sf_dir, "part")
+        .groupBy(
+            "p_name",
+            F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("block"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("block").alias("block"),
+        F.col("cnt").alias("cnt_a"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("block").alias("block_b"),
+        F.col("cnt").alias("cnt_b"),
+    )
+    pairs = a.join(
+        b, (a["block"] == b["block_b"]) & (a["name_a"] < b["name_b"])
+    ).select("name_a", "name_b", (F.col("cnt_a") * F.col("cnt_b")).alias("n_part_pairs"))
+    return (
+        pairs.withColumn("distance", dl(F.col("name_a"), F.col("name_b")))
+        .filter(F.col("distance") <= 4)
+        .select("name_a", "name_b", "distance", "n_part_pairs")
+        .orderBy("name_a", "name_b")
+    )

@@ -160,6 +160,9 @@ BUDGETS = [
     ("q258_mann_whitney_u", 1, 0),          # group agg; global rank single-part
     ("q259_rfm_segmentation", 1, 0),        # cust agg; ntiles single-part
     ("q260_late_arrival_audit", 3, 0),      # type x lag agg + window + sort
+    ("q261_open_shipments_sweepline", 1, 0),  # delta agg; day window 1-part
+    ("q262_position_attribution", 4, 0),    # journey window + join + agg
+    ("q263_damerau_levenshtein_linkage", 3, 4),  # vocab agg + pair join; DL UDF
 ]
 
 
