@@ -12566,3 +12566,236 @@ def q263_damerau_levenshtein_linkage(spark: SparkSession, sf_dir: str) -> DataFr
         .select("name_a", "name_b", "distance", "n_part_pairs")
         .orderBy("name_a", "name_b")
     )
+
+
+@register(
+    "q264_rolling_median_exact",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(d AS TIMESTAMP) AS day, cents,
+           median(cents) OVER (ORDER BY d
+                               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+             AS med7
+    FROM daily ORDER BY day
+    """,
+)
+def q264_rolling_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trailing-7-day rolling MEDIAN of daily revenue — an order
+    statistic over a sliding frame, which (unlike sum/avg) is not
+    subtractable, so Spark has no builtin for it. Implemented by
+    collecting the frame into an array (bounded: ≤7 elements), sorting,
+    and indexing the middle — odd frames take the middle element, even
+    frames average the two middles in one IEEE division of exact integer
+    cents. DuckDB's native median window aggregate is the independent
+    check. The frame logic is JVM-side (collect_list + sort_array +
+    element_at); the only shuffle is the daily pre-agg; the global
+    day-ordered window runs over #days rows."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    frame = F.sort_array(
+        F.collect_list("cents").over(W.orderBy("d").rowsBetween(-6, 0))
+    )
+    n = F.size(frame)
+    lo = F.element_at(frame, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(frame, (n / 2 + 1).cast("int"))
+    return daily.select(
+        F.col("d").cast("timestamp").alias("day"),
+        "cents",
+        ((lo + hi).cast("double") / 2).alias("med7"),
+    ).orderBy("day")
+
+
+@register(
+    "q265_allen_interval_relations",
+    oracle="""
+    WITH iv AS (
+      SELECT o.o_custkey AS cust, o.o_orderkey AS k,
+             CAST(o.o_orderdate AS DATE) AS s,
+             max(CAST(l.l_shipdate AS DATE)) AS e
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2, 3
+    ),
+    pairs AS (
+      SELECT a.s AS s1, a.e AS e1, b.s AS s2, b.e AS e2
+      FROM iv a JOIN iv b ON a.cust = b.cust AND a.k < b.k
+    ),
+    classed AS (
+      SELECT CASE
+        WHEN s1 = s2 AND e1 = e2 THEN 'equals'
+        WHEN e1 < s2 THEN 'before'
+        WHEN e2 < s1 THEN 'after'
+        WHEN e1 = s2 THEN 'meets'
+        WHEN e2 = s1 THEN 'met_by'
+        WHEN s1 = s2 AND e1 < e2 THEN 'starts'
+        WHEN s1 = s2 AND e1 > e2 THEN 'started_by'
+        WHEN e1 = e2 AND s1 > s2 THEN 'finishes'
+        WHEN e1 = e2 AND s1 < s2 THEN 'finished_by'
+        WHEN s1 > s2 AND e1 < e2 THEN 'during'
+        WHEN s1 < s2 AND e1 > e2 THEN 'contains'
+        WHEN s1 < s2 THEN 'overlaps'
+        ELSE 'overlapped_by' END AS relation
+      FROM pairs
+    )
+    SELECT relation, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM classed GROUP BY relation ORDER BY relation
+    """,
+)
+def q265_allen_interval_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen's interval algebra: classify every within-customer pair of
+    order fulfilment intervals [orderdate, last shipdate] into one of the
+    13 Allen relations (before/meets/overlaps/starts/during/finishes,
+    their inverses, and equals) — the exhaustive, mutually-exclusive
+    taxonomy temporal reasoners are built on. The pair join is keyed on
+    customer (bounded fan-out: orders-per-customer, never a global cross
+    join) and the classification is a fixed CASE ladder both engines
+    evaluate identically on exact DATE comparisons. One agg + key-join
+    shuffles; counts are exact integers."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    iv = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("cust"),
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderdate").cast("date").alias("s"),
+        )
+        .agg(F.max("sd").alias("e"))
+    )
+    a = iv.select(
+        F.col("cust").alias("cust_a"), F.col("k").alias("ka"),
+        F.col("s").alias("s1"), F.col("e").alias("e1"),
+    )
+    b = iv.select(
+        F.col("cust").alias("cust_b"), F.col("k").alias("kb"),
+        F.col("s").alias("s2"), F.col("e").alias("e2"),
+    )
+    pairs = a.join(b, (a["cust_a"] == b["cust_b"]) & (a["ka"] < b["kb"]))
+    s1, e1, s2, e2 = F.col("s1"), F.col("e1"), F.col("s2"), F.col("e2")
+    relation = (
+        F.when((s1 == s2) & (e1 == e2), "equals")
+        .when(e1 < s2, "before")
+        .when(e2 < s1, "after")
+        .when(e1 == s2, "meets")
+        .when(e2 == s1, "met_by")
+        .when((s1 == s2) & (e1 < e2), "starts")
+        .when((s1 == s2) & (e1 > e2), "started_by")
+        .when((e1 == e2) & (s1 > s2), "finishes")
+        .when((e1 == e2) & (s1 < s2), "finished_by")
+        .when((s1 > s2) & (e1 < e2), "during")
+        .when((s1 < s2) & (e1 > e2), "contains")
+        .when(s1 < s2, "overlaps")
+        .otherwise("overlapped_by")
+    )
+    return (
+        pairs.select(relation.alias("relation"))
+        .groupBy("relation")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("relation")
+    )
+
+
+@register(
+    "q266_critical_path",
+    oracle="""
+    WITH RECURSIVE val AS (
+      SELECT p_partkey AS node,
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM part
+    ),
+    edges AS (
+      SELECT DISTINCT node AS child, parent FROM (
+        SELECT node, CAST(floor((node - 1) / 5.0) AS BIGINT) AS parent
+        FROM val WHERE node > 0
+        UNION ALL
+        SELECT node, CAST(floor(node / 7.0) AS BIGINT) AS parent
+        FROM val WHERE node > 0
+      )
+    ),
+    paths AS (
+      SELECT v.node, v.node AS cur, v.cents AS total FROM val v
+      UNION ALL
+      SELECT p.node, e.parent, p.total + pv.cents
+      FROM paths p
+      JOIN edges e ON e.child = p.cur
+      JOIN val pv ON pv.node = e.parent
+      WHERE p.cur > 0
+    )
+    SELECT node, CAST(max(total) AS BIGINT) AS critical_cents
+    FROM paths WHERE cur = 0
+    GROUP BY node ORDER BY node
+    """,
+)
+def q266_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest (max-plus) path to the root through a multi-parent DAG —
+    the critical-path DP of project scheduling / build systems, on a
+    synthetic DAG over parts where node k has parents floor((k-1)/5) and
+    floor(k/7) (both strictly smaller, so acyclic; node weight = retail
+    cents). Spark runs the relaxation iteratively: each round extends
+    every frontier path one hop toward the root and folds completed paths
+    into a running max — rounds = DAG depth (log_5 N ≈ 6 here, ~10 at
+    100 TB part counts), each round a key-join + agg sized to the
+    frontier, lineage cut per round. The oracle enumerates all ancestor
+    paths with a recursive CTE and takes the same max — an independent
+    derivation of the identical DP. Exact integer cents."""
+    part = _t(spark, sf_dir, "part")
+    val = part.select(
+        F.col("p_partkey").alias("node"),
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    nz = val.filter(F.col("node") > 0)
+    edges = (
+        nz.select(
+            F.col("node").alias("child"),
+            F.floor((F.col("node") - 1) / 5.0).cast("long").alias("parent"),
+        )
+        .unionAll(
+            nz.select(
+                F.col("node").alias("child"),
+                F.floor(F.col("node") / 7.0).cast("long").alias("parent"),
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    pval = val.select(F.col("node").alias("parent"), F.col("cents").alias("pcents"))
+    # frontier: (node, cur, total) partial paths; done: best completed total
+    frontier = val.select("node", F.col("node").alias("cur"), F.col("cents").alias("total"))
+    best = None
+    while True:
+        done = frontier.filter(F.col("cur") == 0).groupBy("node").agg(
+            F.max("total").alias("critical_cents")
+        )
+        best = done if best is None else best.unionByName(done)
+        frontier = (
+            frontier.filter(F.col("cur") > 0)
+            .join(edges, F.col("cur") == edges["child"])
+            .join(pval, "parent")
+            .select(
+                "node",
+                F.col("parent").alias("cur"),
+                (F.col("total") + F.col("pcents")).alias("total"),
+            )
+            # per-(node,cur) max is safe under max-plus: dominated partial
+            # paths can never yield a longer completion
+            .groupBy("node", "cur")
+            .agg(F.max("total").alias("total"))
+            .localCheckpoint(eager=True)
+        )
+        if frontier.isEmpty():
+            break
+    return (
+        best.groupBy("node")
+        .agg(F.max("critical_cents").cast("long").alias("critical_cents"))
+        .orderBy("node")
+    )

@@ -163,6 +163,9 @@ BUDGETS = [
     ("q261_open_shipments_sweepline", 1, 0),  # delta agg; day window 1-part
     ("q262_position_attribution", 4, 0),    # journey window + join + agg
     ("q263_damerau_levenshtein_linkage", 3, 4),  # vocab agg + pair join; DL UDF
+    ("q264_rolling_median_exact", 1, 0),    # daily agg; frame window 1-part
+    ("q265_allen_interval_relations", 6, 0),  # iv agg + cust pair join + agg
+    ("q266_critical_path", 7, 0),           # per-round frontier joins (chkpt)
 ]
 
 
