@@ -1444,3 +1444,103 @@ def _cond_spark(spark, q: dict):
 def test_differential_conditional_expr(seed, spark, duck):
     q = _gen_cond(seed)
     assert_matches_oracle(_cond_spark(spark, q), duck, _cond_sql(q))
+
+
+# --- null-semantics (three-valued IN / NOT IN) grammar -----------------------
+#
+# The classic divergence trap: `x NOT IN (subquery)` under SQL's three-valued
+# logic. Both sides of the membership test are made NULLABLE via seeded
+# CASE-to-NULL rewrites, exercising every row of the truth table: empty inner
+# set (NOT IN is TRUE even for NULL x), NULL outer probe (never qualifies
+# against a non-empty set), inner set containing NULL (NOT IN yields no rows
+# at all for unmatched probes). The Spark side builds the NULL-AWARE anti
+# join the way the engine's T-SQL translator must — anti join on equality for
+# the matches, plus a broadcast 1-row (count, null-count) gate for the
+# vacuous/poisoned cases — while DuckDB evaluates the subquery natively.
+
+NULLSEM_PAIRS = [
+    ("orders", "lineitem", "o_orderkey", "l_orderkey"),
+    ("customer", "orders", "c_custkey", "o_custkey"),
+    ("part", "lineitem", "p_partkey", "l_partkey"),
+]
+
+
+def _gen_nullsem(seed: int) -> dict:
+    rng = random.Random(seed + 150_000)
+    outer, inner, ko, ki = rng.choice(NULLSEM_PAIRS)
+    # outer probe: NULL when ko % mo == ro
+    mo = rng.randrange(2, 7)
+    ro = rng.randrange(0, mo)
+    # inner values: NULL when ki % mi == ri (sometimes never-null)
+    mi = rng.randrange(2, 7)
+    ri = rng.randrange(0, mi + 3)  # ri >= mi -> inner never null
+    # inner filter narrows the set; extreme bounds make it empty sometimes
+    c = rng.choice(sorted(TABLES[inner]["nums"]))
+    lo, hi = TABLES[inner]["nums"][c]
+    span = hi - lo
+    cut = lo + int(span * rng.choice([0.0, 0.1, 0.5, 0.9, 1.5]))
+    op = rng.choice(["<", ">="])
+    return {
+        "outer": outer, "inner": inner, "ko": ko, "ki": ki,
+        "mo": mo, "ro": ro, "mi": mi, "ri": ri,
+        "ipred": (op, c, cut),
+        "form": rng.choice(["in", "not_in"]),
+        "ocat": rng.choice(sorted(TABLES[outer]["cats"])),
+    }
+
+
+def _nullsem_sql(q: dict) -> str:
+    op, c, v = q["ipred"]
+    probe = (f"CASE WHEN {q['ko']} % {q['mo']} = {q['ro']} "
+             f"THEN NULL ELSE {q['ko']} END")
+    ival = (f"CASE WHEN {q['ki']} % {q['mi']} = {q['ri']} "
+            f"THEN NULL ELSE {q['ki']} END")
+    neg = "NOT " if q["form"] == "not_in" else ""
+    return (
+        f"SELECT {q['ocat']} AS c, CAST(count(*) AS BIGINT) AS n "
+        f"FROM {q['outer']} WHERE ({probe}) {neg}IN "
+        f"(SELECT {ival} FROM {q['inner']} WHERE {c} {op} {v}) "
+        f"GROUP BY {q['ocat']} ORDER BY c"
+    )
+
+
+def _nullsem_spark(spark, q: dict):
+    outer = spark.read.parquet(f"{SF_DIR}/{q['outer']}.parquet")
+    inner = spark.read.parquet(f"{SF_DIR}/{q['inner']}.parquet")
+    op, c, v = q["ipred"]
+    probe = F.when(
+        F.col(q["ko"]) % q["mo"] == q["ro"], F.lit(None).cast("long")
+    ).otherwise(F.col(q["ko"]).cast("long"))
+    ival = F.when(
+        F.col(q["ki"]) % q["mi"] == q["ri"], F.lit(None).cast("long")
+    ).otherwise(F.col(q["ki"]).cast("long"))
+    ipred = F.col(c) < v if op == "<" else F.col(c) >= v
+    oe = outer.select(F.col(q["ocat"]).alias("c"), probe.alias("__e"))
+    ie = inner.filter(ipred).select(ival.alias("__ie"))
+    if q["form"] == "in":
+        # IN: NULLs never match on either side; plain semi join on equality
+        out = oe.join(ie.distinct(), oe["__e"] == F.col("__ie"), "left_semi")
+    else:
+        # NOT IN: anti join removes equality matches; the broadcast 1-row
+        # stats gate applies the vacuous-truth (empty set) and poisoned-set
+        # (inner NULL present / NULL probe) rules of three-valued logic
+        stats = ie.agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.sum(F.when(F.col("__ie").isNull(), 1).otherwise(0)).alias("__nulls"),
+        )
+        vals = ie.filter(F.col("__ie").isNotNull()).distinct()
+        out = (
+            oe.join(vals, oe["__e"] == F.col("__ie"), "left_anti")
+            .join(F.broadcast(stats))
+            .filter(
+                (F.col("__cnt") == 0)
+                | (F.col("__e").isNotNull() & (F.col("__nulls") == 0))
+            )
+        )
+    return out.groupBy("c").agg(F.count(F.lit(1)).alias("n")).orderBy("c")
+
+
+@pytest.mark.parametrize("seed", range(24))
+def test_differential_null_semantics(seed, spark, duck):
+    q = _gen_nullsem(seed)
+    assert_matches_oracle(_nullsem_spark(spark, q), duck, _nullsem_sql(q))
