@@ -12799,3 +12799,238 @@ def q266_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("critical_cents").cast("long").alias("critical_cents"))
         .orderBy("node")
     )
+
+
+@register(
+    "q267_hodges_lehmann",
+    oracle="""
+    WITH cents AS (
+      SELECT l_orderkey,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c,
+             -- (l_orderkey, l_linenumber) is NOT unique in the fixture, so
+             -- pair on a synthetic unique ordinal (the pair SET only depends
+             -- on the value multiset, so the tie-break is irrelevant)
+             row_number() OVER (PARTITION BY l_orderkey ORDER BY
+                                floor(l_extendedprice * 100 + 0.5)) AS rn
+      FROM lineitem
+    ),
+    walsh AS (
+      SELECT a.l_orderkey AS k,
+             (CAST(a.c AS DOUBLE) + CAST(b.c AS DOUBLE)) / 2 AS m
+      FROM cents a JOIN cents b
+        ON a.l_orderkey = b.l_orderkey AND a.rn <= b.rn
+    ),
+    ranked AS (
+      SELECT k, m,
+             CAST(row_number() OVER (PARTITION BY k ORDER BY m) AS BIGINT)
+               AS rn,
+             CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS cnt
+      FROM walsh
+    )
+    SELECT k AS o_orderkey, CAST(max(cnt) AS BIGINT) AS n_walsh,
+           avg(CASE WHEN rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1
+                    THEN m END) AS hl_cents
+    FROM ranked GROUP BY k
+    HAVING max(cnt) >= 3
+    ORDER BY o_orderkey
+    """,
+)
+def q267_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann robust location estimator per order: the median of
+    all Walsh averages (pairwise means (x_i+x_j)/2, i<=j) of the order's
+    line prices — the estimator behind the Wilcoxon signed-rank CI,
+    insensitive to a minority of corrupted prices. Spark generates the
+    Walsh set entirely JVM-side with array HOFs (collect per key ->
+    sort_array -> indexed transform over suffix slices -> flatten), so the
+    quadratic blow-up is bounded by lines-per-order (<=7 -> <=28 pairs)
+    and never a join; the oracle derives the same set with a keyed
+    self-join and a manual rank-median (avoiding DuckDB's interpolating
+    quantile, which uses a different IEEE expression). Means of integer
+    cents are exact half/quarter doubles; the median average is one more
+    exact IEEE op."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    arrs = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("c")).alias("arr")
+    )
+    walsh = F.flatten(
+        F.transform(
+            F.col("arr"),
+            lambda x, i: F.transform(
+                F.slice(F.col("arr"), i + 1, F.size("arr") - i),
+                lambda y: (x.cast("double") + y.cast("double")) / 2,
+            ),
+        )
+    )
+    s = F.sort_array(walsh)
+    m = F.size(s)
+    lo = F.element_at(s, ((m + 1) / 2).cast("int"))
+    hi = F.element_at(s, (m / 2 + 1).cast("int"))
+    return (
+        arrs.select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            m.cast("long").alias("n_walsh"),
+            ((lo + hi) / 2).alias("hl_cents"),
+        )
+        .filter(F.col("n_walsh") >= 3)
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q268_rolling_regression",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                  AS BIGINT) AS x,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    mom AS (
+      SELECT x, y,
+             CAST(count(*) OVER w AS BIGINT) AS n,
+             CAST(sum(x) OVER w AS BIGINT) AS sx,
+             CAST(sum(y) OVER w AS BIGINT) AS sy,
+             CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+             CAST(sum(x * x) OVER w AS BIGINT) AS sxx
+      FROM daily
+      WINDOW w AS (ORDER BY x ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT x AS day_num, y AS cents, n,
+           CASE WHEN n * sxx - sx * sx > 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) END
+             AS slope_cents_per_day
+    FROM mom ORDER BY day_num
+    """,
+)
+def q268_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 14-day OLS trend: the least-squares slope of daily revenue
+    over a trailing window frame, the windowed big sibling of q125's
+    grouped regression. All five frame moments (n, Σx, Σy, Σxy, Σx²) are
+    exact BIGINT window sums (x is a day ordinal ~1e4, y daily cents
+    ~1e9 — Σxy stays < 2^53 by orders of magnitude), so the slope is one
+    IEEE division of exact integers — bit-equal across engines and
+    summation-order-free. One daily pre-agg shuffle; the frame window
+    runs over #days rows. NULL slope on degenerate frames (n=1)."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("x")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    w = W.orderBy("x").rowsBetween(-13, 0)
+    mom = daily.select(
+        "x",
+        "y",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum("x").over(w).cast("long").alias("sx"),
+        F.sum("y").over(w).cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("long").alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return mom.select(
+        F.col("x").alias("day_num"),
+        F.col("y").alias("cents"),
+        "n",
+        F.when(den > 0, num.cast("double") / den.cast("double")).alias(
+            "slope_cents_per_day"
+        ),
+    ).orderBy("day_num")
+
+
+@register(
+    "q269_reciprocal_best_match",
+    oracle="""
+    WITH rev AS (
+      SELECT l.l_suppkey AS supp, o.o_custkey AS cust,
+             CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    best_cust AS (
+      SELECT supp, cust, cents FROM (
+        SELECT supp, cust, cents,
+               row_number() OVER (PARTITION BY supp
+                                  ORDER BY cents DESC, cust) AS rn
+        FROM rev
+      ) WHERE rn = 1
+    ),
+    best_supp AS (
+      SELECT supp, cust FROM (
+        SELECT supp, cust,
+               row_number() OVER (PARTITION BY cust
+                                  ORDER BY cents DESC, supp) AS rn
+        FROM rev
+      ) WHERE rn = 1
+    )
+    SELECT bc.supp AS suppkey, bc.cust AS custkey, bc.cents AS pair_cents
+    FROM best_cust bc JOIN best_supp bs
+      ON bc.supp = bs.supp AND bc.cust = bs.cust
+    ORDER BY suppkey
+    """,
+)
+def q269_reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal best match: supplier-customer pairs where each is the
+    other's top revenue partner — the mutual-nearest-neighbor rule used
+    for high-precision entity linking and bilingual lexicon induction
+    (match only when the argmax relation holds BOTH ways). One fact-table
+    agg to the (supp, cust) revenue matrix, then two row_number argmaxes
+    (deterministic tie-breaks on the key) and an equality join of the two
+    best-lists — top-1 windows compile to WindowGroupLimit, and the
+    final join is best-list-sized (#supp x 1 vs #cust x 1), never the
+    matrix. Exact integer cents."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("l_suppkey").alias("supp"), F.col("o_custkey").alias("cust")
+        )
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    bc = (
+        rev.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("supp").orderBy(F.desc("cents"), F.asc("cust"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("supp", "cust", "cents")
+    )
+    bs = (
+        rev.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("cust").orderBy(F.desc("cents"), F.asc("supp"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(F.col("supp").alias("s2"), F.col("cust").alias("c2"))
+    )
+    return (
+        bc.join(bs, (bc["supp"] == bs["s2"]) & (bc["cust"] == bs["c2"]))
+        .select(
+            F.col("supp").alias("suppkey"),
+            F.col("cust").alias("custkey"),
+            F.col("cents").alias("pair_cents"),
+        )
+        .orderBy("suppkey")
+    )
