@@ -13034,3 +13034,325 @@ def q269_reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("suppkey")
     )
+
+
+@register(
+    "q270_benjamini_hochberg",
+    oracle="""
+    WITH ranked AS (
+      SELECT CAST(o_custkey % 40 AS BIGINT) AS stratum,
+             o_orderstatus AS grp,
+             CAST(rank() OVER (PARTITION BY o_custkey % 40
+                               ORDER BY o_totalprice) AS BIGINT) AS rmin,
+             CAST(count(*) OVER (PARTITION BY o_custkey % 40, o_totalprice)
+                  AS BIGINT) AS tie
+      FROM orders
+    ),
+    per_group AS (
+      SELECT stratum, grp, CAST(count(*) AS BIGINT) AS n_j,
+             CAST(sum(CAST(rmin AS DECIMAL(28, 1))
+                  + CAST(tie - 1 AS DECIMAL(28, 1)) / 2) AS DECIMAL(38, 1))
+               AS r_j
+      FROM ranked GROUP BY 1, 2
+    ),
+    ties AS (
+      SELECT stratum, CAST(sum(tie * tie * tie - tie) AS BIGINT) AS tsum,
+             CAST(sum(tie) AS BIGINT) AS n
+      FROM (SELECT CAST(o_custkey % 40 AS BIGINT) AS stratum,
+                   CAST(count(*) AS BIGINT) AS tie
+            FROM orders GROUP BY 1, o_totalprice)
+      GROUP BY stratum
+    ),
+    s AS (
+      SELECT stratum,
+             CAST(sum(CAST(round(
+               CAST(r_j AS DOUBLE) * CAST(r_j AS DOUBLE)
+                 / CAST(n_j AS DOUBLE), 6) AS DECIMAL(38, 6)))
+             AS DOUBLE) AS s2
+      FROM per_group GROUP BY stratum
+    ),
+    pvals AS (
+      SELECT t.stratum,
+             round(exp(-(
+               ((CAST(12 AS DOUBLE)
+                 / (CAST(t.n AS DOUBLE) * CAST(t.n + 1 AS DOUBLE))) * s.s2
+                - CAST(3 AS DOUBLE) * CAST(t.n + 1 AS DOUBLE))
+               / (CAST(1 AS DOUBLE)
+                  - CAST(t.tsum AS DOUBLE)
+                    / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)
+                       * CAST(t.n AS DOUBLE) - CAST(t.n AS DOUBLE)))
+             ) / 2), 9) AS p
+      FROM ties t JOIN s ON s.stratum = t.stratum
+    ),
+    bh AS (
+      SELECT stratum, p,
+             CAST(row_number() OVER (ORDER BY p, stratum) AS BIGINT) AS k,
+             CAST(count(*) OVER () AS BIGINT) AS m
+      FROM pvals
+    ),
+    adj AS (
+      SELECT stratum, p, k, m,
+             min(p * CAST(m AS DOUBLE) / CAST(k AS DOUBLE))
+               OVER (ORDER BY k ROWS BETWEEN CURRENT ROW
+                     AND UNBOUNDED FOLLOWING) AS padj_raw,
+             max(CASE WHEN p <= 0.1 * CAST(k AS DOUBLE) / CAST(m AS DOUBLE)
+                      THEN k ELSE 0 END) OVER () AS k_star
+      FROM bh
+    )
+    SELECT stratum, p, k,
+           round(CASE WHEN padj_raw < 1 THEN padj_raw ELSE 1 END, 9) AS padj,
+           k <= k_star AS reject
+    FROM adj ORDER BY k
+    """,
+)
+def q270_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over a FAMILY of hypothesis tests —
+    the multiple-testing machinery every large-scale experimentation
+    platform needs: 40 customer strata each get a per-stratum
+    Kruskal-Wallis H across the three order statuses (q242's exact-rank
+    recipe, partitioned); the 2-dof chi-square survival function is
+    EXACTLY exp(-H/2) (no incomplete-gamma needed), rounded to 9 places
+    at the libm boundary; then the BH step-up: rank the p-values, find
+    the largest k with p(k) <= alpha*k/m, reject ranks <= k, and report
+    the standard step-up adjusted p (suffix-min of p*m/k, capped at 1).
+    The rank windows run inside strata; everything after the first agg is
+    strata-sized."""
+    o = _t(spark, sf_dir, "orders")
+    strat = (F.col("o_custkey") % 40).cast("long")
+    ranked = o.select(
+        strat.alias("stratum"),
+        F.col("o_orderstatus").alias("grp"),
+        F.rank()
+        .over(W.partitionBy(strat).orderBy("o_totalprice"))
+        .cast("long")
+        .alias("rmin"),
+        F.count(F.lit(1))
+        .over(W.partitionBy(strat, F.col("o_totalprice")))
+        .cast("long")
+        .alias("tie"),
+    )
+    per_group = ranked.groupBy("stratum", "grp").agg(
+        F.count(F.lit(1)).alias("n_j"),
+        F.sum(
+            F.col("rmin").cast("decimal(28,1)")
+            + (F.col("tie") - 1).cast("decimal(28,1)") / 2
+        )
+        .cast("decimal(38,1)")
+        .alias("r_j"),
+    )
+    ties = (
+        o.groupBy(strat.alias("stratum"), "o_totalprice")
+        .agg(F.count(F.lit(1)).alias("tie"))
+        .groupBy("stratum")
+        .agg(
+            F.sum(
+                F.col("tie") * F.col("tie") * F.col("tie") - F.col("tie")
+            ).alias("tsum"),
+            F.sum("tie").alias("n"),
+        )
+    )
+    s = per_group.groupBy("stratum").agg(
+        F.sum(
+            F.round(
+                F.col("r_j").cast("double")
+                * F.col("r_j").cast("double")
+                / F.col("n_j").cast("double"),
+                6,
+            ).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("s2")
+    )
+    nD = F.col("n").cast("double")
+    h = (F.lit(12.0) / (nD * (F.col("n") + 1).cast("double"))) * F.col("s2") - F.lit(
+        3.0
+    ) * (F.col("n") + 1).cast("double")
+    hc = h / (
+        F.lit(1.0) - F.col("tsum").cast("double") / (nD * nD * nD - nD)
+    )
+    pvals = ties.join(s, "stratum").select(
+        "stratum", F.round(F.exp(-hc / 2), 9).alias("p")
+    )
+    bh = pvals.select(
+        "stratum",
+        "p",
+        F.row_number().over(W.orderBy("p", "stratum")).cast("long").alias("k"),
+        F.count(F.lit(1)).over(W.partitionBy()).cast("long").alias("m"),
+    )
+    padj_raw = F.min(
+        F.col("p") * F.col("m").cast("double") / F.col("k").cast("double")
+    ).over(W.orderBy("k").rowsBetween(0, W.unboundedFollowing))
+    k_star = F.max(
+        F.when(
+            F.col("p") <= F.lit(0.1) * F.col("k").cast("double") / F.col("m").cast("double"),
+            F.col("k"),
+        ).otherwise(F.lit(0))
+    ).over(W.partitionBy())
+    return (
+        bh.select(
+            "stratum",
+            "p",
+            "k",
+            F.round(F.least(padj_raw, F.lit(1.0)), 9).alias("padj"),
+            (F.col("k") <= k_star).alias("reject"),
+        )
+        .orderBy("k")
+    )
+
+
+@register(
+    "q271_simpson_paradox_audit",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderpriority AS stratum, o_orderstatus AS grp,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ),
+    by_stratum AS (
+      SELECT stratum,
+             CAST(sum(CASE WHEN grp = 'F' THEN c END) AS DOUBLE)
+               / CAST(count(CASE WHEN grp = 'F' THEN 1 END) AS DOUBLE)
+             - CAST(sum(CASE WHEN grp = 'O' THEN c END) AS DOUBLE)
+               / CAST(count(CASE WHEN grp = 'O' THEN 1 END) AS DOUBLE)
+               AS diff_cents,
+             CAST(count(*) AS BIGINT) AS n
+      FROM cents GROUP BY stratum
+    ),
+    overall AS (
+      SELECT CAST(sum(CASE WHEN grp = 'F' THEN c END) AS DOUBLE)
+               / CAST(count(CASE WHEN grp = 'F' THEN 1 END) AS DOUBLE)
+             - CAST(sum(CASE WHEN grp = 'O' THEN c END) AS DOUBLE)
+               / CAST(count(CASE WHEN grp = 'O' THEN 1 END) AS DOUBLE)
+               AS overall_diff
+      FROM cents
+    )
+    SELECT s.stratum, s.n, s.diff_cents, o.overall_diff,
+           (s.diff_cents > 0) <> (o.overall_diff > 0) AS sign_flip
+    FROM by_stratum s CROSS JOIN overall o
+    ORDER BY s.stratum
+    """,
+)
+def q271_simpson_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit: the F-vs-O mean-value gap computed overall
+    AND within every priority stratum, flagging strata whose association
+    sign REVERSES the aggregate's — the confounding check any
+    observational metric pipeline should run before reporting a
+    difference. Means are single IEEE divisions of exact integer-cent
+    sums (numerator and denominator both order-free), the gap is one
+    subtraction, and the flip flag is a boolean comparison of identically
+    derived doubles. One fact agg; the overall row is a broadcast
+    1-rower."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    ).select(
+        F.col("o_orderpriority").alias("stratum"),
+        F.col("o_orderstatus").alias("grp"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+
+    def gap(df, keys):
+        agg = df.groupBy(*keys).agg(
+            F.sum(F.when(F.col("grp") == "F", F.col("c"))).alias("sf"),
+            F.count(F.when(F.col("grp") == "F", 1)).alias("nf"),
+            F.sum(F.when(F.col("grp") == "O", F.col("c"))).alias("so"),
+            F.count(F.when(F.col("grp") == "O", 1)).alias("no"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        d = F.col("sf").cast("double") / F.col("nf").cast("double") - F.col(
+            "so"
+        ).cast("double") / F.col("no").cast("double")
+        return agg, d
+
+    per, d_per = gap(o, ["stratum"])
+    tot, d_tot = gap(o, [])
+    per = per.select("stratum", "n", d_per.alias("diff_cents"))
+    tot = tot.select(d_tot.alias("overall_diff"))
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            "stratum",
+            "n",
+            "diff_cents",
+            "overall_diff",
+            ((F.col("diff_cents") > 0) != (F.col("overall_diff") > 0)).alias(
+                "sign_flip"
+            ),
+        )
+        .orderBy("stratum")
+    )
+
+
+@register(
+    "q272_longest_increasing_subsequence",
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT user_id,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS BIGINT) AS pos,
+             CAST(floor(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    chains AS (
+      SELECT user_id, pos, v, CAST(1 AS BIGINT) AS len FROM seq
+      UNION
+      SELECT s.user_id, s.pos, s.v, c.len + 1
+      FROM chains c JOIN seq s
+        ON s.user_id = c.user_id AND s.pos > c.pos AND s.v > c.v
+    )
+    SELECT user_id, CAST(max(pos) AS BIGINT) AS n_events,
+           CAST(max(len) AS BIGINT) AS lis
+    FROM chains GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q272_longest_increasing_subsequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest strictly-increasing subsequence of each user's event-value
+    timeline — the classic sequence DP (patience sorting's quadratic
+    sibling), here as a per-key fold entirely in JVM array HOFs: collect
+    the time-ordered values, then F.aggregate threads an array of
+    (value, dp) structs where each new element's dp = 1 + max dp over
+    earlier smaller values (filter + transform + array_max inside the
+    lambda — no Python, no shuffle beyond the one collect agg). The
+    oracle independently derives LIS as the longest chain in a recursive
+    CTE with DISTINCT state dedup (states are (pos, len), not paths, so
+    it stays polynomial). Sequence lengths are bounded by
+    events-per-user; at 100 TB the same fold runs unchanged since the
+    fold is per-key and linear in state."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.struct(
+            F.col("ts"), F.col("event_id"),
+            F.floor(F.col("value") * 100).cast("long").alias("v"),
+        ).alias("s"),
+    )
+    arrs = ev.groupBy("user_id").agg(
+        F.transform(F.sort_array(F.collect_list("s")), lambda s: s["v"]).alias("vs")
+    )
+    dp = F.aggregate(
+        F.col("vs"),
+        F.expr("CAST(array() AS array<struct<v: bigint, dp: bigint>>)"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    x.alias("v"),
+                    (
+                        F.coalesce(
+                            F.array_max(
+                                F.transform(
+                                    F.filter(acc, lambda s: s["v"] < x),
+                                    lambda s: s["dp"],
+                                )
+                            ),
+                            F.lit(0),
+                        )
+                        + 1
+                    ).alias("dp"),
+                )
+            ),
+        ),
+    )
+    return arrs.select(
+        "user_id",
+        F.size("vs").cast("long").alias("n_events"),
+        F.array_max(F.transform(dp, lambda s: s["dp"])).cast("long").alias("lis"),
+    ).orderBy("user_id")

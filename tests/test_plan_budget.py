@@ -169,6 +169,9 @@ BUDGETS = [
     ("q267_hodges_lehmann", 2, 0),          # per-order collect + sort; HOF pairs
     ("q268_rolling_regression", 1, 0),      # daily agg; frame window 1-part
     ("q269_reciprocal_best_match", 7, 0),   # matrix agg + 2 argmax + join
+    ("q270_benjamini_hochberg", 5, 0),      # stratum ranks + aggs; BH 1-part
+    ("q271_simpson_paradox_audit", 2, 0),   # stratum agg; overall bcast
+    ("q272_longest_increasing_subsequence", 2, 0),  # collect agg; HOF fold
 ]
 
 
