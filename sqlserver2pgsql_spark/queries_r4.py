@@ -13356,3 +13356,263 @@ def q272_longest_increasing_subsequence(spark: SparkSession, sf_dir: str) -> Dat
         F.size("vs").cast("long").alias("n_events"),
         F.array_max(F.transform(dp, lambda s: s["dp"])).cast("long").alias("lis"),
     ).orderBy("user_id")
+
+
+@register(
+    "q273_v_optimal_histogram",
+    oracle="""
+    WITH vals AS (
+      SELECT CAST(l_quantity AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+      SELECT v, w, CAST(row_number() OVER (ORDER BY v) AS BIGINT) AS i
+      FROM vals
+    ),
+    prefix AS (
+      SELECT i,
+             CAST(sum(w) OVER (ORDER BY i) AS BIGINT) AS pw,
+             CAST(sum(w * v) OVER (ORDER BY i) AS BIGINT) AS ps1,
+             CAST(sum(w * v * v) OVER (ORDER BY i) AS BIGINT) AS ps2
+      FROM ranked
+      UNION ALL SELECT 0, 0, 0, 0
+    ),
+    cost AS (
+      SELECT lo.i AS j, hi.i AS i,
+             CAST(hi.ps2 - lo.ps2 AS DOUBLE)
+               - CAST(hi.ps1 - lo.ps1 AS DOUBLE)
+                 * CAST(hi.ps1 - lo.ps1 AS DOUBLE)
+                 / CAST(hi.pw - lo.pw AS DOUBLE) AS sse
+      FROM prefix lo JOIN prefix hi ON lo.i < hi.i
+    ),
+    dp1 AS (SELECT i, sse AS dp FROM cost WHERE j = 0),
+    dp2 AS (SELECT c.i, min(d.dp + c.sse) AS dp
+            FROM dp1 d JOIN cost c ON c.j = d.i GROUP BY c.i),
+    dp3 AS (SELECT c.i, min(d.dp + c.sse) AS dp
+            FROM dp2 d JOIN cost c ON c.j = d.i GROUP BY c.i),
+    dp4 AS (SELECT c.i, min(d.dp + c.sse) AS dp
+            FROM dp3 d JOIN cost c ON c.j = d.i GROUP BY c.i)
+    SELECT b, i, round(dp, 6) AS sse
+    FROM (
+      SELECT CAST(1 AS BIGINT) AS b, i, dp FROM dp1
+      UNION ALL SELECT 2, i, dp FROM dp2
+      UNION ALL SELECT 3, i, dp FROM dp3
+      UNION ALL SELECT 4, i, dp FROM dp4
+    ) ORDER BY b, i
+    """,
+)
+def q273_v_optimal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V-optimal histogram construction DP (Jagadish et al., VLDB'98 —
+    the optimizer-statistics gold standard): dp_b[i] = the minimum total
+    within-bucket SSE of splitting the first i distinct values into b
+    buckets, for b = 1..4. Bucket SSE comes from exact integer prefix
+    moments (W, Σwv, Σwv²) so every candidate cost is the same IEEE
+    expression in both engines, and min() over identical doubles is
+    order-free. The fact table collapses to #distinct-value rows in one
+    agg; the DP state is (values × buckets)-sized with a bounded
+    O(N²) candidate join per level — the driver loop runs B-1 = 3
+    bounded joins, never touching the fact table again. Output rounds
+    once at the boundary."""
+    li = _t(spark, sf_dir, "lineitem")
+    vals = li.groupBy(F.col("l_quantity").cast("long").alias("v")).agg(
+        F.count(F.lit(1)).alias("w")
+    )
+    ranked = vals.select(
+        "v", "w", F.row_number().over(W.orderBy("v")).cast("long").alias("i")
+    )
+    wp = W.orderBy("i")
+    prefix = ranked.select(
+        "i",
+        F.sum("w").over(wp).cast("long").alias("pw"),
+        F.sum(F.col("w") * F.col("v")).over(wp).cast("long").alias("ps1"),
+        F.sum(F.col("w") * F.col("v") * F.col("v")).over(wp).cast("long").alias("ps2"),
+    ).unionByName(
+        li.sparkSession.range(1).select(
+            F.lit(0).cast("long").alias("i"),
+            F.lit(0).cast("long").alias("pw"),
+            F.lit(0).cast("long").alias("ps1"),
+            F.lit(0).cast("long").alias("ps2"),
+        )
+    )
+    lo = prefix.select(
+        F.col("i").alias("j"), F.col("pw").alias("w0"),
+        F.col("ps1").alias("s10"), F.col("ps2").alias("s20"),
+    )
+    hi = prefix.select("i", "pw", "ps1", "ps2")
+    d1 = (F.col("ps1") - F.col("s10")).cast("double")
+    cost = (
+        lo.join(hi, F.col("j") < F.col("i"))
+        .select(
+            "j",
+            "i",
+            (
+                (F.col("ps2") - F.col("s20")).cast("double")
+                - d1 * d1 / (F.col("pw") - F.col("w0")).cast("double")
+            ).alias("sse"),
+        )
+        # DP state is #distinct-values² rows — single-partition it so the
+        # 3 per-level joins don't pay 32-partition shuffle scheduling
+        .coalesce(1)
+        .localCheckpoint(eager=True)  # reused by every DP level
+    )
+    dp = cost.filter(F.col("j") == 0).select("i", F.col("sse").alias("dp"))
+    out = dp.select(F.lit(1).cast("long").alias("b"), "i", "dp")
+    for b in (2, 3, 4):
+        # dp is #values rows — broadcast it into the candidate join so each
+        # level is one map-side join + one (AQE-coalesced) tiny agg
+        prev = F.broadcast(
+            dp.select(F.col("i").alias("j"), F.col("dp").alias("dprev"))
+        )
+        dp = (
+            cost.join(prev, "j")
+            .groupBy("i")
+            .agg(F.min(F.col("dprev") + F.col("sse")).alias("dp"))
+        )
+        out = out.unionByName(dp.select(F.lit(b).cast("long").alias("b"), "i", "dp"))
+    return out.select("b", "i", F.round("dp", 6).alias("sse")).orderBy("b", "i")
+
+
+@register(
+    "q274_quantile_migration",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey AS cust,
+             CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+                  THEN 0 ELSE 1 END AS era,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    tiled AS (
+      SELECT cust, era,
+             CAST(ntile(5) OVER (PARTITION BY era ORDER BY cents, cust)
+                  AS BIGINT) AS q
+      FROM per
+    )
+    SELECT a.q AS q_before, b.q AS q_after,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM tiled a JOIN tiled b ON a.cust = b.cust AND a.era = 0 AND b.era = 1
+    GROUP BY 1, 2 ORDER BY q_before, q_after
+    """,
+)
+def q274_quantile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-migration (rank-transition) matrix: each customer's
+    revenue quintile in the pre-1998 era versus after, for customers
+    active in both — the mobility table behind churn/upsell cohort
+    studies ('how many Q1 customers became Q5?'). Quintiles use
+    deterministic tie-breaks (cents, custkey), eras are tiled
+    independently inside one window partition each, and the join is
+    customer-keyed. Exact integers end to end."""
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy(
+        F.col("o_custkey").alias("cust"),
+        F.when(
+            F.col("o_orderdate").cast("date") < F.lit("1998-01-01").cast("date"), 0
+        )
+        .otherwise(1)
+        .alias("era"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    tiled = per.select(
+        "cust",
+        "era",
+        F.ntile(5)
+        .over(W.partitionBy("era").orderBy("cents", "cust"))
+        .cast("long")
+        .alias("q"),
+    )
+    a = tiled.filter(F.col("era") == 0).select("cust", F.col("q").alias("q_before"))
+    b = tiled.filter(F.col("era") == 1).select(
+        F.col("cust").alias("cust_b"), F.col("q").alias("q_after")
+    )
+    return (
+        a.join(b, a["cust"] == b["cust_b"])
+        .groupBy("q_before", "q_after")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("q_before", "q_after")
+    )
+
+
+@register(
+    "q275_postings_compression_plan",
+    oracle="""
+    WITH postings AS (
+      SELECT DISTINCT term, doc_id FROM (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents
+      ) WHERE term <> ''
+    ),
+    gaps AS (
+      SELECT term,
+             doc_id - lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id)
+               AS gap
+      FROM postings
+    ),
+    sized AS (
+      SELECT term, gap,
+             CAST(ceil(log2(CAST(gap + 1 AS DOUBLE))) AS BIGINT) AS bits
+      FROM gaps WHERE gap IS NOT NULL
+    )
+    SELECT term,
+           CAST(count(*) + 1 AS BIGINT) AS n_postings,
+           CAST(max(gap) AS BIGINT) AS max_gap,
+           CAST(sum(bits) AS BIGINT) AS gap_bits,
+           CAST(count(*) + 1 AS BIGINT) * 32 AS raw_bits,
+           round(1 - CAST(sum(bits) + 32 AS DOUBLE)
+                     / CAST((count(*) + 1) * 32 AS DOUBLE), 6) AS savings
+    FROM sized GROUP BY term ORDER BY term
+    """,
+)
+def q275_postings_compression_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index storage planner: per-term delta-encoding budget for
+    the postings lists of q142's index — consecutive doc-id gaps, the
+    ceil(log2(gap+1)) bit-width each gap needs, and the savings vs 32-bit
+    raw postings (first posting stored raw: +32). This is the sizing
+    pass a search/RAG index build runs before choosing a posting codec
+    (VByte vs bit-packing). log2 of small integers sits far from
+    integer boundaries except at exact powers of two, where IEEE log2 is
+    exact — so ceil is stable across engines without rounding guards.
+    One distinct shuffle + one term-keyed window + one agg."""
+    from .operators.text import WS
+
+    docs = _t(spark, sf_dir, "documents")
+    postings = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), WS)).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    gaps = postings.select(
+        "term",
+        (
+            F.col("doc_id")
+            - F.lag("doc_id").over(W.partitionBy("term").orderBy("doc_id"))
+        ).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    sized = gaps.select(
+        "term",
+        "gap",
+        F.ceil(F.log2((F.col("gap") + 1).cast("double"))).cast("long").alias("bits"),
+    )
+    n = (F.count(F.lit(1)) + 1).cast("long")
+    return (
+        sized.groupBy("term")
+        .agg(
+            n.alias("n_postings"),
+            F.max("gap").cast("long").alias("max_gap"),
+            F.sum("bits").cast("long").alias("gap_bits"),
+            (n * 32).alias("raw_bits"),
+            F.round(
+                F.lit(1)
+                - (F.sum("bits") + 32).cast("double")
+                / ((F.count(F.lit(1)) + 1) * 32).cast("double"),
+                6,
+            ).alias("savings"),
+        )
+        .orderBy("term")
+    )

@@ -172,6 +172,9 @@ BUDGETS = [
     ("q270_benjamini_hochberg", 5, 0),      # stratum ranks + aggs; BH 1-part
     ("q271_simpson_paradox_audit", 2, 0),   # stratum agg; overall bcast
     ("q272_longest_increasing_subsequence", 2, 0),  # collect agg; HOF fold
+    ("q273_v_optimal_histogram", 7, 0),     # value agg + 3 bcast DP levels
+    ("q274_quantile_migration", 6, 0),      # era agg + tiles + cust join
+    ("q275_postings_compression_plan", 3, 0),  # distinct + term window + agg
 ]
 
 
