@@ -13616,3 +13616,331 @@ def q275_postings_compression_plan(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("term")
     )
+
+
+@register(
+    "q276_revenue_recognition",
+    oracle="""
+    WITH iv AS (
+      SELECT k, cents, least(s0, e0) AS s, greatest(s0, e0) AS e FROM (
+        SELECT o.o_orderkey AS k,
+               CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(o.o_orderdate AS DATE) AS s0,
+               max(CAST(l.l_shipdate AS DATE)) AS e0
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2, 3
+      )
+    ),
+    spread AS (
+      SELECT k, cents, s, e,
+             CAST(date_diff('day', s, e) + 1 AS BIGINT) AS td,
+             unnest(generate_series(date_trunc('month', s),
+                                    date_trunc('month', e),
+                                    INTERVAL 1 MONTH))::DATE AS m
+      FROM iv
+    ),
+    od AS (
+      SELECT k, cents, td, m,
+             CAST(date_diff('day',
+                    greatest(m, s),
+                    least(last_day(m), e)) + 1 AS BIGINT) AS od
+      FROM spread
+    ),
+    alloc AS (
+      SELECT k, m,
+             cents * od // td AS base,
+             (cents * od) % td AS frac,
+             cents - CAST(sum(cents * od // td) OVER (PARTITION BY k)
+                          AS BIGINT) AS r,
+             row_number() OVER (PARTITION BY k
+                                ORDER BY (cents * od) % td DESC, m) AS rn
+      FROM od
+    )
+    SELECT CAST(m AS TIMESTAMP) AS month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(base + CASE WHEN rn <= r THEN 1 ELSE 0 END) AS BIGINT)
+             AS recognized_cents
+    FROM alloc GROUP BY m ORDER BY month
+    """,
+)
+def q276_revenue_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendarized revenue recognition: each order's value is prorated
+    across the calendar months its fulfilment interval [orderdate, last
+    shipdate] touches, proportional to overlap days — with the
+    LARGEST-REMAINDER method distributing the integer remainder cents, so
+    per-order allocations sum EXACTLY to the order total (no float
+    pennies lost; the same Hamilton apportionment as q57's token mix).
+    The month fan-out is a bounded explode (months-per-order); remainder
+    ranking is a per-order window; the output is one calendar-month agg.
+    All integer arithmetic."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        F.col("o_orderdate").cast("date").alias("s"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    iv = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "cents", F.col("s").alias("s0"))
+        .agg(F.max("sd").alias("e0"))
+        # the synthetic fixture does not force shipdate >= orderdate, so
+        # normalize the interval orientation before the month fan-out
+        .select(
+            "o_orderkey", "cents",
+            F.least("s0", "e0").alias("s"), F.greatest("s0", "e0").alias("e"),
+        )
+    )
+    spread = iv.select(
+        F.col("o_orderkey").alias("k"),
+        "cents",
+        "s",
+        "e",
+        (F.datediff("e", "s") + 1).cast("long").alias("td"),
+        F.explode(
+            F.sequence(
+                F.date_trunc("month", "s").cast("date"),
+                F.col("e"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("m"),
+    )
+    od = spread.select(
+        "k",
+        "cents",
+        "td",
+        "m",
+        (
+            F.datediff(
+                F.least(F.last_day("m"), F.col("e")),
+                F.greatest(F.col("m"), F.col("s")),
+            )
+            + 1
+        )
+        .cast("long")
+        .alias("od"),
+    )
+    wk = W.partitionBy("k")
+    alloc = od.select(
+        "k",
+        "m",
+        F.floor(F.col("cents") * F.col("od") / F.col("td")).cast("long").alias("base"),
+        ((F.col("cents") * F.col("od")) % F.col("td")).alias("frac"),
+        F.col("cents").alias("cents"),
+    )
+    alloc = alloc.select(
+        "k",
+        "m",
+        "base",
+        (F.col("cents") - F.sum("base").over(wk)).alias("r"),
+        F.row_number().over(wk.orderBy(F.desc("frac"), F.asc("m"))).alias("rn"),
+    )
+    return (
+        alloc.groupBy(F.col("m").cast("timestamp").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.col("base") + F.when(F.col("rn") <= F.col("r"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("recognized_cents"),
+        )
+        .orderBy("month")
+    )
+
+
+@register(
+    "q277_sprt_sequential_test",
+    oracle="""
+    WITH inc AS (
+      SELECT CAST(user_id % 16 AS BIGINT) AS exp_id, ts, event_id,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(ln(CAST(0.22 AS DOUBLE) / 0.18), 9)
+                            AS DECIMAL(28, 9))
+                  ELSE CAST(round(ln(CAST(0.78 AS DOUBLE) / 0.82), 9)
+                            AS DECIMAL(28, 9)) END AS llr
+      FROM events
+    ),
+    walk AS (
+      SELECT exp_id,
+             CAST(row_number() OVER w AS BIGINT) AS t,
+             CAST(sum(llr) OVER (PARTITION BY exp_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS DECIMAL(28, 9)) AS cum
+      FROM inc WINDOW w AS (PARTITION BY exp_id ORDER BY ts, event_id)
+    ),
+    bound AS (SELECT CAST(round(ln(CAST(19 AS DOUBLE)), 9) AS DECIMAL(28, 9)) AS b),
+    crossings AS (
+      SELECT w.exp_id,
+             min(CASE WHEN w.cum >= bd.b OR w.cum <= -bd.b THEN w.t END)
+               AS t_cross,
+             CAST(max(w.t) AS BIGINT) AS n_obs,
+             CAST(max(CASE WHEN w2.mx = w.t THEN w.cum END) AS DOUBLE)
+               AS final_llr
+      FROM walk w
+      CROSS JOIN bound bd
+      JOIN (SELECT exp_id, max(t) AS mx FROM walk GROUP BY exp_id) w2
+        ON w2.exp_id = w.exp_id
+      GROUP BY w.exp_id
+    ),
+    first_cross AS (
+      SELECT c.exp_id, c.t_cross, c.n_obs, c.final_llr,
+             CAST(max(CASE WHEN w.t = c.t_cross THEN w.cum END) AS DOUBLE)
+               AS llr_at_cross
+      FROM crossings c LEFT JOIN walk w ON w.exp_id = c.exp_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT exp_id, CAST(t_cross AS BIGINT) AS t_cross, n_obs, final_llr,
+           CASE WHEN t_cross IS NULL THEN 'continue'
+                WHEN llr_at_cross > 0 THEN 'accept_h1'
+                ELSE 'accept_h0' END AS decision
+    FROM first_cross ORDER BY exp_id
+    """,
+)
+def q277_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test over 16 concurrent
+    experiments: each arm's event stream walks a cumulative log-likelihood
+    ratio (H1: 22% purchase rate vs H0: 18%) and stops at the first
+    crossing of the symmetric ln(19) boundaries (alpha = beta = 0.05) —
+    the early-stopping machinery of any modern experimentation platform.
+    The two per-observation LLR increments are CONSTANTS, rounded to 9
+    places at the libm boundary and accumulated as DECIMAL(28,9), so
+    every partial sum and the boundary comparison are bit-identical
+    across engines. One key-partitioned ordered window + one agg."""
+    ev = _t(spark, sf_dir, "events")
+    up = F.round(F.log(F.lit(0.22) / F.lit(0.18)), 9).cast("decimal(28,9)")
+    dn = F.round(F.log(F.lit(0.78) / F.lit(0.82)), 9).cast("decimal(28,9)")
+    b = F.round(F.log(F.lit(19.0)), 9).cast("decimal(28,9)")
+    wseq = W.partitionBy("exp_id").orderBy("ts", "event_id")
+    walk = ev.select(
+        (F.col("user_id") % 16).cast("long").alias("exp_id"),
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", up).otherwise(dn).alias("llr"),
+    ).select(
+        "exp_id",
+        F.row_number().over(wseq).cast("long").alias("t"),
+        F.sum("llr")
+        .over(wseq.rowsBetween(W.unboundedPreceding, 0))
+        .cast("decimal(28,9)")
+        .alias("cum"),
+    )
+    agg = walk.groupBy("exp_id").agg(
+        F.min(
+            F.when((F.col("cum") >= b) | (F.col("cum") <= -b), F.col("t"))
+        ).alias("t_cross"),
+        F.max("t").cast("long").alias("n_obs"),
+        F.max_by(F.col("cum"), F.col("t")).cast("double").alias("final_llr"),
+    )
+    at_cross = walk.select(
+        F.col("exp_id").alias("e2"), "t", F.col("cum").alias("cum2")
+    )
+    return (
+        agg.join(
+            at_cross,
+            (F.col("exp_id") == F.col("e2")) & (F.col("t_cross") == F.col("t")),
+            "left",
+        )
+        .select(
+            "exp_id",
+            "t_cross",
+            "n_obs",
+            "final_llr",
+            F.when(F.col("t_cross").isNull(), "continue")
+            .when(F.col("cum2") > 0, "accept_h1")
+            .otherwise("accept_h0")
+            .alias("decision"),
+        )
+        .orderBy("exp_id")
+    )
+
+
+@register(
+    "q278_golden_record_survivorship",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, ts, event_id, event_type, props,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    mode_type AS (
+      SELECT user_id, event_type AS modal_type FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY count(*) DESC, event_type) AS rn
+        FROM base GROUP BY user_id, event_type
+      ) WHERE rn = 1
+    ),
+    latest AS (
+      SELECT user_id, props AS latest_props FROM (
+        SELECT user_id, props,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM base
+      ) WHERE rn = 1
+    ),
+    extremes AS (
+      SELECT user_id, CAST(max(cents) AS BIGINT) AS max_cents,
+             min(ts) AS first_seen, CAST(count(*) AS BIGINT) AS n_events
+      FROM base GROUP BY user_id
+    )
+    SELECT e.user_id, e.n_events, m.modal_type, l.latest_props,
+           e.max_cents, e.first_seen
+    FROM extremes e
+    JOIN mode_type m ON m.user_id = e.user_id
+    JOIN latest l ON l.user_id = e.user_id
+    ORDER BY e.user_id
+    """,
+)
+def q278_golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship (MDM merge): each field of the merged
+    entity is elected by a DIFFERENT rule — modal value for the
+    categorical (most frequent, deterministic lexicographic tie-break),
+    most-recent for the payload, max for the measure, min for the
+    first-seen timestamp — the per-COLUMN complement of q87's whole-row
+    keep-best. All three rules reduce to windows/aggs on the same
+    user-partitioned shuffle; the three branches join back on the entity
+    key (each #users-sized). Exact: counts, cents, timestamps."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "props",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    mode_type = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("modal_type"))
+    )
+    latest = (
+        ev.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(
+                    F.desc("ts"), F.desc("event_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("props").alias("latest_props"))
+    )
+    extremes = ev.groupBy("user_id").agg(
+        F.max("cents").cast("long").alias("max_cents"),
+        F.min("ts").alias("first_seen"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        extremes.join(mode_type, "user_id")
+        .join(latest, "user_id")
+        .select(
+            "user_id", "n_events", "modal_type", "latest_props",
+            "max_cents", "first_seen",
+        )
+        .orderBy("user_id")
+    )

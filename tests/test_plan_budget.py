@@ -175,6 +175,9 @@ BUDGETS = [
     ("q273_v_optimal_histogram", 7, 0),     # value agg + 3 bcast DP levels
     ("q274_quantile_migration", 6, 0),      # era agg + tiles + cust join
     ("q275_postings_compression_plan", 3, 0),  # distinct + term window + agg
+    ("q276_revenue_recognition", 4, 0),     # iv agg + order window + month agg
+    ("q277_sprt_sequential_test", 3, 0),    # arm window + agg + cross join
+    ("q278_golden_record_survivorship", 5, 0),  # 3 rule branches + key joins
 ]
 
 
