@@ -13944,3 +13944,317 @@ def q278_golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q279_kfold_complement_cv",
+    oracle="""
+    WITH base AS (
+      SELECT l_returnflag AS flag, CAST(l_orderkey % 5 AS BIGINT) AS fold,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    fold_m AS (
+      SELECT flag, fold,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(CAST(y AS DECIMAL(38, 0)) * y) AS DECIMAL(38, 0)) AS syy
+      FROM base GROUP BY 1, 2
+    ),
+    tot_m AS (
+      SELECT flag,
+             CAST(sum(n) AS BIGINT) AS n, CAST(sum(sx) AS BIGINT) AS sx,
+             CAST(sum(sy) AS BIGINT) AS sy, CAST(sum(sxy) AS BIGINT) AS sxy,
+             CAST(sum(sxx) AS BIGINT) AS sxx
+      FROM fold_m GROUP BY flag
+    ),
+    fit AS (
+      SELECT f.flag, f.fold,
+             CAST(t.n - f.n AS DOUBLE) AS tn,
+             CAST(t.sx - f.sx AS DOUBLE) AS tsx,
+             CAST(t.sy - f.sy AS DOUBLE) AS tsy,
+             CAST(t.sxy - f.sxy AS DOUBLE) AS tsxy,
+             CAST(t.sxx - f.sxx AS DOUBLE) AS tsxx,
+             CAST(f.n AS DOUBLE) AS vn, CAST(f.sx AS DOUBLE) AS vsx,
+             CAST(f.sy AS DOUBLE) AS vsy, CAST(f.sxy AS DOUBLE) AS vsxy,
+             CAST(f.sxx AS DOUBLE) AS vsxx, CAST(f.syy AS DOUBLE) AS vsyy
+      FROM fold_m f JOIN tot_m t ON t.flag = f.flag
+    ),
+    coef AS (
+      SELECT flag, fold, vn, vsx, vsy, vsxy, vsxx, vsyy,
+             (tn * tsxy - tsx * tsy) / (tn * tsxx - tsx * tsx) AS b,
+             (tsy - (tn * tsxy - tsx * tsy) / (tn * tsxx - tsx * tsx) * tsx)
+               / tn AS a
+      FROM fit
+    )
+    SELECT flag, fold, CAST(vn AS BIGINT) AS n_test,
+           round(b, 9) AS slope,
+           round((vsyy + vn * a * a + b * b * vsxx
+                  - 2 * a * vsy - 2 * b * vsxy + 2 * a * b * vsx) / vn, 6)
+             AS test_mse_cents2
+    FROM coef ORDER BY flag, fold
+    """,
+)
+def q279_kfold_complement_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation WITHOUT per-fold rescans: because OLS
+    moments are additive, the training moments of fold f are just
+    total - fold (complement aggregation), so one pass computes the
+    per-(group, fold) moments and every fold's train fit AND test MSE
+    come from algebra — MSE expands to Σy² + na² + b²Σx² - 2aΣy - 2bΣxy
+    + 2abΣx over test-fold moments alone. 5-fold CV of price-on-quantity
+    per return flag: one fact agg, then 15-row arithmetic. Σy² rides
+    DECIMAL(38,0) (cents² would overflow int64 at 10× scale); every
+    division is in one identical IEEE chain, rounded once at output."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_orderkey") % 5).cast("long").alias("fold"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("y"),
+    )
+    fold_m = base.groupBy("flag", "fold").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+    )
+    tot_m = fold_m.groupBy("flag").agg(
+        *[F.sum(c).alias(c) for c in ("n", "sx", "sy", "sxy", "sxx")]
+    )
+    j = fold_m.alias("f").join(
+        tot_m.select(
+            F.col("flag").alias("tflag"),
+            *[F.col(c).alias("t" + c) for c in ("n", "sx", "sy", "sxy", "sxx")],
+        ),
+        F.col("flag") == F.col("tflag"),
+    )
+    tn = (F.col("tn") - F.col("n")).cast("double")
+    tsx = (F.col("tsx") - F.col("sx")).cast("double")
+    tsy = (F.col("tsy") - F.col("sy")).cast("double")
+    tsxy = (F.col("tsxy") - F.col("sxy")).cast("double")
+    tsxx = (F.col("tsxx") - F.col("sxx")).cast("double")
+    b = (tn * tsxy - tsx * tsy) / (tn * tsxx - tsx * tsx)
+    a = (tsy - b * tsx) / tn
+    vn = F.col("n").cast("double")
+    vsx = F.col("sx").cast("double")
+    vsy = F.col("sy").cast("double")
+    vsxy = F.col("sxy").cast("double")
+    vsxx = F.col("sxx").cast("double")
+    vsyy = F.col("syy").cast("double")
+    mse = (
+        vsyy + vn * a * a + b * b * vsxx - 2 * a * vsy - 2 * b * vsxy
+        + 2 * a * b * vsx
+    ) / vn
+    return j.select(
+        "flag",
+        "fold",
+        F.col("n").alias("n_test"),
+        F.round(b, 9).alias("slope"),
+        F.round(mse, 6).alias("test_mse_cents2"),
+    ).orderBy("flag", "fold")
+
+
+def _morton_sql(xc: str, yc: str) -> str:
+    """16-bit Morton (Z-order) interleave of two 8-bit coords, as SQL."""
+    terms = []
+    for i in range(8):
+        terms.append(f"((({xc} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({yc} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def _morton_col(x, y):
+    """Same 16-bit interleave as a Spark column expression."""
+    out = F.lit(0)
+    for i in range(8):
+        out = out + F.shiftleft(F.shiftright(x, i).bitwiseAND(1), 2 * i)
+        out = out + F.shiftleft(F.shiftright(y, i).bitwiseAND(1), 2 * i + 1)
+    return out
+
+
+@register(
+    "q280_zorder_locality",
+    oracle=f"""
+    WITH pts AS (
+      SELECT CAST(c_custkey % 256 AS BIGINT) AS x,
+             CAST((c_custkey * 131) % 256 AS BIGINT) AS y
+      FROM customer
+    ),
+    coded AS (
+      SELECT x, y,
+             CAST(({_morton_sql('x', 'y')}) >> 8 AS BIGINT) AS z_bucket,
+             CAST((x * 256 + y) >> 8 AS BIGINT) AS rm_bucket,
+             CASE WHEN x BETWEEN 64 AND 127 AND y BETWEEN 32 AND 95
+                  THEN 1 ELSE 0 END AS hit
+      FROM pts
+    ),
+    per AS (
+      SELECT 'zorder' AS curve, z_bucket AS bucket,
+             CAST(count(*) AS BIGINT) AS n, CAST(sum(hit) AS BIGINT) AS nh
+      FROM coded GROUP BY 2
+      UNION ALL
+      SELECT 'rowmajor', rm_bucket, CAST(count(*) AS BIGINT),
+             CAST(sum(hit) AS BIGINT)
+      FROM coded GROUP BY 2
+    )
+    SELECT curve,
+           CAST(count(*) AS BIGINT) AS buckets_total,
+           CAST(sum(CASE WHEN nh > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS buckets_touched,
+           CAST(sum(CASE WHEN nh > 0 THEN n ELSE 0 END) AS BIGINT)
+             AS rows_scanned,
+           CAST(sum(nh) AS BIGINT) AS rows_matching,
+           CAST(sum(nh) AS DOUBLE)
+             / CAST(sum(CASE WHEN nh > 0 THEN n ELSE 0 END) AS DOUBLE)
+             AS scan_efficiency
+    FROM per GROUP BY curve ORDER BY curve
+    """,
+)
+def q280_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering locality audit — the measurement
+    behind Delta/Iceberg's OPTIMIZE ZORDER: interleave two 8-bit derived
+    coordinates into a 16-bit Morton code, bucket by its high byte
+    (16x16 tiles), and compare a 2-D range query's data-skipping
+    effectiveness against row-major bucketing (buckets touched, rows
+    scanned in touched buckets, scan efficiency). The interleave is 16
+    shift/and/or terms — pure JVM integer ops, identical in SQL — and
+    the audit is two small aggs over the coded points. This is how an
+    engine VALIDATES a clustering key choice before rewriting 100 TB."""
+    c = _t(spark, sf_dir, "customer")
+    x = (F.col("c_custkey") % 256).cast("long")
+    y = ((F.col("c_custkey") * 131) % 256).cast("long")
+    coded = c.select(
+        F.shiftright(_morton_col(x, y), 8).cast("long").alias("z_bucket"),
+        F.shiftright(x * 256 + y, 8).cast("long").alias("rm_bucket"),
+        F.when(x.between(64, 127) & y.between(32, 95), 1).otherwise(0).alias("hit"),
+    )
+    per = (
+        coded.groupBy(F.col("z_bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("hit").alias("nh"))
+        .select(F.lit("zorder").alias("curve"), "bucket", "n", "nh")
+        .unionByName(
+            coded.groupBy(F.col("rm_bucket").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("hit").alias("nh"))
+            .select(F.lit("rowmajor").alias("curve"), "bucket", "n", "nh")
+        )
+    )
+    touched_n = F.sum(F.when(F.col("nh") > 0, F.col("n")).otherwise(0))
+    return (
+        per.groupBy("curve")
+        .agg(
+            F.count(F.lit(1)).alias("buckets_total"),
+            F.sum(F.when(F.col("nh") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("buckets_touched"),
+            touched_n.cast("long").alias("rows_scanned"),
+            F.sum("nh").cast("long").alias("rows_matching"),
+            (F.sum("nh").cast("double") / touched_n.cast("double")).alias(
+                "scan_efficiency"
+            ),
+        )
+        .orderBy("curve")
+    )
+
+
+@register(
+    "q281_bloom_fpr_audit",
+    oracle=f"""
+    WITH member AS (
+      SELECT DISTINCT unnest({_SHINGLES3}) AS shingle
+      FROM documents WHERE doc_id % 97 = 0
+    ),
+    bits AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(s.salt || ':' || shingle), 1, 15))::BIGINT
+               % 4096 AS bit_pos
+      FROM member, (SELECT unnest(['0', '1', '2']) AS salt) s
+    ),
+    probes AS (
+      SELECT shingle FROM (
+        SELECT DISTINCT unnest({_SHINGLES3}) AS shingle FROM documents
+      ) ANTI JOIN member USING (shingle)
+    ),
+    fp AS (
+      SELECT p.shingle
+      FROM (SELECT shingle,
+                   ('0x' || substr(md5(s.salt || ':' || shingle), 1, 15))::BIGINT
+                     % 4096 AS bit_pos
+            FROM probes, (SELECT unnest(['0', '1', '2']) AS salt) s) p
+      SEMI JOIN bits USING (bit_pos)
+      GROUP BY p.shingle HAVING count(*) = 3
+    ),
+    stats AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM member) AS n_items,
+             (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_bits_set,
+             (SELECT CAST(count(*) AS BIGINT) FROM probes) AS n_probes,
+             (SELECT CAST(count(*) AS BIGINT) FROM fp) AS fp_count
+    )
+    SELECT n_items, n_bits_set, n_probes, fp_count,
+           round(CAST(fp_count AS DOUBLE) / CAST(n_probes AS DOUBLE), 9)
+             AS fpr_empirical,
+           round(pow(1 - pow(1 - CAST(1 AS DOUBLE) / 4096,
+                             3 * CAST(n_items AS DOUBLE)), 3), 9)
+             AS fpr_theoretical
+    FROM stats
+    """,
+)
+def q281_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter QA: measure the EMPIRICAL false-positive rate of
+    q105's portable bloom (here m = 2^12 to make FPs plentiful) against
+    the textbook prediction (1 - (1 - 1/m)^(kn))^k — the calibration
+    check a pipeline runs before trusting a sketch config at 100 TB.
+    Ground truth comes from an anti-join of distinct corpus shingles
+    against the member set (exact, bounded by vocabulary); the filter is
+    deterministic salted-md5 so the oracle replays every FP bit-for-bit.
+    The theory term's two libm pows are rounded to 9 places on both
+    sides. Output is one audit row."""
+    from .operators.dedup import shingle_postings
+
+    M = 4096
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    member = (
+        shingle_postings(docs.filter(F.col("doc_id") % 97 == 0), "doc_id", "text", n=3)
+        .select("shingle")
+        .distinct()
+    )
+    bits = bloom_build(member, "shingle", k_hashes=3, m_bits=M)
+    probes = (
+        shingle_postings(docs, "doc_id", "text", n=3)
+        .select("shingle")
+        .distinct()
+        .join(member, "shingle", "left_anti")
+    )
+    probed = bloom_probe(probes, "shingle", bits, k_hashes=3, m_bits=M)
+    counts = (
+        member.agg(F.count(F.lit(1)).alias("n_items"))
+        .join(F.broadcast(bits.agg(F.count(F.lit(1)).alias("n_bits_set"))))
+        .join(
+            F.broadcast(
+                probed.agg(
+                    F.count(F.lit(1)).alias("n_probes"),
+                    F.sum(F.col("bloom_hit").cast("long")).alias("fp_count"),
+                )
+            )
+        )
+    )
+    n_items_d = F.col("n_items").cast("double")
+    return counts.select(
+        "n_items",
+        "n_bits_set",
+        "n_probes",
+        "fp_count",
+        F.round(
+            F.col("fp_count").cast("double") / F.col("n_probes").cast("double"), 9
+        ).alias("fpr_empirical"),
+        F.round(
+            F.pow(F.lit(1) - F.pow(F.lit(1) - F.lit(1.0) / M, 3 * n_items_d), 3), 9
+        ).alias("fpr_theoretical"),
+    )

@@ -178,6 +178,9 @@ BUDGETS = [
     ("q276_revenue_recognition", 4, 0),     # iv agg + order window + month agg
     ("q277_sprt_sequential_test", 3, 0),    # arm window + agg + cross join
     ("q278_golden_record_survivorship", 5, 0),  # 3 rule branches + key joins
+    ("q279_kfold_complement_cv", 4, 0),     # fold agg + flag rollup + join
+    ("q280_zorder_locality", 4, 0),         # 2 bucket aggs + curve agg
+    ("q281_bloom_fpr_audit", 6, 0),         # member/bits/probe aggs, bcast
 ]
 
 
