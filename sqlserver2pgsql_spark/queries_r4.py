@@ -14258,3 +14258,258 @@ def q281_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pow(F.lit(1) - F.pow(F.lit(1) - F.lit(1.0) / M, 3 * n_items_d), 3), 9
         ).alias("fpr_theoretical"),
     )
+
+
+@register(
+    "q282_summed_area_table",
+    oracle="""
+    WITH grid AS (
+      SELECT d.d, h.h FROM
+        (SELECT unnest(range(0, 7)) AS d) d,
+        (SELECT unnest(range(0, 24)) AS h) h
+    ),
+    counts AS (
+      SELECT CAST(isodow(ts) - 1 AS BIGINT) AS d,
+             CAST(hour(ts) AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    dense AS (
+      SELECT g.d, g.h, COALESCE(c.n, 0) AS n
+      FROM grid g LEFT JOIN counts c ON c.d = g.d AND c.h = g.h
+    ),
+    row_cum AS (
+      SELECT d, h, n,
+             sum(n) OVER (PARTITION BY d ORDER BY h) AS c1
+      FROM dense
+    ),
+    sat AS (
+      SELECT d, h, n,
+             CAST(sum(c1) OVER (PARTITION BY h ORDER BY d) AS BIGINT) AS s
+      FROM row_cum
+    ),
+    rects AS (
+      SELECT * FROM (VALUES (1, 1, 3, 8, 17), (2, 0, 6, 0, 5),
+                            (3, 5, 6, 20, 23))
+        AS t(rect_id, d1, d2, h1, h2)
+    ),
+    corner AS (
+      SELECT r.rect_id,
+             CAST(sum(CASE WHEN s.d = r.d2 AND s.h = r.h2 THEN s.s END)
+                + COALESCE(sum(CASE WHEN s.d = r.d1 - 1 AND s.h = r.h1 - 1
+                                    THEN s.s END), 0)
+                - COALESCE(sum(CASE WHEN s.d = r.d1 - 1 AND s.h = r.h2
+                                    THEN s.s END), 0)
+                - COALESCE(sum(CASE WHEN s.d = r.d2 AND s.h = r.h1 - 1
+                                    THEN s.s END), 0) AS BIGINT) AS sat_sum,
+             CAST(sum(CASE WHEN s.d BETWEEN r.d1 AND r.d2
+                            AND s.h BETWEEN r.h1 AND r.h2
+                           THEN s.n ELSE 0 END) AS BIGINT) AS direct_sum
+      FROM sat s CROSS JOIN rects r GROUP BY r.rect_id
+    )
+    SELECT rect_id, sat_sum, direct_sum, sat_sum = direct_sum AS consistent
+    FROM corner ORDER BY rect_id
+    """,
+)
+def q282_summed_area_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Summed-area table (integral image) over the weekday x hour event
+    grid: two chained cumulative windows turn the 2-D density into a
+    structure answering ANY rectangle-sum in O(1) via the 4-corner
+    inclusion-exclusion identity — the pre-materialization trick for
+    interactive heatmap/OLAP slicing (compute the SAT once at 100 TB,
+    answer every dashboard rectangle from 168 rows). The grid is DENSE
+    (generated spine, left-joined counts) so corner lookups always hit;
+    three rectangles are verified against direct aggregation in the same
+    query. Exact integers; weekday parity pinned (Spark weekday =
+    DuckDB isodow - 1)."""
+    ev = _t(spark, sf_dir, "events")
+    grid = (
+        spark.range(7)
+        .select(F.col("id").alias("d"))
+        .crossJoin(spark.range(24).select(F.col("id").alias("h")))
+    )
+    counts = ev.groupBy(
+        F.weekday("ts").cast("long").alias("d"),
+        F.hour("ts").cast("long").alias("h"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    dense = grid.join(counts, ["d", "h"], "left").select(
+        "d", "h", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    row_cum = dense.select(
+        "d", "h", "n",
+        F.sum("n").over(W.partitionBy("d").orderBy("h")).alias("c1"),
+    )
+    sat = row_cum.select(
+        "d", "h", "n",
+        F.sum("c1").over(W.partitionBy("h").orderBy("d")).cast("long").alias("s"),
+    )
+    rects = spark.createDataFrame(
+        [(1, 1, 3, 8, 17), (2, 0, 6, 0, 5), (3, 5, 6, 20, 23)],
+        "rect_id long, d1 long, d2 long, h1 long, h2 long",
+    )
+    j = sat.crossJoin(F.broadcast(rects))
+    pick = lambda dc, hc: F.sum(  # noqa: E731
+        F.when((F.col("d") == dc) & (F.col("h") == hc), F.col("s"))
+    )
+    corner = j.groupBy("rect_id").agg(
+        (
+            pick(F.col("d2"), F.col("h2"))
+            + F.coalesce(pick(F.col("d1") - 1, F.col("h1") - 1), F.lit(0))
+            - F.coalesce(pick(F.col("d1") - 1, F.col("h2")), F.lit(0))
+            - F.coalesce(pick(F.col("d2"), F.col("h1") - 1), F.lit(0))
+        )
+        .cast("long")
+        .alias("sat_sum"),
+        F.sum(
+            F.when(
+                F.col("d").between(F.col("d1"), F.col("d2"))
+                & F.col("h").between(F.col("h1"), F.col("h2")),
+                F.col("n"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("direct_sum"),
+    )
+    return corner.select(
+        "rect_id",
+        "sat_sum",
+        "direct_sum",
+        (F.col("sat_sum") == F.col("direct_sum")).alias("consistent"),
+    ).orderBy("rect_id")
+
+
+@register(
+    "q283_weighted_jaccard_sources",
+    oracle="""
+    WITH tf AS (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS f
+      FROM (SELECT source,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS term
+            FROM documents)
+      WHERE term <> '' GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT source, CAST(sum(f) AS BIGINT) AS tot FROM tf GROUP BY source
+    ),
+    common AS (
+      SELECT a.source AS sa, b.source AS sb,
+             CAST(sum(least(a.f, b.f)) AS BIGINT) AS smin
+      FROM tf a JOIN tf b ON a.term = b.term AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT c.sa AS source_a, c.sb AS source_b, c.smin AS sum_min,
+           ta.tot + tb.tot - c.smin AS sum_max,
+           CAST(c.smin AS DOUBLE)
+             / CAST(ta.tot + tb.tot - c.smin AS DOUBLE)
+             AS weighted_jaccard
+    FROM common c
+    JOIN totals ta ON ta.source = c.sa
+    JOIN totals tb ON tb.source = c.sb
+    ORDER BY source_a, source_b
+    """,
+)
+def q283_weighted_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (multiset) Jaccard between source term-frequency vectors —
+    Σmin(tf_a, tf_b) / Σmax(tf_a, tf_b), the frequency-aware upgrade of
+    q249's binary Jaccard matrix that MinHash-for-weighted-sets (ICWS)
+    approximates at scale. Key identity: Σmax = T_a + T_b - Σmin, so only
+    terms COMMON to both sources ever join — absent terms are covered by
+    the per-source totals, and the pair join is vocabulary-sized, never a
+    corpus product. Exact integers with one final division."""
+    from .operators.text import WS
+
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "source", F.explode(F.split(F.trim(F.col("text")), WS)).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    totals = tf.groupBy("source").agg(F.sum("f").cast("long").alias("tot"))
+    a = tf.select(F.col("source").alias("sa"), "term", F.col("f").alias("fa"))
+    b = tf.select(F.col("source").alias("sb"), F.col("term").alias("tb"), F.col("f").alias("fb"))
+    common = (
+        a.join(b, (a["term"] == b["tb"]) & (a["sa"] < b["sb"]))
+        .groupBy("sa", "sb")
+        .agg(F.sum(F.least("fa", "fb")).cast("long").alias("smin"))
+    )
+    ta = totals.select(F.col("source").alias("sa"), F.col("tot").alias("ta"))
+    tb2 = totals.select(F.col("source").alias("sb"), F.col("tot").alias("tb2"))
+    return (
+        common.join(F.broadcast(ta), "sa")
+        .join(F.broadcast(tb2), "sb")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            F.col("smin").alias("sum_min"),
+            (F.col("ta") + F.col("tb2") - F.col("smin")).alias("sum_max"),
+            (
+                F.col("smin").cast("double")
+                / (F.col("ta") + F.col("tb2") - F.col("smin")).cast("double")
+            ).alias("weighted_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _q284_oracle() -> str:
+    from .operators.sketches import hll_oracle_sql
+
+    banded = (
+        "(SELECT CAST(length(CAST(event_id AS VARCHAR)) - 1 AS BIGINT)"
+        " AS band, user_id FROM events)"
+    )
+    hll = hll_oracle_sql(banded, ["band"], "user_id", p=10, out_col="approx_users")
+    return f"""
+    WITH approx AS ({hll}),
+    exact AS (
+      SELECT CAST(length(CAST(event_id AS VARCHAR)) - 1 AS BIGINT) AS band,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+      FROM events GROUP BY 1
+    )
+    SELECT a.band, a.n, e.exact_users, a.approx_users,
+           round((a.approx_users - CAST(e.exact_users AS DOUBLE))
+                 / CAST(e.exact_users AS DOUBLE), 6) AS rel_error
+    FROM approx a JOIN exact e ON e.band = a.band
+    ORDER BY a.band
+    """
+
+
+@register("q284_hll_error_curve", oracle=_q284_oracle())
+def q284_hll_error_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL calibration curve: the portable sketch's relative error
+    measured against EXACT distinct counts across cardinality bands
+    (decades of event_id, derived shuffle-free from digit count) — the
+    acceptance test a pipeline runs before trusting a sketch config,
+    companion to q281's bloom FPR audit. Small bands exercise the
+    linear-counting correction, large bands the raw harmonic estimate.
+    The sketch is salted-md5-deterministic so the oracle replays the
+    estimate bit-for-bit; the exact side is one distinct agg per band.
+    One final IEEE division, rounded once."""
+    from .operators.sketches import hll_approx_distinct
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.length(F.col("event_id").cast("string")) - 1).cast("long").alias("band"),
+        "user_id",
+    )
+    approx = hll_approx_distinct(ev, ["band"], "user_id", p=10, out_col="approx_users")
+    exact = ev.groupBy("band").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_users")
+    )
+    return (
+        approx.join(exact, "band")
+        .select(
+            "band",
+            "n",
+            "exact_users",
+            "approx_users",
+            F.round(
+                (F.col("approx_users") - F.col("exact_users").cast("double"))
+                / F.col("exact_users").cast("double"),
+                6,
+            ).alias("rel_error"),
+        )
+        .orderBy("band")
+    )

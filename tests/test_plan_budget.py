@@ -181,6 +181,9 @@ BUDGETS = [
     ("q279_kfold_complement_cv", 4, 0),     # fold agg + flag rollup + join
     ("q280_zorder_locality", 4, 0),         # 2 bucket aggs + curve agg
     ("q281_bloom_fpr_audit", 6, 0),         # member/bits/probe aggs, bcast
+    ("q282_summed_area_table", 5, 0),       # cell agg + 2 cum windows + rects
+    ("q283_weighted_jaccard_sources", 8, 0),  # tf agg + term pair join + agg
+    ("q284_hll_error_curve", 5, 0),         # register aggs + exact distinct
 ]
 
 
