@@ -1544,3 +1544,90 @@ def _nullsem_spark(spark, q: dict):
 def test_differential_null_semantics(seed, spark, duck):
     q = _gen_nullsem(seed)
     assert_matches_oracle(_nullsem_spark(spark, q), duck, _nullsem_sql(q))
+
+
+# --- generator (lateral fan-out) grammar -------------------------------------
+#
+# explode/unnest is its own executor surface (Generate nodes, outer vs inner
+# semantics, fan-out cardinality): derive a per-row array from the key with
+# SEQUENCE, explode it, optionally filter the generated elements, and fold
+# everything back with a grouped aggregate. Lengths are kept >= 1 on both
+# sides because the engines disagree on descending sequence defaults
+# (Spark's sequence(1, 0) auto-steps DOWN; DuckDB's generate_series(1, 0)
+# is empty) — that divergence is pinned OUT of grammar by construction.
+
+LATERAL_TABLES = {
+    "orders": ("o_orderkey", "o_orderstatus"),
+    "lineitem": ("l_partkey", "l_returnflag"),
+    "customer": ("c_custkey", "c_mktsegment"),
+    "part": ("p_partkey", "p_brand"),
+}
+
+
+def _gen_lateral(seed: int) -> dict:
+    rng = random.Random(seed + 160_000)
+    table = rng.choice(sorted(LATERAL_TABLES))
+    key, cat = LATERAL_TABLES[table]
+    return {
+        "table": table, "key": key, "cat": cat,
+        "m": rng.randrange(2, 7),           # fan-out = key % m + 1
+        "mul": rng.randrange(1, 5),         # element transform e*mul + add
+        "add": rng.randrange(0, 10),
+        "filt": rng.choice([None, ("mod2", 0), ("mod2", 1), ("ge", 2)]),
+        "aggs": rng.sample(["cnt", "s", "mx", "nd"], k=rng.randrange(2, 4)),
+    }
+
+
+def _lateral_sql(q: dict) -> str:
+    e = f"(e * {q['mul']} + {q['add']})"
+    filt = ""
+    if q["filt"] == ("mod2", 0):
+        filt = "WHERE e % 2 = 0"
+    elif q["filt"] == ("mod2", 1):
+        filt = "WHERE e % 2 = 1"
+    elif q["filt"] == ("ge", 2):
+        filt = "WHERE e >= 2"
+    sel = {
+        "cnt": "CAST(count(*) AS BIGINT) AS cnt",
+        "s": f"CAST(sum({e}) AS BIGINT) AS s",
+        "mx": f"CAST(max({e}) AS BIGINT) AS mx",
+        "nd": f"CAST(count(DISTINCT {e}) AS BIGINT) AS nd",
+    }
+    cols = ", ".join(sel[a] for a in q["aggs"])
+    return (
+        f"SELECT {q['cat']} AS c, {cols} FROM ("
+        f"  SELECT {q['cat']}, unnest(generate_series(1, {q['key']} % {q['m']} + 1)) AS e"
+        f"  FROM {q['table']}) {filt} "
+        f"GROUP BY {q['cat']} ORDER BY c"
+    )
+
+
+def _lateral_spark(spark, q: dict):
+    df = spark.read.parquet(f"{SF_DIR}/{q['table']}.parquet")
+    fan = df.select(
+        F.col(q["cat"]).alias("c"),
+        F.explode(
+            F.sequence(F.lit(1).cast("long"),
+                       (F.col(q["key"]) % q["m"] + 1).cast("long"))
+        ).alias("e"),
+    )
+    if q["filt"] == ("mod2", 0):
+        fan = fan.filter(F.col("e") % 2 == 0)
+    elif q["filt"] == ("mod2", 1):
+        fan = fan.filter(F.col("e") % 2 == 1)
+    elif q["filt"] == ("ge", 2):
+        fan = fan.filter(F.col("e") >= 2)
+    e = F.col("e") * q["mul"] + q["add"]
+    agg = {
+        "cnt": F.count(F.lit(1)).alias("cnt"),
+        "s": F.sum(e).cast("long").alias("s"),
+        "mx": F.max(e).cast("long").alias("mx"),
+        "nd": F.count_distinct(e).cast("long").alias("nd"),
+    }
+    return fan.groupBy("c").agg(*[agg[a] for a in q["aggs"]]).orderBy("c")
+
+
+@pytest.mark.parametrize("seed", range(24))
+def test_differential_lateral_generator(seed, spark, duck):
+    q = _gen_lateral(seed)
+    assert_matches_oracle(_lateral_spark(spark, q), duck, _lateral_sql(q))
