@@ -14513,3 +14513,325 @@ def q284_hll_error_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+@register(
+    "q285_degenerate_text_runs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, unnest(ts) AS tok,
+             unnest(range(1, len(ts) + 1)) AS i
+      FROM toks
+    ),
+    isl AS (
+      SELECT doc_id, tok,
+             i - row_number() OVER (PARTITION BY doc_id, tok ORDER BY i)
+               AS grp
+      FROM pos
+    ),
+    runs AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS run_len
+      FROM isl GROUP BY doc_id, tok, grp
+    )
+    SELECT r.doc_id,
+           CAST(len(t.ts) AS BIGINT) AS n_tokens,
+           CAST(max(r.run_len) AS BIGINT) AS max_run,
+           CAST(sum(CASE WHEN r.run_len >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_long_runs,
+           CAST(max(r.run_len) AS DOUBLE) / CAST(len(t.ts) AS DOUBLE)
+             AS max_run_share,
+           max(r.run_len) >= 4 AS degenerate
+    FROM runs r JOIN toks t ON t.doc_id = r.doc_id
+    GROUP BY r.doc_id, len(t.ts) ORDER BY r.doc_id
+    """,
+)
+def q285_degenerate_text_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-generation detector: the longest run of CONSECUTIVE
+    identical tokens per document (the 'the the the...' loop signature
+    every LLM corpus filter screens for), plus the count of runs >= 3 and
+    the share of the doc the worst run covers. Spark computes runs with a
+    single JVM array fold (aggregate over the token array threading
+    (prev, run, max) state — no shuffle beyond the scan); the oracle
+    independently derives runs with the classic gaps-and-islands
+    row_number trick over positional unnest. Exact integers and one
+    division."""
+    from .operators.text import WS
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), WS).alias("ts")
+    )
+    state0 = F.expr(
+        "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'mx', 0L)"
+    )
+    fold = F.aggregate(
+        F.col("ts"),
+        state0,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc["mx"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("mx"),
+        ),
+    )
+    runs3 = F.aggregate(
+        F.col("ts"),
+        F.expr(
+            "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'n3', 0L)"
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            # count a run exactly when it REACHES length 3
+            (
+                acc["n3"]
+                + F.when(
+                    (x == acc["prev"]) & (acc["run"] == 2), F.lit(1).cast("long")
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("n3"),
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        F.size("ts").cast("long").alias("n_tokens"),
+        fold["mx"].alias("max_run"),
+        runs3["n3"].alias("n_long_runs"),
+        (fold["mx"].cast("double") / F.size("ts").cast("double")).alias(
+            "max_run_share"
+        ),
+        (fold["mx"] >= 4).alias("degenerate"),
+    ).orderBy("doc_id")
+
+
+#: portable salted-md5 minhash (calibration twin of the xxhash64 production
+#: signatures in operators/dedup.py — same LSH math, engine-replayable)
+_PMH_K = 16
+
+
+def _pmh_spark(shingle):
+    from .operators.sketches import md5_hash60  # noqa: F401 (parity note)
+
+    return [
+        F.min(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit(i), shingle)), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+        ).alias(f"pm{i}")
+        for i in range(_PMH_K)
+    ]
+
+
+def _pmh_sql_mins() -> str:
+    return ", ".join(
+        f"min(('0x' || substr(md5('{i}:' || shingle), 1, 15))::BIGINT) AS pm{i}"
+        for i in range(_PMH_K)
+    )
+
+
+@register(
+    "q286_minhash_jaccard_calibration",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+    ),
+    postings AS (
+      SELECT DISTINCT doc_id, unnest({_SHINGLES3}) AS shingle FROM corpus
+    ),
+    sigs AS (
+      SELECT doc_id, {_pmh_sql_mins()} FROM postings GROUP BY doc_id
+    ),
+    sizes AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM postings GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM postings a JOIN postings b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT i.id1, i.id2,
+             CAST(i.inter AS DOUBLE)
+               / CAST(s1.sz + s2.sz - i.inter AS DOUBLE) AS jaccard
+      FROM inter i
+      JOIN sizes s1 ON s1.doc_id = i.id1
+      JOIN sizes s2 ON s2.doc_id = i.id2
+      WHERE CAST(i.inter AS DOUBLE)
+              / CAST(s1.sz + s2.sz - i.inter AS DOUBLE) >= 0.3
+    )
+    SELECT p.id1, p.id2, round(p.jaccard, 9) AS jaccard_exact,
+           CAST(({" + ".join(f"CASE WHEN a.pm{i} = b.pm{i} THEN 1 ELSE 0 END" for i in range(_PMH_K))})
+                AS BIGINT) AS agreeing,
+           CAST(({" + ".join(f"CASE WHEN a.pm{i} = b.pm{i} THEN 1 ELSE 0 END" for i in range(_PMH_K))})
+                AS DOUBLE) / {_PMH_K} AS jaccard_est
+    FROM scored p
+    JOIN sigs a ON a.doc_id = p.id1
+    JOIN sigs b ON b.doc_id = p.id2
+    ORDER BY p.id1, p.id2
+    """,
+)
+def q286_minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash calibration: for every truly-similar pair (exact Jaccard
+    >= 0.3 on half the corpus), the fraction of agreeing minhash
+    components IS the sketch's Jaccard estimate — this query puts the
+    estimate next to the exact value per pair, the acceptance test for a
+    signature width before a 100 TB dedup run (companion to q281/q284's
+    bloom and HLL audits). Signatures here are the PORTABLE salted-md5
+    variant so the oracle replays them bit-for-bit (production keeps the
+    cheaper xxhash64 path, dedup.py:141). Exact-pair generation is the
+    bounded grouped generator; signatures are one agg over postings."""
+    from .operators.dedup import shingle_postings
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    post = shingle_postings(docs, "doc_id", "text", n=3)
+    sigs = post.groupBy("doc_id").agg(*_pmh_spark(F.col("shingle")))
+    sizes = post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = post.select(F.col("doc_id").alias("id1"), "shingle")
+    b = post.select(F.col("doc_id").alias("id2"), F.col("shingle").alias("sh2"))
+    inter = (
+        a.join(b, (a["shingle"] == b["sh2"]) & (a["id1"] < b["id2"]))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("sz").alias("sz2"))
+    jac = F.col("inter").cast("double") / (
+        F.col("sz1") + F.col("sz2") - F.col("inter")
+    ).cast("double")
+    scored = (
+        inter.join(s1, "id1").join(s2, "id2").filter(jac >= 0.3)
+        .select("id1", "id2", jac.alias("jaccard"))
+    )
+    sa = sigs.select(F.col("doc_id").alias("id1"), *[F.col(f"pm{i}").alias(f"a{i}") for i in range(_PMH_K)])
+    sb = sigs.select(F.col("doc_id").alias("id2"), *[F.col(f"pm{i}").alias(f"b{i}") for i in range(_PMH_K)])
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(_PMH_K)
+    ).cast("long")
+    return (
+        scored.join(sa, "id1")
+        .join(sb, "id2")
+        .select(
+            "id1",
+            "id2",
+            F.round("jaccard", 9).alias("jaccard_exact"),
+            agree.alias("agreeing"),
+            (agree.cast("double") / _PMH_K).alias("jaccard_est"),
+        )
+        .orderBy("id1", "id2")
+    )
+
+
+@register(
+    "q287_lsh_band_planner",
+    oracle=f"""
+    WITH postings AS (
+      SELECT DISTINCT doc_id, unnest({_SHINGLES3}) AS shingle FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id, {_pmh_sql_mins()} FROM postings GROUP BY doc_id
+    ),
+    configs AS (
+      SELECT * FROM (VALUES (16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+        AS t(bands, rpb)
+    ),
+    keys AS (
+      SELECT c.bands, c.rpb, bnd.b,
+             md5({" || ':' || ".join(f"CAST(CASE WHEN {i} // c.rpb = bnd.b THEN s.pm{i} ELSE 0 END AS VARCHAR)" for i in range(_PMH_K))})
+               AS key
+      FROM sigs s
+      CROSS JOIN configs c
+      JOIN (SELECT unnest(range(0, 16)) AS b) bnd ON bnd.b < c.bands
+    ),
+    buckets AS (
+      SELECT bands, rpb, b, key, CAST(count(*) AS BIGINT) AS n
+      FROM keys GROUP BY 1, 2, 3, 4
+    )
+    SELECT bands, rpb,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs,
+           round(1 - pow(1 - pow(0.5, CAST(rpb AS DOUBLE)),
+                         CAST(bands AS DOUBLE)), 9) AS p_at_050,
+           round(1 - pow(1 - pow(0.8, CAST(rpb AS DOUBLE)),
+                         CAST(bands AS DOUBLE)), 9) AS p_at_080
+    FROM buckets GROUP BY bands, rpb ORDER BY bands DESC
+    """,
+)
+def q287_lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-configuration planner: for every (bands x rows-per-band)
+    split of a 16-component minhash, the MEASURED candidate-pair volume
+    (Σ n·(n-1)/2 over actual bucket sizes) next to the theoretical
+    S-curve detection probability 1-(1-s^r)^b at Jaccard 0.5 and 0.8 —
+    the cost/recall trade-off table consulted before committing a band
+    choice to a 100 TB dedup run (q19 hardcodes 16x4; this is how that
+    choice is justified). Band keys hash only the in-band components
+    (others zeroed in a fixed-width concat, identical both engines);
+    the heavy work is one postings agg reused across all five configs.
+    Theory pows round at the libm boundary."""
+    from .operators.dedup import shingle_postings
+
+    docs = _t(spark, sf_dir, "documents")
+    post = shingle_postings(docs, "doc_id", "text", n=3)
+    sigs = post.groupBy("doc_id").agg(*_pmh_spark(F.col("shingle"))).localCheckpoint(
+        eager=True
+    )
+    configs = [(16, 1), (8, 2), (4, 4), (2, 8), (1, 16)]
+    parts = []
+    for bands, rpb in configs:
+        rows = []
+        for b in range(bands):
+            key = F.md5(
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.when(F.lit(i // rpb == b), F.col(f"pm{i}"))
+                        .otherwise(F.lit(0))
+                        .cast("string")
+                        for i in range(_PMH_K)
+                    ],
+                )
+            )
+            rows.append(F.struct(F.lit(b).alias("b"), key.alias("key")))
+        parts.append(
+            sigs.select(
+                F.lit(bands).cast("long").alias("bands"),
+                F.lit(rpb).cast("long").alias("rpb"),
+                F.explode(F.array(*rows)).alias("bk"),
+            ).select("bands", "rpb", F.col("bk.b").alias("b"), F.col("bk.key").alias("key"))
+        )
+    keys = parts[0]
+    for p in parts[1:]:
+        keys = keys.unionByName(p)
+    buckets = keys.groupBy("bands", "rpb", "b", "key").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    pr = lambda s: F.round(  # noqa: E731
+        F.lit(1)
+        - F.pow(
+            F.lit(1) - F.pow(F.lit(s), F.col("rpb").cast("double")),
+            F.col("bands").cast("double"),
+        ),
+        9,
+    )
+    return (
+        buckets.groupBy("bands", "rpb")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(F.col("n") * (F.col("n") - 1) / 2)
+            .cast("long")
+            .alias("candidate_pairs"),
+            pr(0.5).alias("p_at_050"),
+            pr(0.8).alias("p_at_080"),
+        )
+        .orderBy(F.desc("bands"))
+    )

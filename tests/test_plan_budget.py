@@ -184,6 +184,9 @@ BUDGETS = [
     ("q282_summed_area_table", 5, 0),       # cell agg + 2 cum windows + rects
     ("q283_weighted_jaccard_sources", 8, 0),  # tf agg + term pair join + agg
     ("q284_hll_error_curve", 5, 0),         # register aggs + exact distinct
+    ("q285_degenerate_text_runs", 1, 0),    # pure HOF folds + output sort
+    ("q286_minhash_jaccard_calibration", 6, 0),  # postings aggs + pair join
+    ("q287_lsh_band_planner", 3, 0),        # sig agg (chkpt) + bucket aggs
 ]
 
 
