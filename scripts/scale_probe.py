@@ -564,5 +564,69 @@ def main() -> None:
     probe("merkle_manifest(2-level)", merkle, docs, docs_big)
 
 
+    # --- fifth wave (q258-q287 headliners) ----------------------------------
+    def sweepline(d):
+        iv = d.select(
+            F.col("ts").cast("date").alias("s"),
+            F.date_add(F.col("ts").cast("date"), (F.col("event_id") % 5).cast("int") + 1).alias("e"),
+        )
+        deltas = (
+            iv.select(F.col("s").alias("d"), F.lit(1).alias("delta"))
+            .unionAll(iv.select(F.col("e").alias("d"), F.lit(-1).alias("delta")))
+            .groupBy("d").agg(F.sum("delta").alias("delta"))
+        )
+        return deltas.select(
+            "d", F.sum("delta").over(W.orderBy("d")).alias("open_count")
+        )
+
+    probe("sweepline_concurrency", sweepline, events, events_big)
+
+    def attribution(d):
+        wseq = W.partitionBy("user_id").orderBy("ts", "event_id")
+        seq = d.select(
+            "user_id", "ts", "event_id", "event_type", "value",
+            F.count(F.when(F.col("event_type") == "purchase", 1))
+            .over(wseq.rowsBetween(W.unboundedPreceding, -1)).alias("journey"),
+        )
+        touches = seq.filter(F.col("event_type") != "purchase")
+        purchases = seq.filter(F.col("event_type") == "purchase").select(
+            "user_id", "journey",
+            F.floor(F.col("value") * 100).alias("cents"),
+        )
+        return (
+            touches.join(purchases, ["user_id", "journey"])
+            .groupBy("event_type").agg(F.sum("cents").alias("c"))
+        )
+
+    probe("journey_attribution", attribution, events, events_big)
+
+    def degenerate_runs(d):
+        ts = F.split(F.trim(F.col("text")), r"\s+")
+        fold = F.aggregate(
+            ts,
+            F.expr("named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'mx', 0L)"),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+                F.greatest(acc["mx"], F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))).alias("mx"),
+            ),
+        )
+        return d.select("doc_id", fold["mx"].alias("max_run"))
+
+    probe("degenerate_runs(HOF fold)", degenerate_runs, docs, docs_big)
+
+    def stratum_rank_bh(d):
+        strat = (F.col("user_id") % 40).cast("long")
+        ranked = d.select(
+            strat.alias("stratum"), "event_type",
+            F.rank().over(W.partitionBy(strat).orderBy("value")).alias("rmin"),
+        )
+        return ranked.groupBy("stratum", "event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("rmin").alias("r")
+        )
+
+    probe("stratified_rank_tests", stratum_rank_bh, events, events_big)
+
+
 if __name__ == "__main__":
     main()
