@@ -14835,3 +14835,296 @@ def q287_lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("bands"))
     )
+
+
+#: q25's marker-word scorer as a reusable oracle CTE (cited: queries_llm q25)
+_LANGID_SCORED_SQL = """
+    scored AS (
+      SELECT doc_id, lang,
+        len(list_filter(string_split_regex(trim(text),'\\s+'),
+            w -> lower(w) IN ('the','and','of','to','is')))  AS s_en,
+        len(list_filter(string_split_regex(trim(text),'\\s+'),
+            w -> lower(w) IN ('el','la','de','que','los')))  AS s_es,
+        len(list_filter(string_split_regex(trim(text),'\\s+'),
+            w -> lower(w) IN ('le','la','les','des','est'))) AS s_fr,
+        len(list_filter(string_split_regex(trim(text),'\\s+'),
+            w -> lower(w) IN ('der','die','und','das','ist'))) AS s_de,
+        len(list_filter(string_split_regex(trim(text),'\\s+'),
+            w -> lower(w) IN ('的','是','了','在','我')))      AS s_zh
+      FROM documents
+    ),
+    pred AS (
+      SELECT doc_id, lang,
+        CASE
+          WHEN s_zh > greatest(s_en, s_es, s_fr, s_de, 0) THEN 'zh'
+          WHEN s_de > greatest(s_en, s_es, s_fr, 0) AND s_de >= s_zh THEN 'de'
+          WHEN s_fr > greatest(s_en, s_es, 0) AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+          WHEN s_es > greatest(s_en, 0) AND s_es >= s_fr AND s_es >= s_de AND s_es >= s_zh THEN 'es'
+          WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+          ELSE 'und'
+        END AS lang_pred
+      FROM scored
+    )
+"""
+
+
+@register(
+    "q288_langid_confusion_eval",
+    oracle=f"""
+    WITH {_LANGID_SCORED_SQL},
+    conf AS (
+      SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+      FROM pred GROUP BY 1, 2
+    ),
+    per_class AS (
+      SELECT lang AS cls,
+             CAST(sum(CASE WHEN lang_pred = lang THEN n END) AS BIGINT) AS tp,
+             CAST(sum(n) AS BIGINT) AS support
+      FROM conf GROUP BY lang
+    ),
+    pred_tot AS (
+      SELECT lang_pred AS cls, CAST(sum(n) AS BIGINT) AS predicted
+      FROM conf GROUP BY lang_pred
+    )
+    SELECT c.cls, COALESCE(c.tp, 0) AS tp, c.support,
+           COALESCE(p.predicted, 0) AS predicted,
+           round(CAST(COALESCE(c.tp, 0) AS DOUBLE)
+                 / CAST(p.predicted AS DOUBLE), 9) AS precision,
+           round(CAST(COALESCE(c.tp, 0) AS DOUBLE)
+                 / CAST(c.support AS DOUBLE), 9) AS recall
+    FROM per_class c LEFT JOIN pred_tot p ON p.cls = c.cls
+    ORDER BY c.cls
+    """,
+)
+def q288_langid_confusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-loop evaluation of the ENGINE'S OWN language-ID operator
+    (q25 / operators/text.py:detect_language) against the fixture's truth
+    labels: per-class true positives, support, predicted volume,
+    precision and recall — the confusion-matrix scorecard any classifier
+    in the curation pipeline must publish before gating data on its
+    output. Both engines re-run the identical marker-word argmax, then
+    two tiny aggs; NULL precision where a class is never predicted.
+    Exact counts; two rounded divisions."""
+    from .operators.text import detect_language
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    pred = detect_language(d).select("lang", "lang_pred")
+    conf = pred.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+    per_class = conf.groupBy(F.col("lang").alias("cls")).agg(
+        F.sum(F.when(F.col("lang_pred") == F.col("lang"), F.col("n")))
+        .cast("long")
+        .alias("tp"),
+        F.sum("n").cast("long").alias("support"),
+    )
+    pred_tot = conf.groupBy(F.col("lang_pred").alias("cls")).agg(
+        F.sum("n").cast("long").alias("predicted")
+    )
+    return (
+        per_class.join(pred_tot, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            "support",
+            F.coalesce("predicted", F.lit(0)).alias("predicted"),
+            F.round(
+                F.coalesce("tp", F.lit(0)).cast("double")
+                / F.col("predicted").cast("double"),
+                9,
+            ).alias("precision"),
+            F.round(
+                F.coalesce("tp", F.lit(0)).cast("double")
+                / F.col("support").cast("double"),
+                9,
+            ).alias("recall"),
+        )
+        .orderBy("cls")
+    )
+
+
+@register(
+    "q289_conformal_interval",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority AS prio, CAST(o_orderkey % 2 AS BIGINT) AS split,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+      FROM orders
+    ),
+    mu AS (
+      SELECT prio,
+             CAST(sum(CASE WHEN split = 0 THEN y END) AS DOUBLE)
+               / CAST(count(CASE WHEN split = 0 THEN 1 END) AS DOUBLE)
+               AS mean_cal
+      FROM base GROUP BY prio
+    ),
+    resid AS (
+      SELECT b.prio, abs(CAST(b.y AS DOUBLE) - m.mean_cal) AS r
+      FROM base b JOIN mu m ON m.prio = b.prio WHERE b.split = 0
+    ),
+    qhat AS (
+      SELECT prio, CAST(count(*) AS BIGINT) AS n_cal,
+             max(CASE WHEN rn <= CAST(ceil(0.9 * (cnt + 1)) AS BIGINT)
+                      THEN r END) AS q_hat
+      FROM (SELECT prio, r,
+                   row_number() OVER (PARTITION BY prio ORDER BY r) AS rn,
+                   count(*) OVER (PARTITION BY prio) AS cnt
+            FROM resid)
+      GROUP BY prio
+    )
+    SELECT q.prio, q.n_cal, round(q.q_hat, 6) AS q_hat,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN abs(CAST(b.y AS DOUBLE) - m.mean_cal) <= q.q_hat
+                         THEN 1 ELSE 0 END) AS BIGINT) AS covered,
+           round(CAST(sum(CASE WHEN abs(CAST(b.y AS DOUBLE) - m.mean_cal)
+                                    <= q.q_hat THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 9) AS coverage
+    FROM base b JOIN mu m ON m.prio = b.prio JOIN qhat q ON q.prio = b.prio
+    WHERE b.split = 1
+    GROUP BY q.prio, q.n_cal, q.q_hat ORDER BY q.prio
+    """,
+)
+def q289_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals: calibrate the 90th-percentile
+    absolute residual (the ceil(0.9·(n+1)) order statistic — the finite-
+    sample-valid conformal quantile, not an interpolated percentile) of a
+    per-priority mean predictor on the calibration half, then measure
+    EMPIRICAL coverage on the held-out half — the distribution-free
+    uncertainty wrapper modern ML systems bolt onto any point predictor.
+    Residual ranking is one key-partitioned window; coverage is one agg.
+    Means are single IEEE divisions of exact cents; the order statistic
+    is selected, never interpolated."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        (F.col("o_orderkey") % 2).cast("long").alias("split"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("y"),
+    )
+    mu = base.filter(F.col("split") == 0).groupBy("prio").agg(
+        (F.sum("y").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "mean_cal"
+        )
+    )
+    resid = (
+        base.filter(F.col("split") == 0)
+        .join(F.broadcast(mu), "prio")
+        .select("prio", F.abs(F.col("y").cast("double") - F.col("mean_cal")).alias("r"))
+    )
+    wp = W.partitionBy("prio")
+    qhat = (
+        resid.select(
+            "prio",
+            "r",
+            F.row_number().over(wp.orderBy("r")).alias("rn"),
+            F.count(F.lit(1)).over(wp).alias("cnt"),
+        )
+        .groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).alias("n_cal"),
+            F.max(
+                F.when(
+                    F.col("rn")
+                    <= F.ceil(0.9 * (F.col("cnt") + 1)).cast("long"),
+                    F.col("r"),
+                )
+            ).alias("q_hat"),
+        )
+    )
+    test = base.filter(F.col("split") == 1).join(F.broadcast(mu), "prio").join(
+        F.broadcast(qhat), "prio"
+    )
+    cov = F.sum(
+        F.when(
+            F.abs(F.col("y").cast("double") - F.col("mean_cal")) <= F.col("q_hat"),
+            1,
+        ).otherwise(0)
+    )
+    return (
+        test.groupBy("prio", "n_cal", F.round("q_hat", 6).alias("q_hat"))
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            cov.cast("long").alias("covered"),
+            F.round(
+                cov.cast("double") / F.count(F.lit(1)).cast("double"), 9
+            ).alias("coverage"),
+        )
+        .orderBy("prio")
+    )
+
+
+@register(
+    "q290_threshold_grid_sweep",
+    oracle=f"""
+    WITH {_LANGID_SCORED_SQL},
+    grid AS (
+      SELECT t.t, m.m FROM
+        (SELECT unnest(range(1, 6)) AS t) t,
+        (SELECT unnest([5, 20])      AS m) m
+    ),
+    labeled AS (
+      SELECT s.s_en,
+             len(string_split_regex(trim(d.text), '\\s+')) AS n_toks,
+             CASE WHEN s.lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+    )
+    SELECT g.t AS min_markers, g.m AS min_tokens,
+           CAST(sum(CASE WHEN l.s_en >= g.t AND l.n_toks >= g.m
+                          AND l.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN l.s_en >= g.t AND l.n_toks >= g.m
+                          AND l.y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN NOT (l.s_en >= g.t AND l.n_toks >= g.m)
+                          AND l.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           round(CAST(2 * sum(CASE WHEN l.s_en >= g.t AND l.n_toks >= g.m
+                                    AND l.y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(2 * sum(CASE WHEN l.s_en >= g.t AND l.n_toks >= g.m
+                                      AND l.y = 1 THEN 1 ELSE 0 END)
+                        + sum(CASE WHEN l.s_en >= g.t AND l.n_toks >= g.m
+                                    AND l.y = 0 THEN 1 ELSE 0 END)
+                        + sum(CASE WHEN NOT (l.s_en >= g.t AND l.n_toks >= g.m)
+                                    AND l.y = 1 THEN 1 ELSE 0 END) AS DOUBLE),
+                 9) AS f1
+    FROM labeled l CROSS JOIN grid g
+    GROUP BY g.t, g.m ORDER BY min_markers, min_tokens
+    """,
+)
+def q290_threshold_grid_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperparameter grid sweep in ONE scan: a 5x2 grid of
+    (marker-count, min-token) thresholds for an is-English rule
+    classifier, every cell's confusion counts and F1 computed
+    simultaneously by crossing each row with the broadcast grid — the
+    one-pass parameter search that replaces 10 separate filter jobs at
+    100 TB. Reuses q25's marker scorer as the feature; F1 uses the
+    division-free 2tp/(2tp+fp+fn) form, rounded once. The fact table is
+    scanned once; the fan-out is grid-sized."""
+    from .operators.text import tokens as _tokens
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    s_en = F.size(
+        F.filter(
+            F.transform(_tokens(F.col("text")), F.lower),
+            lambda w: w.isin("the", "and", "of", "to", "is"),
+        )
+    )
+    labeled = d.select(
+        s_en.alias("s_en"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_toks"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    grid = spark.createDataFrame(
+        [(t, m) for t in range(1, 6) for m in (5, 20)], "t long, m long"
+    )
+    j = labeled.crossJoin(F.broadcast(grid))
+    hit = (F.col("s_en") >= F.col("t")) & (F.col("n_toks") >= F.col("m"))
+    tp = F.sum(F.when(hit & (F.col("y") == 1), 1).otherwise(0))
+    fp = F.sum(F.when(hit & (F.col("y") == 0), 1).otherwise(0))
+    fn = F.sum(F.when(~hit & (F.col("y") == 1), 1).otherwise(0))
+    return (
+        j.groupBy(F.col("t").alias("min_markers"), F.col("m").alias("min_tokens"))
+        .agg(
+            tp.cast("long").alias("tp"),
+            fp.cast("long").alias("fp"),
+            fn.cast("long").alias("fn"),
+            F.round(
+                (2 * tp).cast("double") / (2 * tp + fp + fn).cast("double"), 9
+            ).alias("f1"),
+        )
+        .orderBy("min_markers", "min_tokens")
+    )

@@ -187,6 +187,9 @@ BUDGETS = [
     ("q285_degenerate_text_runs", 1, 0),    # pure HOF folds + output sort
     ("q286_minhash_jaccard_calibration", 6, 0),  # postings aggs + pair join
     ("q287_lsh_band_planner", 3, 0),        # sig agg (chkpt) + bucket aggs
+    ("q288_langid_confusion_eval", 5, 0),   # confusion agg + class rollups
+    ("q289_conformal_interval", 5, 0),      # cal mean + rank window + cover
+    ("q290_threshold_grid_sweep", 2, 0),    # one scan x broadcast grid
 ]
 
 
