@@ -15128,3 +15128,206 @@ def q290_threshold_grid_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("min_markers", "min_tokens")
     )
+
+
+@register(
+    "q291_ohlc_bars",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type, date_trunc('hour', ts) AS bar, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, bar, cents,
+             row_number() OVER (PARTITION BY event_type, bar
+                                ORDER BY ts, event_id) AS rn_open,
+             row_number() OVER (PARTITION BY event_type, bar
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM pts
+    )
+    SELECT event_type, CAST(bar AS TIMESTAMP) AS bar,
+           CAST(max(CASE WHEN rn_open = 1 THEN cents END) AS BIGINT) AS open,
+           CAST(max(cents) AS BIGINT) AS high,
+           CAST(min(cents) AS BIGINT) AS low,
+           CAST(max(CASE WHEN rn_close = 1 THEN cents END) AS BIGINT)
+             AS close,
+           CAST(count(*) AS BIGINT) AS volume,
+           CAST(sum(cents) AS BIGINT) AS turnover_cents
+    FROM ranked GROUP BY event_type, bar ORDER BY event_type, bar
+    """,
+)
+def q291_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLCV bar aggregation: per (event type, hour) candle with open
+    (first value in event-time order), high, low, close (last), volume
+    and turnover — the time-series downsampling primitive of every
+    market-data / metrics store. First/last are DETERMINISTIC row_number
+    picks on (ts, event_id) (not first()/max_by, whose tie behavior is
+    engine-defined); one key-window shuffle + one agg. Exact integer
+    cents."""
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bar"),
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    wb = W.partitionBy("event_type", "bar")
+    ranked = pts.select(
+        "event_type",
+        "bar",
+        "cents",
+        F.row_number().over(wb.orderBy("ts", "event_id")).alias("rn_open"),
+        F.row_number()
+        .over(wb.orderBy(F.desc("ts"), F.desc("event_id")))
+        .alias("rn_close"),
+    )
+    return (
+        ranked.groupBy("event_type", "bar")
+        .agg(
+            F.max(F.when(F.col("rn_open") == 1, F.col("cents")))
+            .cast("long")
+            .alias("open"),
+            F.max("cents").cast("long").alias("high"),
+            F.min("cents").cast("long").alias("low"),
+            F.max(F.when(F.col("rn_close") == 1, F.col("cents")))
+            .cast("long")
+            .alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+            F.sum("cents").cast("long").alias("turnover_cents"),
+        )
+        .orderBy("event_type", "bar")
+    )
+
+
+@register(
+    "q292_gsp_auction",
+    oracle="""
+    WITH bids AS (
+      SELECT term, source AS bidder, CAST(count(*) AS BIGINT) AS bid
+      FROM (SELECT source,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS term
+            FROM documents)
+      WHERE term <> '' GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT term, bidder, bid,
+             CAST(row_number() OVER (PARTITION BY term
+                                     ORDER BY bid DESC, bidder) AS BIGINT)
+               AS slot,
+             lead(bid) OVER (PARTITION BY term ORDER BY bid DESC, bidder)
+               AS next_bid
+      FROM bids
+    )
+    SELECT term, slot, bidder, bid,
+           CAST(COALESCE(next_bid, 0) AS BIGINT) AS price
+    FROM ranked WHERE slot <= 3 ORDER BY term, slot
+    """,
+)
+def q292_gsp_auction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized second-price auction settlement: per keyword (term),
+    bidders (sources, bid = their term frequency) are ranked into 3 ad
+    slots and each winner PAYS THE NEXT BID DOWN — the GSP mechanism of
+    sponsored search, reduced to a rank window plus lead(). Deterministic
+    tie-breaks on bidder; winners below the last competitor pay 0 (the
+    reserve). One (term, bidder) agg shuffle + one term window; slots
+    select via WindowGroupLimit. Exact integers."""
+    from .operators.text import WS
+
+    docs = _t(spark, sf_dir, "documents")
+    bids = (
+        docs.select(
+            F.col("source").alias("bidder"),
+            F.explode(F.split(F.trim(F.col("text")), WS)).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term", "bidder")
+        .agg(F.count(F.lit(1)).alias("bid"))
+    )
+    wt = W.partitionBy("term").orderBy(F.desc("bid"), F.asc("bidder"))
+    ranked = bids.select(
+        "term",
+        "bidder",
+        "bid",
+        F.row_number().over(wt).cast("long").alias("slot"),
+        F.lead("bid").over(wt).alias("next_bid"),
+    )
+    return (
+        ranked.filter(F.col("slot") <= 3)
+        .select(
+            "term",
+            "slot",
+            "bidder",
+            "bid",
+            F.coalesce("next_bid", F.lit(0)).cast("long").alias("price"),
+        )
+        .orderBy("term", "slot")
+    )
+
+
+@register(
+    "q293_event_study",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    spike AS (
+      SELECT d AS spike_day FROM daily ORDER BY cents DESC, d LIMIT 1
+    )
+    SELECT CAST(s.spike_day AS TIMESTAMP) AS spike_day,
+           CAST(count(CASE WHEN dd.d BETWEEN s.spike_day - 7
+                            AND s.spike_day - 1 THEN 1 END) AS BIGINT)
+             AS n_pre,
+           CAST(count(CASE WHEN dd.d BETWEEN s.spike_day + 1
+                            AND s.spike_day + 7 THEN 1 END) AS BIGINT)
+             AS n_post,
+           CAST(sum(CASE WHEN dd.d BETWEEN s.spike_day - 7
+                          AND s.spike_day - 1 THEN dd.cents END) AS DOUBLE)
+             / CAST(count(CASE WHEN dd.d BETWEEN s.spike_day - 7
+                                AND s.spike_day - 1 THEN 1 END) AS DOUBLE)
+             AS pre_mean_cents,
+           CAST(sum(CASE WHEN dd.d BETWEEN s.spike_day + 1
+                          AND s.spike_day + 7 THEN dd.cents END) AS DOUBLE)
+             / CAST(count(CASE WHEN dd.d BETWEEN s.spike_day + 1
+                                AND s.spike_day + 7 THEN 1 END) AS DOUBLE)
+             AS post_mean_cents
+    FROM daily dd CROSS JOIN spike s
+    GROUP BY s.spike_day
+    """,
+)
+def q293_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-study primitive: locate the spike day (argmax daily revenue,
+    deterministic date tie-break) and compare mean daily revenue in the
+    [-7,-1] pre-window against the [+1,+7] post-window — the
+    before/after scaffold of incident post-mortems and marketing-launch
+    measurement. The spike is a broadcast 1-rower crossed into the daily
+    series (no second scan of the fact table); means are single IEEE
+    divisions of exact integer sums."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    spike = daily.orderBy(F.desc("cents"), F.asc("d")).limit(1).select(
+        F.col("d").alias("spike_day")
+    )
+    j = daily.crossJoin(F.broadcast(spike))
+    pre = F.col("d").between(F.date_sub("spike_day", 7), F.date_sub("spike_day", 1))
+    post = F.col("d").between(F.date_add("spike_day", 1), F.date_add("spike_day", 7))
+    return j.groupBy(F.col("spike_day").cast("timestamp").alias("spike_day")).agg(
+        F.count(F.when(pre, 1)).alias("n_pre"),
+        F.count(F.when(post, 1)).alias("n_post"),
+        (
+            F.sum(F.when(pre, F.col("cents"))).cast("double")
+            / F.count(F.when(pre, 1)).cast("double")
+        ).alias("pre_mean_cents"),
+        (
+            F.sum(F.when(post, F.col("cents"))).cast("double")
+            / F.count(F.when(post, 1)).cast("double")
+        ).alias("post_mean_cents"),
+    )

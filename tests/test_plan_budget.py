@@ -190,6 +190,9 @@ BUDGETS = [
     ("q288_langid_confusion_eval", 5, 0),   # confusion agg + class rollups
     ("q289_conformal_interval", 5, 0),      # cal mean + rank window + cover
     ("q290_threshold_grid_sweep", 2, 0),    # one scan x broadcast grid
+    ("q291_ohlc_bars", 2, 0),               # bar window + agg
+    ("q292_gsp_auction", 3, 0),             # bid agg + term window + sort
+    ("q293_event_study", 3, 0),             # daily agg + argmax bcast + agg
 ]
 
 
