@@ -15331,3 +15331,231 @@ def q293_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.when(post, 1)).cast("double")
         ).alias("post_mean_cents"),
     )
+
+
+@register(
+    "q294_column_level_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st, o_orderpriority AS pr,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    new AS (
+      SELECT k, 
+             CASE WHEN k % 13 = 0 THEN '9-ALTERED' ELSE pr END AS pr,
+             st,
+             CASE WHEN k % 11 = 0 THEN cents + 500 ELSE cents END AS cents
+      FROM old WHERE k % 97 <> 0
+    ),
+    joined AS (
+      SELECT o.k AS ko, n.k AS kn,
+             o.st AS st_o, n.st AS st_n, o.pr AS pr_o, n.pr AS pr_n,
+             o.cents AS c_o, n.cents AS c_n
+      FROM old o FULL OUTER JOIN new n ON n.k = o.k
+    )
+    SELECT col, n_changed FROM (
+      SELECT 'o_orderstatus' AS col,
+             CAST(sum(CASE WHEN ko IS NOT NULL AND kn IS NOT NULL
+                            AND st_o IS DISTINCT FROM st_n
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+      FROM joined
+      UNION ALL
+      SELECT 'o_orderpriority',
+             CAST(sum(CASE WHEN ko IS NOT NULL AND kn IS NOT NULL
+                            AND pr_o IS DISTINCT FROM pr_n
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM joined
+      UNION ALL
+      SELECT 'o_totalprice',
+             CAST(sum(CASE WHEN ko IS NOT NULL AND kn IS NOT NULL
+                            AND c_o IS DISTINCT FROM c_n
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM joined
+      UNION ALL
+      SELECT '__deleted__',
+             CAST(sum(CASE WHEN kn IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM joined
+      UNION ALL
+      SELECT '__inserted__',
+             CAST(sum(CASE WHEN ko IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM joined
+    ) ORDER BY col
+    """,
+)
+def q294_column_level_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level snapshot diff: q06's row-level changed-rows detector
+    (the reference's incremental-compare, sqlserver2pgsql.pl:4662-4689)
+    drilled one level down — per COLUMN, how many common-key rows changed
+    value, plus row-level insert/delete counts, from ONE full-outer join
+    evaluated once (the per-column counters are conditional sums over the
+    same joined relation, not per-column rescans). The 'new' snapshot is
+    a deterministic perturbation (price bump on keys %11, priority
+    rewrite on %13, deletes on %97). This is the audit a migration runs
+    to answer 'WHAT drifted', not just 'how many rows'."""
+    o = _t(spark, sf_dir, "orders")
+    old = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_orderpriority").alias("pr"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    new = old.filter(F.col("k") % 97 != 0).select(
+        "k",
+        "st",
+        F.when(F.col("k") % 13 == 0, "9-ALTERED").otherwise(F.col("pr")).alias("pr"),
+        F.when(F.col("k") % 11 == 0, F.col("cents") + 500)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+    ol = old.select(
+        F.col("k").alias("ko"), F.col("st").alias("st_o"),
+        F.col("pr").alias("pr_o"), F.col("cents").alias("c_o"),
+    )
+    nw = new.select(
+        F.col("k").alias("kn"), F.col("st").alias("st_n"),
+        F.col("pr").alias("pr_n"), F.col("cents").alias("c_n"),
+    )
+    j = ol.join(nw, ol["ko"] == nw["kn"], "full_outer")
+    both = F.col("ko").isNotNull() & F.col("kn").isNotNull()
+
+    def changed(a, b):
+        return F.sum(
+            F.when(both & ~F.col(a).eqNullSafe(F.col(b)), 1).otherwise(0)
+        ).cast("long")
+
+    agg = j.agg(
+        changed("st_o", "st_n").alias("o_orderstatus"),
+        changed("pr_o", "pr_n").alias("o_orderpriority"),
+        changed("c_o", "c_n").alias("o_totalprice"),
+        F.sum(F.when(F.col("kn").isNull(), 1).otherwise(0)).cast("long").alias(
+            "__deleted__"
+        ),
+        F.sum(F.when(F.col("ko").isNull(), 1).otherwise(0)).cast("long").alias(
+            "__inserted__"
+        ),
+    )
+    # melt the 1-row audit to (col, n_changed) rows
+    cols = ["__deleted__", "__inserted__", "o_orderpriority", "o_orderstatus", "o_totalprice"]
+    stack = ", ".join(f"'{c}', `{c}`" for c in cols)
+    return (
+        agg.selectExpr(f"stack({len(cols)}, {stack}) AS (col, n_changed)")
+        .orderBy("col")
+    )
+
+
+@register(
+    "q295_slo_burn_rate",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS errs
+      FROM events GROUP BY 1
+    ),
+    windows AS (
+      SELECT h, n, errs,
+             CAST(sum(errs) OVER w6 AS BIGINT) AS errs6,
+             CAST(sum(n) OVER w6 AS BIGINT) AS n6
+      FROM hourly
+      WINDOW w6 AS (ORDER BY h ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(h AS TIMESTAMP) AS hour, n, errs,
+           CAST(errs AS DOUBLE) / CAST(n AS DOUBLE) / 0.05 AS burn_1h,
+           CAST(errs6 AS DOUBLE) / CAST(n6 AS DOUBLE) / 0.05 AS burn_6h,
+           CAST(errs AS DOUBLE) / CAST(n AS DOUBLE) / 0.05 > 2
+             AND CAST(errs6 AS DOUBLE) / CAST(n6 AS DOUBLE) / 0.05 > 1
+             AS page
+    FROM windows ORDER BY hour
+    """,
+)
+def q295_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO error-budget burn rate with MULTI-WINDOW alerting (the
+    SRE-workbook rule): hourly error rate over a 5% budget gives the
+    1-hour burn; a trailing 6-hour frame gives the slow burn; a page
+    fires only when BOTH exceed their thresholds — the standard guard
+    against one-bucket blips and slow leaks alike. One hourly agg + one
+    ordered frame window over #hours rows; rates are single IEEE
+    divisions of exact counts, compared identically in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("errs"),
+    )
+    w6 = W.orderBy("h").rowsBetween(-5, 0)
+    wins = hourly.select(
+        "h",
+        "n",
+        "errs",
+        F.sum("errs").over(w6).cast("long").alias("errs6"),
+        F.sum("n").over(w6).cast("long").alias("n6"),
+    )
+    b1 = F.col("errs").cast("double") / F.col("n").cast("double") / 0.05
+    b6 = F.col("errs6").cast("double") / F.col("n6").cast("double") / 0.05
+    return wins.select(
+        F.col("h").cast("timestamp").alias("hour"),
+        "n",
+        "errs",
+        b1.alias("burn_1h"),
+        b6.alias("burn_6h"),
+        ((b1 > 2) & (b6 > 1)).alias("page"),
+    ).orderBy("hour")
+
+
+@register(
+    "q296_shard_rebalance_transport",
+    oracle="""
+    WITH shards AS (
+      SELECT CAST(doc_id % 16 AS BIGINT) AS shard,
+             CAST(sum(n_chars) AS BIGINT) AS size
+      FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(size) AS BIGINT) AS total FROM shards),
+    flows AS (
+      SELECT s.shard, s.size,
+             16 * s.size - t.total AS excess_x16,
+             CAST(sum(16 * s.size - t.total)
+                  OVER (ORDER BY s.shard) AS BIGINT) AS flow_x16
+      FROM shards s CROSS JOIN tot t
+    )
+    SELECT shard, size, excess_x16, flow_x16,
+           CAST(sum(abs(flow_x16)) OVER () AS DOUBLE) / 16
+             AS total_move_bytes
+    FROM flows ORDER BY shard
+    """,
+)
+def q296_shard_rebalance_transport(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-rebalance cost as 1-D optimal transport: with shards on a
+    line, the MINIMAL bytes that must move to equalize them is the earth-
+    mover's distance Σ|cumulative excess| — each boundary's running
+    imbalance IS the flow that must cross it (the classic prefix-sum
+    transport identity; no assignment solver needed). Excesses are scaled
+    x16 to stay integer-exact against the fractional target (total/16);
+    the one window runs over 16 rows. This is the planning number a
+    storage layer checks before triggering a 100 TB rebalance."""
+    docs = _t(spark, sf_dir, "documents")
+    shards = docs.groupBy((F.col("doc_id") % 16).cast("long").alias("shard")).agg(
+        F.sum("n_chars").cast("long").alias("size")
+    )
+    tot = shards.agg(F.sum("size").cast("long").alias("total"))
+    flows = shards.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "size",
+        (16 * F.col("size") - F.col("total")).alias("excess_x16"),
+        F.sum(16 * F.col("size") - F.col("total"))
+        .over(W.orderBy("shard"))
+        .cast("long")
+        .alias("flow_x16"),
+    )
+    return flows.select(
+        "shard",
+        "size",
+        "excess_x16",
+        "flow_x16",
+        (
+            F.sum(F.abs("flow_x16")).over(W.partitionBy()).cast("double") / 16
+        ).alias("total_move_bytes"),
+    ).orderBy("shard")

@@ -193,6 +193,9 @@ BUDGETS = [
     ("q291_ohlc_bars", 2, 0),               # bar window + agg
     ("q292_gsp_auction", 3, 0),             # bid agg + term window + sort
     ("q293_event_study", 3, 0),             # daily agg + argmax bcast + agg
+    ("q294_column_level_diff", 2, 0),       # one full-outer join, melted agg
+    ("q295_slo_burn_rate", 1, 0),           # hourly agg; frame window 1-part
+    ("q296_shard_rebalance_transport", 2, 0),  # shard agg; 16-row window
 ]
 
 
