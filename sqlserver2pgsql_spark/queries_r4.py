@@ -15559,3 +15559,231 @@ def q296_shard_rebalance_transport(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum(F.abs("flow_x16")).over(W.partitionBy()).cast("double") / 16
         ).alias("total_move_bytes"),
     ).orderBy("shard")
+
+
+@register(
+    "q297_haar_wavelet",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    pos AS (
+      SELECT CAST(row_number() OVER (ORDER BY d) - 1 AS BIGINT) AS p, cents
+      FROM daily QUALIFY row_number() OVER (ORDER BY d) <= 64
+    ),
+    levels AS (
+      SELECT l.lvl, p.p >> l.lvl AS block,
+             CASE WHEN ((p.p >> (l.lvl - 1)) & 1) = 0
+                  THEN p.cents ELSE -p.cents END AS signed,
+             p.cents AS c
+      FROM pos p, (SELECT unnest(range(1, 7)) AS lvl) l
+    )
+    SELECT CAST(lvl AS BIGINT) AS level, CAST(block AS BIGINT) AS block,
+           CAST(sum(c) AS BIGINT) AS block_sum,
+           CAST(sum(signed) AS BIGINT) AS haar_detail
+    FROM levels GROUP BY lvl, block ORDER BY level, block
+    """,
+)
+def q297_haar_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unnormalized Haar wavelet pyramid of the first 64 days of daily
+    revenue — the multiresolution decomposition behind wavelet synopses
+    and hierarchical anomaly localization (a large detail coefficient at
+    level L pinpoints a disturbance at scale 2^L days). Key identity
+    exploited: every Haar coefficient is a CLOSED-FORM block aggregate
+    (detail(L, i) = Σ±cents signed by bit L-1 of the position), so the
+    whole log-depth pyramid is ONE explode over 6 levels + one group-agg
+    — no iterative halving, no recursion. Integer-exact end to end (the
+    1/sqrt(2) normalizations are deferred, as synopsis builders do)."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    pos = (
+        daily.select(
+            (F.row_number().over(W.orderBy("d")) - 1).cast("long").alias("p"),
+            "cents",
+        )
+        .filter(F.col("p") < 64)
+    )
+    lv = pos.select(
+        "p",
+        "cents",
+        F.explode(F.sequence(F.lit(1), F.lit(6))).alias("lvl"),
+    ).select(
+        F.col("lvl").cast("long").alias("level"),
+        # pyspark's shiftright only takes int literals — go through SQL,
+        # which accepts a column shift amount
+        F.expr("shiftright(p, CAST(lvl AS INT))").cast("long").alias("block"),
+        F.when(
+            F.expr("shiftright(p, CAST(lvl AS INT) - 1) & 1") == 0,
+            F.col("cents"),
+        )
+        .otherwise(-F.col("cents"))
+        .alias("signed"),
+        F.col("cents").alias("c"),
+    )
+    return (
+        lv.groupBy("level", "block")
+        .agg(
+            F.sum("c").cast("long").alias("block_sum"),
+            F.sum("signed").cast("long").alias("haar_detail"),
+        )
+        .orderBy("level", "block")
+    )
+
+
+@register(
+    "q298_threshold_contagion",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    r0 AS (SELECT DISTINCT l_partkey AS node FROM lineitem
+           WHERE l_partkey % 50 = 0),
+    r1 AS (
+      SELECT node FROM r0
+      UNION
+      SELECT e.u FROM edges e JOIN r0 f ON f.node = e.v
+      GROUP BY e.u HAVING count(*) >= 2
+    ),
+    r2 AS (
+      SELECT node FROM r1
+      UNION
+      SELECT e.u FROM edges e JOIN r1 f ON f.node = e.v
+      GROUP BY e.u HAVING count(*) >= 2
+    ),
+    r3 AS (
+      SELECT node FROM r2
+      UNION
+      SELECT e.u FROM edges e JOIN r2 f ON f.node = e.v
+      GROUP BY e.u HAVING count(*) >= 2
+    ),
+    r4 AS (
+      SELECT node FROM r3
+      UNION
+      SELECT e.u FROM edges e JOIN r3 f ON f.node = e.v
+      GROUP BY e.u HAVING count(*) >= 2
+    )
+    SELECT CAST(0 AS BIGINT) AS round,
+           CAST((SELECT count(*) FROM r0) AS BIGINT) AS n_failed
+    UNION ALL SELECT 1, (SELECT count(*) FROM r1)
+    UNION ALL SELECT 2, (SELECT count(*) FROM r2)
+    UNION ALL SELECT 3, (SELECT count(*) FROM r3)
+    UNION ALL SELECT 4, (SELECT count(*) FROM r4)
+    ORDER BY round
+    """,
+)
+def q298_threshold_contagion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-contagion (Watts cascade) simulation on the copurchase
+    graph: seed failures at every 50th part, then each round a part fails
+    when >= 2 already-failed neighbors touch it — the dependency-failure
+    / idea-adoption model, run for 4 synchronized rounds. Each round is
+    one edge join + one HAVING agg against the (checkpointed) failed
+    set — frontier-sized, never quadratic; the oracle unrolls the same 4
+    rounds as chained CTEs (aggregation inside recursion is not portable,
+    so the unroll IS the spec). Exact set counts per round."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, (a["k"] == b["k2"]) & (a["u"] != b["v"]))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    failed = (
+        li.select(F.col("l_partkey").alias("node"))
+        .filter(F.col("node") % 50 == 0)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    out = failed.groupBy().count().select(
+        F.lit(0).cast("long").alias("round"), F.col("count").alias("n_failed")
+    )
+    for r in range(1, 5):
+        newly = (
+            edges.join(failed.withColumnRenamed("node", "v"), "v")
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("nf"))
+            .filter(F.col("nf") >= 2)
+            .select(F.col("u").alias("node"))
+        )
+        failed = failed.unionByName(newly).distinct().localCheckpoint(eager=True)
+        out = out.unionByName(
+            failed.groupBy()
+            .count()
+            .select(
+                F.lit(r).cast("long").alias("round"),
+                F.col("count").alias("n_failed"),
+            )
+        )
+    return out.orderBy("round")
+
+
+@register(
+    "q299_duplicate_invoices",
+    oracle="""
+    WITH inv AS (
+      SELECT o_custkey AS cust, o_orderkey AS k,
+             CAST(o_orderdate AS DATE) AS d,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT a.cust, a.k AS key_a, b.k AS key_b,
+           CAST(date_diff('day', a.d, b.d) AS BIGINT) AS gap_days,
+           a.cents AS cents_a, b.cents AS cents_b
+    FROM inv a JOIN inv b
+      ON a.cust = b.cust AND a.k < b.k
+     AND abs(date_diff('day', a.d, b.d)) <= 7
+     AND abs(a.cents - b.cents) * 100 <= a.cents
+    ORDER BY a.cust, key_a, key_b
+    """,
+)
+def q299_duplicate_invoices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-invoice detection: within-customer order pairs at most 7
+    days apart whose amounts agree within 1% — the fuzzy-duplicate audit
+    every billing / AP system runs (same idea as near-dup text, but the
+    blocking key is the entity and the similarity is numeric). The pair
+    join is customer-keyed (bounded fan-out) with the tolerance expressed
+    in INTEGER form (|Δcents|·100 <= cents_a) so no float thresholds
+    enter the match predicate. Exact integers throughout."""
+    o = _t(spark, sf_dir, "orders")
+    inv = o.select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    a = inv.select(
+        F.col("cust").alias("cust"), F.col("k").alias("key_a"),
+        F.col("d").alias("da"), F.col("cents").alias("cents_a"),
+    )
+    b = inv.select(
+        F.col("cust").alias("cust_b"), F.col("k").alias("key_b"),
+        F.col("d").alias("db"), F.col("cents").alias("cents_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("cust") == F.col("cust_b"))
+            & (F.col("key_a") < F.col("key_b"))
+            & (F.abs(F.datediff("db", "da")) <= 7)
+            & (F.abs(F.col("cents_a") - F.col("cents_b")) * 100 <= F.col("cents_a")),
+        )
+        .select(
+            "cust",
+            "key_a",
+            "key_b",
+            F.datediff("db", "da").cast("long").alias("gap_days"),
+            "cents_a",
+            "cents_b",
+        )
+        .orderBy("cust", "key_a", "key_b")
+    )

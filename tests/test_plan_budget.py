@@ -196,6 +196,9 @@ BUDGETS = [
     ("q294_column_level_diff", 2, 0),       # one full-outer join, melted agg
     ("q295_slo_burn_rate", 1, 0),           # hourly agg; frame window 1-part
     ("q296_shard_rebalance_transport", 2, 0),  # shard agg; 16-row window
+    ("q297_haar_wavelet", 1, 0),            # daily agg; level explode + agg
+    ("q298_threshold_contagion", 0, 0),     # rounds checkpoint-pinned
+    ("q299_duplicate_invoices", 1, 0),      # cust-keyed pair join + sort
 ]
 
 
