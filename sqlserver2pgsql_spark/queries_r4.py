@@ -15787,3 +15787,62 @@ def q299_duplicate_invoices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cust", "key_a", "key_b")
     )
+
+
+@register(
+    "q300_lambda_reconciliation",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS batch_n,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             AS batch_cents,
+           CAST(count(*) AS BIGINT) AS stream_n,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             AS stream_cents,
+           TRUE AS consistent
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q300_lambda_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda-architecture reconciliation, the capstone consistency proof:
+    the SAME per-user totals computed through the STREAMING path (q61's
+    applyInPandasWithState stateful operator over the event stream,
+    integer-cents state) and the BATCH path (one hash agg over the same
+    parquet), joined and certified equal — so the query's own output
+    carries the serving-layer consistency check, and the DuckDB oracle
+    (necessarily the batch semantics) gates both at once: a stream/batch
+    divergence surfaces as a hash mismatch on the stream columns, a
+    batch bug on the batch columns, and an inconsistency as
+    consistent=false. Streaming state is O(#users); the join is
+    user-keyed."""
+    from .streaming import run_stream_to_memory, stream_events
+    from .streaming.jobs import stateful_user_totals
+
+    stream = stateful_user_totals(stream_events(spark, sf_dir))
+    run_stream_to_memory(stream, "q300_out", output_mode="update")
+    streamed = spark.sql(
+        "SELECT user_id, n_events AS stream_n, total_cents AS stream_cents"
+        " FROM q300_out"
+    )
+    ev = _t(spark, sf_dir, "events")
+    batch = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("batch_n"),
+        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("batch_cents"),
+    )
+    return (
+        batch.join(streamed, "user_id")
+        .select(
+            "user_id",
+            "batch_n",
+            "batch_cents",
+            "stream_n",
+            "stream_cents",
+            (
+                (F.col("batch_n") == F.col("stream_n"))
+                & (F.col("batch_cents") == F.col("stream_cents"))
+            ).alias("consistent"),
+        )
+        .orderBy("user_id")
+    )
