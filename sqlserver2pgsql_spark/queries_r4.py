@@ -14613,27 +14613,35 @@ def q285_degenerate_text_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PMH_K = 16
 
 
-def _pmh_spark(shingle):
-    from .operators.sketches import md5_hash60  # noqa: F401 (parity note)
+#: Kirsch-Mitzenmacher double hashing: one md5 yields two independent
+#: halves (60-bit h1, 56-bit h2); permutation i is h1 + i*h2 — pure long
+#: arithmetic with no overflow (max 60+4 bits < 2^63), no mod needed.
 
-    return [
-        F.min(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws(":", F.lit(i), shingle)), 1, 15
-                ),
-                16,
-                10,
-            ).cast("long")
-        ).alias(f"pm{i}")
-        for i in range(_PMH_K)
-    ]
+
+def _pmh_sigs(post):
+    """Per-doc portable minhash signatures from a (doc_id, shingle)
+    postings table. ONE md5 per posting, split into two hex halves, then
+    k = 16 double-hash
+    permutations pm_i = h1 + i*h2 in plain BIGINT arithmetic (Kirsch-
+    Mitzenmacher) — engine-replayable and 16x cheaper than salted md5s,
+    with the same banded-LSH behavior."""
+    hexd = F.md5(F.col("shingle"))
+    h1 = F.conv(F.substring(hexd, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(hexd, 16, 14), 16, 10).cast("long")
+    hashed = post.select("doc_id", h1.alias("h1"), h2.alias("h2"))
+    return hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"pm{i}")
+            for i in range(_PMH_K)
+        ]
+    )
 
 
 def _pmh_sql_mins() -> str:
+    h1 = "('0x' || substr(md5(shingle), 1, 15))::BIGINT"
+    h2 = "('0x' || substr(md5(shingle), 16, 14))::BIGINT"
     return ", ".join(
-        f"min(('0x' || substr(md5('{i}:' || shingle), 1, 15))::BIGINT) AS pm{i}"
-        for i in range(_PMH_K)
+        f"min({h1} + {i} * {h2}) AS pm{i}" for i in range(_PMH_K)
     )
 
 
@@ -14693,8 +14701,10 @@ def q286_minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFr
     from .operators.dedup import shingle_postings
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
-    post = shingle_postings(docs, "doc_id", "text", n=3)
-    sigs = post.groupBy("doc_id").agg(*_pmh_spark(F.col("shingle")))
+    # the fixture is one parquet file -> one input split; spread the
+    # shingle explode across cores before the heavy lifting
+    post = shingle_postings(docs.repartition(32), "doc_id", "text", n=3)
+    sigs = _pmh_sigs(post)
     sizes = post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = post.select(F.col("doc_id").alias("id1"), "shingle")
     b = post.select(F.col("doc_id").alias("id2"), F.col("shingle").alias("sh2"))
@@ -14781,10 +14791,11 @@ def q287_lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import shingle_postings
 
     docs = _t(spark, sf_dir, "documents")
-    post = shingle_postings(docs, "doc_id", "text", n=3)
-    sigs = post.groupBy("doc_id").agg(*_pmh_spark(F.col("shingle"))).localCheckpoint(
-        eager=True
-    )
+    # one input split in the fixture -> parallelize the shingle explode
+    post = shingle_postings(docs.repartition(32), "doc_id", "text", n=3)
+    # AQE coalesces the sig agg to a couple partitions; re-spread so the
+    # 5-config band-key generation runs wide
+    sigs = _pmh_sigs(post).localCheckpoint(eager=True)
     configs = [(16, 1), (8, 2), (4, 4), (2, 8), (1, 16)]
     parts = []
     for bands, rpb in configs:
@@ -15845,4 +15856,213 @@ def q300_lambda_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("consistent"),
         )
         .orderBy("user_id")
+    )
+
+
+@register(
+    "q301_token_bucket_replay",
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT user_id,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS BIGINT) AS idx,
+             epoch_us(ts) AS us,
+             CAST(floor(value * 10) AS BIGINT) * 1000000 AS cost
+      FROM events
+    ),
+    fold AS (
+      SELECT user_id, idx, us AS last_us,
+             CASE WHEN cost <= 500000000
+                  THEN 500000000 - cost ELSE 500000000 END AS tok,
+             CASE WHEN cost <= 500000000 THEN CAST(1 AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS allowed,
+             CASE WHEN cost <= 500000000 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(1 AS BIGINT) END AS denied
+      FROM seq WHERE idx = 1
+      UNION ALL
+      SELECT s.user_id, s.idx, s.us,
+             CASE WHEN s.cost <= least(500000000, f.tok + (s.us - f.last_us))
+                  THEN least(500000000, f.tok + (s.us - f.last_us)) - s.cost
+                  ELSE least(500000000, f.tok + (s.us - f.last_us)) END,
+             f.allowed + CASE WHEN s.cost <= least(500000000,
+                                   f.tok + (s.us - f.last_us))
+                              THEN 1 ELSE 0 END,
+             f.denied + CASE WHEN s.cost <= least(500000000,
+                                  f.tok + (s.us - f.last_us))
+                             THEN 0 ELSE 1 END
+      FROM fold f JOIN seq s
+        ON s.user_id = f.user_id AND s.idx = f.idx + 1
+    )
+    SELECT user_id, CAST(max(idx) AS BIGINT) AS n_events,
+           CAST(max(CASE WHEN idx = mx THEN allowed END) AS BIGINT)
+             AS allowed,
+           CAST(max(CASE WHEN idx = mx THEN denied END) AS BIGINT) AS denied,
+           CAST(max(CASE WHEN idx = mx THEN tok END) AS BIGINT)
+             AS final_utokens
+    FROM (SELECT *, max(idx) OVER (PARTITION BY user_id) AS mx FROM fold)
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q301_token_bucket_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bucket rate-limiter REPLAY: each user's event stream is run
+    through a 500-token bucket refilling 1 token/second, deciding
+    allow/deny per event — the audit that answers 'what would this
+    rate-limit policy have done to last month's traffic' before rollout.
+    The recurrence clamps on BOTH sides (refill cap + spend floor), so no
+    closed form exists (unlike q207's one-sided Lindley reflection); both
+    engines therefore run the IDENTICAL integer left-fold — micro-token
+    units make every state transition exact BIGINT arithmetic (1 token/s
+    == 1 microtoken/microsecond), Spark as F.aggregate over the sorted
+    per-user history, DuckDB as the equivalent recursive-CTE fold. One
+    collect agg; per-user arrays bounded by history (chunked affine
+    composition is NOT available here — clamps don't compose — so the
+    scale path is state-store streaming, q61's operator)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.struct(
+            "ts",
+            "event_id",
+            # ts is NTZ; session TZ is pinned UTC so the LTZ cast is lossless
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            (F.floor(F.col("value") * 10).cast("long") * 1000000).alias("cost"),
+        ).alias("s"),
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("s")).alias("hist")
+    )
+    CAP = F.lit(500000000).cast("long")
+    first = F.element_at("hist", 1)
+    init = F.struct(
+        first["us"].alias("last_us"),
+        F.when(first["cost"] <= CAP, CAP - first["cost"]).otherwise(CAP).alias("tok"),
+        F.when(first["cost"] <= CAP, F.lit(1).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("allowed"),
+        F.when(first["cost"] <= CAP, F.lit(0).cast("long"))
+        .otherwise(F.lit(1).cast("long"))
+        .alias("denied"),
+    )
+
+    def step(acc, x):
+        avail = F.least(CAP, acc["tok"] + (x["us"] - acc["last_us"]))
+        ok = x["cost"] <= avail
+        return F.struct(
+            x["us"].alias("last_us"),
+            F.when(ok, avail - x["cost"]).otherwise(avail).alias("tok"),
+            (acc["allowed"] + F.when(ok, 1).otherwise(0)).alias("allowed"),
+            (acc["denied"] + F.when(ok, 0).otherwise(1)).alias("denied"),
+        )
+
+    fin = F.aggregate(F.slice("hist", 2, F.size("hist") - 1), init, step)
+    return seq.select(
+        "user_id",
+        F.size("hist").cast("long").alias("n_events"),
+        fin["allowed"].alias("allowed"),
+        fin["denied"].alias("denied"),
+        fin["tok"].alias("final_utokens"),
+    ).orderBy("user_id")
+
+
+@register(
+    "q302_bitflag_rollup",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id,
+             CAST(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
+                + CASE WHEN value > 20 THEN 2 ELSE 0 END
+                + CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                            >= 50 THEN 4 ELSE 0 END
+                + CASE WHEN isodow(ts) >= 6 THEN 8 ELSE 0 END
+                AS BIGINT) AS flags
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(bit_or(flags) AS BIGINT) AS any_flags,
+           CAST(bit_and(flags) AS BIGINT) AS all_flags,
+           CAST(bit_count(bit_or(flags)) AS BIGINT) AS distinct_conditions
+    FROM flagged GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q302_bitflag_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregation surface: per-event condition flags packed into
+    an integer bitmask (error / high-value / high-k / weekend), rolled up
+    per user with BIT_OR (any event matched), BIT_AND (every event
+    matched) and a popcount of distinct conditions seen — the compact
+    segment-membership encoding feature stores use instead of four
+    boolean columns. Pure JVM bit ops + one hash agg; weekday parity via
+    the pinned isodow-1 correspondence. Exact integers."""
+    ev = _t(spark, sf_dir, "events")
+    flags = (
+        F.when(F.col("event_type") == "error", 1).otherwise(0)
+        + F.when(F.col("value") > 20, 2).otherwise(0)
+        + F.when(
+            F.get_json_object("props", "$.k").cast("long") >= 50, 4
+        ).otherwise(0)
+        + F.when(F.weekday("ts") >= 5, 8).otherwise(0)
+    ).cast("long")
+    return (
+        ev.select("user_id", flags.alias("flags"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.bit_or("flags").cast("long").alias("any_flags"),
+            F.bit_and("flags").cast("long").alias("all_flags"),
+            F.bit_count(F.bit_or("flags")).cast("long").alias(
+                "distinct_conditions"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q303_rare_category_collapse",
+    oracle="""
+    WITH cats AS (
+      SELECT p_type || '/' || CAST(p_size % 10 AS VARCHAR) AS cat,
+             CAST(count(*) AS BIGINT) AS support
+      FROM part GROUP BY 1
+    ),
+    mapped AS (
+      SELECT CASE WHEN support >= 30 THEN cat ELSE '__other__' END AS category,
+             support,
+             CASE WHEN support >= 30 THEN 0 ELSE 1 END AS collapsed
+      FROM cats
+    )
+    SELECT category,
+           CAST(sum(support) AS BIGINT) AS n_parts,
+           CAST(sum(collapsed) AS BIGINT) AS n_collapsed_cats,
+           CAST(count(*) AS BIGINT) AS n_raw_cats
+    FROM mapped GROUP BY category ORDER BY category
+    """,
+)
+def q303_rare_category_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-category collapsing ('other'-bucket encoding): composite
+    categories under a support threshold fold into __other__, reporting
+    how many raw categories each surviving level absorbs — the
+    cardinality-control step before one-hot/target encoding that keeps a
+    100 TB feature matrix from exploding on long-tail levels. Two tiny
+    aggs on the category table; threshold decisions on exact counts."""
+    p = _t(spark, sf_dir, "part")
+    cats = p.groupBy(
+        F.concat_ws(
+            "/", F.col("p_type"), (F.col("p_size") % 10).cast("string")
+        ).alias("cat")
+    ).agg(F.count(F.lit(1)).alias("support"))
+    mapped = cats.select(
+        F.when(F.col("support") >= 30, F.col("cat"))
+        .otherwise("__other__")
+        .alias("category"),
+        "support",
+        F.when(F.col("support") >= 30, 0).otherwise(1).alias("collapsed"),
+    )
+    return (
+        mapped.groupBy("category")
+        .agg(
+            F.sum("support").cast("long").alias("n_parts"),
+            F.sum("collapsed").cast("long").alias("n_collapsed_cats"),
+            F.count(F.lit(1)).alias("n_raw_cats"),
+        )
+        .orderBy("category")
     )

@@ -199,6 +199,9 @@ BUDGETS = [
     ("q297_haar_wavelet", 1, 0),            # daily agg; level explode + agg
     ("q298_threshold_contagion", 0, 0),     # rounds checkpoint-pinned
     ("q299_duplicate_invoices", 1, 0),      # cust-keyed pair join + sort
+    ("q301_token_bucket_replay", 2, 0),     # collect agg; integer fold
+    ("q302_bitflag_rollup", 2, 0),          # bitmask exprs + one agg
+    ("q303_rare_category_collapse", 3, 0),  # two tiny category aggs
 ]
 
 
