@@ -16066,3 +16066,213 @@ def q303_rare_category_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("category")
     )
+
+
+@register(
+    "q304_range_frame_window",
+    oracle="""
+    WITH daily AS (
+      SELECT o_custkey AS cust,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                  AS BIGINT) AS dnum,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT cust, dnum, cents,
+           CAST(sum(cents) OVER (PARTITION BY cust ORDER BY dnum
+                                 RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS trailing_30d_cents,
+           CAST(count(*) OVER (PARTITION BY cust ORDER BY dnum
+                               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS trailing_30d_orders
+    FROM daily ORDER BY cust, dnum
+    """,
+)
+def q304_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window semantics — the VALUE-based frame (all rows
+    within 30 day-ordinals, regardless of row count), a different
+    executor path from every ROWS frame in the registry: with sparse
+    order days, ROWS BETWEEN 30 PRECEDING would reach back months, while
+    RANGE clips to the calendar distance. Trailing 30-day spend per
+    customer over a gap-heavy per-customer daily series. Exact integers;
+    one key-partitioned window."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_custkey").alias("cust"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("dnum"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = W.partitionBy("cust").orderBy("dnum").rangeBetween(-30, 0)
+    return daily.select(
+        "cust",
+        "dnum",
+        "cents",
+        F.sum("cents").over(w).cast("long").alias("trailing_30d_cents"),
+        F.count(F.lit(1)).over(w).cast("long").alias("trailing_30d_orders"),
+    ).orderBy("cust", "dnum")
+
+
+@register(
+    "q305_materialized_paths",
+    oracle="""
+    WITH RECURSIVE up AS (
+      SELECT p_partkey AS node, CAST(floor((p_partkey - 1) / 5.0) AS BIGINT)
+               AS cur,
+             CAST(p_partkey AS VARCHAR) AS path,
+             CAST(0 AS BIGINT) AS depth
+      FROM part
+      UNION ALL
+      SELECT node, CAST(floor((cur - 1) / 5.0) AS BIGINT),
+             CAST(cur AS VARCHAR) || '/' || path, depth + 1
+      FROM up WHERE cur >= 0 AND node > 0 AND cur IS NOT NULL
+              AND (depth = 0 OR cur <> 0 OR path NOT LIKE '0/%')
+    ),
+    best AS (
+      SELECT node, path, depth,
+             row_number() OVER (PARTITION BY node ORDER BY depth DESC) AS rn
+      FROM up
+    )
+    SELECT node, '/' || path AS path, depth
+    FROM best WHERE rn = 1 ORDER BY node
+    """,
+)
+def q305_materialized_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-path construction for the q243 5-ary part hierarchy:
+    every node's full root-to-node breadcrumb ('/0/3/17/...') plus its
+    depth — the denormalization that turns recursive ancestor queries
+    into prefix LIKE scans (the standard trade for read-heavy trees at
+    scale). Spark builds paths iteratively from the leaf up (depth =
+    log5(N) bounded rounds, lineage cut per round); the oracle climbs
+    the same chains with a recursive CTE and takes each node's deepest
+    (= complete) expansion. Exact strings and integers."""
+    part = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("node"))
+    state = part.select(
+        "node",
+        F.floor((F.col("node") - 1) / 5.0).cast("long").alias("cur"),
+        F.col("node").cast("string").alias("path"),
+        F.lit(0).cast("long").alias("depth"),
+    )
+    # root (node 0) keeps depth 0 and path '0'; everyone else climbs
+    done = state.filter(F.col("node") == 0).select("node", "path", "depth")
+    frontier = state.filter(F.col("node") > 0)
+    while True:
+        finished = frontier.filter(F.col("cur") == 0).select(
+            "node",
+            F.concat(F.lit("0/"), F.col("path")).alias("path"),
+            (F.col("depth") + 1).alias("depth"),
+        )
+        done = done.unionByName(finished)
+        frontier = (
+            frontier.filter(F.col("cur") > 0)
+            .select(
+                "node",
+                F.floor((F.col("cur") - 1) / 5.0).cast("long").alias("cur"),
+                F.concat(F.col("cur").cast("string"), F.lit("/"), F.col("path")).alias(
+                    "path"
+                ),
+                (F.col("depth") + 1).alias("depth"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if frontier.isEmpty():
+            break
+    return done.select(
+        "node", F.concat(F.lit("/"), F.col("path")).alias("path"), "depth"
+    ).orderBy("node")
+
+
+@register(
+    "q306_price_volume_mix",
+    oracle="""
+    WITH yr AS (
+      SELECT p.p_type AS ptype,
+             CAST(year(l.l_shipdate) AS BIGINT) AS y,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty,
+             CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE year(l.l_shipdate) IN (1997, 1998)
+      GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT ptype,
+             CAST(max(CASE WHEN y = 1997 THEN qty END) AS BIGINT) AS q1,
+             CAST(max(CASE WHEN y = 1997 THEN cents END) AS BIGINT) AS r1,
+             CAST(max(CASE WHEN y = 1998 THEN qty END) AS BIGINT) AS q2,
+             CAST(max(CASE WHEN y = 1998 THEN cents END) AS BIGINT) AS r2
+      FROM yr GROUP BY ptype
+      HAVING max(CASE WHEN y = 1997 THEN qty END) IS NOT NULL
+         AND max(CASE WHEN y = 1998 THEN qty END) IS NOT NULL
+    )
+    SELECT ptype, r1, r2, r2 - r1 AS delta_cents,
+           round((CAST(q2 AS DOUBLE) - CAST(q1 AS DOUBLE))
+                 * (CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)), 6)
+             AS volume_effect,
+           round((CAST(r2 AS DOUBLE) / CAST(q2 AS DOUBLE)
+                  - CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE))
+                 * CAST(q2 AS DOUBLE), 6) AS price_effect,
+           round(CAST(r2 - r1 AS DOUBLE)
+                 - (CAST(q2 AS DOUBLE) - CAST(q1 AS DOUBLE))
+                   * (CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE))
+                 - (CAST(r2 AS DOUBLE) / CAST(q2 AS DOUBLE)
+                    - CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE))
+                   * CAST(q2 AS DOUBLE), 6) AS residual
+    FROM wide ORDER BY ptype
+    """,
+)
+def q306_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume bridge (FP&A waterfall): decompose each part type's
+    1997->1998 revenue change into a VOLUME effect ((q2-q1) at old unit
+    price) and a PRICE effect ((p2-p1) at new volume), with the exact
+    residual closing the bridge to zero by construction — the standard
+    'why did revenue move' decomposition finance teams publish. Unit
+    prices are single IEEE divisions of exact integer sums; effects are
+    one fixed multiply each, rounded once at output. One fact agg + a
+    pivot-to-wide conditional agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    yr = (
+        li.filter(F.year("l_shipdate").isin(1997, 1998))
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(
+            F.col("p_type").alias("ptype"),
+            F.year("l_shipdate").cast("long").alias("y"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("cents"),
+        )
+    )
+    wide = (
+        yr.groupBy("ptype")
+        .agg(
+            F.max(F.when(F.col("y") == 1997, F.col("qty"))).alias("q1"),
+            F.max(F.when(F.col("y") == 1997, F.col("cents"))).alias("r1"),
+            F.max(F.when(F.col("y") == 1998, F.col("qty"))).alias("q2"),
+            F.max(F.when(F.col("y") == 1998, F.col("cents"))).alias("r2"),
+        )
+        .filter(F.col("q1").isNotNull() & F.col("q2").isNotNull())
+    )
+    q1, r1 = F.col("q1").cast("double"), F.col("r1").cast("double")
+    q2, r2 = F.col("q2").cast("double"), F.col("r2").cast("double")
+    vol = (q2 - q1) * (r1 / q1)
+    price = (r2 / q2 - r1 / q1) * q2
+    return wide.select(
+        "ptype",
+        "r1",
+        "r2",
+        (F.col("r2") - F.col("r1")).alias("delta_cents"),
+        F.round(vol, 6).alias("volume_effect"),
+        F.round(price, 6).alias("price_effect"),
+        F.round((r2 - r1) - vol - price, 6).alias("residual"),
+    ).orderBy("ptype")

@@ -132,3 +132,27 @@ def test_certified_names_falls_back_without_records(monkeypatch, tmp_path):
     )
     # no CORRECTNESS files in tmp_path -> frozen r03 fallback
     assert e._certified_names() == e._CERTIFIED_R03
+
+
+def test_rounding_mode_pin(spark, duck):
+    """Engine-behavior pin: Spark's round() on DOUBLE is HALF_UP away
+    from zero and bround() is HALF_EVEN (banker's); DuckDB's round() on
+    DOUBLE agrees with Spark's round() on exact-representable halves.
+    Oracle-gated queries therefore only ever round values whose 10^-k
+    neighborhood is unambiguous OR rely on identical double inputs — this
+    pin documents the boundary the exactness discipline steers around."""
+    from pyspark.sql import functions as F
+
+    rows = spark.range(1).select(
+        F.round(F.lit(2.5), 0).alias("r25"),
+        F.round(F.lit(-2.5), 0).alias("rm25"),
+        F.round(F.lit(3.5), 0).alias("r35"),
+        F.bround(F.lit(2.5), 0).alias("b25"),
+        F.bround(F.lit(3.5), 0).alias("b35"),
+    ).collect()[0]
+    assert (rows["r25"], rows["rm25"], rows["r35"]) == (3.0, -3.0, 4.0)
+    assert (rows["b25"], rows["b35"]) == (2.0, 4.0)
+    d = duck.execute(
+        "SELECT round(2.5), round(-2.5), round(3.5)"
+    ).fetchone()
+    assert tuple(float(x) for x in d) == (3.0, -3.0, 4.0)

@@ -202,6 +202,9 @@ BUDGETS = [
     ("q301_token_bucket_replay", 2, 0),     # collect agg; integer fold
     ("q302_bitflag_rollup", 2, 0),          # bitmask exprs + one agg
     ("q303_rare_category_collapse", 3, 0),  # two tiny category aggs
+    ("q304_range_frame_window", 3, 0),      # cust-day agg + RANGE window
+    ("q305_materialized_paths", 1, 0),      # rounds checkpoint-pinned + sort
+    ("q306_price_volume_mix", 3, 0),        # year agg + wide agg; part bcast
 ]
 
 
