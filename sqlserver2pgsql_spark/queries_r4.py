@@ -16276,3 +16276,260 @@ def q306_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(price, 6).alias("price_effect"),
         F.round((r2 - r1) - vol - price, 6).alias("residual"),
     ).orderBy("ptype")
+
+
+@register(
+    "q307_lru_miss_ratio_curve",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS BIGINT) AS pos
+      FROM events
+    ),
+    withprev AS (
+      SELECT user_id, item, pos,
+             lag(pos) OVER (PARTITION BY user_id, item ORDER BY pos)
+               AS prev_pos
+      FROM seq
+    ),
+    dists AS (
+      SELECT w.user_id, w.pos,
+             CAST(count(DISTINCT b.item) AS BIGINT) AS reuse_dist
+      FROM withprev w JOIN seq b
+        ON b.user_id = w.user_id
+       AND b.pos > w.prev_pos AND b.pos < w.pos
+      WHERE w.prev_pos IS NOT NULL
+      GROUP BY w.user_id, w.pos
+    ),
+    hist AS (
+      SELECT reuse_dist, CAST(count(*) AS BIGINT) AS n FROM dists
+      GROUP BY reuse_dist
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_accesses,
+             CAST(sum(CASE WHEN prev_pos IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cold
+      FROM withprev
+    )
+    SELECT h.reuse_dist AS cache_size, h.n AS n_at_dist,
+           CAST(sum(h.n) OVER (ORDER BY h.reuse_dist) AS BIGINT) AS hits_le,
+           round(1 - CAST(sum(h.n) OVER (ORDER BY h.reuse_dist) AS DOUBLE)
+                     / CAST(t.n_accesses AS DOUBLE), 9) AS miss_ratio
+    FROM hist h CROSS JOIN tot t ORDER BY cache_size
+    """,
+)
+def q307_lru_miss_ratio_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LRU miss-ratio curve via Mattson reuse distances: for every repeat
+    access to an item in a user's stream, count the DISTINCT items seen
+    since its previous access — an LRU cache of size C hits exactly the
+    accesses with reuse distance <= C, so the histogram's cumulative
+    complement IS the miss curve for EVERY cache size at once (the
+    cache-sizing study run before provisioning a 100 TB tier). The gap
+    join is per-user positional (bounded by history length); the curve
+    assembly is histogram-sized. Exact integers + one rounded division."""
+    ev = _t(spark, sf_dir, "events")
+    wseq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+        F.row_number().over(wseq).cast("long").alias("pos"),
+    )
+    withprev = seq.select(
+        "user_id",
+        "item",
+        "pos",
+        F.lag("pos").over(W.partitionBy("user_id", "item").orderBy("pos")).alias(
+            "prev_pos"
+        ),
+    )
+    rep = withprev.filter(F.col("prev_pos").isNotNull()).select(
+        F.col("user_id").alias("u"), F.col("pos").alias("p"), "prev_pos"
+    )
+    b = seq.select(F.col("user_id").alias("u"), F.col("item").alias("bitem"), F.col("pos").alias("bpos"))
+    dists = (
+        rep.join(
+            b,
+            (rep["u"] == b["u"])
+            & (b["bpos"] > rep["prev_pos"])
+            & (b["bpos"] < rep["p"]),
+        )
+        .groupBy(rep["u"], "p")
+        .agg(F.count_distinct("bitem").cast("long").alias("reuse_dist"))
+    )
+    hist = dists.groupBy("reuse_dist").agg(F.count(F.lit(1)).alias("n"))
+    tot = withprev.agg(F.count(F.lit(1)).alias("n_accesses"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("reuse_dist").alias("cache_size"),
+            F.col("n").alias("n_at_dist"),
+            F.sum("n").over(W.orderBy("reuse_dist")).cast("long").alias("hits_le"),
+            F.round(
+                F.lit(1)
+                - F.sum("n").over(W.orderBy("reuse_dist")).cast("double")
+                / F.col("n_accesses").cast("double"),
+                9,
+            ).alias("miss_ratio"),
+        )
+        .orderBy("cache_size")
+    )
+
+
+@register(
+    "q308_dkw_ecdf_band",
+    oracle="""
+    WITH vals AS (
+      SELECT CAST(floor(value * 100) AS BIGINT) AS v FROM events
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(min(v) AS BIGINT) AS lo, CAST(max(v) AS BIGINT) AS hi
+      FROM vals
+    ),
+    ecdf AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM vals GROUP BY v
+    ),
+    curve AS (
+      SELECT e.v,
+             CAST(sum(e.cnt) OVER (ORDER BY e.v) AS DOUBLE)
+               / CAST(s.n AS DOUBLE) AS f_hat,
+             CAST(e.v - s.lo AS DOUBLE) / CAST(s.hi - s.lo AS DOUBLE) AS f0,
+             round(sqrt(round(ln(2 / 0.05), 9) / (2 * CAST(s.n AS DOUBLE))), 9)
+               AS eps
+      FROM ecdf e CROSS JOIN stats s
+    )
+    SELECT v, round(f_hat, 9) AS f_hat, round(f0, 9) AS f0, eps,
+           abs(f_hat - f0) > eps AS outside_band
+    FROM curve ORDER BY v
+    """,
+)
+def q308_dkw_ecdf_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dvoretzky-Kiefer-Wolfowitz goodness-of-fit band: the 95% DKW
+    envelope eps = sqrt(ln(2/alpha)/2n) around the empirical CDF, with
+    every support point tested against a uniform null over the observed
+    range — the distribution-free alternative to q154's KS test that
+    reports WHERE the distribution deviates, not just whether. The lone
+    libm ln is rounded at its boundary (sqrt is IEEE-exact, no guard
+    needed); the ECDF is one value agg + a support-sized cumulative
+    window. One scan of the fact column."""
+    ev = _t(spark, sf_dir, "events")
+    vals = ev.select(F.floor(F.col("value") * 100).cast("long").alias("v"))
+    stats = vals.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
+    ecdf = vals.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+    curve = ecdf.crossJoin(F.broadcast(stats)).select(
+        "v",
+        (
+            F.sum("cnt").over(W.orderBy("v")).cast("double")
+            / F.col("n").cast("double")
+        ).alias("f_hat"),
+        (
+            (F.col("v") - F.col("lo")).cast("double")
+            / (F.col("hi") - F.col("lo")).cast("double")
+        ).alias("f0"),
+        F.round(
+            F.sqrt(
+                F.round(F.log(F.lit(2) / F.lit(0.05)), 9)
+                / (2 * F.col("n").cast("double"))
+            ),
+            9,
+        ).alias("eps"),
+    )
+    return curve.select(
+        "v",
+        F.round("f_hat", 9).alias("f_hat"),
+        F.round("f0", 9).alias("f0"),
+        "eps",
+        (F.abs(F.col("f_hat") - F.col("f0")) > F.col("eps")).alias("outside_band"),
+    ).orderBy("v")
+
+
+@register(
+    "q309_knee_detection",
+    oracle="""
+    WITH freq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS f
+      FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+            FROM documents)
+      WHERE term <> '' GROUP BY term
+    ),
+    ranked AS (
+      SELECT CAST(row_number() OVER (ORDER BY f DESC, term) AS BIGINT) AS r,
+             f
+      FROM freq
+    ),
+    ends AS (
+      SELECT CAST(min(r) AS BIGINT) AS r1, CAST(max(r) AS BIGINT) AS r2,
+             CAST(max(CASE WHEN rn_lo = 1 THEN f END) AS BIGINT) AS f1,
+             CAST(max(CASE WHEN rn_hi = 1 THEN f END) AS BIGINT) AS f2
+      FROM (SELECT r, f,
+                   row_number() OVER (ORDER BY r) AS rn_lo,
+                   row_number() OVER (ORDER BY r DESC) AS rn_hi
+            FROM ranked)
+    )
+    SELECT k.r AS knee_rank, k.f AS knee_freq, k.d2 AS chord_dist_x2
+    FROM (
+      SELECT ranked.r, ranked.f,
+             abs((e.r2 - e.r1) * (e.f1 - ranked.f)
+                 - (e.r1 - ranked.r) * (e.f2 - e.f1)) AS d2,
+             row_number() OVER (
+               ORDER BY abs((e.r2 - e.r1) * (e.f1 - ranked.f)
+                            - (e.r1 - ranked.r) * (e.f2 - e.f1)) DESC,
+                        ranked.r) AS rn
+      FROM ranked CROSS JOIN ends e
+    ) k WHERE k.rn = 1
+    """,
+)
+def q309_knee_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knee/elbow detection on the vocabulary rank-frequency curve — the
+    Kneedle-style 'where does the long tail start' cut used to pick
+    vocab sizes, cluster counts and cache tiers: the knee is the point
+    maximizing distance to the chord between the curve's endpoints,
+    computed here with the INTEGER cross-product form of the
+    point-to-line distance (no sqrt, no division — the common positive
+    scale factor can't change the argmax), so the selection is exact
+    arithmetic with a deterministic rank tie-break. One vocab agg + one
+    global window + a broadcast endpoints row."""
+    from .operators.text import WS
+
+    docs = _t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split(F.trim(F.col("text")), WS)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    ranked = freq.select(
+        F.row_number().over(W.orderBy(F.desc("f"), F.asc("term"))).cast("long").alias("r"),
+        "f",
+    )
+    ends = ranked.agg(
+        F.min("r").alias("r1"),
+        F.max("r").alias("r2"),
+        F.max_by("f", -F.col("r")).alias("f1"),
+        F.max_by("f", F.col("r")).alias("f2"),
+    )
+    j = ranked.crossJoin(F.broadcast(ends))
+    d2 = F.abs(
+        (F.col("r2") - F.col("r1")) * (F.col("f1") - F.col("f"))
+        - (F.col("r1") - F.col("r")) * (F.col("f2") - F.col("f1"))
+    )
+    return (
+        j.select(
+            "r",
+            "f",
+            d2.alias("d2"),
+            F.row_number().over(W.orderBy(F.desc(d2), F.asc("r"))).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("r").alias("knee_rank"),
+            F.col("f").alias("knee_freq"),
+            F.col("d2").alias("chord_dist_x2"),
+        )
+    )

@@ -205,6 +205,9 @@ BUDGETS = [
     ("q304_range_frame_window", 3, 0),      # cust-day agg + RANGE window
     ("q305_materialized_paths", 1, 0),      # rounds checkpoint-pinned + sort
     ("q306_price_volume_mix", 3, 0),        # year agg + wide agg; part bcast
+    ("q307_lru_miss_ratio_curve", 3, 0),    # seq windows + gap join + hist
+    ("q308_dkw_ecdf_band", 1, 0),           # value agg; ECDF window 1-part
+    ("q309_knee_detection", 2, 0),          # vocab agg + argmax window
 ]
 
 
