@@ -16533,3 +16533,240 @@ def q309_knee_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d2").alias("chord_dist_x2"),
         )
     )
+
+
+@register(
+    "q310_wilcoxon_signed_rank",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey AS cust,
+             CAST(sum(CASE WHEN year(o_orderdate) = 1997
+                           THEN floor(o_totalprice * 100 + 0.5) END)
+                  AS BIGINT) AS c97,
+             CAST(sum(CASE WHEN year(o_orderdate) = 1998
+                           THEN floor(o_totalprice * 100 + 0.5) END)
+                  AS BIGINT) AS c98
+      FROM orders WHERE year(o_orderdate) IN (1997, 1998)
+      GROUP BY 1
+      HAVING c97 IS NOT NULL AND c98 IS NOT NULL AND c97 <> c98
+    ),
+    ranked AS (
+      SELECT CASE WHEN c98 > c97 THEN 1 ELSE -1 END AS sgn,
+             CAST(rank() OVER (ORDER BY abs(c98 - c97)) AS BIGINT) AS rmin,
+             CAST(count(*) OVER (PARTITION BY abs(c98 - c97)) AS BIGINT)
+               AS tie
+      FROM per
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN sgn = 1
+                         THEN CAST(rmin AS DECIMAL(28, 1))
+                            + CAST(tie - 1 AS DECIMAL(28, 1)) / 2 END)
+                AS DOUBLE) AS w_plus,
+           CAST(sum(CASE WHEN sgn = -1
+                         THEN CAST(rmin AS DECIMAL(28, 1))
+                            + CAST(tie - 1 AS DECIMAL(28, 1)) / 2 END)
+                AS DOUBLE) AS w_minus,
+           CAST(sum(sgn) AS BIGINT) AS sign_balance
+    FROM ranked
+    """,
+)
+def q310_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test — the PAIRED companion to q258's
+    Mann-Whitney: each customer active in both 1997 and 1998 contributes
+    one signed difference; |differences| are rank-averaged over ties
+    (exact DECIMAL(38,1) half-integers, q242's recipe) and W+/W- are the
+    signed rank sums an analyst compares against the null of symmetric
+    change. Zero-differences drop per the standard procedure. One
+    customer agg + one global rank window (range-sort at scale); rank
+    sums are order-free decimal."""
+    o = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate").isin(1997, 1998))
+    per = (
+        o.groupBy(F.col("o_custkey").alias("cust"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.year("o_orderdate") == 1997,
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)),
+                )
+            )
+            .cast("long")
+            .alias("c97"),
+            F.sum(
+                F.when(
+                    F.year("o_orderdate") == 1998,
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)),
+                )
+            )
+            .cast("long")
+            .alias("c98"),
+        )
+        .filter(
+            F.col("c97").isNotNull()
+            & F.col("c98").isNotNull()
+            & (F.col("c97") != F.col("c98"))
+        )
+    )
+    absd = F.abs(F.col("c98") - F.col("c97"))
+    ranked = per.select(
+        F.when(F.col("c98") > F.col("c97"), 1).otherwise(-1).alias("sgn"),
+        F.rank().over(W.orderBy(absd)).cast("long").alias("rmin"),
+        F.count(F.lit(1)).over(W.partitionBy(absd)).cast("long").alias("tie"),
+    )
+    halfrank = F.col("rmin").cast("decimal(28,1)") + (
+        F.col("tie") - 1
+    ).cast("decimal(28,1)") / 2
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("sgn") == 1, halfrank)).cast("double").alias("w_plus"),
+        F.sum(F.when(F.col("sgn") == -1, halfrank)).cast("double").alias("w_minus"),
+        F.sum("sgn").cast("long").alias("sign_balance"),
+    )
+
+
+@register(
+    "q311_circular_stats",
+    oracle="""
+    WITH ang AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    vec AS (
+      SELECT event_type,
+             CAST(sum(n) AS BIGINT) AS n_events,
+             CAST(sum(n * CAST(round(cos(2 * pi() * h / 24), 9)
+                               AS DECIMAL(28, 9))) AS DOUBLE) AS c,
+             CAST(sum(n * CAST(round(sin(2 * pi() * h / 24), 9)
+                               AS DECIMAL(28, 9))) AS DOUBLE) AS s
+      FROM ang GROUP BY event_type
+    )
+    SELECT event_type, n_events,
+           round(round(atan2(s, c), 9) * 24 / (2 * pi()), 6)
+             AS mean_hour_signed,
+           round(sqrt(c * c + s * s) / CAST(n_events AS DOUBLE), 9)
+             AS resultant_r
+    FROM vec ORDER BY event_type
+    """,
+)
+def q311_circular_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular (directional) statistics of event timing: hour-of-day is
+    an ANGLE, so the mean activity hour is atan2 of the resultant vector
+    (a 23:00 and a 01:00 event average to midnight, not noon — the
+    mistake every linear mean makes on time-of-day data) and the
+    resultant length R measures concentration (1 = all events at one
+    hour, 0 = uniform). The 24 possible sin/cos values are rounded once
+    at the libm boundary and accumulated in DECIMAL weighted by exact
+    counts (order-free); atan2/sqrt run once per group on identical
+    doubles. One (type, hour) agg; everything after is 24-row."""
+    ev = _t(spark, sf_dir, "events")
+    ang = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    two_pi = 2 * 3.141592653589793
+    # operand precisions sized so the product keeps scale 9: Spark reduces
+    # a decimal product's scale to 6 when precision would exceed 38
+    # (allowPrecisionLoss), which would silently truncate the vector sums
+    cosr = F.round(F.cos(F.lit(two_pi) * F.col("h") / 24), 9).cast("decimal(20,9)")
+    sinr = F.round(F.sin(F.lit(two_pi) * F.col("h") / 24), 9).cast("decimal(20,9)")
+    nn = F.col("n").cast("decimal(12,0)")
+    vec = ang.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.sum(nn * cosr).cast("double").alias("c"),
+        F.sum(nn * sinr).cast("double").alias("s"),
+    )
+    return vec.select(
+        "event_type",
+        "n_events",
+        # atan2 is libm — round at its boundary before the fixed scaling
+        F.round(
+            F.round(F.atan2(F.col("s"), F.col("c")), 9) * 24 / F.lit(two_pi), 6
+        ).alias("mean_hour_signed"),
+        F.round(
+            F.sqrt(F.col("c") * F.col("c") + F.col("s") * F.col("s"))
+            / F.col("n_events").cast("double"),
+            9,
+        ).alias("resultant_r"),
+    ).orderBy("event_type")
+
+
+@register(
+    "q312_tiered_pricing",
+    oracle="""
+    WITH brackets AS (
+      SELECT * FROM (VALUES
+        (CAST(0 AS BIGINT),       CAST(10000000 AS BIGINT),  CAST(0 AS BIGINT)),
+        (CAST(10000000 AS BIGINT), CAST(20000000 AS BIGINT), CAST(2 AS BIGINT)),
+        (CAST(20000000 AS BIGINT), CAST(35000000 AS BIGINT), CAST(5 AS BIGINT)),
+        (CAST(35000000 AS BIGINT), CAST(9223372036854775807 AS BIGINT),
+         CAST(9 AS BIGINT))
+      ) AS t(lo, hi, pct)
+    ),
+    fees AS (
+      SELECT o.o_orderkey,
+             CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(sum(greatest(0, least(
+                      CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT), b.hi)
+                      - b.lo) * b.pct // 100) AS BIGINT) AS fee_cents
+      FROM orders o CROSS JOIN brackets b
+      GROUP BY 1, 2
+    )
+    SELECT CAST(CASE WHEN cents >= 60000000 THEN 7
+                     ELSE cents // 10000000 + 1 END AS BIGINT) AS size_band,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS base_cents,
+           CAST(sum(fee_cents) AS BIGINT) AS fee_cents,
+           round(CAST(sum(fee_cents) AS DOUBLE)
+                 / CAST(sum(cents) AS DOUBLE), 9) AS effective_rate
+    FROM fees GROUP BY 1 ORDER BY size_band
+    """,
+)
+def q312_tiered_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered (marginal-bracket) pricing: each order's fee is the sum
+    over brackets of rate x the slice of its value falling in that
+    bracket — greatest(0, least(v, hi) - lo), the tax-bracket /
+    usage-tier formula every billing engine implements. Bracket math is
+    pure integer arithmetic against a broadcast 4-row rate table (the
+    cross join fans out by #brackets, then folds straight back), and
+    effective rates per size band are single divisions of exact sums.
+    Size bands are plain integer division on both sides."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    brackets = spark.createDataFrame(
+        [
+            (0, 10_000_000, 0),
+            (10_000_000, 20_000_000, 2),
+            (20_000_000, 35_000_000, 5),
+            (35_000_000, 9223372036854775807, 9),
+        ],
+        "lo long, hi long, pct long",
+    )
+    slice_ = F.greatest(
+        F.lit(0).cast("long"), F.least(F.col("cents"), F.col("hi")) - F.col("lo")
+    )
+    fees = (
+        o.crossJoin(F.broadcast(brackets))
+        .groupBy("o_orderkey", "cents")
+        .agg(
+            F.sum(F.floor(slice_ * F.col("pct") / 100).cast("long"))
+            .cast("long")
+            .alias("fee_cents")
+        )
+    )
+    band = F.when(F.col("cents") < 0, 0).when(
+        F.col("cents") >= 60_000_000, 7
+    ).otherwise(F.floor(F.col("cents") / 10_000_000).cast("long") + 1)
+    return (
+        fees.groupBy(band.cast("long").alias("size_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").cast("long").alias("base_cents"),
+            F.sum("fee_cents").cast("long").alias("fee_cents"),
+            F.round(
+                F.sum("fee_cents").cast("double") / F.sum("cents").cast("double"),
+                9,
+            ).alias("effective_rate"),
+        )
+        .orderBy("size_band")
+    )

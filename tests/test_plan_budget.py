@@ -208,6 +208,9 @@ BUDGETS = [
     ("q307_lru_miss_ratio_curve", 3, 0),    # seq windows + gap join + hist
     ("q308_dkw_ecdf_band", 1, 0),           # value agg; ECDF window 1-part
     ("q309_knee_detection", 2, 0),          # vocab agg + argmax window
+    ("q310_wilcoxon_signed_rank", 1, 0),    # cust agg; rank 1-part
+    ("q311_circular_stats", 3, 0),          # (type,hour) agg + vector agg
+    ("q312_tiered_pricing", 3, 0),          # bracket fan-out + band agg
 ]
 
 
