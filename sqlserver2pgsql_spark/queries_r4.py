@@ -16770,3 +16770,345 @@ def q312_tiered_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("size_band")
     )
+
+
+@register(
+    "q313_cuped_adjustment",
+    oracle="""
+    WITH units AS (
+      SELECT o_custkey AS cust, CAST(o_custkey % 2 AS BIGINT) AS arm,
+             CAST(sum(CASE WHEN year(o_orderdate) = 1997
+                           THEN floor(o_totalprice * 100 + 0.5) ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(sum(CASE WHEN year(o_orderdate) = 1998
+                           THEN floor(o_totalprice * 100 + 0.5) ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM orders WHERE year(o_orderdate) IN (1997, 1998)
+      GROUP BY 1, 2
+    ),
+    pooled AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS DECIMAL(38, 0)) AS sxy,
+             CAST(sum(x * x) AS DECIMAL(38, 0)) AS sxx,
+             CAST(sum(y * y) AS DECIMAL(38, 0)) AS syy
+      FROM units
+    ),
+    theta AS (
+      SELECT n, sx, sy,
+             (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                / CAST(n AS DOUBLE))
+             / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                / CAST(n AS DOUBLE)) AS th,
+             (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS var_y,
+             (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS var_x,
+             (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS cov_xy
+      FROM pooled
+    ),
+    arms AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n_arm,
+             CAST(sum(y) AS BIGINT) AS sy_arm,
+             CAST(sum(x) AS BIGINT) AS sx_arm
+      FROM units GROUP BY arm
+    )
+    SELECT a.arm, a.n_arm,
+           round(CAST(a.sy_arm AS DOUBLE) / CAST(a.n_arm AS DOUBLE), 6)
+             AS raw_mean_cents,
+           round(CAST(a.sy_arm AS DOUBLE) / CAST(a.n_arm AS DOUBLE)
+                 - t.th * (CAST(a.sx_arm AS DOUBLE) / CAST(a.n_arm AS DOUBLE)
+                           - CAST(t.sx AS DOUBLE) / CAST(t.n AS DOUBLE)), 6)
+             AS cuped_mean_cents,
+           round(t.th, 9) AS theta,
+           round(1 - (t.var_y - 2 * t.th * t.cov_xy
+                      + t.th * t.th * t.var_x) / t.var_y, 9)
+             AS variance_reduction
+    FROM arms a CROSS JOIN theta t ORDER BY a.arm
+    """,
+)
+def q313_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM'13 — the standard
+    experimentation-platform adjustment): per-customer 1998 revenue
+    adjusted by the pre-period covariate, theta = cov(x,y)/var(x), with
+    the achieved variance reduction computed in CLOSED FORM from pooled
+    moments (var(y-θx) = var_y - 2θcov + θ²var_x) — no second pass, no
+    per-row adjusted column. Cross-products ride DECIMAL(38,0) (cents²
+    overflows int64 at scale); every derived statistic is one fixed IEEE
+    chain over exact sums, rounded once. One unit agg + two tiny
+    rollups."""
+    o = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate").isin(1997, 1998))
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+    units = o.groupBy(
+        F.col("o_custkey").alias("cust"),
+        (F.col("o_custkey") % 2).cast("long").alias("arm"),
+    ).agg(
+        F.sum(F.when(F.year("o_orderdate") == 1997, cents).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.year("o_orderdate") == 1998, cents).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    pooled = units.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+    )
+    nD = F.col("n").cast("double")
+    sxD, syD = F.col("sx").cast("double"), F.col("sy").cast("double")
+    cxy = F.col("sxy").cast("double") - sxD * syD / nD
+    cxx = F.col("sxx").cast("double") - sxD * sxD / nD
+    cyy = F.col("syy").cast("double") - syD * syD / nD
+    theta = pooled.select(
+        "n",
+        "sx",
+        (cxy / cxx).alias("th"),
+        (cyy / nD).alias("var_y"),
+        (cxx / nD).alias("var_x"),
+        (cxy / nD).alias("cov_xy"),
+    )
+    arms = units.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_arm"),
+        F.sum("y").alias("sy_arm"),
+        F.sum("x").alias("sx_arm"),
+    )
+    j = arms.crossJoin(F.broadcast(theta))
+    raw = F.col("sy_arm").cast("double") / F.col("n_arm").cast("double")
+    adj = raw - F.col("th") * (
+        F.col("sx_arm").cast("double") / F.col("n_arm").cast("double")
+        - F.col("sx").cast("double") / F.col("n").cast("double")
+    )
+    return j.select(
+        "arm",
+        "n_arm",
+        F.round(raw, 6).alias("raw_mean_cents"),
+        F.round(adj, 6).alias("cuped_mean_cents"),
+        F.round("th", 9).alias("theta"),
+        F.round(
+            F.lit(1)
+            - (
+                F.col("var_y")
+                - 2 * F.col("th") * F.col("cov_xy")
+                + F.col("th") * F.col("th") * F.col("var_x")
+            )
+            / F.col("var_y"),
+            9,
+        ).alias("variance_reduction"),
+    ).orderBy("arm")
+
+
+def _ring_positions_sql(n_nodes: int) -> str:
+    return (
+        "SELECT n.node, v.vn, ('0x' || substr(md5(CAST(n.node AS VARCHAR)"
+        " || ':' || CAST(v.vn AS VARCHAR)), 1, 8))::BIGINT AS rpos"
+        f" FROM (SELECT unnest(range({n_nodes})) AS node) n,"
+        "       (SELECT unnest(range(4)) AS vn) v"
+    )
+
+
+@register(
+    "q314_consistent_hash_ring",
+    oracle=f"""
+    WITH ring8 AS ({_ring_positions_sql(8)}),
+    ring9 AS ({_ring_positions_sql(9)}),
+    keys AS (
+      SELECT c_custkey AS k,
+             ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+               AS kh
+      FROM customer
+    ),
+    a8 AS (
+      SELECT k.k,
+             COALESCE(min(CASE WHEN r.rpos >= k.kh THEN r.rpos END),
+                      min(r.rpos)) AS owner_pos
+      FROM keys k CROSS JOIN ring8 r GROUP BY k.k
+    ),
+    own8 AS (
+      SELECT a.k, r.node FROM a8 a JOIN ring8 r ON r.rpos = a.owner_pos
+    ),
+    a9 AS (
+      SELECT k.k,
+             COALESCE(min(CASE WHEN r.rpos >= k.kh THEN r.rpos END),
+                      min(r.rpos)) AS owner_pos
+      FROM keys k CROSS JOIN ring9 r GROUP BY k.k
+    ),
+    own9 AS (
+      SELECT a.k, r.node FROM a9 a JOIN ring9 r ON r.rpos = a.owner_pos
+    )
+    SELECT o9.node,
+           CAST(count(*) AS BIGINT) AS n_after,
+           CAST(sum(CASE WHEN o8.node <> o9.node THEN 1 ELSE 0 END)
+                AS BIGINT) AS moved_in
+    FROM own9 o9 JOIN own8 o8 ON o8.k = o9.k
+    GROUP BY o9.node ORDER BY o9.node
+    """,
+)
+def q314_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash ring rebalance audit: 1500 customer keys placed on
+    an 8-node x 4-vnode md5 ring, then the ring regrown to 9 nodes — per
+    node, the new key count and how many keys MOVED in (the consistent-
+    hashing guarantee: only ~1/9 of keys relocate, all toward the new
+    node — versus rehash-everything's ~8/9; the q296 transport cost's
+    topology-aware sibling). Successor lookup is min-over-filtered-ring
+    (32/36 positions, broadcast); the deterministic md5 positions make
+    every placement oracle-replayable. Exact integers."""
+
+    def ring(n_nodes):
+        nodes = spark.range(n_nodes).select(F.col("id").alias("node"))
+        vns = spark.range(4).select(F.col("id").alias("vn"))
+        return nodes.crossJoin(vns).select(
+            "node",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.col("node").cast("string"), F.col("vn").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("rpos"),
+        )
+
+    keys = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("kh"),
+    )
+
+    def assign(ringdf, out):
+        a = (
+            keys.crossJoin(F.broadcast(ringdf))
+            .groupBy("k")
+            .agg(
+                F.coalesce(
+                    F.min(F.when(F.col("rpos") >= F.col("kh"), F.col("rpos"))),
+                    F.min("rpos"),
+                ).alias("owner_pos")
+            )
+        )
+        return a.join(
+            F.broadcast(ringdf), F.col("owner_pos") == F.col("rpos")
+        ).select("k", F.col("node").alias(out))
+
+    own8 = assign(ring(8), "node8")
+    own9 = assign(ring(9), "node9")
+    return (
+        own9.join(own8, "k")
+        .groupBy(F.col("node9").alias("node"))
+        .agg(
+            F.count(F.lit(1)).alias("n_after"),
+            F.sum(F.when(F.col("node8") != F.col("node9"), 1).otherwise(0))
+            .cast("long")
+            .alias("moved_in"),
+        )
+        .orderBy("node")
+    )
+
+
+def _q315_oracle() -> str:
+    iters = []
+    prev = "m0"
+    for t in (1, 2, 3):
+        iters.append(f"""
+    d{t} AS (
+      SELECT v.vec_id,
+             sqrt(CAST(sum((v.v_fx - m.m_fx) * (v.v_fx - m.m_fx))
+                       AS DOUBLE)) AS d
+      FROM vfx v JOIN {prev} m ON m.pos = v.pos
+      GROUP BY v.vec_id
+      HAVING sum((v.v_fx - m.m_fx) * (v.v_fx - m.m_fx)) > 0
+    ),
+    w{t} AS (
+      SELECT v.pos,
+             CAST(sum(CAST(round(v.v_fx / d.d, 6) AS DECIMAL(28, 6)))
+                  AS DOUBLE) AS t1,
+             CAST(sum(CAST(round(1 / d.d, 12) AS DECIMAL(28, 12)))
+                  AS DOUBLE) AS t2
+      FROM vfx v JOIN d{t} d ON d.vec_id = v.vec_id
+      GROUP BY v.pos
+    ),
+    m{t} AS (
+      SELECT pos, CAST(floor(t1 / t2) AS BIGINT) AS m_fx FROM w{t}
+    )""")
+        prev = f"m{t}"
+    joined = ",".join(iters)
+    return f"""
+    WITH {_VFX_SQL},
+    m0 AS (
+      SELECT pos, CAST(sum(v_fx) // count(*) AS BIGINT) AS m_fx
+      FROM vfx GROUP BY pos
+    ),{joined}
+    SELECT pos, m_fx,
+           round(CAST(m_fx AS DOUBLE) / {float(EMB_SCALE)} - 1.0, 9)
+             AS median_val
+    FROM m3 ORDER BY pos
+    """
+
+
+@register("q315_weiszfeld_geometric_median", oracle=_q315_oracle())
+def q315_weiszfeld_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric median of the embedding corpus by THREE fixed Weiszfeld
+    iterations in fixed-point: the L1-robust centroid (the aggregation
+    rule of robust federated averaging and outlier-resistant prototype
+    selection), m_{t+1} = Σ(x_i/d_i)/Σ(1/d_i). Determinism scaffolding:
+    the iterate is RE-QUANTIZED to EMB_SCALE integers each round (so
+    every distance is sqrt of an exact BIGINT — IEEE-exact), the two
+    weighted sums round once at their division boundary into DECIMAL
+    (order-free), and coincident points drop per the standard algorithm.
+    Each iteration is one per-vector agg + one per-dimension agg — the
+    same two-shuffle shape as a k-means step, run 3x."""
+    vfx = _vfx(spark, sf_dir).select("vec_id", "pos", "v_fx")
+    m = vfx.groupBy("pos").agg(
+        F.floor(F.sum("v_fx") / F.count(F.lit(1))).cast("long").alias("m_fx")
+    )
+    for _ in range(3):
+        d = (
+            vfx.join(F.broadcast(m), "pos")
+            .groupBy("vec_id")
+            .agg(
+                F.sum(
+                    (F.col("v_fx") - F.col("m_fx"))
+                    * (F.col("v_fx") - F.col("m_fx"))
+                ).alias("d2")
+            )
+            .filter(F.col("d2") > 0)
+            .select("vec_id", F.sqrt(F.col("d2").cast("double")).alias("d"))
+        )
+        w = (
+            vfx.join(d, "vec_id")
+            .groupBy("pos")
+            .agg(
+                F.sum(
+                    F.round(F.col("v_fx") / F.col("d"), 6).cast("decimal(28,6)")
+                )
+                .cast("double")
+                .alias("t1"),
+                F.sum(
+                    F.round(F.lit(1) / F.col("d"), 12).cast("decimal(28,12)")
+                )
+                .cast("double")
+                .alias("t2"),
+            )
+        )
+        m = w.select(
+            "pos", F.floor(F.col("t1") / F.col("t2")).cast("long").alias("m_fx")
+        ).localCheckpoint(eager=True)
+    return m.select(
+        "pos",
+        "m_fx",
+        F.round(
+            F.col("m_fx").cast("double") / F.lit(float(EMB_SCALE)) - 1.0, 9
+        ).alias("median_val"),
+    ).orderBy("pos")

@@ -211,6 +211,9 @@ BUDGETS = [
     ("q310_wilcoxon_signed_rank", 1, 0),    # cust agg; rank 1-part
     ("q311_circular_stats", 3, 0),          # (type,hour) agg + vector agg
     ("q312_tiered_pricing", 3, 0),          # bracket fan-out + band agg
+    ("q313_cuped_adjustment", 4, 0),        # unit agg + moment rollups
+    ("q314_consistent_hash_ring", 4, 0),    # 2 ring assigns + key join
+    ("q315_weiszfeld_geometric_median", 1, 0),  # iterations checkpoint-pinned
 ]
 
 
