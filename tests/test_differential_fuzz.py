@@ -1631,3 +1631,79 @@ def _lateral_spark(spark, q: dict):
 def test_differential_lateral_generator(seed, spark, duck):
     q = _gen_lateral(seed)
     assert_matches_oracle(_lateral_spark(spark, q), duck, _lateral_sql(q))
+
+
+# --- join-chain grammar ------------------------------------------------------
+#
+# Three-table chains (lineitem -> orders -> customer / part) with filters
+# attached at RANDOM depths — the join-reorder + pushdown surface: Catalyst
+# is free to reorder and push, and the result must not change. Aggregates
+# stay integer-exact.
+
+CHAINS = [
+    ("lineitem", "orders", "l_orderkey", "o_orderkey",
+     "customer", "o_custkey", "c_custkey"),
+    ("lineitem", "part", "l_partkey", "p_partkey", None, None, None),
+    ("orders", "customer", "o_custkey", "c_custkey", None, None, None),
+]
+
+
+def _gen_chain(seed: int) -> dict:
+    rng = random.Random(seed + 170_000)
+    chain = rng.choice(CHAINS)
+    filters = []
+    for t in (chain[0], chain[1], chain[4]):
+        if t is None or rng.random() < 0.4:
+            continue
+        cats = TABLES[t]["cats"]
+        if rng.random() < 0.5 and cats:
+            c = rng.choice(sorted(cats))
+            filters.append((t, "=", c, rng.choice(cats[c])))
+        else:
+            nums = TABLES[t]["nums"]
+            c = rng.choice(sorted(nums))
+            lo, hi = nums[c]
+            filters.append(
+                (t, rng.choice(["<", ">="]), c, rng.randrange(lo, hi + 1))
+            )
+    gcat = rng.choice(sorted(TABLES[chain[0]]["cats"]))
+    return {"chain": chain, "filters": filters, "gcat": gcat}
+
+
+def _chain_sql(q: dict) -> str:
+    t0, t1, k0, k1, t2, j1, j2 = q["chain"]
+    frm = f"{t0} JOIN {t1} ON {t0}.{k0} = {t1}.{k1}"
+    if t2:
+        frm += f" JOIN {t2} ON {t1}.{j1} = {t2}.{j2}"
+    conds = []
+    for t, op, c, v in q["filters"]:
+        rhs = f"'{v}'" if isinstance(v, str) else str(v)
+        conds.append(f"{t}.{c} {op} {rhs}")
+    where = (" WHERE " + " AND ".join(conds)) if conds else ""
+    return (
+        f"SELECT {t0}.{q['gcat']} AS c, CAST(count(*) AS BIGINT) AS n "
+        f"FROM {frm}{where} GROUP BY {t0}.{q['gcat']} ORDER BY c"
+    )
+
+
+def _chain_spark(spark, q: dict):
+    t0, t1, k0, k1, t2, j1, j2 = q["chain"]
+    dfs = {t: spark.read.parquet(f"{SF_DIR}/{t}.parquet") for t in (t0, t1, t2) if t}
+    for t, op, c, v in q["filters"]:
+        col = F.col(c)
+        pred = {"=": col == v, "<": col < v, ">=": col >= v}[op]
+        dfs[t] = dfs[t].filter(pred)
+    out = dfs[t0].join(dfs[t1], dfs[t0][k0] == dfs[t1][k1])
+    if t2:
+        out = out.join(dfs[t2], dfs[t1][j1] == dfs[t2][j2])
+    return (
+        out.groupBy(dfs[t0][q["gcat"]].alias("c"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("c")
+    )
+
+
+@pytest.mark.parametrize("seed", range(24))
+def test_differential_join_chain(seed, spark, duck):
+    q = _gen_chain(seed)
+    assert_matches_oracle(_chain_spark(spark, q), duck, _chain_sql(q))
