@@ -17112,3 +17112,270 @@ def q315_weiszfeld_geometric_median(spark: SparkSession, sf_dir: str) -> DataFra
             F.col("m_fx").cast("double") / F.lit(float(EMB_SCALE)) - 1.0, 9
         ).alias("median_val"),
     ).orderBy("pos")
+
+
+@register(
+    "q316_l_moments",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority AS grp,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x,
+             CAST(row_number() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY floor(o_totalprice * 100 + 0.5))
+                  AS BIGINT) AS i,
+             CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+               AS n
+      FROM orders
+    ),
+    pwm AS (
+      SELECT grp, CAST(max(n) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s0,
+             CAST(sum((i - 1) * x) AS DECIMAL(38, 0)) AS s1,
+             CAST(sum(CAST(i - 1 AS DECIMAL(19, 0)) * (i - 2) * x)
+                  AS DECIMAL(38, 0)) AS s2
+      FROM ranked GROUP BY grp
+    ),
+    b AS (
+      SELECT grp, n,
+             CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE) AS b0,
+             CAST(s1 AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS b1,
+             CAST(s2 AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)
+                  * CAST(n - 2 AS DOUBLE)) AS b2
+      FROM pwm
+    )
+    SELECT grp, n,
+           round(b0, 6) AS l1_cents,
+           round(2 * b1 - b0, 6) AS l2_cents,
+           round((6 * b2 - 6 * b1 + b0) / (2 * b1 - b0), 9) AS l_skewness
+    FROM b ORDER BY grp
+    """,
+)
+def q316_l_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-moments (Hosking's probability-weighted moments): per priority
+    group, the L-scale and L-skewness of order values — the order-
+    statistics alternative to classical moments that stays finite under
+    heavy tails and underlies regional frequency analysis. The three PWM
+    sums are EXACT (Σx BIGINT, Σ(i-1)x and Σ(i-1)(i-2)x in DECIMAL(38,0)
+    — the triple product overflows int64), and tie order provably cannot
+    change them (equal values swap under any tie permutation), so the
+    rank window needs no tie-break. One group rank window + one agg;
+    every output is a fixed IEEE chain rounded once."""
+    o = _t(spark, sf_dir, "orders")
+    x = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    wg = W.partitionBy("o_orderpriority")
+    ranked = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        x.alias("x"),
+        F.row_number().over(wg.orderBy(x)).cast("long").alias("i"),
+        F.count(F.lit(1)).over(wg).cast("long").alias("n"),
+    )
+    pwm = ranked.groupBy("grp").agg(
+        F.max("n").alias("n"),
+        F.sum("x").alias("s0"),
+        F.sum((F.col("i") - 1) * F.col("x")).cast("decimal(38,0)").alias("s1"),
+        F.sum(
+            (F.col("i") - 1).cast("decimal(19,0)") * (F.col("i") - 2) * F.col("x")
+        )
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    nD = F.col("n").cast("double")
+    b0 = F.col("s0").cast("double") / nD
+    b1 = F.col("s1").cast("double") / (nD * (F.col("n") - 1).cast("double"))
+    b2 = F.col("s2").cast("double") / (
+        nD * (F.col("n") - 1).cast("double") * (F.col("n") - 2).cast("double")
+    )
+    return pwm.select(
+        "grp",
+        "n",
+        F.round(b0, 6).alias("l1_cents"),
+        F.round(2 * b1 - b0, 6).alias("l2_cents"),
+        F.round((6 * b2 - 6 * b1 + b0) / (2 * b1 - b0), 9).alias("l_skewness"),
+    ).orderBy("grp")
+
+
+@register(
+    "q317_fixed_effects_regression",
+    oracle="""
+    WITH base AS (
+      SELECT l_suppkey AS ent, CAST(l_quantity AS BIGINT) AS x,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    per AS (
+      SELECT ent, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM base GROUP BY ent
+    ),
+    terms AS (
+      SELECT CAST(sum(CAST(round(CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                         / CAST(n AS DOUBLE), 6) AS DECIMAL(38, 6)))
+                  AS DOUBLE) AS wxy,
+             CAST(sum(CAST(round(CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                         / CAST(n AS DOUBLE), 6) AS DECIMAL(38, 6)))
+                  AS DOUBLE) AS wxx,
+             CAST(count(*) AS BIGINT) AS n_entities,
+             CAST(sum(n) AS BIGINT) AS n_obs,
+             CAST(sum(sx) AS BIGINT) AS tsx, CAST(sum(sy) AS BIGINT) AS tsy,
+             CAST(sum(sxy) AS BIGINT) AS tsxy,
+             CAST(sum(sxx) AS BIGINT) AS tsxx
+      FROM per
+    )
+    SELECT n_entities, n_obs,
+           round(wxy / wxx, 9) AS within_slope,
+           round((CAST(n_obs AS DOUBLE) * CAST(tsxy AS DOUBLE)
+                  - CAST(tsx AS DOUBLE) * CAST(tsy AS DOUBLE))
+                 / (CAST(n_obs AS DOUBLE) * CAST(tsxx AS DOUBLE)
+                    - CAST(tsx AS DOUBLE) * CAST(tsx AS DOUBLE)), 9)
+             AS pooled_slope
+    FROM terms
+    """,
+)
+def q317_fixed_effects_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way fixed-effects (within) estimator: price-on-quantity slope
+    after absorbing supplier-level intercepts — the panel-econometrics
+    workhorse that kills per-entity confounding, put NEXT to the pooled
+    OLS slope so the confounding bias is visible in one row. The within
+    estimator needs only per-entity moments (Frisch-Waugh demeaning in
+    closed form); per-entity terms are rounded once at their division
+    boundary and summed in DECIMAL so the cross-entity reduction is
+    order-free. One fact agg + one entity rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_suppkey").alias("ent"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("y"),
+    )
+    per = base.groupBy("ent").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nD = F.col("n").cast("double")
+    txy = F.round(
+        F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double") / nD,
+        6,
+    ).cast("decimal(38,6)")
+    txx = F.round(
+        F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double") / nD,
+        6,
+    ).cast("decimal(38,6)")
+    terms = per.agg(
+        F.sum(txy).cast("double").alias("wxy"),
+        F.sum(txx).cast("double").alias("wxx"),
+        F.count(F.lit(1)).alias("n_entities"),
+        F.sum("n").alias("n_obs"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"),
+        F.sum("sxy").alias("tsxy"),
+        F.sum("sxx").alias("tsxx"),
+    )
+    nO = F.col("n_obs").cast("double")
+    pooled = (
+        nO * F.col("tsxy").cast("double")
+        - F.col("tsx").cast("double") * F.col("tsy").cast("double")
+    ) / (
+        nO * F.col("tsxx").cast("double")
+        - F.col("tsx").cast("double") * F.col("tsx").cast("double")
+    )
+    return terms.select(
+        "n_entities",
+        "n_obs",
+        F.round(F.col("wxy") / F.col("wxx"), 9).alias("within_slope"),
+        F.round(pooled, 9).alias("pooled_slope"),
+    )
+
+
+@register(
+    "q318_mantel_haenszel",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderpriority AS stratum,
+             CAST(sum(CASE WHEN o_custkey % 2 = 0
+                            AND o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(sum(CASE WHEN o_custkey % 2 = 0
+                            AND o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(sum(CASE WHEN o_custkey % 2 = 1
+                            AND o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c,
+             CAST(sum(CASE WHEN o_custkey % 2 = 1
+                            AND o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d
+      FROM orders GROUP BY 1
+    ),
+    pooled AS (
+      SELECT CAST(sum(CAST(round(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                       / CAST(a + b + c + d AS DOUBLE), 9)
+                       AS DECIMAL(28, 9))) AS DOUBLE) AS num,
+             CAST(sum(CAST(round(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+                       / CAST(a + b + c + d AS DOUBLE), 9)
+                       AS DECIMAL(28, 9))) AS DOUBLE) AS den,
+             CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb,
+             CAST(sum(c) AS BIGINT) AS tc, CAST(sum(d) AS BIGINT) AS td
+      FROM cells
+    )
+    SELECT ta, tb, tc, td,
+           round(num / den, 9) AS or_mantel_haenszel,
+           round((CAST(ta AS DOUBLE) * CAST(td AS DOUBLE))
+                 / (CAST(tb AS DOUBLE) * CAST(tc AS DOUBLE)), 9)
+             AS or_crude
+    FROM pooled
+    """,
+)
+def q318_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio: the stratified 2x2 estimator
+    (exposure = even custkey, outcome = status F, strata = priority) that
+    q271's Simpson audit motivates — the CRUDE odds ratio from collapsed
+    counts sits beside the confounding-adjusted MH pooling
+    Σ(a_i d_i/n_i) / Σ(b_i c_i/n_i). Per-stratum terms are one fixed IEEE
+    chain each, rounded at the division boundary and DECIMAL-summed
+    (order-free). One contingency agg; everything after is
+    strata-sized."""
+    o = _t(spark, sf_dir, "orders")
+    exp_ = F.col("o_custkey") % 2 == 0
+    out_ = F.col("o_orderstatus") == "F"
+    cells = o.groupBy(F.col("o_orderpriority").alias("stratum")).agg(
+        F.sum(F.when(exp_ & out_, 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(exp_ & ~out_, 1).otherwise(0)).cast("long").alias("b"),
+        F.sum(F.when(~exp_ & out_, 1).otherwise(0)).cast("long").alias("c"),
+        F.sum(F.when(~exp_ & ~out_, 1).otherwise(0)).cast("long").alias("d"),
+    )
+    nS = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+    num_t = F.round(
+        F.col("a").cast("double") * F.col("d").cast("double") / nS, 9
+    ).cast("decimal(28,9)")
+    den_t = F.round(
+        F.col("b").cast("double") * F.col("c").cast("double") / nS, 9
+    ).cast("decimal(28,9)")
+    pooled = cells.agg(
+        F.sum(num_t).cast("double").alias("num"),
+        F.sum(den_t).cast("double").alias("den"),
+        F.sum("a").alias("ta"),
+        F.sum("b").alias("tb"),
+        F.sum("c").alias("tc"),
+        F.sum("d").alias("td"),
+    )
+    return pooled.select(
+        "ta",
+        "tb",
+        "tc",
+        "td",
+        F.round(F.col("num") / F.col("den"), 9).alias("or_mantel_haenszel"),
+        F.round(
+            (F.col("ta").cast("double") * F.col("td").cast("double"))
+            / (F.col("tb").cast("double") * F.col("tc").cast("double")),
+            9,
+        ).alias("or_crude"),
+    )

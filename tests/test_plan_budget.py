@@ -214,6 +214,9 @@ BUDGETS = [
     ("q313_cuped_adjustment", 4, 0),        # unit agg + moment rollups
     ("q314_consistent_hash_ring", 4, 0),    # 2 ring assigns + key join
     ("q315_weiszfeld_geometric_median", 1, 0),  # iterations checkpoint-pinned
+    ("q316_l_moments", 3, 0),               # group rank window + PWM agg
+    ("q317_fixed_effects_regression", 1, 0),  # entity agg + 1-row rollup
+    ("q318_mantel_haenszel", 1, 0),         # contingency agg + 1-row math
 ]
 
 
