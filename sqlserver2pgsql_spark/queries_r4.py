@@ -17379,3 +17379,290 @@ def q318_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("or_crude"),
     )
+
+
+@register(
+    "q319_qini_curve",
+    oracle="""
+    WITH users AS (
+      SELECT user_id, CAST(user_id % 2 AS BIGINT) AS treated,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS conv,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS score
+      FROM events GROUP BY user_id
+    ),
+    tiled AS (
+      SELECT user_id, treated, CASE WHEN conv > 0 THEN 1 ELSE 0 END AS y,
+             CAST(ntile(10) OVER (ORDER BY score DESC, user_id) AS BIGINT)
+               AS decile
+      FROM users
+    ),
+    per AS (
+      SELECT decile,
+             CAST(sum(treated) AS BIGINT) AS t,
+             CAST(sum(1 - treated) AS BIGINT) AS c,
+             CAST(sum(treated * y) AS BIGINT) AS ty,
+             CAST(sum((1 - treated) * y) AS BIGINT) AS cy
+      FROM tiled GROUP BY decile
+    ),
+    cum AS (
+      SELECT decile,
+             CAST(sum(t) OVER w AS BIGINT) AS ct,
+             CAST(sum(c) OVER w AS BIGINT) AS cc,
+             CAST(sum(ty) OVER w AS BIGINT) AS cty,
+             CAST(sum(cy) OVER w AS BIGINT) AS ccy
+      FROM per WINDOW w AS (ORDER BY decile)
+    )
+    SELECT decile, ct, cc, cty, ccy,
+           round(CAST(cty AS DOUBLE) / CAST(ct AS DOUBLE)
+                 - CAST(ccy AS DOUBLE) / CAST(cc AS DOUBLE), 9)
+             AS uplift_at_depth,
+           round(CAST(cty AS DOUBLE)
+                 - CAST(ccy AS DOUBLE) * CAST(ct AS DOUBLE)
+                   / CAST(cc AS DOUBLE), 6) AS qini
+    FROM cum ORDER BY decile
+    """,
+)
+def q319_qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini curve for uplift-model evaluation: users ranked by a targeting
+    score (deterministic decile tie-breaks), cumulative treated/control
+    conversion at each depth, the incremental uplift and the Qini
+    statistic cty - ccy*(ct/cc) — the standard 'did targeting find the
+    persuadables' audit for incrementality campaigns. One user agg + a
+    global ntile + decile-sized cumulative windows; all counts exact,
+    two rounded divisions per row."""
+    ev = _t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("conv"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).cast("long").alias("score"),
+    ).select(
+        "user_id",
+        (F.col("user_id") % 2).cast("long").alias("treated"),
+        F.when(F.col("conv") > 0, 1).otherwise(0).alias("y"),
+        "score",
+    )
+    tiled = users.select(
+        "treated",
+        "y",
+        F.ntile(10)
+        .over(W.orderBy(F.desc("score"), F.asc("user_id")))
+        .cast("long")
+        .alias("decile"),
+    )
+    per = tiled.groupBy("decile").agg(
+        F.sum("treated").cast("long").alias("t"),
+        F.sum(1 - F.col("treated")).cast("long").alias("c"),
+        F.sum(F.col("treated") * F.col("y")).cast("long").alias("ty"),
+        F.sum((1 - F.col("treated")) * F.col("y")).cast("long").alias("cy"),
+    )
+    wc = W.orderBy("decile")
+    cum = per.select(
+        "decile",
+        F.sum("t").over(wc).cast("long").alias("ct"),
+        F.sum("c").over(wc).cast("long").alias("cc"),
+        F.sum("ty").over(wc).cast("long").alias("cty"),
+        F.sum("cy").over(wc).cast("long").alias("ccy"),
+    )
+    return cum.select(
+        "decile",
+        "ct",
+        "cc",
+        "cty",
+        "ccy",
+        F.round(
+            F.col("cty").cast("double") / F.col("ct").cast("double")
+            - F.col("ccy").cast("double") / F.col("cc").cast("double"),
+            9,
+        ).alias("uplift_at_depth"),
+        F.round(
+            F.col("cty").cast("double")
+            - F.col("ccy").cast("double")
+            * F.col("ct").cast("double")
+            / F.col("cc").cast("double"),
+            6,
+        ).alias("qini"),
+    ).orderBy("decile")
+
+
+@register(
+    "q320_grid_spatial_join",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey AS k, CAST(c_custkey % 256 AS BIGINT) AS x,
+             CAST((c_custkey * 131) % 256 AS BIGINT) AS y
+      FROM customer
+    ),
+    boxes AS (
+      SELECT * FROM (VALUES (1, 10, 60, 200, 250), (2, 100, 140, 0, 40),
+                            (3, 0, 255, 120, 130), (4, 240, 255, 240, 255),
+                            (5, 64, 127, 32, 95))
+        AS t(box_id, x1, x2, y1, y2)
+    ),
+    box_cells AS (
+      SELECT b.box_id, b.x1, b.x2, b.y1, b.y2,
+             cx.cx, cy.cy
+      FROM boxes b,
+           LATERAL (SELECT unnest(generate_series(b.x1 // 32, b.x2 // 32))
+                      AS cx) cx,
+           LATERAL (SELECT unnest(generate_series(b.y1 // 32, b.y2 // 32))
+                      AS cy) cy
+    ),
+    cand AS (
+      SELECT bc.box_id, bc.x1, bc.x2, bc.y1, bc.y2, p.x, p.y
+      FROM pts p JOIN box_cells bc
+        ON bc.cx = p.x // 32 AND bc.cy = p.y // 32
+    )
+    SELECT box_id,
+           CAST(count(*) AS BIGINT) AS candidates,
+           CAST(sum(CASE WHEN x BETWEEN x1 AND x2 AND y BETWEEN y1 AND y2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS matches,
+           round(CAST(sum(CASE WHEN x BETWEEN x1 AND x2
+                           AND y BETWEEN y1 AND y2 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(count(*) AS DOUBLE), 9)
+             AS filter_efficiency
+    FROM cand GROUP BY box_id ORDER BY box_id
+    """,
+)
+def q320_grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial join: points meet query rectangles through a
+    32x32-cell grid — each rectangle explodes to the cells it covers,
+    the equi-join on cell id prunes the candidate set, and the exact
+    containment predicate runs only on candidates (the standard
+    PostGIS/GeoSpark pattern that replaces an unscalable theta-join with
+    shuffle-friendly equality). The per-box candidate count next to the
+    match count MEASURES the grid's pruning efficiency — the number a
+    tuner reads before picking cell size at 100 TB. Exact integers."""
+    c = _t(spark, sf_dir, "customer")
+    pts = c.select(
+        (F.col("c_custkey") % 256).cast("long").alias("x"),
+        ((F.col("c_custkey") * 131) % 256).cast("long").alias("y"),
+    )
+    boxes = spark.createDataFrame(
+        [(1, 10, 60, 200, 250), (2, 100, 140, 0, 40), (3, 0, 255, 120, 130),
+         (4, 240, 255, 240, 255), (5, 64, 127, 32, 95)],
+        "box_id long, x1 long, x2 long, y1 long, y2 long",
+    )
+    box_cells = boxes.select(
+        "box_id", "x1", "x2", "y1", "y2",
+        F.explode(
+            F.sequence(F.floor(F.col("x1") / 32), F.floor(F.col("x2") / 32))
+        ).alias("cx"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(F.floor(F.col("y1") / 32), F.floor(F.col("y2") / 32))
+        ).alias("cy"),
+    )
+    cand = pts.join(
+        F.broadcast(box_cells),
+        (F.col("cx") == F.floor(F.col("x") / 32))
+        & (F.col("cy") == F.floor(F.col("y") / 32)),
+    )
+    hit = F.col("x").between(F.col("x1"), F.col("x2")) & F.col("y").between(
+        F.col("y1"), F.col("y2")
+    )
+    return (
+        cand.groupBy("box_id")
+        .agg(
+            F.count(F.lit(1)).alias("candidates"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("matches"),
+            F.round(
+                F.sum(F.when(hit, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                9,
+            ).alias("filter_efficiency"),
+        )
+        .orderBy("box_id")
+    )
+
+
+@register(
+    "q321_promo_overlap_attribution",
+    oracle="""
+    WITH iv AS (
+      SELECT k, cents, least(s0, e0) AS s, greatest(s0, e0) AS e FROM (
+        SELECT o.o_orderkey AS k,
+               CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(o.o_orderdate AS DATE) AS s0,
+               max(CAST(l.l_shipdate AS DATE)) AS e0
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2, 3
+      )
+    ),
+    promos AS (
+      SELECT * FROM (VALUES
+        (1, DATE '1996-11-15', DATE '1996-12-31'),
+        (2, DATE '1997-06-01', DATE '1997-07-15'),
+        (3, DATE '1998-01-01', DATE '1998-03-31'),
+        (4, DATE '1995-05-01', DATE '1995-05-07'))
+        AS t(promo_id, ps, pe)
+    )
+    SELECT p.promo_id,
+           CAST(count(CASE WHEN least(iv.e, p.pe) >= greatest(iv.s, p.ps)
+                           THEN 1 END) AS BIGINT) AS n_overlapping,
+           CAST(sum(greatest(0, CAST(date_diff('day',
+                    greatest(iv.s, p.ps), least(iv.e, p.pe)) AS BIGINT) + 1))
+                AS BIGINT) AS overlap_days,
+           CAST(sum(CASE WHEN least(iv.e, p.pe) >= greatest(iv.s, p.ps)
+                         THEN iv.cents ELSE 0 END) AS BIGINT)
+             AS touched_cents
+    FROM iv CROSS JOIN promos p
+    GROUP BY p.promo_id ORDER BY p.promo_id
+    """,
+)
+def q321_promo_overlap_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo-window overlap attribution: every order's fulfilment
+    interval against a broadcast promo calendar — orders touched, total
+    overlap days (greatest(0, min(e,pe) - max(s,ps) + 1), the interval-
+    intersection length identity), and revenue under each promo window.
+    The calendar side is tiny and broadcast so the fact table fans out
+    only by #promos; intervals are orientation-normalized (fixture allows
+    shipdate < orderdate). Exact integer date math and cents."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        F.col("o_orderdate").cast("date").alias("s0"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    iv = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "cents", "s0")
+        .agg(F.max("sd").alias("e0"))
+        .select(
+            "cents",
+            F.least("s0", "e0").alias("s"),
+            F.greatest("s0", "e0").alias("e"),
+        )
+    )
+    import datetime
+
+    promos = spark.createDataFrame(
+        [
+            (1, datetime.date(1996, 11, 15), datetime.date(1996, 12, 31)),
+            (2, datetime.date(1997, 6, 1), datetime.date(1997, 7, 15)),
+            (3, datetime.date(1998, 1, 1), datetime.date(1998, 3, 31)),
+            (4, datetime.date(1995, 5, 1), datetime.date(1995, 5, 7)),
+        ],
+        "promo_id long, ps date, pe date",
+    )
+    j = iv.crossJoin(F.broadcast(promos))
+    touches = F.least("e", "pe") >= F.greatest("s", "ps")
+    odays = F.greatest(
+        F.lit(0).cast("long"),
+        F.datediff(F.least("e", "pe"), F.greatest("s", "ps")).cast("long") + 1,
+    )
+    return (
+        j.groupBy("promo_id")
+        .agg(
+            F.count(F.when(touches, 1)).alias("n_overlapping"),
+            F.sum(odays).cast("long").alias("overlap_days"),
+            F.sum(F.when(touches, F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("touched_cents"),
+        )
+        .orderBy("promo_id")
+    )

@@ -217,6 +217,9 @@ BUDGETS = [
     ("q316_l_moments", 3, 0),               # group rank window + PWM agg
     ("q317_fixed_effects_regression", 1, 0),  # entity agg + 1-row rollup
     ("q318_mantel_haenszel", 1, 0),         # contingency agg + 1-row math
+    ("q319_qini_curve", 1, 0),              # user agg; ntile/cum 1-part
+    ("q320_grid_spatial_join", 2, 0),       # cell join (bcast) + box agg
+    ("q321_promo_overlap_attribution", 3, 0),  # iv agg + promo fan-out
 ]
 
 
