@@ -17666,3 +17666,299 @@ def q321_promo_overlap_attribution(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("promo_id")
     )
+
+
+@register(
+    "q322_sax_symbolization",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(row_number() OVER (ORDER BY d) - 1 AS BIGINT) AS p,
+             cents
+      FROM (SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY 1)
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(sum(CAST(cents AS DECIMAL(38, 0)) * cents)
+                  AS DECIMAL(38, 0)) AS s2
+      FROM daily
+    ),
+    paa AS (
+      SELECT d.p // 16 AS seg,
+             CAST(sum(d.cents) AS BIGINT) AS seg_sum,
+             CAST(count(*) AS BIGINT) AS seg_n
+      FROM daily d GROUP BY 1
+    ),
+    z AS (
+      SELECT p.seg, p.seg_n,
+             (CAST(p.seg_sum AS DOUBLE) / CAST(p.seg_n AS DOUBLE)
+              - CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+             / sqrt((CAST(t.s2 AS DOUBLE)
+                     - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE)
+                       / CAST(t.n AS DOUBLE)) / CAST(t.n AS DOUBLE)) AS zz
+      FROM paa p CROSS JOIN stats t
+    )
+    SELECT seg, seg_n, round(zz, 9) AS z,
+           CASE WHEN zz < -0.6744897501960817 THEN 'a'
+                WHEN zz < 0 THEN 'b'
+                WHEN zz < 0.6744897501960817 THEN 'c'
+                ELSE 'd' END AS symbol
+    FROM z ORDER BY seg
+    """,
+)
+def q322_sax_symbolization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX (Symbolic Aggregate approXimation, Lin & Keogh): the daily
+    revenue series is piecewise-aggregated into 16-day segments,
+    z-normalized against global moments, and quantized into a 4-letter
+    alphabet at the standard Gaussian quartile breakpoints (±0.6745,
+    embedded as exact double literals) — the discretization that turns
+    time-series motif/anomaly mining into string algorithms. Global
+    moments are exact (Σx BIGINT, Σx² DECIMAL — cents² overflows int64);
+    each z-score is one IEEE chain over them, and the breakpoint CASE
+    compares identical doubles. Two aggs + a broadcast stats row."""
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .select(
+            (F.row_number().over(W.orderBy("d")) - 1).cast("long").alias("p"),
+            "cents",
+        )
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    paa = daily.groupBy(F.floor(F.col("p") / 16).cast("long").alias("seg")).agg(
+        F.sum("cents").alias("seg_sum"), F.count(F.lit(1)).alias("seg_n")
+    )
+    j = paa.crossJoin(F.broadcast(stats))
+    nD = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / nD
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / nD
+    ) / nD
+    zz = (
+        F.col("seg_sum").cast("double") / F.col("seg_n").cast("double") - mean
+    ) / F.sqrt(var)
+    bp = 0.6744897501960817
+    return j.select(
+        "seg",
+        "seg_n",
+        F.round(zz, 9).alias("z"),
+        F.when(zz < -bp, "a")
+        .when(zz < 0, "b")
+        .when(zz < bp, "c")
+        .otherwise("d")
+        .alias("symbol"),
+    ).orderBy("seg")
+
+
+@register(
+    "q323_difference_in_differences",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(o_custkey % 2 AS BIGINT) AS treated,
+             CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+                  THEN 1 ELSE 0 END AS post,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT
+        CAST(max(CASE WHEN treated = 1 AND post = 1 THEN cents END)
+             AS DOUBLE)
+          / CAST(max(CASE WHEN treated = 1 AND post = 1 THEN n END)
+             AS DOUBLE) AS t_post,
+        CAST(max(CASE WHEN treated = 1 AND post = 0 THEN cents END)
+             AS DOUBLE)
+          / CAST(max(CASE WHEN treated = 1 AND post = 0 THEN n END)
+             AS DOUBLE) AS t_pre,
+        CAST(max(CASE WHEN treated = 0 AND post = 1 THEN cents END)
+             AS DOUBLE)
+          / CAST(max(CASE WHEN treated = 0 AND post = 1 THEN n END)
+             AS DOUBLE) AS c_post,
+        CAST(max(CASE WHEN treated = 0 AND post = 0 THEN cents END)
+             AS DOUBLE)
+          / CAST(max(CASE WHEN treated = 0 AND post = 0 THEN n END)
+             AS DOUBLE) AS c_pre
+      FROM cells
+    )
+    SELECT round(t_pre, 6) AS treated_pre_mean,
+           round(t_post, 6) AS treated_post_mean,
+           round(c_pre, 6) AS control_pre_mean,
+           round(c_post, 6) AS control_post_mean,
+           round((t_post - t_pre) - (c_post - c_pre), 6) AS did_estimate
+    FROM wide
+    """,
+)
+def q323_difference_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: the 2x2 (treated x pre/post-1997) cell
+    means and the DiD interaction (Δtreated - Δcontrol) — the canonical
+    quasi-experimental estimator when randomization isn't available,
+    rounding out the causal toolkit (q313 CUPED, q271 Simpson, q318
+    Mantel-Haenszel, q293 event study). One contingency agg; four exact
+    sums, four divisions, one subtraction chain, rounded once."""
+    o = _t(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        (F.col("o_custkey") % 2).cast("long").alias("treated"),
+        F.when(
+            F.col("o_orderdate").cast("date") >= F.lit("1997-01-01").cast("date"), 1
+        )
+        .otherwise(0)
+        .alias("post"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+
+    def cell(t, p):
+        return F.max(
+            F.when((F.col("treated") == t) & (F.col("post") == p), F.col("cents"))
+        ).cast("double") / F.max(
+            F.when((F.col("treated") == t) & (F.col("post") == p), F.col("n"))
+        ).cast("double")
+
+    wide = cells.agg(
+        cell(1, 1).alias("t_post"),
+        cell(1, 0).alias("t_pre"),
+        cell(0, 1).alias("c_post"),
+        cell(0, 0).alias("c_pre"),
+    )
+    return wide.select(
+        F.round("t_pre", 6).alias("treated_pre_mean"),
+        F.round("t_post", 6).alias("treated_post_mean"),
+        F.round("c_pre", 6).alias("control_pre_mean"),
+        F.round("c_post", 6).alias("control_post_mean"),
+        F.round(
+            (F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre")),
+            6,
+        ).alias("did_estimate"),
+    )
+
+
+@register(
+    "q324_brier_decomposition",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             CAST(least(10, len(list_filter(
+                    string_split_regex(trim(text), '\\s+'),
+                    w -> lower(w) IN ('the','and','of','to','is'))))
+                  AS BIGINT) AS b
+      FROM documents
+    ),
+    bins AS (
+      SELECT b, CAST(b AS DOUBLE) / 10 AS p,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS pos
+      FROM scored GROUP BY b
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(pos) AS BIGINT) AS post
+      FROM bins
+    ),
+    parts AS (
+      SELECT
+        CAST(sum(CAST(round(CAST(b.n AS DOUBLE)
+               * (b.p - CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE))
+               * (b.p - CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE)), 9)
+               AS DECIMAL(28, 9))) AS DOUBLE) AS rel_num,
+        CAST(sum(CAST(round(CAST(b.n AS DOUBLE)
+               * (CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE)
+                  - CAST(t.post AS DOUBLE) / CAST(t.nt AS DOUBLE))
+               * (CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE)
+                  - CAST(t.post AS DOUBLE) / CAST(t.nt AS DOUBLE)), 9)
+               AS DECIMAL(28, 9))) AS DOUBLE) AS res_num,
+        CAST(max(t.nt) AS BIGINT) AS nt,
+        CAST(max(t.post) AS BIGINT) AS post
+      FROM bins b CROSS JOIN tot t
+    )
+    SELECT nt AS n_docs,
+           round(rel_num / CAST(nt AS DOUBLE), 9) AS reliability,
+           round(res_num / CAST(nt AS DOUBLE), 9) AS resolution,
+           round(CAST(post AS DOUBLE) / CAST(nt AS DOUBLE)
+                 * (1 - CAST(post AS DOUBLE) / CAST(nt AS DOUBLE)), 9)
+             AS uncertainty,
+           round(rel_num / CAST(nt AS DOUBLE)
+                 - res_num / CAST(nt AS DOUBLE)
+                 + CAST(post AS DOUBLE) / CAST(nt AS DOUBLE)
+                   * (1 - CAST(post AS DOUBLE) / CAST(nt AS DOUBLE)), 9)
+             AS brier_score
+    FROM parts
+    """,
+)
+def q324_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score: a crude is-English
+     'probability' (capped marker count / 10) is binned on its 11 possible
+    values and split into RELIABILITY (calibration error), RESOLUTION
+    (how much the bins separate outcomes) and UNCERTAINTY (base-rate
+    variance) with Brier = rel - res + unc holding by construction — the
+    standard diagnostic separating 'is the score calibrated' from 'is it
+    informative' (companion to q288's confusion eval and q290's
+    threshold sweep). Per-bin terms round once at their division
+    boundary into DECIMAL (order-free); the score's discreteness makes
+    binning exact. One doc scan + bin-sized math."""
+    from .operators.text import tokens as _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    b = F.least(
+        F.lit(10),
+        F.size(
+            F.filter(
+                F.transform(_tokens(F.col("text")), F.lower),
+                lambda w: w.isin("the", "and", "of", "to", "is"),
+            )
+        ),
+    ).cast("long")
+    scored = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"), b.alias("b")
+    )
+    bins = scored.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").cast("long").alias("pos")
+    ).select("b", (F.col("b").cast("double") / 10).alias("p"), "n", "pos")
+    tot = bins.agg(
+        F.sum("n").cast("long").alias("nt"), F.sum("pos").cast("long").alias("post")
+    )
+    j = bins.crossJoin(F.broadcast(tot))
+    obar = F.col("pos").cast("double") / F.col("n").cast("double")
+    base = F.col("post").cast("double") / F.col("nt").cast("double")
+    rel_t = F.round(
+        F.col("n").cast("double") * (F.col("p") - obar) * (F.col("p") - obar), 9
+    ).cast("decimal(28,9)")
+    res_t = F.round(
+        F.col("n").cast("double") * (obar - base) * (obar - base), 9
+    ).cast("decimal(28,9)")
+    parts = j.agg(
+        F.sum(rel_t).cast("double").alias("rel_num"),
+        F.sum(res_t).cast("double").alias("res_num"),
+        F.max("nt").alias("nt"),
+        F.max("post").alias("post"),
+    )
+    ntD = F.col("nt").cast("double")
+    baseD = F.col("post").cast("double") / ntD
+    return parts.select(
+        F.col("nt").alias("n_docs"),
+        F.round(F.col("rel_num") / ntD, 9).alias("reliability"),
+        F.round(F.col("res_num") / ntD, 9).alias("resolution"),
+        F.round(baseD * (1 - baseD), 9).alias("uncertainty"),
+        F.round(
+            F.col("rel_num") / ntD - F.col("res_num") / ntD + baseD * (1 - baseD),
+            9,
+        ).alias("brier_score"),
+    )

@@ -220,6 +220,9 @@ BUDGETS = [
     ("q319_qini_curve", 1, 0),              # user agg; ntile/cum 1-part
     ("q320_grid_spatial_join", 2, 0),       # cell join (bcast) + box agg
     ("q321_promo_overlap_attribution", 3, 0),  # iv agg + promo fan-out
+    ("q322_sax_symbolization", 2, 0),       # daily agg + PAA agg; stats bcast
+    ("q323_difference_in_differences", 1, 0),  # one 2x2 agg + 1-row math
+    ("q324_brier_decomposition", 2, 0),     # bin agg + decimal reduction
 ]
 
 
