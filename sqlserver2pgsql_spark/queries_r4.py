@@ -13993,9 +13993,13 @@ def q278_golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFra
     )
     SELECT flag, fold, CAST(vn AS BIGINT) AS n_test,
            round(b, 9) AS slope,
+           -- MSE is ~1e13 cents^2: a raw double's ulp there exceeds 1e-6,
+           -- so round(.,6) cannot quantize engine ulp noise. Scale to ~1e3
+           -- (1e10 cents^2 units) where round(.,3) is a real grid.
            round((vsyy + vn * a * a + b * b * vsxx
-                  - 2 * a * vsy - 2 * b * vsxy + 2 * a * b * vsx) / vn, 6)
-             AS test_mse_cents2
+                  - 2 * a * vsy - 2 * b * vsxy + 2 * a * b * vsx) / vn
+                 / 10000000000, 3)
+             AS test_mse_e10
     FROM coef ORDER BY flag, fold
     """,
 )
@@ -14058,7 +14062,9 @@ def q279_kfold_complement_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fold",
         F.col("n").alias("n_test"),
         F.round(b, 9).alias("slope"),
-        F.round(mse, 6).alias("test_mse_cents2"),
+        # see oracle note: quantize in 1e10-cents^2 units where rounding
+        # actually absorbs cross-engine ulp noise
+        F.round(mse / F.lit(10000000000.0), 3).alias("test_mse_e10"),
     ).orderBy("flag", "fold")
 
 
@@ -17961,4 +17967,233 @@ def q324_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rel_num") / ntD - F.col("res_num") / ntD + baseD * (1 - baseD),
             9,
         ).alias("brier_score"),
+    )
+
+
+@register(
+    "q325_spc_control_chart",
+    oracle="""
+    WITH seq AS (
+      SELECT CAST(row_number() OVER (ORDER BY ts, event_id) - 1 AS BIGINT)
+               AS rn,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    sub AS (
+      SELECT rn // 5 AS subgroup,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(max(cents) - min(cents) AS BIGINT) AS r
+      FROM seq GROUP BY 1 HAVING count(*) = 5
+    ),
+    lims AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(s) AS BIGINT) AS st,
+             CAST(sum(r) AS BIGINT) AS rt
+      FROM sub
+    )
+    SELECT g.subgroup,
+           round(CAST(g.s AS DOUBLE) / 5, 6) AS xbar,
+           g.r AS rng,
+           round(CAST(l.st AS DOUBLE) / (5 * CAST(l.k AS DOUBLE)), 6)
+             AS grand_mean,
+           round(CAST(l.st AS DOUBLE) / (5 * CAST(l.k AS DOUBLE))
+                 + 0.577 * CAST(l.rt AS DOUBLE) / CAST(l.k AS DOUBLE), 6)
+             AS ucl_x,
+           round(CAST(l.st AS DOUBLE) / (5 * CAST(l.k AS DOUBLE))
+                 - 0.577 * CAST(l.rt AS DOUBLE) / CAST(l.k AS DOUBLE), 6)
+             AS lcl_x,
+           CAST(g.s AS DOUBLE) / 5
+             > CAST(l.st AS DOUBLE) / (5 * CAST(l.k AS DOUBLE))
+               + 0.577 * CAST(l.rt AS DOUBLE) / CAST(l.k AS DOUBLE)
+           OR CAST(g.s AS DOUBLE) / 5
+             < CAST(l.st AS DOUBLE) / (5 * CAST(l.k AS DOUBLE))
+               - 0.577 * CAST(l.rt AS DOUBLE) / CAST(l.k AS DOUBLE)
+             AS out_of_control
+    FROM sub g CROSS JOIN lims l ORDER BY g.subgroup
+    """,
+)
+def q325_spc_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical process control: X-bar chart over rational subgroups
+    of 5 consecutive events — subgroup means and ranges, control limits
+    grand_mean ± A2·R-bar with the standard A2(n=5) = 0.577 constant,
+    and the Western-Electric rule-1 out-of-control flag — the
+    manufacturing/SRE drift monitor that predates (and still outlives)
+    most anomaly detectors. Subgroup sums/ranges are exact integers; the
+    limits are one IEEE chain over two exact totals, compared
+    identically in both engines. One global sequence window + one
+    subgroup agg."""
+    ev = _t(spark, sf_dir, "events")
+    seq = ev.select(
+        (F.row_number().over(W.orderBy("ts", "event_id")) - 1)
+        .cast("long")
+        .alias("rn"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    sub = (
+        seq.groupBy(F.floor(F.col("rn") / 5).cast("long").alias("subgroup"))
+        .agg(
+            F.sum("cents").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+            (F.max("cents") - F.min("cents")).cast("long").alias("r"),
+        )
+        .filter(F.col("n") == 5)
+    )
+    lims = sub.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("s").alias("st"),
+        F.sum("r").alias("rt"),
+    )
+    j = sub.crossJoin(F.broadcast(lims))
+    xbar = F.col("s").cast("double") / 5
+    gm = F.col("st").cast("double") / (5 * F.col("k").cast("double"))
+    rbar = F.col("rt").cast("double") / F.col("k").cast("double")
+    ucl = gm + 0.577 * rbar
+    lcl = gm - 0.577 * rbar
+    return j.select(
+        "subgroup",
+        F.round(xbar, 6).alias("xbar"),
+        F.col("r").alias("rng"),
+        F.round(gm, 6).alias("grand_mean"),
+        F.round(ucl, 6).alias("ucl_x"),
+        F.round(lcl, 6).alias("lcl_x"),
+        ((xbar > ucl) | (xbar < lcl)).alias("out_of_control"),
+    ).orderBy("subgroup")
+
+
+@register(
+    "q326_monetary_unit_sampling",
+    oracle="""
+    WITH seq AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  OVER (ORDER BY o_orderkey) AS BIGINT) AS cum
+      FROM orders
+    ),
+    tot AS (SELECT CAST(max(cum) AS BIGINT) AS total FROM seq),
+    sel AS (
+      SELECT s.k, s.cents, s.cum,
+             -- grid points in the half-open span (cum-cents, cum]; all
+             -- operands non-negative (negative // truncates in DuckDB but
+             -- floors in Spark)
+             s.cum // (t.total // 200)
+               - (s.cum - s.cents) // (t.total // 200) AS n_hits
+      FROM seq s CROSS JOIN tot t WHERE s.cents > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_selected,
+           CAST(sum(n_hits) AS BIGINT) AS n_units,
+           CAST(sum(cents) AS BIGINT) AS selected_cents,
+           CAST(min(k) AS BIGINT) AS first_key,
+           CAST(max(k) AS BIGINT) AS last_key
+    FROM sel WHERE n_hits > 0
+    """,
+)
+def q326_monetary_unit_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monetary-unit (dollar-unit) audit sampling: every ~1/200th CENT of
+    cumulative order value selects the order containing it — systematic
+    PPS sampling where selection probability is proportional to amount,
+    the audit-standard technique (large items are certainties, small ones
+    proportionally likely; deterministic here with a fixed grid). An
+    order is selected iff the sampling grid has a point inside its
+    cumulative span — counted exactly with integer floor division, no
+    per-unit explode of 10^9 cents. One running-sum window (range-sorted
+    at scale) + a broadcast total."""
+    o = _t(spark, sf_dir, "orders")
+    seq = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    ).select(
+        "k",
+        "cents",
+        F.sum("cents").over(W.orderBy("k")).cast("long").alias("cum"),
+    )
+    tot = seq.agg(F.max("cum").alias("total"))
+    j = seq.crossJoin(F.broadcast(tot)).filter(F.col("cents") > 0)
+    step = F.floor(F.col("total") / 200).cast("long")
+    # half-open (cum-cents, cum] multiples; keep operands non-negative —
+    # negative integer division FLOORS in Spark but TRUNCATES in DuckDB
+    n_hits = (
+        F.floor(F.col("cum") / step)
+        - F.floor((F.col("cum") - F.col("cents")) / step)
+    ).cast("long")
+    sel = j.select("k", "cents", n_hits.alias("n_hits")).filter(F.col("n_hits") > 0)
+    return sel.agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.sum("n_hits").cast("long").alias("n_units"),
+        F.sum("cents").cast("long").alias("selected_cents"),
+        F.min("k").alias("first_key"),
+        F.max("k").alias("last_key"),
+    )
+
+
+@register(
+    "q327_semiadditive_balance",
+    oracle="""
+    WITH txn AS (
+      SELECT user_id, ts, event_id,
+             date_trunc('month', ts) AS m,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS BIGINT) AS balance
+      FROM events
+    ),
+    eom AS (
+      SELECT user_id, m, balance FROM (
+        SELECT user_id, m, balance,
+               row_number() OVER (PARTITION BY user_id, m
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM txn
+      ) WHERE rn = 1
+    )
+    SELECT CAST(m AS TIMESTAMP) AS month,
+           CAST(count(*) AS BIGINT) AS n_accounts,
+           CAST(sum(balance) AS BIGINT) AS total_eom_cents,
+           CAST(min(balance) AS BIGINT) AS min_eom_cents,
+           CAST(max(balance) AS BIGINT) AS max_eom_cents
+    FROM eom GROUP BY m ORDER BY month
+    """,
+)
+def q327_semiadditive_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-additive measure rollup — the periodic-snapshot-fact pattern:
+    per-user running balances (cumulative cents) snapshot at each
+    month's LAST observation (balances are additive across ACCOUNTS but
+    NOT across TIME — summing a month's balances would be wrong; you
+    take the closing value), then aggregated across accounts per month.
+    Closing-value selection is a deterministic reverse row_number, not
+    last()/max_by. One user-ordered window + one month window + one
+    agg."""
+    ev = _t(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    txn = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.date_trunc("month", "ts").alias("m"),
+        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        .over(wu)
+        .cast("long")
+        .alias("balance"),
+    )
+    eom = (
+        txn.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id", "m").orderBy(
+                    F.desc("ts"), F.desc("event_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "m", "balance")
+    )
+    return (
+        eom.groupBy(F.col("m").cast("timestamp").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_accounts"),
+            F.sum("balance").cast("long").alias("total_eom_cents"),
+            F.min("balance").cast("long").alias("min_eom_cents"),
+            F.max("balance").cast("long").alias("max_eom_cents"),
+        )
+        .orderBy("month")
     )

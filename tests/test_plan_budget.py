@@ -223,6 +223,9 @@ BUDGETS = [
     ("q322_sax_symbolization", 2, 0),       # daily agg + PAA agg; stats bcast
     ("q323_difference_in_differences", 1, 0),  # one 2x2 agg + 1-row math
     ("q324_brier_decomposition", 2, 0),     # bin agg + decimal reduction
+    ("q325_spc_control_chart", 0, 0),       # global seq window 1-part
+    ("q326_monetary_unit_sampling", 0, 0),  # running-sum window 1-part
+    ("q327_semiadditive_balance", 3, 0),    # user window + eom pick + agg
 ]
 
 
