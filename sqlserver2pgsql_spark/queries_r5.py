@@ -1,0 +1,1652 @@
+"""Seventh-wave query surface (round 4 continuation): finance/market
+analytics (drawdown, VWAP, MRR waterfall), agreement and robustness
+statistics, inequality/concentration measures, graph peeling, SQL-surface
+parity (lateral joins), and text/curation additions.
+
+Same contract as queries.py / queries_llm.py / queries_r4.py: every query
+is exact-oracle-gated against DuckDB at sf0.01. The recurring exactness
+tricks: integer cents for anything summed, a single shared IEEE chain for
+anything ratio-valued, deterministic tie-breaks on every ORDER BY, and
+rounding only to quantize an already-identical double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from .queries import DEC, _t, register
+
+# ---------------------------------------------------------------------------
+# Finance / market analytics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q328_max_drawdown",
+    oracle="""
+    WITH bal AS (
+      SELECT user_id, ts, event_id,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS BIGINT) AS balance
+      FROM events
+    ),
+    dd AS (
+      SELECT user_id, balance,
+             CAST(max(balance) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS BIGINT) AS peak
+      FROM bal
+    )
+    SELECT user_id,
+           CAST(max(peak - balance) AS BIGINT) AS max_drawdown_cents,
+           CAST(max(peak) AS BIGINT) AS peak_cents,
+           CAST(count(*) AS BIGINT) AS n_obs
+    FROM dd GROUP BY user_id
+    ORDER BY max_drawdown_cents DESC, user_id LIMIT 50
+    """,
+)
+def q328_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per account: running balance (cumulative cents),
+    running peak (cumulative max over the same ordering), drawdown =
+    peak - balance, maximized per user — the risk metric every portfolio
+    and SRE error-budget dashboard shares. All-integer arithmetic: both
+    cumulative windows ride ONE per-user shuffle (same partition + order),
+    the groupBy reuses the partitioning, so the whole query is one
+    exchange + the top-50 sort."""
+    ev = _t(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    bal = ev.select(
+        "user_id",
+        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        .over(wu)
+        .cast("long")
+        .alias("balance"),
+        F.max(
+            F.sum(F.floor(F.col("value") * 100).cast("long")).over(wu)
+        )
+        .over(wu)
+        .cast("long")
+        .alias("peak"),
+    )
+    return (
+        bal.groupBy("user_id")
+        .agg(
+            F.max(F.col("peak") - F.col("balance"))
+            .cast("long")
+            .alias("max_drawdown_cents"),
+            F.max("peak").cast("long").alias("peak_cents"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+        .orderBy(F.desc("max_drawdown_cents"), "user_id")
+        .limit(50)
+    )
+
+
+@register(
+    "q329_vwap_bars",
+    oracle="""
+    WITH trades AS (
+      SELECT p.p_brand AS brand,
+             CAST(date_trunc('day', l.l_shipdate) AS TIMESTAMP) AS day,
+             CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+               * CAST(floor(l.l_quantity) AS BIGINT) AS notional,
+             CAST(floor(l.l_quantity) AS BIGINT) AS qty
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    bars AS (
+      SELECT brand, day,
+             CAST(sum(notional) AS BIGINT) AS notional,
+             CAST(sum(qty) AS BIGINT) AS volume
+      FROM trades GROUP BY brand, day
+    ),
+    cum AS (
+      SELECT brand, day, notional, volume,
+             CAST(sum(notional) OVER w AS BIGINT) AS cn,
+             CAST(sum(volume) OVER w AS BIGINT) AS cv
+      FROM bars
+      WINDOW w AS (PARTITION BY brand ORDER BY day)
+    )
+    SELECT brand, day, volume,
+           CAST((notional // volume) * 1000000
+                + ((notional % volume) * 1000000) // volume AS BIGINT)
+             AS vwap_microcents,
+           CAST((cn // cv) * 1000000 + ((cn % cv) * 1000000) // cv AS BIGINT)
+             AS cum_vwap_microcents
+    FROM cum ORDER BY brand, day
+    """,
+)
+def q329_vwap_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily VWAP bars per brand plus the ANCHORED (cumulative) VWAP —
+    volume-weighted average price and its running anchor, the
+    execution-quality benchmark (q291 builds OHLC candles; this is the
+    ratio layer). VWAP is emitted in INTEGER MICROCENTS via two-step
+    long division (q*1e6 + (rem*1e6)//volume) — the quotient never
+    touches IEEE doubles, so there is no rounding-tie surface at all
+    (a round(double, 6) variant mismatched on exact half-ulp ties; all
+    operands here are non-negative, where // and DIV agree across
+    engines). Broadcast the part dim; one agg shuffle + one brand
+    window."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    trades = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.col("p_brand").alias("brand"),
+        F.date_trunc("day", "l_shipdate").cast("timestamp").alias("day"),
+        (
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+            * F.floor(F.col("l_quantity")).cast("long")
+        ).alias("notional"),
+        F.floor(F.col("l_quantity")).cast("long").alias("qty"),
+    )
+    bars = trades.groupBy("brand", "day").agg(
+        F.sum("notional").cast("long").alias("notional"),
+        F.sum("qty").cast("long").alias("volume"),
+    )
+    w = W.partitionBy("brand").orderBy("day")
+    cum = bars.select(
+        "brand",
+        "day",
+        "notional",
+        "volume",
+        F.sum("notional").over(w).cast("long").alias("cn"),
+        F.sum("volume").over(w).cast("long").alias("cv"),
+    )
+
+    def micro(num: str, den: str):
+        q = F.expr(f"{num} DIV {den}")
+        rem = F.col(num) % F.col(den)
+        return (q * 1000000 + F.expr(f"(({num} % {den}) * 1000000) DIV {den}")).cast(
+            "long"
+        )
+
+    return cum.select(
+        "brand",
+        "day",
+        "volume",
+        micro("notional", "volume").alias("vwap_microcents"),
+        micro("cn", "cv").alias("cum_vwap_microcents"),
+    ).orderBy("brand", "day")
+
+
+@register(
+    "q330_mrr_waterfall",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey AS cust,
+             CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS mrr
+      FROM orders GROUP BY cust, m
+    ),
+    months AS (SELECT DISTINCT m FROM rev),
+    custs AS (SELECT DISTINCT cust FROM rev),
+    grid AS (
+      SELECT c.cust, mo.m, coalesce(r.mrr, 0) AS mrr
+      FROM custs c CROSS JOIN months mo
+      LEFT JOIN rev r ON r.cust = c.cust AND r.m = mo.m
+    ),
+    moves AS (
+      SELECT cust, m, mrr,
+             coalesce(lag(mrr) OVER (PARTITION BY cust ORDER BY m), 0) AS prev
+      FROM grid
+    )
+    SELECT m AS month,
+           CAST(sum(CASE WHEN prev = 0 AND mrr > 0 THEN mrr ELSE 0 END)
+                AS BIGINT) AS new_mrr,
+           CAST(sum(CASE WHEN prev > 0 AND mrr > prev THEN mrr - prev
+                         ELSE 0 END) AS BIGINT) AS expansion_mrr,
+           CAST(sum(CASE WHEN prev > 0 AND mrr > 0 AND mrr < prev
+                         THEN prev - mrr ELSE 0 END) AS BIGINT)
+             AS contraction_mrr,
+           CAST(sum(CASE WHEN prev > 0 AND mrr = 0 THEN prev ELSE 0 END)
+                AS BIGINT) AS churned_mrr,
+           CAST(sum(mrr - prev) AS BIGINT) AS net_change
+    FROM moves GROUP BY m ORDER BY month
+    """,
+)
+def q330_mrr_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR movement waterfall — the SaaS revenue bridge: per customer per
+    month recurring revenue on a DENSE month grid (missing month = 0),
+    month-over-month deltas classified new / expansion / contraction /
+    churned, aggregated per month; net_change ties out to the sum of the
+    four components by construction. The grid is customers x months
+    (bounded: months is date-range-sized), built with a broadcast of the
+    month list so the only shuffles are the revenue agg, the per-customer
+    lag window, and the final month agg. Exact integer cents
+    throughout."""
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy(
+        F.col("o_custkey").alias("cust"),
+        F.date_trunc("month", "o_orderdate").cast("timestamp").alias("m"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("mrr")
+    )
+    months = rev.select("m").distinct()
+    custs = rev.select("cust").distinct()
+    grid = custs.crossJoin(F.broadcast(months)).join(
+        rev, ["cust", "m"], "left"
+    ).select("cust", "m", F.coalesce(F.col("mrr"), F.lit(0)).alias("mrr"))
+    moves = grid.select(
+        "cust",
+        "m",
+        "mrr",
+        F.coalesce(
+            F.lag("mrr").over(W.partitionBy("cust").orderBy("m")), F.lit(0)
+        ).alias("prev"),
+    )
+    mrr, prev = F.col("mrr"), F.col("prev")
+    return (
+        moves.groupBy(F.col("m").alias("month"))
+        .agg(
+            F.sum(F.when((prev == 0) & (mrr > 0), mrr).otherwise(0))
+            .cast("long")
+            .alias("new_mrr"),
+            F.sum(F.when((prev > 0) & (mrr > prev), mrr - prev).otherwise(0))
+            .cast("long")
+            .alias("expansion_mrr"),
+            F.sum(
+                F.when((prev > 0) & (mrr > 0) & (mrr < prev), prev - mrr).otherwise(0)
+            )
+            .cast("long")
+            .alias("contraction_mrr"),
+            F.sum(F.when((prev > 0) & (mrr == 0), prev).otherwise(0))
+            .cast("long")
+            .alias("churned_mrr"),
+            F.sum(mrr - prev).cast("long").alias("net_change"),
+        )
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Agreement / robustness statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q331_cohens_kappa",
+    oracle="""
+    WITH rated AS (
+      SELECT CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 500 THEN 1
+                  ELSE 2 END AS ra,
+             CASE WHEN len(string_split_regex(trim(text), '\\s+')) < 40 THEN 0
+                  WHEN len(string_split_regex(trim(text), '\\s+')) < 100 THEN 1
+                  ELSE 2 END AS rb
+      FROM documents
+    ),
+    cells AS (SELECT ra, rb, CAST(count(*) AS BIGINT) AS c
+              FROM rated GROUP BY ra, rb),
+    rows_ AS (SELECT ra AS k, CAST(sum(c) AS BIGINT) AS nrow
+              FROM cells GROUP BY ra),
+    cols_ AS (SELECT rb AS k, CAST(sum(c) AS BIGINT) AS ncol
+              FROM cells GROUP BY rb),
+    agree AS (SELECT CAST(sum(CASE WHEN ra = rb THEN c ELSE 0 END) AS BIGINT)
+                       AS diag,
+                     CAST(sum(c) AS BIGINT) AS n FROM cells),
+    expect AS (SELECT CAST(sum(r.nrow * c.ncol) AS BIGINT) AS e
+               FROM rows_ r JOIN cols_ c ON r.k = c.k)
+    SELECT a.n,
+           a.diag AS n_agree,
+           round(CAST(a.diag AS DOUBLE) / a.n, 9) AS p_observed,
+           round(CAST(x.e AS DOUBLE) / (CAST(a.n AS DOUBLE) * a.n), 9)
+             AS p_expected,
+           round((CAST(a.diag AS DOUBLE) / a.n
+                  - CAST(x.e AS DOUBLE) / (CAST(a.n AS DOUBLE) * a.n))
+                 / (1 - CAST(x.e AS DOUBLE) / (CAST(a.n AS DOUBLE) * a.n)),
+                 9) AS kappa
+    FROM agree a, expect x
+    """,
+)
+def q331_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa inter-rater agreement between two independent
+    labeling heuristics over the corpus (a char-length rater vs a
+    word-count rater, 3 classes each) — the standard chance-corrected
+    agreement score for annotation-quality QA on labeled training data.
+    Cell/marginal counts are exact integers; p_o, p_e, and kappa are one
+    shared IEEE chain over those integers. One groupBy on the 3x3
+    contingency; marginals reduce a 9-row table."""
+    d = _t(spark, sf_dir, "documents")
+    wc = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    rated = d.select(
+        F.when(F.col("n_chars") < 200, 0)
+        .when(F.col("n_chars") < 500, 1)
+        .otherwise(2)
+        .alias("ra"),
+        F.when(wc < 40, 0).when(wc < 100, 1).otherwise(2).alias("rb"),
+    )
+    cells = rated.groupBy("ra", "rb").agg(F.count(F.lit(1)).alias("c"))
+    rows_ = cells.groupBy(F.col("ra").alias("k")).agg(F.sum("c").alias("nrow"))
+    cols_ = cells.groupBy(F.col("rb").alias("k")).agg(F.sum("c").alias("ncol"))
+    agree = cells.agg(
+        F.sum(F.when(F.col("ra") == F.col("rb"), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("diag"),
+        F.sum("c").cast("long").alias("n"),
+    )
+    expect = (
+        rows_.join(cols_, "k")
+        .agg(F.sum(F.col("nrow") * F.col("ncol")).cast("long").alias("e"))
+    )
+    po = F.col("diag").cast("double") / F.col("n")
+    pe = F.col("e").cast("double") / (F.col("n").cast("double") * F.col("n"))
+    return agree.crossJoin(F.broadcast(expect)).select(
+        "n",
+        F.col("diag").alias("n_agree"),
+        F.round(po, 9).alias("p_observed"),
+        F.round(pe, 9).alias("p_expected"),
+        F.round((po - pe) / (1 - pe), 9).alias("kappa"),
+    )
+
+
+@register(
+    "q332_mcnemar_test",
+    oracle="""
+    WITH paired AS (
+      SELECT (n_chars > 400) AS a,
+             (len(string_split_regex(trim(text), '\\s+')) > 80) AS b
+      FROM documents
+    ),
+    counts AS (
+      SELECT CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+               AS b01,
+             CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+               AS b10,
+             CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS both_,
+             CAST(count(*) AS BIGINT) AS n
+      FROM paired
+    )
+    SELECT n, both_ AS n_both, b01 AS n_only_a, b10 AS n_only_b,
+           round(CAST((abs(b01 - b10) - 1) * (abs(b01 - b10) - 1) AS DOUBLE)
+                 / (b01 + b10), 9) AS mcnemar_chi2
+    FROM counts
+    """,
+)
+def q332_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on paired binary classifiers (char-length rule vs
+    word-count rule on the SAME documents) with Edwards' continuity
+    correction: chi2 = (|b-c|-1)^2/(b+c), the marginal-homogeneity check
+    for comparing two models on one eval set. Discordant counts are
+    exact; the statistic is one integer-over-integer division. A single
+    aggregate, no shuffle beyond the partial-combine."""
+    d = _t(spark, sf_dir, "documents")
+    a = F.col("n_chars") > 400
+    b = F.size(F.split(F.trim(F.col("text")), r"\s+")) > 80
+    counts = d.select(a.alias("a"), b.alias("b")).agg(
+        F.sum(F.when(F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("b01"),
+        F.sum(F.when(~F.col("a") & F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("b10"),
+        F.sum(F.when(F.col("a") & F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("both_"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    diff = F.abs(F.col("b01") - F.col("b10")) - 1
+    return counts.select(
+        "n",
+        F.col("both_").alias("n_both"),
+        F.col("b01").alias("n_only_a"),
+        F.col("b10").alias("n_only_b"),
+        F.round(
+            (diff * diff).cast("double") / (F.col("b01") + F.col("b10")), 9
+        ).alias("mcnemar_chi2"),
+    )
+
+
+@register(
+    "q333_brown_forsythe",
+    oracle="""
+    WITH med AS (
+      SELECT source, n_chars AS m FROM (
+        SELECT source, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS rn,
+               count(*) OVER (PARTITION BY source) AS cnt
+        FROM documents
+      ) WHERE rn = CAST(ceil(cnt / 2.0) AS BIGINT)
+    ),
+    z AS (
+      SELECT d.source, CAST(abs(d.n_chars - med.m) AS BIGINT) AS z
+      FROM documents d JOIN med ON d.source = med.source
+    ),
+    g AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(z) AS DECIMAL(38,0)) AS s,
+             CAST(sum(z * z) AS DECIMAL(38,0)) AS q
+      FROM z GROUP BY source
+    ),
+    terms AS (
+      SELECT source, n, s, q,
+             CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 9)
+                  AS DECIMAL(28,9)) AS sq_over_n
+      FROM g
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS k,
+             sum(s) AS ss, sum(q) AS qq, sum(sq_over_n) AS b
+      FROM terms
+    )
+    SELECT t.source, t.n,
+           round(CAST(t.s AS DOUBLE) / t.n, 6) AS mean_abs_dev,
+           round(
+             ((CAST(tot.b AS DOUBLE)
+               - CAST(tot.ss AS DOUBLE) * CAST(tot.ss AS DOUBLE) / tot.nn)
+              / (tot.k - 1))
+             / ((CAST(tot.qq AS DOUBLE) - CAST(tot.b AS DOUBLE))
+                / (tot.nn - tot.k)),
+             6) AS bf_stat
+    FROM terms t, tot ORDER BY t.source
+    """,
+)
+def q333_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe homogeneity-of-variance test across document
+    sources: one-way ANOVA on |x - group_median| — the robust Levene
+    variant that gates whether pooled-variance tests (Welch vs Student)
+    are even applicable. Group medians are deterministic lower-median
+    order statistics (integer char counts), so z is exact integer; the
+    F arithmetic reuses q211's round-then-decimal order-free reduction.
+    One median window + one broadcast join-back + one moment agg."""
+    d = _t(spark, sf_dir, "documents")
+    wsrc = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    med = (
+        d.select(
+            "source",
+            "n_chars",
+            F.row_number().over(wsrc).alias("rn"),
+            F.count(F.lit(1)).over(W.partitionBy("source")).alias("cnt"),
+        )
+        .filter(F.col("rn") == F.ceil(F.col("cnt") / 2.0).cast("long"))
+        .select("source", F.col("n_chars").alias("m"))
+    )
+    z = d.join(F.broadcast(med), "source").select(
+        "source", F.abs(F.col("n_chars") - F.col("m")).cast("long").alias("z")
+    )
+    g = z.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("z").cast("decimal(38,0)")).alias("s"),
+        F.sum((F.col("z") * F.col("z")).cast("decimal(38,0)")).alias("q"),
+    )
+    terms = g.select(
+        "*",
+        F.round(
+            F.col("s").cast("double") * F.col("s").cast("double") / F.col("n"), 9
+        )
+        .cast("decimal(28,9)")
+        .alias("sq_over_n"),
+    )
+    tot = terms.agg(
+        F.sum("n").alias("nn"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("s").alias("ss"),
+        F.sum("q").alias("qq"),
+        F.sum("sq_over_n").alias("b"),
+    )
+    ssb = (
+        F.col("b").cast("double")
+        - F.col("ss").cast("double") * F.col("ss").cast("double") / F.col("nn")
+    )
+    ssw = F.col("qq").cast("double") - F.col("b").cast("double")
+    return (
+        terms.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n",
+            F.round(F.col("s").cast("double") / F.col("n"), 6).alias("mean_abs_dev"),
+            F.round(
+                (ssb / (F.col("k") - 1)) / (ssw / (F.col("nn") - F.col("k"))), 6
+            ).alias("bf_stat"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inequality / concentration measures
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q334_gini_lorenz",
+    oracle="""
+    WITH x AS (
+      SELECT o_custkey AS cust,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY cust
+    ),
+    ranked AS (
+      SELECT cust, rev,
+             row_number() OVER (ORDER BY rev, cust) AS i,
+             ntile(10) OVER (ORDER BY rev, cust) AS decile
+      FROM x
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rev) AS BIGINT) AS t,
+             CAST(sum(i * rev) AS DECIMAL(38,0)) AS iw
+      FROM ranked
+    ),
+    dec AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_cust,
+             CAST(sum(rev) AS BIGINT) AS dec_rev,
+             CAST(max(i) AS BIGINT) AS max_i
+      FROM ranked GROUP BY decile
+    )
+    SELECT d.decile, d.n_cust,
+           round(CAST(sum(d.dec_rev) OVER (ORDER BY d.decile) AS DOUBLE)
+                 / t.t, 9) AS cum_rev_share,
+           round(CAST(d.max_i AS DOUBLE) / t.n, 9) AS cum_pop_share,
+           round((2 * CAST(t.iw AS DOUBLE) - (t.n + 1)
+                  * CAST(t.t AS DOUBLE))
+                 / (CAST(t.n AS DOUBLE) * t.t), 9) AS gini
+    FROM dec d, tot t ORDER BY d.decile
+    """,
+)
+def q334_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve + Gini of customer revenue concentration — the
+    decile curve auditors actually plot (q137 reports the scalar Gini
+    for join-key skew; this produces the full cumulative-share curve
+    over a business measure, with population shares to read the
+    "top 10% hold X%" figures off directly). Rank products
+    accumulate in DECIMAL(38,0) so the reduction is order-free; every
+    share is one division over exact integers. One agg + one global
+    rank window (range-partition sorted at scale) + a 10-row decile
+    rollup."""
+    o = _t(spark, sf_dir, "orders")
+    x = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    wr = W.orderBy("rev", "cust")
+    ranked = x.select(
+        "cust",
+        "rev",
+        F.row_number().over(wr).cast("long").alias("i"),
+        F.ntile(10).over(wr).alias("decile"),
+    )
+    tot = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev").cast("long").alias("t"),
+        F.sum((F.col("i") * F.col("rev")).cast("decimal(38,0)")).alias("iw"),
+    )
+    dec = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum("rev").cast("long").alias("dec_rev"),
+        F.max("i").cast("long").alias("max_i"),
+    )
+    wd = W.orderBy("decile")
+    gini = (
+        2 * F.col("iw").cast("double")
+        - (F.col("n") + 1) * F.col("t").cast("double")
+    ) / (F.col("n").cast("double") * F.col("t"))
+    return (
+        dec.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_cust",
+            F.round(
+                F.sum("dec_rev").over(wd).cast("double") / F.col("t"), 9
+            ).alias("cum_rev_share"),
+            F.round(F.col("max_i").cast("double") / F.col("n"), 9).alias(
+                "cum_pop_share"
+            ),
+            F.round(gini, 9).alias("gini"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "q335_hhi_concentration",
+    oracle="""
+    WITH firm AS (
+      SELECT c.c_mktsegment AS segment, l.l_suppkey AS firm,
+             CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY segment, firm
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_firms,
+           CAST(sum(rev) AS BIGINT) AS total_cents,
+           round(CAST(CAST(sum(CAST(rev AS DECIMAL(38,0)) * rev)
+                           AS DECIMAL(38,0)) AS DOUBLE)
+                 / (CAST(sum(rev) AS DOUBLE) * CAST(sum(rev) AS DOUBLE))
+                 * 10000, 6) AS hhi,
+           round(CAST(max(rev) AS DOUBLE) / CAST(sum(rev) AS DOUBLE), 9)
+             AS top_share
+    FROM firm GROUP BY segment ORDER BY segment
+    """,
+)
+def q335_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per market segment over
+    supplier revenue shares — the antitrust/marketplace concentration
+    monitor. HHI = Sum(share^2)*10000 computed as Sum(rev^2)/total^2 so
+    nothing is divided per row: squared revenues accumulate in
+    DECIMAL(38,0) (order-free), the index is one IEEE chain over two
+    exact totals. One fact-side agg (orders joined broadcast-side), one
+    segment rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    firm = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("l_suppkey").alias("firm"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("rev")
+        )
+    )
+    tot = F.sum("rev").cast("long")
+    return (
+        firm.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_firms"),
+            tot.alias("total_cents"),
+            F.round(
+                F.sum(F.col("rev").cast("decimal(38,0)") * F.col("rev"))
+                .cast("decimal(38,0)")
+                .cast("double")
+                / (tot.cast("double") * tot.cast("double"))
+                * 10000,
+                6,
+            ).alias("hhi"),
+            F.round(
+                F.max("rev").cast("double") / tot.cast("double"), 9
+            ).alias("top_share"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
+    "q336_theil_index",
+    oracle="""
+    WITH x AS (
+      SELECT o_custkey AS cust,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY cust
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(rev) AS BIGINT) AS t FROM x),
+    terms AS (
+      SELECT CAST(round(
+               (rev / (CAST(t.t AS DOUBLE) / t.n))
+               * ln(rev / (CAST(t.t AS DOUBLE) / t.n)), 9)
+             AS DECIMAL(28,9)) AS term
+      FROM x, tot t WHERE rev > 0
+    )
+    SELECT t.n, t.t AS total_cents,
+           round(CAST(sum(term) AS DOUBLE) / t.n, 9) AS theil_t
+    FROM terms, tot t GROUP BY t.n, t.t
+    """,
+)
+def q336_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of customer revenue: T = (1/n) *
+    Sum((x/mu) * ln(x/mu)) — the decomposable entropy-based inequality
+    measure (0 = perfect equality, ln(n) = one customer owns it all).
+    Each term is the same IEEE chain on both engines (x exact integer,
+    mu one division over exact totals), round(9)-pinned and summed in
+    DECIMAL(28,9) so the cross-row float reduction is order-free (the
+    q211 recipe). One agg + a broadcast of the 1-row totals."""
+    o = _t(spark, sf_dir, "orders")
+    x = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    tot = x.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("rev").cast("long").alias("t")
+    )
+    mu = F.col("t").cast("double") / F.col("n")
+    term = F.round(
+        (F.col("rev") / mu) * F.log(F.col("rev") / mu), 9
+    ).cast("decimal(28,9)")
+    return (
+        x.crossJoin(F.broadcast(tot))
+        .filter(F.col("rev") > 0)
+        .select("n", F.col("t").alias("total_cents"), term.alias("term"))
+        .groupBy("n", "total_cents")
+        .agg(
+            F.round(F.sum("term").cast("double") / F.col("n"), 9).alias("theil_t")
+        )
+        .select("n", "total_cents", "theil_t")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics: peeling, link prediction, degree-law fitting
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 25
+_KCORE_ROUNDS = 6
+
+
+def _q337_oracle() -> str:
+    round_cte = """
+    keep{i} AS MATERIALIZED (
+      SELECT node FROM (
+        SELECT s AS node, count(*) AS deg FROM e{prev} GROUP BY s
+      ) WHERE deg >= {k}
+    ),
+    e{i} AS MATERIALIZED (
+      SELECT e.s, e.d FROM e{prev} e
+      JOIN keep{i} a ON e.s = a.node
+      JOIN keep{i} b ON e.d = b.node
+    ),
+    r{i} AS (
+      SELECT {i} AS round,
+             CAST((SELECT count(*) FROM keep{i}) AS BIGINT) AS n_nodes,
+             CAST((SELECT count(*) // 2 FROM e{i}) AS BIGINT) AS n_edges
+    )"""
+    its = ",".join(
+        round_cte.format(i=i, prev=i - 1 if i > 1 else "0", k=_KCORE_K)
+        for i in range(1, _KCORE_ROUNDS + 1)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM r{i}" for i in range(1, _KCORE_ROUNDS + 1)
+    )
+    return f"""
+    WITH base AS (
+      SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s
+      FROM lineitem
+    ),
+    e0 AS MATERIALIZED (
+      SELECT p AS s, s AS d FROM base
+      UNION ALL SELECT s, p FROM base
+    ),
+    {its}
+    SELECT round, n_nodes, n_edges FROM ({unions}) ORDER BY round
+    """
+
+
+@register("q337_kcore_peeling", oracle=_q337_oracle())
+def q337_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core peeling (k=4) of the symmetrized part-supplier graph: each
+    round drops nodes with degree < k and the edges touching them; the
+    fixed point is the k-core, the standard dense-subgraph / influential-
+    node filter. A FIXED round count (6, matched by an unrolled-CTE
+    oracle) makes the output engine-deterministic whether or not the
+    peel has converged. Per round: one degree agg + two semi-joins, all
+    shuffles sized to the shrinking edge list; per-round survivor counts
+    are the audit trail. At 100 TB each round's edge list shrinks
+    monotonically, so the first rounds dominate cost."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        (F.col("l_partkey") * 2).alias("p"),
+        (F.col("l_suppkey") * 2 + 1).alias("s"),
+    ).distinct()
+    edges = base.select(F.col("p").alias("s"), F.col("s").alias("d")).unionByName(
+        base.select(F.col("s").alias("s"), F.col("p").alias("d"))
+    )
+    spark_rows = []
+    # repartition once to a loop-sized parallelism; every round's shuffle
+    # inherits it (edge lists shrink monotonically — no session-conf writes)
+    cur = edges.repartition(8, "s").localCheckpoint(eager=True)
+    for i in range(1, _KCORE_ROUNDS + 1):
+        # eager checkpoint per round: the survivor list is materialized once
+        # and BROADCAST into both endpoint semi-joins (node lists are tiny
+        # relative to edges at any scale), so a round is 1 agg shuffle + 2
+        # broadcast joins, and counts reuse the checkpointed blocks
+        keep = (
+            cur.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select(F.col("s").alias("node"))
+        )
+        n_nodes = keep.count()  # one cheap agg over cur's cached blocks
+        cur = (
+            cur.join(F.broadcast(keep.withColumnRenamed("node", "s")), "s")
+            .join(F.broadcast(keep.select(F.col("node").alias("d"))), "d")
+            .select("s", "d")
+            .localCheckpoint(eager=True)
+        )
+        n_edges = cur.count() // 2
+        spark_rows.append((i, n_nodes, n_edges))
+    return spark.createDataFrame(
+        spark_rows, "round int, n_nodes long, n_edges long"
+    ).orderBy("round")
+
+
+@register(
+    "q338_adamic_adar",
+    oracle="""
+    WITH pairs_base AS (
+      SELECT DISTINCT l_partkey AS part, l_suppkey AS supp FROM lineitem
+    ),
+    deg AS (SELECT supp, CAST(count(*) AS BIGINT) AS d
+            FROM pairs_base GROUP BY supp),
+    cand AS (
+      SELECT pb.part, pb.supp FROM pairs_base pb
+      JOIN part p ON pb.part = p.p_partkey WHERE p.p_size <= 3
+    ),
+    co AS (
+      SELECT a.part AS p1, b.part AS p2, a.supp
+      FROM cand a JOIN cand b ON a.supp = b.supp AND a.part < b.part
+    )
+    SELECT p1, p2,
+           CAST(count(*) AS BIGINT) AS n_common,
+           round(CAST(sum(CAST(round(1.0 / ln(CAST(d.d AS DOUBLE)), 9)
+                               AS DECIMAL(28,9))) AS DOUBLE), 6) AS aa_score
+    FROM co JOIN deg d ON co.supp = d.supp
+    GROUP BY p1, p2
+    ORDER BY aa_score DESC, p1, p2 LIMIT 100
+    """,
+)
+def q338_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the part-supplier bipartite
+    graph: candidate part pairs sharing a supplier, scored by
+    Sum(1/ln(deg(supplier))) — rare shared neighbors count more. The
+    candidate set is blocked to small parts (p_size <= 3) so pair
+    generation is bounded (the same blocked-candidates discipline as the
+    fuzzy-linkage queries); degrees come from the FULL graph. Each
+    1/ln(d) term is round(9)-pinned and summed in DECIMAL so the
+    reduction is order-free. One pair self-join on supplier + one pair
+    agg; top-100 rides a TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_size")
+    pairs_base = li.select(
+        F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("supp")
+    ).distinct()
+    deg = pairs_base.groupBy("supp").agg(F.count(F.lit(1)).alias("d"))
+    cand = pairs_base.join(
+        F.broadcast(p.filter(F.col("p_size") <= 3)),
+        pairs_base.part == p.p_partkey,
+    ).select("part", "supp")
+    a = cand.alias("a")
+    b = cand.alias("b")
+    co = a.join(
+        b,
+        (F.col("a.supp") == F.col("b.supp")) & (F.col("a.part") < F.col("b.part")),
+    ).select(
+        F.col("a.part").alias("p1"), F.col("b.part").alias("p2"), F.col("a.supp").alias("supp")
+    )
+    term = F.round(1.0 / F.log(F.col("d").cast("double")), 9).cast("decimal(28,9)")
+    return (
+        co.join(F.broadcast(deg), "supp")
+        .groupBy("p1", "p2")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.round(F.sum(term).cast("double"), 6).alias("aa_score"),
+        )
+        .orderBy(F.desc("aa_score"), "p1", "p2")
+        .limit(100)
+    )
+
+
+@register(
+    "q339_powerlaw_degree_mle",
+    oracle="""
+    WITH deg AS (
+      SELECT l_suppkey AS node, CAST(count(DISTINCT l_partkey) AS BIGINT) AS d
+      FROM lineitem GROUP BY node
+    ),
+    tail AS (SELECT d FROM deg WHERE d >= 8),
+    terms AS (
+      SELECT CAST(round(ln(CAST(d AS DOUBLE) / 7.5), 9) AS DECIMAL(28,9))
+               AS lr
+      FROM tail
+    )
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM tail) AS BIGINT) AS n_tail,
+           CAST((SELECT max(d) FROM deg) AS BIGINT) AS max_degree,
+           round(1.0 + (SELECT count(*) FROM tail)
+                 / CAST(sum(lr) AS DOUBLE), 6) AS alpha_hat
+    FROM terms
+    """,
+)
+def q339_powerlaw_degree_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law (Pareto) fit of the supplier degree distribution: the
+    Clauset-Shalizi-Newman discrete MLE alpha = 1 + n / Sum(ln(d /
+    (xmin - 0.5))) over the tail d >= xmin = 8 — the heavy-tail exponent
+    that predicts hub skew (and thus shuffle skew) before it bites.
+    Degrees are exact distinct counts; each log-ratio term is round(9)-
+    pinned and summed in DECIMAL. One distinct agg + a scalar reduce."""
+    li = _t(spark, sf_dir, "lineitem")
+    deg = li.groupBy(F.col("l_suppkey").alias("node")).agg(
+        F.count_distinct(F.col("l_partkey")).cast("long").alias("d")
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.when(F.col("d") >= 8, 1).otherwise(0)).cast("long").alias("n_tail"),
+        F.max("d").cast("long").alias("max_degree"),
+    )
+    terms = deg.filter(F.col("d") >= 8).select(
+        F.round(F.log(F.col("d").cast("double") / 7.5), 9)
+        .cast("decimal(28,9)")
+        .alias("lr")
+    )
+    ssum = terms.agg(F.sum("lr").alias("slr"))
+    return (
+        stats.crossJoin(F.broadcast(ssum))
+        .select(
+            "n_nodes",
+            "n_tail",
+            "max_degree",
+            F.round(
+                1.0 + F.col("n_tail") / F.col("slr").cast("double"), 6
+            ).alias("alpha_hat"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL-surface parity: lateral joins, dependency discovery, blocked ranks
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q340_lateral_topk",
+    oracle="""
+    SELECT n.n_name AS nation, t.c_name, t.c_acctbal
+    FROM nation n,
+         LATERAL (
+           SELECT c_name, round(c_acctbal, 2) AS c_acctbal
+           FROM customer
+           WHERE c_nationkey = n.n_nationkey
+           ORDER BY c_acctbal DESC, c_custkey LIMIT 3
+         ) t
+    ORDER BY nation, c_acctbal DESC, c_name
+    """,
+)
+def q340_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — top-3 customers by balance per
+    nation, expressed as the SQL-standard lateral join on BOTH engines
+    (Spark 3.4+ LATERAL support; DuckDB lateral). Catalyst rewrites the
+    correlated limit into a ranked window under the hood — this query
+    pins that the rewrite exists and agrees with the oracle's semantics.
+    The balance is rounded identically on both sides (storage doubles
+    pass through untouched otherwise)."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("q340_nation")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("q340_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, t.c_name, t.c_acctbal
+        FROM q340_nation n,
+             LATERAL (
+               SELECT c_name, round(c_acctbal, 2) AS c_acctbal
+               FROM q340_customer
+               WHERE c_nationkey = n.n_nationkey
+               ORDER BY c_acctbal DESC, c_custkey LIMIT 3
+             ) t
+        ORDER BY nation, c_acctbal DESC, c_name
+        """
+    )
+
+
+_IND_COLS = [
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("orders", "o_orderkey"),
+    ("orders", "o_custkey"),
+    ("customer", "c_custkey"),
+    ("supplier", "s_suppkey"),
+    ("part", "p_partkey"),
+]
+
+
+def _q341_oracle() -> str:
+    melts = " UNION ALL ".join(
+        f"SELECT '{t}.{c}' AS tag, CAST({c} AS BIGINT) AS v "
+        f"FROM (SELECT DISTINCT {c} FROM {t})"
+        for t, c in _IND_COLS
+    )
+    return f"""
+    WITH vals AS ({melts}),
+    sizes AS (SELECT tag, CAST(count(*) AS BIGINT) AS n
+              FROM vals GROUP BY tag),
+    inter AS (
+      SELECT a.tag AS child, b.tag AS parent, CAST(count(*) AS BIGINT) AS m
+      FROM vals a JOIN vals b ON a.v = b.v AND a.tag <> b.tag
+      GROUP BY a.tag, b.tag
+    )
+    SELECT i.child, i.parent, sc.n AS child_distinct, i.m AS n_contained,
+           round(CAST(i.m AS DOUBLE) / sc.n, 9) AS containment,
+           (i.m = sc.n) AS is_ind
+    FROM inter i JOIN sizes sc ON i.child = sc.tag
+    WHERE CAST(i.m AS DOUBLE) / sc.n >= 0.5
+    ORDER BY child, parent
+    """
+
+
+@register("q341_ind_discovery", oracle=_q341_oracle())
+def q341_ind_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency discovery over the star schema's key columns
+    (the schema-inference primitive behind FK suggestion — the reference
+    migrates declared FKs, sqlserver2pgsql.pl FK collectors; this finds
+    the UNDECLARED ones): melt the distinct values of 8 key columns with
+    column tags, self-join on value, and report containment
+    |child INTERSECT parent| / |child| for every ordered pair above 0.5
+    — containment 1.0 is a candidate foreign key. Distinct melts prune
+    each scan to one column; the value join shuffles once on the value.
+    Exact integer counts, one division."""
+    vals = None
+    for t, c in _IND_COLS:
+        piece = (
+            _t(spark, sf_dir, t)
+            .select(F.col(c).cast("long").alias("v"))
+            .distinct()
+            .select(F.lit(f"{t}.{c}").alias("tag"), "v")
+        )
+        vals = piece if vals is None else vals.unionByName(piece)
+    sizes = vals.groupBy("tag").agg(F.count(F.lit(1)).alias("n"))
+    a = vals.alias("a")
+    b = vals.alias("b")
+    inter = (
+        a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.tag") != F.col("b.tag")))
+        .groupBy(F.col("a.tag").alias("child"), F.col("b.tag").alias("parent"))
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.withColumnRenamed("tag", "child")), "child")
+        .filter(F.col("m").cast("double") / F.col("n") >= 0.5)
+        .select(
+            "child",
+            "parent",
+            F.col("n").alias("child_distinct"),
+            F.col("m").alias("n_contained"),
+            F.round(F.col("m").cast("double") / F.col("n"), 9).alias("containment"),
+            (F.col("m") == F.col("n")).alias("is_ind"),
+        )
+        .orderBy("child", "parent")
+    )
+
+
+@register(
+    "q342_friedman_test",
+    oracle="""
+    WITH cell AS (
+      SELECT date_trunc('week', ts) AS block, event_type AS treat,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS tot
+      FROM events GROUP BY block, treat
+    ),
+    complete AS (
+      SELECT block FROM cell GROUP BY block
+      HAVING count(*) = (SELECT count(DISTINCT event_type) FROM events)
+    ),
+    ranked AS (
+      SELECT c.block, c.treat,
+             CAST(row_number() OVER (PARTITION BY c.block
+                                     ORDER BY c.tot, c.treat) AS BIGINT) AS r
+      FROM cell c JOIN complete b ON c.block = b.block
+    ),
+    rsum AS (
+      SELECT treat, CAST(sum(r) AS BIGINT) AS rj,
+             CAST(count(*) AS BIGINT) AS n
+      FROM ranked GROUP BY treat
+    ),
+    params AS (
+      SELECT CAST(max(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(rj * rj) AS BIGINT) AS s2
+      FROM rsum
+    )
+    SELECT r.treat, r.rj AS rank_sum,
+           round(12.0 / (p.n * p.k * (p.k + 1))
+                 * CAST(p.s2 AS DOUBLE)
+                 - 3.0 * p.n * (p.k + 1), 9) AS friedman_q
+    FROM rsum r, params p ORDER BY r.treat
+    """,
+)
+def q342_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test for treatment effects across blocks: weekly
+    blocks x event-type treatments, cell = exact total cents, ranks
+    assigned WITHIN each complete block (blocks missing a treatment are
+    dropped — the standard complete-block requirement), statistic
+    Q = 12/(n k (k+1)) * Sum(Rj^2) - 3 n (k+1). Cent totals make ties
+    measure-zero and the (tot, treat) tie-break makes ranks identical on
+    both engines regardless. Exact integer rank sums; Q is one IEEE
+    chain. One cell agg + one per-block rank window + a k-row reduce."""
+    ev = _t(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        F.date_trunc("week", "ts").alias("block"),
+        F.col("event_type").alias("treat"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("tot")
+    )
+    k_total = ev.select(F.count_distinct("event_type").alias("k_all"))
+    complete = (
+        cell.groupBy("block")
+        .agg(F.count(F.lit(1)).alias("k_in"))
+        .crossJoin(F.broadcast(k_total))
+        .filter(F.col("k_in") == F.col("k_all"))
+        .select("block")
+    )
+    ranked = cell.join(F.broadcast(complete), "block").select(
+        "block",
+        "treat",
+        F.row_number()
+        .over(W.partitionBy("block").orderBy("tot", "treat"))
+        .cast("long")
+        .alias("r"),
+    )
+    rsum = ranked.groupBy("treat").agg(
+        F.sum("r").cast("long").alias("rj"), F.count(F.lit(1)).alias("n")
+    )
+    params = rsum.agg(
+        F.max("n").cast("long").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("rj") * F.col("rj")).cast("long").alias("s2"),
+    )
+    q = (
+        12.0
+        / (F.col("n") * F.col("k") * (F.col("k") + 1))
+        * F.col("s2").cast("double")
+        - 3.0 * F.col("n") * (F.col("k") + 1)
+    )
+    return (
+        rsum.select("treat", "rj")
+        .crossJoin(F.broadcast(params))
+        .select("treat", F.col("rj").alias("rank_sum"), F.round(q, 9).alias("friedman_q"))
+        .orderBy("treat")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series: autocorrelation, Holt linear smoothing, Hurst exponent
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 10
+
+
+def _q343_oracle() -> str:
+    lag_cols = ",\n".join(
+        f"lag(x, {k}) OVER (ORDER BY h) AS x{k}" for k in range(1, _ACF_MAX_LAG + 1)
+    )
+    lag_aggs = ",\n".join(
+        f"CAST(sum(x * x{k}) AS BIGINT) AS s{k},"
+        f" CAST(sum(CASE WHEN x{k} IS NOT NULL THEN x{k} END) AS BIGINT) AS a{k},"
+        f" CAST(sum(CASE WHEN x{k} IS NOT NULL THEN x END) AS BIGINT) AS b{k}"
+        for k in range(1, _ACF_MAX_LAG + 1)
+    )
+    acf_rows = " UNION ALL ".join(
+        f"""SELECT {k} AS lag,
+            (CAST(s{k} AS DOUBLE)
+             - (CAST(t AS DOUBLE) / n) * (a{k} + b{k})
+             + (n - {k}) * ((CAST(t AS DOUBLE) / n) * (CAST(t AS DOUBLE) / n)))
+            / (CAST(q AS DOUBLE) - n * ((CAST(t AS DOUBLE) / n)
+               * (CAST(t AS DOUBLE) / n))) AS r,
+            n FROM m"""
+        for k in range(1, _ACF_MAX_LAG + 1)
+    )
+    return f"""
+    WITH series AS (
+      SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY h
+    ),
+    lagged AS (SELECT x, {lag_cols} FROM series),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS t,
+             CAST(sum(x * x) AS BIGINT) AS q, {lag_aggs}
+      FROM lagged
+    ),
+    acf AS ({acf_rows})
+    SELECT lag, round(r, 9) AS acf,
+           round(n * (n + 2.0)
+                 * CAST(sum(CAST(round(r * r / (n - lag), 12)
+                                 AS DECIMAL(28,12)))
+                        OVER (ORDER BY lag) AS DOUBLE), 6) AS ljung_box_q
+    FROM acf ORDER BY lag
+    """
+
+
+@register("q343_acf_ljungbox", oracle=_q343_oracle())
+def q343_acf_ljungbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau white-noise test over the hourly event-count
+    series (lags 1-10, cumulative Q per lag) — the inference layer q238's
+    plain ACF stops short of: Q ~ chi2(k) decides whether the
+    autocorrelation is significant, which is the test run on forecast
+    residuals. Algebra differs from q238 too: a position-lag window over
+    the hour sequence with algebraic demeaning, vs q238's dense-calendar
+    self-join Pearson. All
+    cross-products, marginal sums, and squares are exact BIGINT (the
+    demeaning is algebraic: r_k = (S_k - mu(A_k+B_k) + (n-k)mu^2) /
+    (Q - n mu^2), so mu enters one shared IEEE chain, never a per-row
+    float). LB terms are round(12)-pinned, summed in DECIMAL via a
+    cumulative window so every prefix is order-free. One hourly agg +
+    one 10-lag global window (bounded: hours) + a 1-row reduce."""
+    ev = _t(spark, sf_dir, "events")
+    series = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    wh = W.orderBy("h")
+    lag_cols = [F.lag("x", k).over(wh).alias(f"x{k}") for k in range(1, _ACF_MAX_LAG + 1)]
+    lagged = series.select("x", *lag_cols)
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("t"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
+    ]
+    for k in range(1, _ACF_MAX_LAG + 1):
+        xk = F.col(f"x{k}")
+        aggs += [
+            F.sum(F.col("x") * xk).cast("long").alias(f"s{k}"),
+            F.sum(F.when(xk.isNotNull(), xk)).cast("long").alias(f"a{k}"),
+            F.sum(F.when(xk.isNotNull(), F.col("x"))).cast("long").alias(f"b{k}"),
+        ]
+    m = lagged.agg(*aggs)
+    # ONE aggregate row, exploded to 10 lag rows — never 10 rescans of the
+    # series (a union of per-lag selects would replay the whole scan per lag)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("lag"),
+                F.col(f"s{k}").alias("s"),
+                F.col(f"a{k}").alias("a"),
+                F.col(f"b{k}").alias("b"),
+            )
+            for k in range(1, _ACF_MAX_LAG + 1)
+        ]
+    )
+    mu = F.col("t").cast("double") / F.col("n")
+    den = F.col("q").cast("double") - F.col("n") * (mu * mu)
+    num = (
+        F.col("e.s").cast("double")
+        - mu * (F.col("e.a") + F.col("e.b"))
+        + (F.col("n") - F.col("e.lag")) * (mu * mu)
+    )
+    acf = m.select("n", "t", "q", F.explode(entries).alias("e")).select(
+        F.col("e.lag").alias("lag"), (num / den).alias("r"), "n"
+    )
+    wl = W.orderBy("lag")
+    lb_term = F.round(
+        F.col("r") * F.col("r") / (F.col("n") - F.col("lag")), 12
+    ).cast("decimal(28,12)")
+    return acf.select(
+        "lag",
+        F.round(F.col("r"), 9).alias("acf"),
+        F.round(
+            F.col("n") * (F.col("n") + 2.0) * F.sum(lb_term).over(wl).cast("double"),
+            6,
+        ).alias("ljung_box_q"),
+    ).orderBy("lag")
+
+
+_HURST_COEF = "0.36067376022224085"  # 1/(4 ln 2): slope weight for log2-spaced m
+
+
+@register(
+    "q344_hurst_rs",
+    oracle=f"""
+    WITH series AS (
+      SELECT CAST(count(*) AS BIGINT) AS x,
+             row_number() OVER (ORDER BY date_trunc('hour', ts)) AS i
+      FROM events GROUP BY date_trunc('hour', ts)
+    ),
+    expanded AS (
+      SELECT m.m, (s.i - 1) // m.m AS block, s.i, s.x
+      FROM series s CROSS JOIN (VALUES (8), (32), (128)) m(m)
+    ),
+    win AS (
+      SELECT m, block, x,
+             row_number() OVER w AS j,
+             CAST(sum(x) OVER w AS BIGINT) AS prefix,
+             CAST(sum(x) OVER (PARTITION BY m, block) AS BIGINT) AS s,
+             CAST(sum(x * x) OVER (PARTITION BY m, block) AS BIGINT) AS q,
+             CAST(count(*) OVER (PARTITION BY m, block) AS BIGINT) AS cnt
+      FROM expanded
+      WINDOW w AS (PARTITION BY m, block ORDER BY i)
+    ),
+    dev AS (
+      SELECT m, block,
+             prefix - j * (CAST(s AS DOUBLE) / m) AS cumdev,
+             sqrt((CAST(q AS DOUBLE)
+                   - m * ((CAST(s AS DOUBLE) / m) * (CAST(s AS DOUBLE) / m)))
+                  / m) AS sd
+      FROM win WHERE cnt = m
+    ),
+    blocks AS (
+      SELECT m, block,
+             max(cumdev) - min(cumdev) AS r, max(sd) AS sd
+      FROM dev GROUP BY m, block
+    ),
+    rs AS (
+      SELECT m, CAST(count(*) AS BIGINT) AS n_blocks,
+             round(CAST(sum(CAST(round(r / sd, 9) AS DECIMAL(28,9)))
+                        AS DOUBLE) / count(*), 9) AS rs_mean
+      FROM blocks WHERE sd > 0 GROUP BY m
+    ),
+    hurst AS (
+      SELECT round(
+               (round(ln(max(CASE WHEN m = 128 THEN rs_mean END)), 9)
+                - round(ln(max(CASE WHEN m = 8 THEN rs_mean END)), 9))
+               * {_HURST_COEF}, 6) AS hurst
+      FROM rs
+    )
+    SELECT rs.m, rs.n_blocks, rs.rs_mean, h.hurst
+    FROM rs, hurst h ORDER BY rs.m
+    """,
+)
+def q344_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range (R/S) analysis of the hourly
+    event-count series: for block sizes m = 8/32/128, each block's range
+    of cumulative mean-deviations over its std gives R/S; the log-log
+    slope across block sizes is H (0.5 = memoryless, >0.5 = persistent)
+    — the long-memory diagnostic behind capacity planning on bursty
+    traffic. Block sums/squares are exact integers; cumdev and sd are
+    one shared IEEE chain; per-block R/S is round(9)-pinned into a
+    DECIMAL mean; the slope is a LITERAL-coefficient linear combination
+    (1/(4 ln 2) embedded as the same constant on both engines, log2-
+    spaced m makes the middle point's weight exactly 0). One hourly agg
+    + one 3x-exploded block window (series is calendar-bounded)."""
+    ev = _t(spark, sf_dir, "events")
+    series = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .select("x", F.row_number().over(W.orderBy("h")).alias("i"))
+    )
+    expanded = series.select(
+        F.explode(F.array(F.lit(8), F.lit(32), F.lit(128))).alias("m"), "i", "x"
+    ).select("m", F.floor((F.col("i") - 1) / F.col("m")).alias("block"), "i", "x")
+    wb = W.partitionBy("m", "block")
+    wo = wb.orderBy("i")
+    win = expanded.select(
+        "m",
+        "block",
+        "x",
+        F.row_number().over(wo).alias("j"),
+        F.sum("x").over(wo).cast("long").alias("prefix"),
+        F.sum("x").over(wb).cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(wb).cast("long").alias("q"),
+        F.count(F.lit(1)).over(wb).cast("long").alias("cnt"),
+    ).filter(F.col("cnt") == F.col("m"))
+    mu = F.col("s").cast("double") / F.col("m")
+    dev = win.select(
+        "m",
+        "block",
+        (F.col("prefix") - F.col("j") * mu).alias("cumdev"),
+        F.sqrt(
+            (F.col("q").cast("double") - F.col("m") * (mu * mu)) / F.col("m")
+        ).alias("sd"),
+    )
+    blocks = dev.groupBy("m", "block").agg(
+        (F.max("cumdev") - F.min("cumdev")).alias("r"), F.max("sd").alias("sd")
+    )
+    rs = (
+        blocks.filter(F.col("sd") > 0)
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.round(
+                F.sum(
+                    F.round(F.col("r") / F.col("sd"), 9).cast("decimal(28,9)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("rs_mean"),
+        )
+    )
+    hurst = rs.agg(
+        F.round(
+            (
+                F.round(
+                    F.log(F.max(F.when(F.col("m") == 128, F.col("rs_mean")))), 9
+                )
+                - F.round(
+                    F.log(F.max(F.when(F.col("m") == 8, F.col("rs_mean")))), 9
+                )
+            )
+            * float(_HURST_COEF),
+            6,
+        ).alias("hurst")
+    )
+    return (
+        rs.crossJoin(F.broadcast(hurst))
+        .select("m", "n_blocks", "rs_mean", "hurst")
+        .orderBy("m")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text statistics: Zipf law fit, keyness
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q345_zipf_slope",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
+      FROM documents WHERE trim(text) <> ''
+    ),
+    freq AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t),
+    top AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, t) AS rank
+      FROM freq ORDER BY c DESC, t LIMIT 1000
+    ),
+    terms AS (
+      SELECT CAST(round(ln(CAST(rank AS DOUBLE)), 9) AS DECIMAL(28,9)) AS x,
+             CAST(round(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(28,9)) AS y,
+             CAST(round(ln(CAST(rank AS DOUBLE)) * ln(CAST(c AS DOUBLE)), 9)
+                  AS DECIMAL(28,9)) AS xy,
+             CAST(round(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE)), 9)
+                  AS DECIMAL(28,9)) AS xx,
+             CAST(round(ln(CAST(c AS DOUBLE)) * ln(CAST(c AS DOUBLE)), 9)
+                  AS DECIMAL(28,9)) AS yy
+      FROM top
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_ranks,
+           round((count(*) * CAST(sum(xy) AS DOUBLE)
+                  - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE))
+                 / (count(*) * CAST(sum(xx) AS DOUBLE)
+                    - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)),
+                 6) AS zipf_slope,
+           round((CAST(sum(y) AS DOUBLE)
+                  - (count(*) * CAST(sum(xy) AS DOUBLE)
+                     - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE))
+                    / (count(*) * CAST(sum(xx) AS DOUBLE)
+                       - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE))
+                    * CAST(sum(x) AS DOUBLE)) / count(*),
+                 6) AS intercept,
+           round(((count(*) * CAST(sum(xy) AS DOUBLE)
+                   - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE))
+                  * (count(*) * CAST(sum(xy) AS DOUBLE)
+                     - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE)))
+                 / ((count(*) * CAST(sum(xx) AS DOUBLE)
+                     - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE))
+                    * (count(*) * CAST(sum(yy) AS DOUBLE)
+                       - CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE))),
+                 6) AS r_squared
+    FROM terms
+    """,
+)
+def q345_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution: OLS of ln(freq)
+    on ln(rank) over the top-1000 tokens — slope near -1 is the natural-
+    language signature, deviations flag synthetic/templated corpora (the
+    distributional companion to q122's vocabulary-coverage curve). Ranks
+    use a total (count desc, token) order; every log term and cross-
+    product is round(9)-pinned into DECIMAL sums so the regression
+    moments are order-free; slope/intercept/r^2 are one shared IEEE
+    chain over those sums. One token agg + a top-k sort."""
+    d = _t(spark, sf_dir, "documents")
+    tok = (
+        d.filter(F.trim(F.col("text")) != "")
+        .select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t"))
+    )
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    top = (
+        freq.orderBy(F.desc("c"), "t")
+        .limit(1000)
+        .select("c", F.row_number().over(W.orderBy(F.desc("c"), "t")).alias("rank"))
+    )
+    lnr = F.log(F.col("rank").cast("double"))
+    lnc = F.log(F.col("c").cast("double"))
+    P = lambda e: F.round(e, 9).cast("decimal(28,9)")
+    terms = top.select(
+        P(lnr).alias("x"),
+        P(lnc).alias("y"),
+        P(lnr * lnc).alias("xy"),
+        P(lnr * lnr).alias("xx"),
+        P(lnc * lnc).alias("yy"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("xy").alias("sxy"),
+        F.sum("xx").alias("sxx"),
+        F.sum("yy").alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    return agg.select(
+        n.alias("n_ranks"),
+        F.round(cov / varx, 6).alias("zipf_slope"),
+        F.round((sy - cov / varx * sx) / n, 6).alias("intercept"),
+        F.round((cov * cov) / (varx * vary), 6).alias("r_squared"),
+    )
+
+
+@register(
+    "q346_keyness_g2",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS t
+      FROM documents WHERE trim(text) <> ''
+    ),
+    tf AS (SELECT source, t, CAST(count(*) AS BIGINT) AS a
+           FROM tok GROUP BY source, t),
+    totals AS (SELECT source, CAST(sum(a) AS BIGINT) AS ns FROM tf
+               GROUP BY source),
+    corpus AS (SELECT t, CAST(sum(a) AS BIGINT) AS ct FROM tf GROUP BY t),
+    grand AS (SELECT CAST(sum(ns) AS BIGINT) AS nn FROM totals),
+    cells AS (
+      SELECT f.source, f.t, f.a,
+             c.ct - f.a AS b,
+             s.ns - f.a AS c_,
+             g.nn - s.ns - (c.ct - f.a) AS d,
+             CAST(s.ns AS DOUBLE) * c.ct / g.nn AS ea,
+             CAST(g.nn - s.ns AS DOUBLE) * c.ct / g.nn AS eb,
+             CAST(s.ns AS DOUBLE) * (g.nn - c.ct) / g.nn AS ec,
+             CAST(g.nn - s.ns AS DOUBLE) * (g.nn - c.ct) / g.nn AS ed
+      FROM tf f
+      JOIN totals s ON f.source = s.source
+      JOIN corpus c ON f.t = c.t
+      CROSS JOIN grand g
+      WHERE c.ct >= 50
+    ),
+    scored AS (
+      SELECT source, t, a,
+             round(2 * ((CASE WHEN a > 0 THEN a * ln(a / ea) ELSE 0 END)
+                        + (CASE WHEN b > 0 THEN b * ln(b / eb) ELSE 0 END)
+                        + (CASE WHEN c_ > 0 THEN c_ * ln(c_ / ec) ELSE 0 END)
+                        + (CASE WHEN d > 0 THEN d * ln(d / ed) ELSE 0 END)),
+                   6) AS g2,
+             (CAST(a AS DOUBLE) > ea) AS overused
+      FROM cells
+    )
+    SELECT source, t AS token, a AS tf, g2, overused FROM (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY g2 DESC, t) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    ORDER BY source, g2 DESC, token
+    """,
+)
+def q346_keyness_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword keyness per source via Dunning's log-likelihood G2: each
+    (source, token) 2x2 contingency vs the rest of the corpus, G2 =
+    2*Sum(obs*ln(obs/exp)) over the four cells — the corpus-linguistics
+    standard for 'what words characterize this source' (more robust than
+    raw TF-IDF at low counts). The four cell terms are summed in a FIXED
+    written order (t1+t2+t3+t4, never a float SQL SUM); zero cells
+    contribute zero by the CASE guard; counts are exact integers and
+    expectations one shared IEEE chain. Top-10 per source rides a ranked
+    window (WindowGroupLimit). Aggs: (source,token) tf + two marginal
+    rollups + a broadcast grand total."""
+    d = _t(spark, sf_dir, "documents")
+    tok = (
+        d.filter(F.trim(F.col("text")) != "")
+        .select(
+            "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
+        )
+    )
+    tf = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("a"))
+    totals = tf.groupBy("source").agg(F.sum("a").cast("long").alias("ns"))
+    corpus = tf.groupBy("t").agg(F.sum("a").cast("long").alias("ct"))
+    grand = totals.agg(F.sum("ns").cast("long").alias("nn"))
+    cells = (
+        tf.join(corpus.filter(F.col("ct") >= 50), "t")
+        .join(F.broadcast(totals), "source")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "source",
+            "t",
+            "a",
+            (F.col("ct") - F.col("a")).alias("b"),
+            (F.col("ns") - F.col("a")).alias("c_"),
+            (F.col("nn") - F.col("ns") - (F.col("ct") - F.col("a"))).alias("d"),
+            (F.col("ns").cast("double") * F.col("ct") / F.col("nn")).alias("ea"),
+            (
+                (F.col("nn") - F.col("ns")).cast("double")
+                * F.col("ct")
+                / F.col("nn")
+            ).alias("eb"),
+            (
+                F.col("ns").cast("double") * (F.col("nn") - F.col("ct")) / F.col("nn")
+            ).alias("ec"),
+            (
+                (F.col("nn") - F.col("ns")).cast("double")
+                * (F.col("nn") - F.col("ct"))
+                / F.col("nn")
+            ).alias("ed"),
+        )
+    )
+    term = lambda cnt, exp: F.when(
+        F.col(cnt) > 0, F.col(cnt) * F.log(F.col(cnt) / F.col(exp))
+    ).otherwise(0.0)
+    scored = cells.select(
+        "source",
+        "t",
+        "a",
+        F.round(
+            2
+            * (
+                term("a", "ea")
+                + term("b", "eb")
+                + term("c_", "ec")
+                + term("d", "ed")
+            ),
+            6,
+        ).alias("g2"),
+        (F.col("a").cast("double") > F.col("ea")).alias("overused"),
+    )
+    ranked = scored.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("source").orderBy(F.desc("g2"), "t")),
+    ).filter(F.col("rn") <= 10)
+    return ranked.select(
+        "source",
+        F.col("t").alias("token"),
+        F.col("a").alias("tf"),
+        "g2",
+        "overused",
+    ).orderBy("source", F.desc("g2"), "token")
