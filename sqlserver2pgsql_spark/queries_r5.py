@@ -1650,3 +1650,530 @@ def q346_keyness_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "g2",
         "overused",
     ).orderBy("source", F.desc("g2"), "token")
+
+
+# ---------------------------------------------------------------------------
+# Cohort economics, drift detection, empirical-Bayes smoothing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q347_cohort_ltv",
+    oracle="""
+    WITH first_m AS (
+      SELECT o_custkey AS cust,
+             min(year(o_orderdate) * 12 + month(o_orderdate)) AS c0
+      FROM orders GROUP BY cust
+    ),
+    sized AS (
+      SELECT c0, CAST(count(*) AS BIGINT) AS cohort_size
+      FROM first_m GROUP BY c0
+    ),
+    rev AS (
+      SELECT f.c0,
+             (year(o.o_orderdate) * 12 + month(o.o_orderdate)) - f.c0
+               AS offset_m,
+             CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents,
+             CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_active
+      FROM orders o JOIN first_m f ON o.o_custkey = f.cust
+      GROUP BY f.c0, offset_m
+    )
+    SELECT CAST(r.c0 // 12 AS BIGINT) AS cohort_year,
+           CAST(r.c0 % 12 AS BIGINT) AS cohort_month0,
+           CAST(r.offset_m AS BIGINT) AS offset_m,
+           r.n_active, s.cohort_size,
+           CAST(sum(r.cents) OVER (PARTITION BY r.c0 ORDER BY r.offset_m)
+                AS BIGINT) AS cum_cents,
+           round(CAST(sum(r.cents) OVER (PARTITION BY r.c0
+                                         ORDER BY r.offset_m) AS DOUBLE)
+                 / s.cohort_size / 100, 6) AS ltv_per_customer
+    FROM rev r JOIN sized s ON r.c0 = s.c0
+    ORDER BY cohort_year, cohort_month0, offset_m
+    """,
+)
+def q347_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: customers grouped by first-order month, revenue
+    accumulated by month offset since acquisition, divided by cohort size
+    — the cumulative lifetime-value table growth teams read cohort decay
+    off (q133 tracks churn; this tracks the money). Month arithmetic is
+    pure integers (year*12+month), revenue exact cents, the cumulative
+    window rides the cohort partition, LTV is one division. Two aggs +
+    one first-order agg + a broadcast cohort-size join."""
+    o = _t(spark, sf_dir, "orders")
+    mnum = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    first_m = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.min(mnum).alias("c0")
+    )
+    sized = first_m.groupBy("c0").agg(F.count(F.lit(1)).alias("cohort_size"))
+    rev = (
+        o.join(first_m, o.o_custkey == first_m.cust)
+        .groupBy("c0", (mnum - F.col("c0")).alias("offset_m"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("cents"),
+            F.count_distinct(F.col("o_custkey")).cast("long").alias("n_active"),
+        )
+    )
+    wc = W.partitionBy("c0").orderBy("offset_m")
+    cum = F.sum("cents").over(wc).cast("long")
+    return (
+        rev.join(F.broadcast(sized), "c0")
+        .select(
+            F.expr("c0 DIV 12").cast("long").alias("cohort_year"),
+            (F.col("c0") % 12).cast("long").alias("cohort_month0"),
+            F.col("offset_m").cast("long").alias("offset_m"),
+            "n_active",
+            "cohort_size",
+            cum.alias("cum_cents"),
+            F.round(
+                cum.cast("double") / F.col("cohort_size") / 100, 6
+            ).alias("ltv_per_customer"),
+        )
+        .orderBy("cohort_year", "cohort_month0", "offset_m")
+    )
+
+
+@register(
+    "q348_page_hinkley",
+    oracle="""
+    WITH seq AS (
+      SELECT ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+             row_number() OVER (ORDER BY ts, event_id) AS t,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  OVER (ORDER BY ts, event_id) AS BIGINT) AS prefix
+      FROM events
+    ),
+    terms AS (
+      SELECT ts, event_id, t,
+             CAST(round(x - CAST(prefix AS DOUBLE) / t, 9)
+                  AS DECIMAL(28,9)) AS term
+      FROM seq
+    ),
+    cum AS (
+      SELECT ts, event_id, t, sum(term) OVER (ORDER BY t) AS ph
+      FROM terms
+    ),
+    ph AS (
+      SELECT ts, t, ph, min(ph) OVER (ORDER BY t) AS ph_min
+      FROM cum
+    )
+    SELECT t, CAST(ts AS TIMESTAMP) AS ts,
+           round(CAST(ph - ph_min AS DOUBLE) / 100, 6) AS gap,
+           (CAST(ph - ph_min AS DOUBLE) / 100 > 50000) AS alarm
+    FROM ph
+    ORDER BY gap DESC, t LIMIT 20
+    """,
+)
+def q348_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift detection over the global event-value stream:
+    PH_t = Sum(x_i - running_mean_i), alarm when PH_t - min(PH_1..t)
+    exceeds the threshold — the sequential changepoint monitor for
+    feature drift (q155's CUSUM locates ONE retrospective changepoint;
+    Page-Hinkley is the ONLINE detector with a reflecting minimum).
+    Each deviation term is round(9)-pinned into DECIMAL; the cumulative
+    sum and its running minimum are exact DECIMAL windows, so the whole
+    trajectory is order-free-reproducible. One global sequence window
+    (range-sorted at scale) + a top-20 sort."""
+    ev = _t(spark, sf_dir, "events")
+    wseq = W.orderBy("ts", "event_id")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    seq = ev.select(
+        "ts",
+        "event_id",
+        cents.alias("x"),
+        F.row_number().over(wseq).alias("t"),
+        F.sum(cents).over(wseq).cast("long").alias("prefix"),
+    )
+    terms = seq.select(
+        "ts",
+        "event_id",
+        "t",
+        F.round(F.col("x") - F.col("prefix").cast("double") / F.col("t"), 9)
+        .cast("decimal(28,9)")
+        .alias("term"),
+    )
+    wt = W.orderBy("t")
+    cum = terms.select("ts", "t", F.sum("term").over(wt).alias("ph"))
+    ph = cum.select("ts", "t", "ph", F.min("ph").over(wt).alias("ph_min"))
+    gap = (F.col("ph") - F.col("ph_min")).cast("double") / 100
+    return (
+        ph.select(
+            "t",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.round(gap, 6).alias("gap"),
+            (gap > 50000).alias("alarm"),
+        )
+        .orderBy(F.desc("gap"), "t")
+        .limit(20)
+    )
+
+
+@register(
+    "q349_beta_binomial_smoothing",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a
+      FROM events GROUP BY user_id
+    ),
+    pinned AS (
+      SELECT user_id, n, a,
+             CAST(round(CAST(a AS DOUBLE) / n, 9) AS DECIMAL(28,9)) AS p,
+             CAST(round((CAST(a AS DOUBLE) / n) * (CAST(a AS DOUBLE) / n), 9)
+                  AS DECIMAL(28,9)) AS p2
+      FROM per_user
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(p) AS DOUBLE) / count(*) AS mu,
+             CAST(sum(p2) AS DOUBLE) / count(*)
+               - (CAST(sum(p) AS DOUBLE) / count(*))
+                 * (CAST(sum(p) AS DOUBLE) / count(*)) AS v
+      FROM pinned
+    ),
+    prior AS (
+      SELECT k, mu, v,
+             mu * (mu * (1 - mu) / v - 1) AS alpha,
+             (1 - mu) * (mu * (1 - mu) / v - 1) AS beta
+      FROM mom
+    )
+    SELECT u.user_id, u.n, u.a,
+           round(p.alpha, 6) AS alpha,
+           round(p.beta, 6) AS beta,
+           round((u.a + p.alpha) / (u.n + p.alpha + p.beta), 9)
+             AS smoothed_rate
+    FROM per_user u, prior p
+    ORDER BY smoothed_rate DESC, u.user_id LIMIT 50
+    """,
+)
+def q349_beta_binomial_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes conversion-rate smoothing: fit a Beta prior to the
+    population of per-user purchase rates by method of moments (alpha =
+    mu(mu(1-mu)/v - 1)), then shrink each user's raw a/n toward it as
+    (a+alpha)/(n+alpha+beta) — the standard CTR/conversion smoothing that
+    stops 1-for-1 users from ranking above 98-for-100 users. Raw rates
+    and their squares are round(9)-pinned DECIMAL sums (order-free
+    moments); the prior and each smoothed rate are one shared IEEE
+    chain. One user agg + a 1-row broadcast prior."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+    )
+    p_raw = F.col("a").cast("double") / F.col("n")
+    pinned = per_user.select(
+        "user_id",
+        "n",
+        "a",
+        F.round(p_raw, 9).cast("decimal(28,9)").alias("p"),
+        F.round(p_raw * p_raw, 9).cast("decimal(28,9)").alias("p2"),
+    )
+    mom = pinned.agg(
+        F.count(F.lit(1)).alias("k"),
+        (F.sum("p").cast("double") / F.count(F.lit(1))).alias("mu"),
+        (
+            F.sum("p2").cast("double") / F.count(F.lit(1))
+            - (F.sum("p").cast("double") / F.count(F.lit(1)))
+            * (F.sum("p").cast("double") / F.count(F.lit(1)))
+        ).alias("v"),
+    )
+    disp = F.col("mu") * (1 - F.col("mu")) / F.col("v") - 1
+    prior = mom.select(
+        "k",
+        "mu",
+        "v",
+        (F.col("mu") * disp).alias("alpha"),
+        ((1 - F.col("mu")) * disp).alias("beta"),
+    )
+    return (
+        per_user.crossJoin(F.broadcast(prior))
+        .select(
+            "user_id",
+            "n",
+            "a",
+            F.round(F.col("alpha"), 6).alias("alpha"),
+            F.round(F.col("beta"), 6).alias("beta"),
+            F.round(
+                (F.col("a") + F.col("alpha"))
+                / (F.col("n") + F.col("alpha") + F.col("beta")),
+                9,
+            ).alias("smoothed_rate"),
+        )
+        .orderBy(F.desc("smoothed_rate"), "user_id")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Iterative proportional fitting, receivables aging
+# ---------------------------------------------------------------------------
+
+_IPF_ROUNDS = 5
+
+
+def _q350_oracle() -> str:
+    # one raking round = row-scale then column-scale, every weight
+    # round(9)-pinned DECIMAL so the 5-cell sums are order-free; CTEs are
+    # MATERIALIZED (DuckDB would inline the unrolled chain exponentially)
+    step = """
+    r{i} AS MATERIALIZED (
+      SELECT w.seg, w.pri,
+             CAST(round(CAST(w.w AS DOUBLE) * CAST(t.tr AS DOUBLE)
+                        / CAST(rs.s AS DOUBLE), 9) AS DECIMAL(28,9)) AS w
+      FROM w{prev} w
+      JOIN (SELECT seg, sum(w) AS s FROM w{prev} GROUP BY seg) rs
+        ON w.seg = rs.seg
+      JOIN rowt t ON w.seg = t.seg
+    ),
+    w{i} AS MATERIALIZED (
+      SELECT w.seg, w.pri,
+             CAST(round(CAST(w.w AS DOUBLE) * CAST(t.tc AS DOUBLE)
+                        / CAST(cs.s AS DOUBLE), 9) AS DECIMAL(28,9)) AS w
+      FROM r{i} w
+      JOIN (SELECT pri, sum(w) AS s FROM r{i} GROUP BY pri) cs
+        ON w.pri = cs.pri
+      JOIN colt t ON w.pri = t.pri
+    )"""
+    its = ",".join(
+        step.format(i=i, prev=i - 1 if i > 1 else "0")
+        for i in range(1, _IPF_ROUNDS + 1)
+    )
+    return f"""
+    WITH obs AS MATERIALIZED (
+      SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY seg, pri
+    ),
+    grand AS (SELECT CAST(sum(n) AS BIGINT) AS g FROM obs),
+    segc AS (
+      SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS nc
+      FROM customer GROUP BY seg
+    ),
+    rowt AS MATERIALIZED (
+      SELECT s.seg,
+             CAST(round(CAST(s.nc AS DOUBLE)
+                        / (SELECT sum(nc) FROM segc)
+                        * (SELECT g FROM grand), 9) AS DECIMAL(28,9)) AS tr
+      FROM segc s
+    ),
+    colt AS MATERIALIZED (
+      SELECT pri,
+             CAST(round(CAST((SELECT g FROM grand) AS DOUBLE)
+                        / (SELECT count(*) FROM (SELECT DISTINCT pri
+                                                 FROM obs)), 9)
+                  AS DECIMAL(28,9)) AS tc
+      FROM (SELECT DISTINCT pri FROM obs)
+    ),
+    w0 AS MATERIALIZED (
+      SELECT seg, pri, CAST(n AS DECIMAL(28,9)) AS w FROM obs
+    ),
+    {its}
+    SELECT w.seg, w.pri, o.n AS observed,
+           round(CAST(w.w AS DOUBLE), 6) AS raked_weight,
+           round(CAST(w.w AS DOUBLE) / o.n, 6) AS adjustment
+    FROM w{_IPF_ROUNDS} w JOIN obs o ON w.seg = o.seg AND w.pri = o.pri
+    ORDER BY w.seg, w.pri
+    """
+
+
+@register("q350_ipf_raking", oracle=_q350_oracle())
+def q350_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (raking) of the segment x priority
+    order-count table to external margins — row targets from the
+    customer dimension's segment shares, uniform column targets — the
+    survey-weighting/bias-correction primitive (and the classical IPF
+    behind log-linear models). 5 unrolled rounds, each a row-scale and a
+    column-scale; every weight is round(9)-pinned DECIMAL so the 5-cell
+    margin sums are order-free and both engines walk the identical
+    trajectory. The table is category-sized (25 cells): Spark iterates
+    on a broadcast-joined 25-row frame, the heavy work is only the one
+    fact-table agg."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    obs = (
+        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+               o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grand = obs.agg(F.sum("n").cast("long").alias("g"))
+    segc = c.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).alias("nc")
+    )
+    seg_tot = segc.agg(F.sum("nc").alias("nct"))
+    rowt = (
+        segc.crossJoin(F.broadcast(seg_tot))
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "seg",
+            F.round(
+                F.col("nc").cast("double") / F.col("nct") * F.col("g"), 9
+            )
+            .cast("decimal(28,9)")
+            .alias("tr"),
+        )
+    )
+    pris = obs.select("pri").distinct()
+    npri = pris.agg(F.count(F.lit(1)).alias("np"))
+    colt = (
+        pris.crossJoin(F.broadcast(grand))
+        .crossJoin(F.broadcast(npri))
+        .select(
+            "pri",
+            F.round(F.col("g").cast("double") / F.col("np"), 9)
+            .cast("decimal(28,9)")
+            .alias("tc"),
+        )
+    )
+    w = obs.select("seg", "pri", F.col("n").cast("decimal(28,9)").alias("w"))
+    for _ in range(_IPF_ROUNDS):
+        rs = w.groupBy("seg").agg(F.sum("w").alias("s"))
+        w = (
+            w.join(F.broadcast(rs), "seg")
+            .join(F.broadcast(rowt), "seg")
+            .select(
+                "seg",
+                "pri",
+                F.round(
+                    F.col("w").cast("double")
+                    * F.col("tr").cast("double")
+                    / F.col("s").cast("double"),
+                    9,
+                )
+                .cast("decimal(28,9)")
+                .alias("w"),
+            )
+        )
+        cs = w.groupBy("pri").agg(F.sum("w").alias("s"))
+        w = (
+            w.join(F.broadcast(cs), "pri")
+            .join(F.broadcast(colt), "pri")
+            .select(
+                "seg",
+                "pri",
+                F.round(
+                    F.col("w").cast("double")
+                    * F.col("tc").cast("double")
+                    / F.col("s").cast("double"),
+                    9,
+                )
+                .cast("decimal(28,9)")
+                .alias("w"),
+            )
+        )
+        # 25-row eager checkpoint per round: each round references w TWICE
+        # (margin sum + scale join); without truncation the unrolled lineage
+        # duplicates the fact-table agg 2^rounds times and analysis explodes
+        w = w.localCheckpoint(eager=True)
+    return (
+        w.join(obs, ["seg", "pri"])
+        .select(
+            "seg",
+            "pri",
+            F.col("n").alias("observed"),
+            F.round(F.col("w").cast("double"), 6).alias("raked_weight"),
+            F.round(F.col("w").cast("double") / F.col("n"), 6).alias("adjustment"),
+        )
+        .orderBy("seg", "pri")
+    )
+
+
+@register(
+    "q351_ar_aging_dso",
+    oracle="""
+    WITH asofd AS (SELECT CAST(max(o_orderdate) AS DATE) AS d FROM orders),
+    open_ar AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             date_diff('day', CAST(o_orderdate AS DATE), a.d) AS age
+      FROM orders o, asofd a WHERE o.o_orderstatus <> 'F'
+    ),
+    bucketed AS (
+      SELECT CASE WHEN age <= 30 THEN '0-030'
+                  WHEN age <= 60 THEN '031-060'
+                  WHEN age <= 90 THEN '061-090'
+                  ELSE '091+' END AS bucket,
+             cents
+      FROM open_ar
+    ),
+    rev365 AS (
+      SELECT CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS r
+      FROM orders o, asofd a
+      WHERE CAST(o.o_orderdate AS DATE) > a.d - INTERVAL 365 DAY
+    ),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS ar FROM bucketed)
+    SELECT b.bucket,
+           CAST(count(*) AS BIGINT) AS n_invoices,
+           CAST(sum(b.cents) AS BIGINT) AS bucket_cents,
+           round(CAST(sum(b.cents) AS DOUBLE) / t.ar, 9) AS bucket_share,
+           round(CAST(t.ar AS DOUBLE) / (CAST(r.r AS DOUBLE) / 365) , 6)
+             AS dso_days
+    FROM bucketed b, tot t, rev365 r
+    GROUP BY b.bucket, t.ar, r.r ORDER BY b.bucket
+    """,
+)
+def q351_ar_aging_dso(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accounts-receivable aging report + days-sales-outstanding: open
+    (non-final) orders bucketed by age at the as-of date (the data's own
+    max order date — no wall clock), per-bucket totals and shares, and
+    DSO = open AR / (trailing-365-day revenue / 365) — the receivables
+    health report every finance close produces. Day arithmetic is exact
+    integer date_diff; cents exact; shares and DSO one IEEE chain. One
+    filtered agg + two broadcast scalars."""
+    o = _t(spark, sf_dir, "orders")
+    asof = o.agg(F.max(F.to_date("o_orderdate")).alias("d"))
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    open_ar = (
+        o.filter(F.col("o_orderstatus") != "F")
+        .crossJoin(F.broadcast(asof))
+        .select(
+            cents.alias("cents"),
+            F.datediff(F.col("d"), F.to_date("o_orderdate")).alias("age"),
+        )
+    )
+    bucketed = open_ar.select(
+        F.when(F.col("age") <= 30, "0-030")
+        .when(F.col("age") <= 60, "031-060")
+        .when(F.col("age") <= 90, "061-090")
+        .otherwise("091+")
+        .alias("bucket"),
+        "cents",
+    )
+    rev365 = (
+        o.crossJoin(F.broadcast(asof))
+        .filter(F.to_date("o_orderdate") > F.date_sub(F.col("d"), 365))
+        .agg(F.sum(cents).cast("long").alias("r"))
+    )
+    tot = bucketed.agg(F.sum("cents").cast("long").alias("ar"))
+    return (
+        bucketed.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(rev365))
+        .groupBy("bucket", "ar", "r")
+        .agg(
+            F.count(F.lit(1)).alias("n_invoices"),
+            F.sum("cents").cast("long").alias("bucket_cents"),
+        )
+        .select(
+            "bucket",
+            "n_invoices",
+            "bucket_cents",
+            F.round(F.col("bucket_cents").cast("double") / F.col("ar"), 9).alias(
+                "bucket_share"
+            ),
+            F.round(
+                F.col("ar").cast("double") / (F.col("r").cast("double") / 365), 6
+            ).alias("dso_days"),
+        )
+        .orderBy("bucket")
+    )
