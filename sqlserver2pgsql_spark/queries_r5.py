@@ -2077,7 +2077,7 @@ def q350_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
         # duplicates the fact-table agg 2^rounds times and analysis explodes
         w = w.localCheckpoint(eager=True)
     return (
-        w.join(obs, ["seg", "pri"])
+        w.join(F.broadcast(obs), ["seg", "pri"])
         .select(
             "seg",
             "pri",

@@ -10,6 +10,7 @@ import io
 import re
 
 import sqlserver2pgsql_spark.queries_r4  # noqa: F401 — fills the registry
+import sqlserver2pgsql_spark.queries_r5  # noqa: F401 — fills the registry
 from sqlserver2pgsql_spark.queries import QUERIES
 from tests.conftest import SF_DIR
 
@@ -226,6 +227,30 @@ BUDGETS = [
     ("q325_spc_control_chart", 0, 0),       # global seq window 1-part
     ("q326_monetary_unit_sampling", 0, 0),  # running-sum window 1-part
     ("q327_semiadditive_balance", 3, 0),    # user window + eom pick + agg
+    ("q328_max_drawdown", 1, 0),            # one user window; top-50 TOAP
+    ("q329_vwap_bars", 3, 0),               # bar agg + brand window + sort
+    ("q330_mrr_waterfall", 5, 0),           # rev agg + grid + lag + month agg
+    ("q331_cohens_kappa", 5, 0),            # 3x3 cells + marginal rollups
+    ("q332_mcnemar_test", 0, 0),            # single scan-level agg
+    ("q333_brown_forsythe", 5, 0),          # median window + moment agg
+    ("q334_gini_lorenz", 2, 0),             # cust agg; rank window 1-part
+    ("q335_hhi_concentration", 3, 0),       # firm agg + segment rollup
+    ("q336_theil_index", 3, 0),             # cust agg + pinned reduction
+    ("q337_kcore_peeling", 1, 0),           # rounds checkpoint-pinned
+    ("q338_adamic_adar", 7, 0),             # blocked pair join + pair agg
+    ("q339_powerlaw_degree_mle", 4, 0),     # distinct-degree agg + tail
+    ("q340_lateral_topk", 3, 0),            # lateral -> ranked window rewrite
+    ("q341_ind_discovery", 27, 0),          # 8 per-column distincts + value join
+    ("q342_friedman_test", 13, 0),          # cell agg + block ranks + rollups
+    ("q343_acf_ljungbox", 1, 0),            # hourly agg; 10-lag window 1-part
+    ("q344_hurst_rs", 2, 0),                # hourly agg + block windows
+    ("q345_zipf_slope", 1, 0),              # token agg; top-1k rank 1-part
+    ("q346_keyness_g2", 9, 0),              # tf agg + marginals + rank window
+    ("q347_cohort_ltv", 7, 0),              # first-order agg + offset rollup
+    ("q348_page_hinkley", 0, 0),            # global seq window 1-part
+    ("q349_beta_binomial_smoothing", 2, 0), # user agg + broadcast prior
+    ("q350_ipf_raking", 3, 0),              # rounds checkpoint-pinned
+    ("q351_ar_aging_dso", 2, 0),            # filtered agg + broadcast scalars
 ]
 
 
