@@ -2177,3 +2177,275 @@ def q351_ar_aging_dso(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal audio segmentation, stylometry, ordered-trend test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q352_audio_silence_windows",
+    oracle="""
+    WITH ids AS (
+      SELECT i AS media_id FROM range(0, 64) t(i) WHERE i % 3 = 1
+    ),
+    samples AS (
+      SELECT d.media_id, s.i,
+             ((d.media_id % 7) * 1000 + s.i * 37) % 4096 - 2048 AS s
+      FROM ids d CROSS JOIN range(0, 256) s(i)
+    )
+    SELECT media_id,
+           CAST(i // 64 AS INTEGER) AS window_idx,
+           CAST(count(*) AS INTEGER) AS n_samples,
+           CAST(sum(s * s) AS BIGINT) AS energy_ss,
+           round(sqrt(CAST(sum(s * s) AS DOUBLE) / count(*)), 6) AS rms,
+           (sqrt(CAST(sum(s * s) AS DOUBLE) / count(*)) < 1180.0) AS silent
+    FROM samples GROUP BY media_id, window_idx
+    ORDER BY media_id, window_idx
+    """,
+)
+def q352_audio_silence_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio silence segmentation over REAL PCM16 WAV payloads: decode the
+    RIFF container with the pure-numpy chunk walker (operators/
+    multimodal.py:decode_wav), window into 64-sample frames, and emit
+    per-window energy + an RMS silence flag — the VAD-style front end of
+    any audio curation pipeline (the oracle mirrors the synth waveform's
+    closed form, so the REAL byte-level decode is what's being verified,
+    q42's pattern). Python touches only Arrow batches and returns 4
+    integers per window (the heavy bytes never leave the executor); RMS
+    is one IEEE chain over an exact integer energy."""
+    import pandas as _pd
+
+    from .operators.multimodal import decode_wav, synth_media
+
+    media = synth_media(spark, 64).filter(F.col("modality") == "audio")
+
+    def windows(it):
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                s = decode_wav(bytes(payload)).astype("int64")
+                for w in range(len(s) // 64):
+                    blk = s[w * 64 : (w + 1) * 64]
+                    out.append((int(mid), w, len(blk), int((blk * blk).sum())))
+            yield _pd.DataFrame(
+                out, columns=["media_id", "window_idx", "n_samples", "energy_ss"]
+            )
+
+    dec = media.select("media_id", "payload").mapInPandas(
+        windows,
+        "media_id long, window_idx int, n_samples int, energy_ss long",
+    )
+    rms = F.sqrt(F.col("energy_ss").cast("double") / F.col("n_samples"))
+    return dec.select(
+        "media_id",
+        "window_idx",
+        "n_samples",
+        "energy_ss",
+        F.round(rms, 6).alias("rms"),
+        (rms < 1180.0).alias("silent"),
+    ).orderBy("media_id", "window_idx")
+
+
+@register(
+    "q353_burrows_delta",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS t
+      FROM documents WHERE trim(text) <> ''
+    ),
+    tf AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c
+           FROM tok GROUP BY source, t),
+    totals AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns
+               FROM tf GROUP BY source),
+    top AS (
+      SELECT t FROM (SELECT t, sum(c) AS ct FROM tf GROUP BY t
+                     ORDER BY ct DESC, t LIMIT 30)
+    ),
+    f AS (
+      SELECT s.source, tp.t,
+             coalesce(CAST(x.c AS DOUBLE), 0.0) / s.ns AS f
+      FROM totals s CROSS JOIN top tp
+      LEFT JOIN tf x ON x.source = s.source AND x.t = tp.t
+    ),
+    mom AS (
+      SELECT t,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(CAST(round(f, 9) AS DECIMAL(28,9))) AS DOUBLE)
+               / count(*) AS mu,
+             CAST(sum(CAST(round(f * f, 9) AS DECIMAL(28,9))) AS DOUBLE)
+               / count(*) AS m2
+      FROM f GROUP BY t
+    ),
+    z AS (
+      SELECT f.source, f.t,
+             (f.f - m.mu) / sqrt(m.m2 - m.mu * m.mu) AS z
+      FROM f JOIN mom m ON f.t = m.t
+      WHERE m.m2 - m.mu * m.mu > 0
+    ),
+    pairs AS (
+      SELECT a.source AS s1, b.source AS s2, a.t,
+             CAST(round(abs(a.z - b.z), 9) AS DECIMAL(28,9)) AS dterm
+      FROM z a JOIN z b ON a.t = b.t AND a.source < b.source
+    )
+    SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_terms,
+           round(CAST(sum(dterm) AS DOUBLE) / count(*), 6) AS delta
+    FROM pairs GROUP BY s1, s2 ORDER BY s1, s2
+    """,
+)
+def q353_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance between sources: z-scores of
+    the top-30 corpus tokens' relative frequencies (standardized across
+    sources), Delta = mean |z1 - z2| per source pair — the authorship-
+    attribution classic, here as a source-similarity matrix for corpus
+    forensics (q249's Jaccard compares vocabularies; Delta compares
+    USAGE RATES of the shared core vocabulary). Frequencies are single
+    divisions; cross-source moments and the final pair sums are
+    round(9)-pinned DECIMAL reductions; z and Delta are one shared IEEE
+    chain. Everything after the tf agg runs on a 30 x sources table."""
+    d = _t(spark, sf_dir, "documents")
+    tok = (
+        d.filter(F.trim(F.col("text")) != "")
+        .select(
+            "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
+        )
+    )
+    tf = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    totals = tf.groupBy("source").agg(F.sum("c").cast("long").alias("ns"))
+    top = (
+        tf.groupBy("t")
+        .agg(F.sum("c").alias("ct"))
+        .orderBy(F.desc("ct"), "t")
+        .limit(30)
+        .select("t")
+    )
+    f = (
+        totals.crossJoin(F.broadcast(top))
+        .join(tf, ["source", "t"], "left")
+        .select(
+            "source",
+            "t",
+            (
+                F.coalesce(F.col("c").cast("double"), F.lit(0.0)) / F.col("ns")
+            ).alias("f"),
+        )
+    )
+    P = lambda e: F.round(e, 9).cast("decimal(28,9)")
+    mom = f.groupBy("t").agg(
+        F.count(F.lit(1)).alias("k"),
+        (F.sum(P(F.col("f"))).cast("double") / F.count(F.lit(1))).alias("mu"),
+        (
+            F.sum(P(F.col("f") * F.col("f"))).cast("double") / F.count(F.lit(1))
+        ).alias("m2"),
+    )
+    z = (
+        f.join(F.broadcast(mom), "t")
+        .filter(F.col("m2") - F.col("mu") * F.col("mu") > 0)
+        .select(
+            "source",
+            "t",
+            (
+                (F.col("f") - F.col("mu"))
+                / F.sqrt(F.col("m2") - F.col("mu") * F.col("mu"))
+            ).alias("z"),
+        )
+    )
+    a = z.alias("a")
+    b = z.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.t") == F.col("b.t")) & (F.col("a.source") < F.col("b.source")),
+    ).select(
+        F.col("a.source").alias("s1"),
+        F.col("b.source").alias("s2"),
+        P(F.abs(F.col("a.z") - F.col("b.z"))).alias("dterm"),
+    )
+    return (
+        pairs.groupBy("s1", "s2")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.sum("dterm").cast("double") / F.count(F.lit(1)), 6).alias(
+                "delta"
+            ),
+        )
+        .orderBy("s1", "s2")
+    )
+
+
+@register(
+    "q354_cochran_armitage",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS score,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS r
+      FROM orders GROUP BY score
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(r) AS BIGINT) AS rr,
+             CAST(sum(score * r) AS BIGINT) AS sr,
+             CAST(sum(score * n) AS BIGINT) AS sn,
+             CAST(sum(score * score * n) AS BIGINT) AS ssn
+      FROM g
+    )
+    SELECT g.score, g.n, g.r,
+           round(CAST(g.r AS DOUBLE) / g.n, 9) AS rate,
+           round(
+             (CAST(tot.sr AS DOUBLE)
+              - CAST(tot.rr AS DOUBLE) * tot.sn / tot.nn)
+             / sqrt((CAST(tot.rr AS DOUBLE) / tot.nn)
+                    * (1 - CAST(tot.rr AS DOUBLE) / tot.nn)
+                    * (CAST(tot.ssn AS DOUBLE)
+                       - CAST(tot.sn AS DOUBLE) * tot.sn / tot.nn)),
+             6) AS trend_z
+    FROM g, tot ORDER BY g.score
+    """,
+)
+def q354_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test: does order-completion rate trend
+    MONOTONICALLY across the ordered priority levels (scores 1..5)? —
+    the dose-response test for ordered categories that a plain chi-square
+    (q189) cannot see (chi-square detects ANY deviation; CA detects the
+    ordered one with far more power). All five moments are exact BIGINT;
+    Z is one shared IEEE chain. One category agg + a 1-row reduce."""
+    o = _t(spark, sf_dir, "orders")
+    g = o.groupBy(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("score")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("long")
+        .alias("r"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("r").cast("long").alias("rr"),
+        F.sum(F.col("score") * F.col("r")).cast("long").alias("sr"),
+        F.sum(F.col("score") * F.col("n")).cast("long").alias("sn"),
+        F.sum(F.col("score") * F.col("score") * F.col("n"))
+        .cast("long")
+        .alias("ssn"),
+    )
+    p = F.col("rr").cast("double") / F.col("nn")
+    num = F.col("sr").cast("double") - F.col("rr").cast("double") * F.col("sn") / F.col("nn")
+    den = F.sqrt(
+        p
+        * (1 - p)
+        * (
+            F.col("ssn").cast("double")
+            - F.col("sn").cast("double") * F.col("sn") / F.col("nn")
+        )
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "score",
+            "n",
+            "r",
+            F.round(F.col("r").cast("double") / F.col("n"), 9).alias("rate"),
+            F.round(num / den, 6).alias("trend_z"),
+        )
+        .orderBy("score")
+    )

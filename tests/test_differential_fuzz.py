@@ -1707,3 +1707,72 @@ def _chain_spark(spark, q: dict):
 def test_differential_join_chain(seed, spark, duck):
     q = _gen_chain(seed)
     assert_matches_oracle(_chain_spark(spark, q), duck, _chain_sql(q))
+
+
+# --- correlated-LATERAL grammar ----------------------------------------------
+#
+# The SQL-standard lateral join surface (q340's general case): per outer
+# dim row, a correlated subquery that is either a top-k (ORDER BY +
+# LIMIT inside the correlation — Catalyst must rewrite it to a ranked
+# window) or a whole-group aggregate (which must emit its 1 row even for
+# EMPTY groups: count 0 + NULL min/max on both engines). One SQL text
+# runs on BOTH engines — this grammar fuzzes the SQL front-end itself,
+# not the DataFrame API. Integer columns only; deterministic tie-breaks.
+
+LATERAL_SHAPES = [
+    ("customer", "c_custkey", "orders", "o_custkey", "o_orderkey"),
+    ("part", "p_partkey", "lineitem", "l_partkey", "l_suppkey"),
+    ("orders", "o_orderkey", "lineitem", "l_orderkey", "l_partkey"),
+]
+
+
+def _gen_lateral_sub(seed: int) -> dict:
+    rng = random.Random(seed + 190_000)
+    outer, okey, inner, fk, icol = rng.choice(LATERAL_SHAPES)
+    pred = None
+    if rng.random() < 0.5:
+        nums = TABLES[inner]["nums"]
+        c = rng.choice(sorted(nums))
+        lo, hi = nums[c]
+        pred = (c, rng.choice(["<", ">="]), rng.randrange(lo, hi + 1))
+    kind = rng.choice(["topk", "agg"])
+    return {
+        "outer": outer, "okey": okey, "inner": inner, "fk": fk,
+        "icol": icol, "pred": pred, "kind": kind,
+        "k": rng.randrange(1, 4), "dir": rng.choice(["ASC", "DESC"]),
+    }
+
+
+def _lateral_sub_sql(q: dict) -> str:
+    where = f"WHERE {q['fk']} = o.{q['okey']}"
+    if q["pred"]:
+        c, op, v = q["pred"]
+        where += f" AND {c} {op} {v}"
+    if q["kind"] == "topk":
+        sub = (
+            f"SELECT {q['icol']} AS v FROM {q['inner']} {where} "
+            f"ORDER BY v {q['dir']}, {q['icol']} LIMIT {q['k']}"
+        )
+        return (
+            f"SELECT o.{q['okey']} AS k, t.v FROM {q['outer']} o, "
+            f"LATERAL ({sub}) t ORDER BY k, v"
+        )
+    sub = (
+        f"SELECT CAST(count(*) AS BIGINT) AS n, "
+        f"CAST(min({q['icol']}) AS BIGINT) AS mn, "
+        f"CAST(max({q['icol']}) AS BIGINT) AS mx "
+        f"FROM {q['inner']} {where}"
+    )
+    return (
+        f"SELECT o.{q['okey']} AS k, t.n, t.mn, t.mx FROM {q['outer']} o, "
+        f"LATERAL ({sub}) t ORDER BY k"
+    )
+
+
+@pytest.mark.parametrize("seed", range(24))
+def test_differential_lateral_subquery(seed, spark, duck):
+    for t in ("customer", "part", "orders", "lineitem"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").createOrReplaceTempView(t)
+    q = _gen_lateral_sub(seed)
+    sql = _lateral_sub_sql(q)
+    assert_matches_oracle(spark.sql(sql), duck, sql)
