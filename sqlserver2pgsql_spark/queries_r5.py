@@ -2320,9 +2320,10 @@ def q353_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(30)
         .select("t")
     )
+    tf_top = tf.join(F.broadcast(top), "t")  # prune BEFORE the grid join
     f = (
         totals.crossJoin(F.broadcast(top))
-        .join(tf, ["source", "t"], "left")
+        .join(F.broadcast(tf_top), ["source", "t"], "left")
         .select(
             "source",
             "t",
@@ -2354,7 +2355,7 @@ def q353_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = z.alias("a")
     b = z.alias("b")
     pairs = a.join(
-        b,
+        F.broadcast(b),
         (F.col("a.t") == F.col("b.t")) & (F.col("a.source") < F.col("b.source")),
     ).select(
         F.col("a.source").alias("s1"),
@@ -2448,4 +2449,270 @@ def q354_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(num / den, 6).alias("trend_z"),
         )
         .orderBy("score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Native recursive CTE, video scene cuts
+# ---------------------------------------------------------------------------
+
+_Q355_SQL = """
+    WITH RECURSIVE walk(node, depth) AS (
+      SELECT CAST(0 AS BIGINT) AS node, 0 AS depth
+      UNION ALL
+      SELECT p.p_partkey, w.depth + 1
+      FROM {part} p JOIN walk w
+        ON CAST((p.p_partkey - (p.p_partkey % 8)) / 8 AS BIGINT) = w.node
+       AND p.p_partkey > 0
+    )
+    SELECT depth,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(node) AS BIGINT) AS min_key,
+           CAST(max(node) AS BIGINT) AS max_key
+    FROM walk GROUP BY depth ORDER BY depth
+"""
+
+
+@register("q355_recursive_cte_native", oracle=_Q355_SQL.format(part="part"))
+def q355_recursive_cte_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard WITH RECURSIVE executed NATIVELY by Spark's recursion
+    operator (new in Spark 4.x) against DuckDB's recursive CTE — ONE SQL
+    text on both engines, walking an implicit BOM tree (parent =
+    partkey DIV 8) from the root and profiling nodes per depth. The
+    engine's checkpoint-loop operators (q243 subtree rollup, q305
+    materialized paths) predate native recursion and remain the scale
+    path with explicit lineage control; this pins the native surface's
+    SEMANTICS so either can serve the query. Integer-exact; the parent
+    expression avoids `//` vs DIV dialect drift via (k - k%8)/8 on an
+    exact integer-valued double."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("q355_part")
+    return spark.sql(_Q355_SQL.format(part="q355_part"))
+
+
+@register(
+    "q356_video_scene_cuts",
+    oracle="""
+    WITH ids AS (
+      SELECT i AS media_id FROM range(0, 64) t(i) WHERE i % 3 = 2
+    ),
+    px AS (
+      SELECT d.media_id, f.f AS pair_idx,
+             abs((((d.media_id + f.f + 1) % 7) * 11
+                  + 16 * y.y + 3 * x.x + 5 * c.c) % 256
+                 - ((((d.media_id + f.f) % 7) * 11
+                     + 16 * y.y + 3 * x.x + 5 * c.c) % 256)) AS ad
+      FROM ids d
+      CROSS JOIN range(0, 3) f(f)
+      CROSS JOIN range(0, 6) y(y)
+      CROSS JOIN range(0, 8) x(x)
+      CROSS JOIN range(0, 3) c(c)
+    )
+    SELECT media_id, CAST(pair_idx AS INTEGER) AS pair_idx,
+           CAST(sum(ad) AS BIGINT) AS sum_abs_diff,
+           CAST(count(*) AS INTEGER) AS n_px,
+           round(CAST(sum(ad) AS DOUBLE) / count(*), 6) AS mean_abs_diff,
+           (CAST(sum(ad) AS DOUBLE) / count(*) > 60.0) AS cut
+    FROM px GROUP BY media_id, pair_idx
+    ORDER BY media_id, pair_idx
+    """,
+)
+def q356_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over REAL concatenated-BMP video payloads:
+    split the frame stream on BMP headers, decode each frame with the
+    pure-numpy codec, and score consecutive-frame mean absolute pixel
+    difference — the shot-boundary primitive of video curation (frame
+    SAMPLING is q42's pipeline; this is the inter-frame ANALYSIS step).
+    The oracle mirrors the synth pattern's closed form, so what's
+    verified is the real byte-level container walk + decode. Python
+    emits 2 integers per frame pair; the ratio and threshold run
+    JVM-side."""
+    import pandas as _pd
+
+    from .operators.multimodal import decode_bmp, split_bmp_stream, synth_media
+
+    media = synth_media(spark, 64).filter(F.col("modality") == "video")
+
+    def diffs(it):
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = [
+                    decode_bmp(b).astype("int64")
+                    for b in split_bmp_stream(bytes(payload))
+                ]
+                for i in range(len(frames) - 1):
+                    d = abs(frames[i + 1] - frames[i])
+                    out.append((int(mid), i, int(d.sum()), int(d.size)))
+            yield _pd.DataFrame(
+                out, columns=["media_id", "pair_idx", "sum_abs_diff", "n_px"]
+            )
+
+    dec = media.select("media_id", "payload").mapInPandas(
+        diffs, "media_id long, pair_idx int, sum_abs_diff long, n_px int"
+    )
+    mean = F.col("sum_abs_diff").cast("double") / F.col("n_px")
+    return dec.select(
+        "media_id",
+        "pair_idx",
+        "sum_abs_diff",
+        "n_px",
+        F.round(mean, 6).alias("mean_abs_diff"),
+        (mean > 60.0).alias("cut"),
+    ).orderBy("media_id", "pair_idx")
+
+
+# ---------------------------------------------------------------------------
+# MMR result diversification
+# ---------------------------------------------------------------------------
+
+_MMR_CANDS = 12
+_MMR_K = 6
+_MMR_LAM = 0.7
+
+
+def _q357_oracle() -> str:
+    # unrolled greedy: sel{j} picks the argmax of lam*rel - (1-lam)*maxsim
+    # over the not-yet-selected candidates; selu{j} accumulates the set.
+    # rel/sims are the exact left-fold cosine chains (q21's portability
+    # pattern); scores are identical doubles on both engines so the argmax
+    # ordering (score DESC, cand) agrees without rounding.
+    steps = []
+    for j in range(2, _MMR_K + 1):
+        steps.append(f"""
+    ms{j} AS MATERIALIZED (
+      SELECT s.a AS cand, max(s.sim) AS mx
+      FROM sims s JOIN selu{j-1} u ON s.b = u.cand
+      GROUP BY s.a
+    ),
+    sel{j} AS MATERIALIZED (
+      SELECT r.cand, {_MMR_LAM} * r.rel - {1 - _MMR_LAM:.1f} * m.mx AS score
+      FROM rel r JOIN ms{j} m ON m.cand = r.cand
+      WHERE r.cand NOT IN (SELECT cand FROM selu{j-1})
+      ORDER BY score DESC, r.cand LIMIT 1
+    ),
+    selu{j} AS MATERIALIZED (
+      SELECT cand FROM selu{j-1} UNION ALL SELECT cand FROM sel{j}
+    )""")
+    finals = " UNION ALL ".join(
+        f"SELECT {j} AS mmr_rank, cand, score FROM sel{j}"
+        for j in range(1, _MMR_K + 1)
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    q AS (SELECT e FROM v WHERE vec_id = 0),
+    scored AS (
+      SELECT c.vec_id AS cand,
+             list_reduce(list_transform(list_zip(q.e, c.e),
+                                        p -> p[1] * p[2]), (a, b) -> a + b)
+             / (sqrt(list_reduce(list_transform(q.e, x -> x * x),
+                                 (a, b) -> a + b))
+                * sqrt(list_reduce(list_transform(c.e, x -> x * x),
+                                   (a, b) -> a + b))) AS rel
+      FROM v c, q WHERE c.vec_id <> 0
+    ),
+    rel AS MATERIALIZED (
+      SELECT cand, rel FROM scored
+      ORDER BY rel DESC, cand LIMIT {_MMR_CANDS}
+    ),
+    sims AS MATERIALIZED (
+      SELECT a.cand AS a, b.cand AS b,
+             list_reduce(list_transform(list_zip(va.e, vb.e),
+                                        p -> p[1] * p[2]), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(va.e, x -> x * x),
+                                 (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(vb.e, x -> x * x),
+                                   (x, y) -> x + y))) AS sim
+      FROM rel a JOIN rel b ON a.cand <> b.cand
+      JOIN v va ON va.vec_id = a.cand
+      JOIN v vb ON vb.vec_id = b.cand
+    ),
+    sel1 AS MATERIALIZED (
+      SELECT cand, {_MMR_LAM} * rel AS score FROM rel
+      ORDER BY score DESC, cand LIMIT 1
+    ),
+    selu1 AS MATERIALIZED (SELECT cand FROM sel1),
+    {",".join(steps)}
+    SELECT f.mmr_rank, f.cand AS vec_id, round(r.rel, 9) AS rel,
+           round(f.score, 9) AS mmr_score
+    FROM ({finals}) f JOIN rel r ON r.cand = f.cand
+    ORDER BY f.mmr_rank
+    """
+
+
+@register("q357_mmr_diversification", oracle=_q357_oracle())
+def q357_mmr_diversification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking: from the query's top-12
+    cosine candidates, greedily select 6 maximizing lam*relevance -
+    (1-lam)*max-similarity-to-already-selected — the diversity layer
+    retrieval stacks put between ANN search (q21) and fusion (q163),
+    de-duplicating semantically redundant hits. Relevance and all 132
+    pairwise similarities are the exact left-fold cosine chains, so the
+    greedy argmax ordering agrees across engines without rounding; the
+    oracle unrolls the same 6 steps as MATERIALIZED CTEs. Spark drives
+    the greedy on a checkpointed 12-row candidate table — the heavy work
+    (corpus scan + top-k) is the same one-shuffle plan as q21."""
+    from .operators.similarity import ann_bruteforce_topk, cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rel = (
+        ann_bruteforce_topk(emb, emb.filter(F.col("vec_id") == 0), k=_MMR_CANDS)
+        .select(F.col("vec_id").alias("cand"), F.col("cos_sim").alias("rel"))
+        .localCheckpoint(eager=True)
+    )
+    vecs = emb.join(
+        rel.select(F.col("cand").alias("vec_id")), "vec_id"
+    ).localCheckpoint(eager=True)
+    a = vecs.alias("a")
+    b = vecs.alias("b")
+    sims = (
+        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("a"),
+            F.col("b.vec_id").alias("b"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    lam = _MMR_LAM
+    sel = (
+        rel.select("cand", (F.lit(lam) * F.col("rel")).alias("score"))
+        .orderBy(F.desc("score"), "cand")
+        .limit(1)
+        .select(F.lit(1).alias("mmr_rank"), "cand", "score")
+        .localCheckpoint(eager=True)
+    )
+    picked = sel
+    for j in range(2, _MMR_K + 1):
+        chosen = picked.select("cand")
+        ms = (
+            sims.join(chosen.withColumnRenamed("cand", "b"), "b")
+            .groupBy(F.col("a").alias("cand"))
+            .agg(F.max("sim").alias("mx"))
+        )
+        step = (
+            rel.join(ms, "cand")
+            .join(chosen, "cand", "left_anti")
+            .select(
+                F.lit(j).alias("mmr_rank"),
+                "cand",
+                (F.lit(lam) * F.col("rel") - F.lit(1 - lam) * F.col("mx")).alias(
+                    "score"
+                ),
+            )
+            .orderBy(F.desc("score"), "cand")
+            .limit(1)
+        )
+        picked = picked.unionByName(step).localCheckpoint(eager=True)
+    return (
+        picked.join(rel, "cand")
+        .select(
+            "mmr_rank",
+            F.col("cand").alias("vec_id"),
+            F.round("rel", 9).alias("rel"),
+            F.round("score", 9).alias("mmr_score"),
+        )
+        .orderBy("mmr_rank")
     )

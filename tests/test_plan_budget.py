@@ -251,6 +251,12 @@ BUDGETS = [
     ("q349_beta_binomial_smoothing", 2, 0), # user agg + broadcast prior
     ("q350_ipf_raking", 3, 0),              # rounds checkpoint-pinned
     ("q351_ar_aging_dso", 2, 0),            # filtered agg + broadcast scalars
+    ("q352_audio_silence_windows", 1, 2),   # synth UDF + decode mapInPandas
+    ("q353_burrows_delta", 31, 0),          # tf agg + tiny broadcast chains
+    ("q354_cochran_armitage", 3, 0),        # category agg + 1-row reduce
+    ("q355_recursive_cte_native", 2, 0),    # native recursion + depth agg
+    ("q356_video_scene_cuts", 1, 2),        # synth UDF + decode mapInPandas
+    ("q357_mmr_diversification", 1, 0),     # greedy checkpoint-pinned
 ]
 
 
