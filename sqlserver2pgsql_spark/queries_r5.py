@@ -2716,3 +2716,351 @@ def q357_mmr_diversification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mmr_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov-chain (removal-effect) attribution
+# ---------------------------------------------------------------------------
+
+_MK_ITERS = 16
+_MK_CHANNELS = ("click", "error", "signup", "view")
+
+
+def _q358_oracle() -> str:
+    scen_rows = " UNION ALL ".join(
+        ["SELECT 'base' AS scenario, NULL AS removed"]
+        + [f"SELECT 'no_{c}', '{c}'" for c in _MK_CHANNELS]
+    )
+    iter_cte = """
+    v{i} AS MATERIALIZED (
+      SELECT e.scenario, e.src AS state,
+             CAST(sum(CAST(round(e.p * v.v, 12) AS DECIMAL(28,12)))
+                  AS DOUBLE) AS v
+      FROM sedges e JOIN v{prev} v
+        ON e.scenario = v.scenario AND e.dst = v.state
+      GROUP BY e.scenario, e.src
+      UNION ALL SELECT scenario, 'CONV', 1.0 FROM scen
+      UNION ALL SELECT scenario, 'DROP', 0.0 FROM scen
+    )"""
+    its = ",".join(
+        iter_cte.format(i=i, prev=i - 1 if i > 1 else "0")
+        for i in range(1, _MK_ITERS + 1)
+    )
+    return f"""
+    WITH seq AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'purchase' THEN 'CONV'
+                  ELSE event_type END AS state,
+             row_number() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    firstp AS (
+      SELECT user_id, min(CASE WHEN state = 'CONV' THEN rn END) AS pr,
+             max(rn) AS mr
+      FROM seq GROUP BY user_id
+    ),
+    kept AS (
+      SELECT s.user_id, s.state, s.rn,
+             coalesce(f.pr, f.mr) AS last_rn, f.pr IS NULL AS dropped
+      FROM seq s JOIN firstp f ON s.user_id = f.user_id
+      WHERE s.rn <= coalesce(f.pr, f.mr)
+    ),
+    trans AS (
+      SELECT coalesce(lag(state) OVER w2, 'START') AS src, state AS dst
+      FROM kept
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)
+      UNION ALL
+      SELECT state, 'DROP' FROM kept WHERE dropped AND rn = last_rn
+    ),
+    cnt AS (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM trans
+      GROUP BY src, dst
+    ),
+    edges AS MATERIALIZED (
+      SELECT src, dst,
+             CAST(n AS DOUBLE)
+               / sum(n) OVER (PARTITION BY src) AS p
+      FROM cnt
+    ),
+    scen AS MATERIALIZED ({scen_rows}),
+    sedges AS MATERIALIZED (
+      SELECT s.scenario,
+             e.src,
+             CASE WHEN e.dst = s.removed THEN 'DROP' ELSE e.dst END AS dst,
+             CAST(sum(e.p) AS DOUBLE) AS p
+      FROM scen s JOIN edges e
+        ON s.removed IS NULL OR e.src <> s.removed
+      GROUP BY s.scenario, e.src,
+               CASE WHEN e.dst = s.removed THEN 'DROP' ELSE e.dst END
+    ),
+    states AS (SELECT DISTINCT scenario, src AS state FROM sedges),
+    v0 AS MATERIALIZED (
+      SELECT scenario, state, 0.0 AS v FROM states
+      UNION ALL SELECT scenario, 'CONV', 1.0 FROM scen
+      UNION ALL SELECT scenario, 'DROP', 0.0 FROM scen
+    ),
+    {its},
+    pconv AS (
+      SELECT scenario, v FROM v{_MK_ITERS} WHERE state = 'START'
+    ),
+    base AS (SELECT v AS pb FROM pconv WHERE scenario = 'base'),
+    effects AS (
+      SELECT p.scenario, p.v AS p_conv,
+             CASE WHEN p.scenario = 'base' THEN 0.0
+                  ELSE 1.0 - p.v / b.pb END AS removal_effect
+      FROM pconv p, base b
+    ),
+    tot AS (
+      SELECT CAST(sum(CAST(round(removal_effect, 9) AS DECIMAL(28,9)))
+                  AS DOUBLE) AS te
+      FROM effects WHERE scenario <> 'base'
+    )
+    SELECT e.scenario, round(e.p_conv, 9) AS p_conv,
+           round(e.removal_effect, 9) AS removal_effect,
+           round(CASE WHEN e.scenario = 'base' THEN NULL
+                      ELSE e.removal_effect / t.te END, 9) AS attribution
+    FROM effects e, tot t ORDER BY e.scenario
+    """
+
+
+@register("q358_markov_attribution", oracle=_q358_oracle())
+def q358_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain (removal-effect) multi-touch attribution: user
+    journeys (truncated at first purchase) become a first-order
+    transition graph START -> channels -> CONV/DROP; each channel's
+    credit is 1 - P(conv | channel removed)/P(conv), normalized — the
+    data-driven attribution standard that last-touch (q170) and
+    position (q262) heuristics approximate. Absorption probabilities
+    run 16 fixed matrix-vector iterations on the channel-sized graph;
+    each product term is round(12)-pinned into DECIMAL sums (order-free)
+    and scenario edges merge at most TWO probabilities (IEEE addition is
+    commutative, so the 2-term re-aggregation is engine-identical). The
+    only data-sized work is the one journey window + transition agg;
+    all scenarios iterate together on one ~30-row edge table."""
+    ev = _t(spark, sf_dir, "events")
+    wq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.when(F.col("event_type") == "purchase", "CONV")
+        .otherwise(F.col("event_type"))
+        .alias("state"),
+        F.row_number().over(wq).alias("rn"),
+    )
+    firstp = seq.groupBy("user_id").agg(
+        F.min(F.when(F.col("state") == "CONV", F.col("rn"))).alias("pr"),
+        F.max("rn").alias("mr"),
+    )
+    kept = (
+        seq.join(firstp, "user_id")
+        .filter(F.col("rn") <= F.coalesce(F.col("pr"), F.col("mr")))
+        .select(
+            "user_id",
+            "state",
+            "rn",
+            F.coalesce(F.col("pr"), F.col("mr")).alias("last_rn"),
+            F.col("pr").isNull().alias("dropped"),
+        )
+    )
+    w2 = W.partitionBy("user_id").orderBy("rn")
+    trans = kept.select(
+        F.coalesce(F.lag("state").over(w2), F.lit("START")).alias("src"),
+        F.col("state").alias("dst"),
+    ).unionByName(
+        kept.filter(F.col("dropped") & (F.col("rn") == F.col("last_rn"))).select(
+            F.col("state").alias("src"), F.lit("DROP").alias("dst")
+        )
+    )
+    cnt = trans.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    edges = cnt.select(
+        "src",
+        "dst",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(W.partitionBy("src"))
+        ).alias("p"),
+    ).localCheckpoint(eager=True)
+    scen = spark.createDataFrame(
+        [("base", None)] + [(f"no_{c}", c) for c in _MK_CHANNELS],
+        "scenario string, removed string",
+    )
+    sedges = (
+        F.broadcast(scen)
+        .join(edges, F.col("removed").isNull() | (F.col("src") != F.col("removed")))
+        .select(
+            "scenario",
+            "src",
+            F.when(F.col("dst") == F.col("removed"), "DROP")
+            .otherwise(F.col("dst"))
+            .alias("dst"),
+            "p",
+        )
+        .groupBy("scenario", "src", "dst")
+        .agg(F.sum("p").cast("double").alias("p"))
+        .localCheckpoint(eager=True)
+    )
+    consts = scen.select("scenario").distinct()
+    fixed = consts.select(
+        "scenario", F.lit("CONV").alias("state"), F.lit(1.0).alias("v")
+    ).unionByName(
+        consts.select("scenario", F.lit("DROP").alias("state"), F.lit(0.0).alias("v"))
+    )
+    v = (
+        sedges.select("scenario", F.col("src").alias("state"))
+        .distinct()
+        .select("scenario", "state", F.lit(0.0).alias("v"))
+        .unionByName(fixed)
+        .localCheckpoint(eager=True)
+    )
+    for i in range(1, _MK_ITERS + 1):
+        nv = (
+            sedges.join(
+                v.withColumnRenamed("state", "dst"), ["scenario", "dst"]
+            )
+            .groupBy("scenario", F.col("src").alias("state"))
+            .agg(
+                F.sum(
+                    F.round(F.col("p") * F.col("v"), 12).cast("decimal(28,12)")
+                )
+                .cast("double")
+                .alias("v")
+            )
+            .unionByName(fixed)
+        )
+        v = nv.localCheckpoint(eager=True) if i % 4 == 0 else nv
+    pconv = v.filter(F.col("state") == "START").select("scenario", "v")
+    base = pconv.filter(F.col("scenario") == "base").select(
+        F.col("v").alias("pb")
+    )
+    effects = pconv.crossJoin(F.broadcast(base)).select(
+        "scenario",
+        F.col("v").alias("p_conv"),
+        F.when(F.col("scenario") == "base", 0.0)
+        .otherwise(1.0 - F.col("v") / F.col("pb"))
+        .alias("removal_effect"),
+    )
+    tot = effects.filter(F.col("scenario") != "base").agg(
+        F.sum(F.round(F.col("removal_effect"), 9).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("te")
+    )
+    return (
+        effects.crossJoin(F.broadcast(tot))
+        .select(
+            "scenario",
+            F.round("p_conv", 9).alias("p_conv"),
+            F.round("removal_effect", 9).alias("removal_effect"),
+            F.round(
+                F.when(
+                    F.col("scenario") == "base", F.lit(None).cast("double")
+                ).otherwise(F.col("removal_effect") / F.col("te")),
+                9,
+            ).alias("attribution"),
+        )
+        .orderBy("scenario")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Image histogram equalization (real BMP decode)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q359_histogram_equalization",
+    oracle="""
+    WITH ids AS (
+      SELECT i AS media_id FROM range(0, 64) t(i) WHERE i % 3 = 0
+    ),
+    px AS (
+      SELECT d.media_id,
+             ((d.media_id % 7) * 11 + 16 * y.y + 3 * x.x + 5 * c.c) % 256 AS v
+      FROM ids d
+      CROSS JOIN range(0, 6) y(y)
+      CROSS JOIN range(0, 8) x(x)
+      CROSS JOIN range(0, 3) c(c)
+    ),
+    hist AS (
+      SELECT media_id, v, CAST(count(*) AS BIGINT) AS n FROM px
+      GROUP BY media_id, v
+    ),
+    cdf AS (
+      SELECT media_id, v, n,
+             CAST(sum(n) OVER (PARTITION BY media_id ORDER BY v)
+                  AS BIGINT) AS c,
+             CAST(min(n) OVER (PARTITION BY media_id) AS BIGINT) AS dummy
+      FROM hist
+    ),
+    lims AS (
+      SELECT media_id,
+             CAST(min(c) AS BIGINT) AS cmin,
+             CAST(max(c) AS BIGINT) AS total
+      FROM cdf GROUP BY media_id
+    ),
+    eq AS (
+      SELECT h.media_id, h.v, h.n,
+             CAST(((h.c - l.cmin) * 255) // (l.total - l.cmin) AS BIGINT)
+               AS ev
+      FROM cdf h JOIN lims l ON h.media_id = l.media_id
+    )
+    SELECT media_id,
+           CAST(sum(n) AS BIGINT) AS n_px,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(v * n) AS BIGINT) AS orig_sum,
+           CAST(sum(ev * n) AS BIGINT) AS eq_sum,
+           CAST(max(ev) AS BIGINT) AS eq_max
+    FROM eq GROUP BY media_id ORDER BY media_id
+    """,
+)
+def q359_histogram_equalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram equalization over REAL decoded BMP images: per-image
+    value histogram, CDF, and the classic integer remap eq(v) =
+    (cdf(v)-cdf_min)*255 / (N-cdf_min) — contrast normalization, the
+    standard image-preprocessing step before feature extraction. ALL
+    integer arithmetic (the remap uses floor division, no floats
+    anywhere), so the decoded-pixel path is verified bit-exactly against
+    the synth pattern's closed form. Python decodes Arrow batches and
+    emits 6 integers per image; nothing else leaves the executor."""
+    import numpy as _np
+    import pandas as _pd
+
+    from .operators.multimodal import decode_bmp, synth_media
+
+    media = synth_media(spark, 64).filter(F.col("modality") == "image")
+
+    def equalize(it):
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                v = decode_bmp(bytes(payload)).astype("int64").ravel()
+                vals, counts = _np.unique(v, return_counts=True)
+                c = counts.cumsum()
+                cmin, total = int(c[0]), int(c[-1])
+                ev = (c - cmin) * 255 // (total - cmin)
+                out.append(
+                    (
+                        int(mid),
+                        total,
+                        len(vals),
+                        int((vals * counts).sum()),
+                        int((ev * counts).sum()),
+                        int(ev.max()),
+                    )
+                )
+            yield _pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "n_px", "n_distinct",
+                    "orig_sum", "eq_sum", "eq_max",
+                ],
+            )
+
+    return (
+        media.select("media_id", "payload")
+        .mapInPandas(
+            equalize,
+            "media_id long, n_px long, n_distinct long, "
+            "orig_sum long, eq_sum long, eq_max long",
+        )
+        .orderBy("media_id")
+    )
