@@ -3064,3 +3064,406 @@ def q359_histogram_equalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Jonckheere-Terpstra ordered-alternative test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q360_jonckheere_terpstra",
+    oracle="""
+    WITH x AS (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS g,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+      FROM orders
+    ),
+    hist AS (SELECT g, v, CAST(count(*) AS BIGINT) AS n FROM x GROUP BY g, v),
+    gp AS (
+      SELECT a.g AS gi, b.g AS gj FROM
+      (SELECT DISTINCT g FROM hist) a JOIN (SELECT DISTINCT g FROM hist) b
+      ON a.g < b.g
+    ),
+    merged AS (
+      SELECT p.gi, p.gj, h.v,
+             CASE WHEN h.g = p.gi THEN h.n ELSE 0 END AS ni,
+             CASE WHEN h.g = p.gj THEN h.n ELSE 0 END AS nj
+      FROM gp p JOIN hist h ON h.g = p.gi OR h.g = p.gj
+    ),
+    axis AS (
+      SELECT gi, gj, v, CAST(sum(ni) AS BIGINT) AS ni,
+             CAST(sum(nj) AS BIGINT) AS nj
+      FROM merged GROUP BY gi, gj, v
+    ),
+    cums AS (
+      SELECT gi, gj, v, ni, nj,
+             CAST(coalesce(sum(ni) OVER (PARTITION BY gi, gj ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS less_i
+      FROM axis
+    ),
+    pairu AS (
+      SELECT gi, gj,
+             CAST(sum(2 * nj * less_i + ni * nj) AS BIGINT) AS u2
+      FROM cums GROUP BY gi, gj
+    ),
+    sizes AS (SELECT g, CAST(sum(n) AS BIGINT) AS m FROM hist GROUP BY g),
+    tot AS (
+      SELECT CAST(sum(u2) AS BIGINT) AS jt2 FROM pairu
+    ),
+    moments AS (
+      SELECT CAST(sum(m) AS BIGINT) AS nn,
+             CAST(sum(m * m) AS BIGINT) AS s2,
+             CAST(sum(m * m * (2 * m + 3)) AS BIGINT) AS s3
+      FROM sizes
+    )
+    SELECT p.gi, p.gj, p.u2,
+           t.jt2,
+           round((CAST(t.jt2 AS DOUBLE) / 2
+                  - (CAST(m.nn AS DOUBLE) * m.nn - m.s2) / 4)
+                 / sqrt((CAST(m.nn AS DOUBLE) * m.nn * (2 * m.nn + 3) - m.s3)
+                        / 72), 6) AS jt_z
+    FROM pairu p, tot t, moments m
+    ORDER BY p.gi, p.gj
+    """,
+)
+def q360_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra test for an ORDERED trend in order value
+    across priority levels — the rank test with power against monotone
+    alternatives that Kruskal-Wallis (q242, any-difference) and
+    Cochran-Armitage (q354, binary outcome) don't cover. Pairwise
+    Mann-Whitney counts are computed EXACTLY from per-group value
+    histograms on a merged value axis (2U = 2*sum(n_j * less_i) +
+    ties, all BIGINT — never an O(n^2) pair join); the normal
+    approximation z uses the classic no-ties variance (documented).
+    One histogram agg + a 10-pair exploded window over distinct
+    values."""
+    o = _t(spark, sf_dir, "orders")
+    x = o.select(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("g"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    hist = x.groupBy("g", "v").agg(F.count(F.lit(1)).alias("n"))
+    gs = hist.select("g").distinct()
+    gp = (
+        gs.alias("a")
+        .join(gs.alias("b"), F.col("a.g") < F.col("b.g"))
+        .select(F.col("a.g").alias("gi"), F.col("b.g").alias("gj"))
+    )
+    merged = F.broadcast(gp).join(
+        hist, (F.col("g") == F.col("gi")) | (F.col("g") == F.col("gj"))
+    ).select(
+        "gi",
+        "gj",
+        "v",
+        F.when(F.col("g") == F.col("gi"), F.col("n")).otherwise(0).alias("ni"),
+        F.when(F.col("g") == F.col("gj"), F.col("n")).otherwise(0).alias("nj"),
+    )
+    axis = merged.groupBy("gi", "gj", "v").agg(
+        F.sum("ni").cast("long").alias("ni"), F.sum("nj").cast("long").alias("nj")
+    )
+    wv = (
+        W.partitionBy("gi", "gj")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cums = axis.select(
+        "gi",
+        "gj",
+        "ni",
+        "nj",
+        F.coalesce(F.sum("ni").over(wv), F.lit(0)).cast("long").alias("less_i"),
+    )
+    pairu = cums.groupBy("gi", "gj").agg(
+        F.sum(2 * F.col("nj") * F.col("less_i") + F.col("ni") * F.col("nj"))
+        .cast("long")
+        .alias("u2")
+    )
+    sizes = hist.groupBy("g").agg(F.sum("n").cast("long").alias("m"))
+    tot = pairu.agg(F.sum("u2").cast("long").alias("jt2"))
+    moments = sizes.agg(
+        F.sum("m").cast("long").alias("nn"),
+        F.sum(F.col("m") * F.col("m")).cast("long").alias("s2"),
+        F.sum(F.col("m") * F.col("m") * (2 * F.col("m") + 3))
+        .cast("long")
+        .alias("s3"),
+    )
+    mean = (F.col("nn").cast("double") * F.col("nn") - F.col("s2")) / 4
+    var = (
+        F.col("nn").cast("double") * F.col("nn") * (2 * F.col("nn") + 3)
+        - F.col("s3")
+    ) / 72
+    return (
+        pairu.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(moments))
+        .select(
+            "gi",
+            "gj",
+            "u2",
+            "jt2",
+            F.round(
+                (F.col("jt2").cast("double") / 2 - mean) / F.sqrt(var), 6
+            ).alias("jt_z"),
+        )
+        .orderBy("gi", "gj")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spectral diurnal power, Fellegi-Sunter EM record linkage
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q361_dft_diurnal_power",
+    oracle="""
+    WITH series AS (
+      SELECT row_number() OVER (ORDER BY date_trunc('hour', ts)) - 1 AS t,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY date_trunc('hour', ts)
+    ),
+    terms AS (
+      SELECT p.p AS period, s.t, s.x,
+             CAST(round(s.x * cos((s.t % p.p) * (2 * pi() / p.p)), 9)
+                  AS DECIMAL(28,9)) AS tc,
+             CAST(round(s.x * sin((s.t % p.p) * (2 * pi() / p.p)), 9)
+                  AS DECIMAL(28,9)) AS ts
+      FROM series s CROSS JOIN (VALUES (12), (24), (168)) p(p)
+    )
+    SELECT period,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           round(CAST(sum(tc) AS DOUBLE), 6) AS sum_cos,
+           round(CAST(sum(ts) AS DOUBLE), 6) AS sum_sin,
+           round(
+             (CAST(sum(tc) AS DOUBLE) * CAST(sum(tc) AS DOUBLE)
+              + CAST(sum(ts) AS DOUBLE) * CAST(sum(ts) AS DOUBLE))
+             / count(*), 6) AS power,
+           round(2 * sqrt(CAST(sum(tc) AS DOUBLE) * CAST(sum(tc) AS DOUBLE)
+                          + CAST(sum(ts) AS DOUBLE)
+                            * CAST(sum(ts) AS DOUBLE)) / count(*),
+                 6) AS amplitude
+    FROM terms GROUP BY period ORDER BY period
+    """,
+)
+def q361_dft_diurnal_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-bin DFT (Goertzel-equivalent) power of the hourly event
+    series at the 12h / 24h / weekly periods — 'how diurnal is this
+    traffic', the spectral question behind capacity planning and
+    seasonality-aware forecasting (q149 decomposes by averaging; this
+    measures the periodicity strength directly). Phase angles reduce
+    t mod period so both engines evaluate trig on identical small
+    inputs; each x*cos / x*sin term is round(9)-pinned into DECIMAL
+    sums (the q311 circular-statistics discipline), and power/amplitude
+    are one shared IEEE chain. One hourly agg + a 3x-exploded pinned
+    reduction."""
+    import math
+
+    ev = _t(spark, sf_dir, "events")
+    series = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .select((F.row_number().over(W.orderBy("h")) - 1).alias("t"), "x")
+    )
+    terms = series.select(
+        F.explode(F.array(F.lit(12), F.lit(24), F.lit(168))).alias("period"),
+        "t",
+        "x",
+    ).select(
+        "period",
+        F.round(
+            F.col("x")
+            * F.cos((F.col("t") % F.col("period")) * (2 * math.pi / F.col("period"))),
+            9,
+        )
+        .cast("decimal(28,9)")
+        .alias("tc"),
+        F.round(
+            F.col("x")
+            * F.sin((F.col("t") % F.col("period")) * (2 * math.pi / F.col("period"))),
+            9,
+        )
+        .cast("decimal(28,9)")
+        .alias("ts"),
+    )
+    sc = F.sum("tc").cast("double")
+    ss = F.sum("ts").cast("double")
+    n = F.count(F.lit(1))
+    return (
+        terms.groupBy("period")
+        .agg(
+            n.alias("n_hours"),
+            F.round(sc, 6).alias("sum_cos"),
+            F.round(ss, 6).alias("sum_sin"),
+            F.round((sc * sc + ss * ss) / n, 6).alias("power"),
+            F.round(2 * F.sqrt(sc * sc + ss * ss) / n, 6).alias("amplitude"),
+        )
+        .orderBy("period")
+    )
+
+
+_FS_ITERS = 8
+
+
+def _q362_oracle() -> str:
+    # one EM iteration: E-step posterior r per pattern from em{prev}'s
+    # params, M-step pinned sums over the 8 patterns. a/b multiply in a
+    # FIXED order (p*c1*c2*c3 left-assoc) on both engines.
+    def cases(pfx: str) -> str:
+        return " * ".join(
+            f"(CASE WHEN pt.g{k} = 1 THEN e.{pfx}{k} ELSE 1 - e.{pfx}{k} END)"
+            for k in (1, 2, 3)
+        )
+
+    r_expr = (
+        f"(e.p * {cases('m')})"
+        f" / (e.p * {cases('m')} + (1 - e.p) * {cases('u')})"
+    )
+    psum = "CAST(sum(CAST(round(pt.n * {expr}, 6) AS DECIMAL(28,6))) AS DOUBLE)"
+    step = f"""
+    em{{i}} AS MATERIALIZED (
+      SELECT
+        {psum.format(expr=r_expr)} / (SELECT sum(n) FROM pt) AS p,
+        {psum.format(expr=f"({r_expr}) * pt.g1")}
+          / {psum.format(expr=r_expr)} AS m1,
+        {psum.format(expr=f"({r_expr}) * pt.g2")}
+          / {psum.format(expr=r_expr)} AS m2,
+        {psum.format(expr=f"({r_expr}) * pt.g3")}
+          / {psum.format(expr=r_expr)} AS m3,
+        {psum.format(expr=f"(1 - ({r_expr})) * pt.g1")}
+          / {psum.format(expr=f"(1 - ({r_expr}))")} AS u1,
+        {psum.format(expr=f"(1 - ({r_expr})) * pt.g2")}
+          / {psum.format(expr=f"(1 - ({r_expr}))")} AS u2,
+        {psum.format(expr=f"(1 - ({r_expr})) * pt.g3")}
+          / {psum.format(expr=f"(1 - ({r_expr}))")} AS u3
+      FROM pt, em{{prev}} e
+    )"""
+    its = ",".join(
+        step.format(i=i, prev=i - 1 if i > 1 else "0")
+        for i in range(1, _FS_ITERS + 1)
+    )
+    return f"""
+    WITH c AS (
+      SELECT c_custkey AS k, c_nationkey AS nk, c_mktsegment AS seg,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal,
+             CAST(floor(c_acctbal / 500) AS BIGINT) AS bb
+      FROM customer
+    ),
+    pairs AS (
+      SELECT CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS g1,
+             CASE WHEN abs(a.bal - b.bal) <= 2000 THEN 1 ELSE 0 END AS g2,
+             CASE WHEN a.k % 10 = b.k % 10 THEN 1 ELSE 0 END AS g3
+      FROM c a JOIN c b ON a.nk = b.nk AND a.bb = b.bb AND a.k < b.k
+    ),
+    pt AS MATERIALIZED (
+      SELECT g1, g2, g3, CAST(count(*) AS BIGINT) AS n FROM pairs
+      GROUP BY g1, g2, g3
+    ),
+    em0 AS (SELECT 0.1 AS p, 0.8 AS m1, 0.8 AS m2, 0.8 AS m3,
+                   0.2 AS u1, 0.2 AS u2, 0.2 AS u3),
+    {its}
+    SELECT pt.g1, pt.g2, pt.g3, pt.n,
+           round({r_expr}, 6) AS posterior,
+           round(e.p, 6) AS p_match,
+           round(e.m1, 6) AS m1, round(e.m2, 6) AS m2,
+           round(e.m3, 6) AS m3,
+           round(e.u1, 6) AS u1, round(e.u2, 6) AS u2, round(e.u3, 6) AS u3
+    FROM pt, em{_FS_ITERS} e
+    ORDER BY pt.g1, pt.g2, pt.g3
+    """
+
+
+@register("q362_fellegi_sunter_em", oracle=_q362_oracle())
+def q362_fellegi_sunter_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage fit by EM: blocked
+    customer pairs scored on 3 binary agreement features (segment,
+    balance proximity, key-digit), EM estimating the match prevalence p
+    and per-feature m/u probabilities WITHOUT labels — the Splink-style
+    unsupervised linkage standard (q188's deterministic ER picks a
+    threshold by hand; this LEARNS the weights). With binary features
+    the sufficient statistics collapse to 8 pattern counts, so 8 EM
+    iterations run on an 8-row table: every per-pattern posterior is
+    the same fixed-order IEEE chain on both engines and every M-step
+    sum is round(6)-pinned DECIMAL. The only data-sized work is the
+    blocked pair join + one pattern count agg."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("bal"),
+        F.floor(F.col("c_acctbal") / 500).cast("long").alias("bb"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.nk") == F.col("b.nk"))
+        & (F.col("a.bb") == F.col("b.bb"))
+        & (F.col("a.k") < F.col("b.k")),
+    ).select(
+        F.when(F.col("a.seg") == F.col("b.seg"), 1).otherwise(0).alias("g1"),
+        F.when(F.abs(F.col("a.bal") - F.col("b.bal")) <= 2000, 1)
+        .otherwise(0)
+        .alias("g2"),
+        F.when(F.col("a.k") % 10 == F.col("b.k") % 10, 1).otherwise(0).alias("g3"),
+    )
+    pt = (
+        pairs.groupBy("g1", "g2", "g3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    n_total = pt.agg(F.sum("n").cast("long").alias("nt"))
+    params = spark.createDataFrame(
+        [(0.1, 0.8, 0.8, 0.8, 0.2, 0.2, 0.2)],
+        "p double, m1 double, m2 double, m3 double, "
+        "u1 double, u2 double, u3 double",
+    )
+
+    def chain(pfx: str):
+        out = F.col("p") if pfx == "m" else (1 - F.col("p"))
+        for k in (1, 2, 3):
+            out = out * F.when(
+                F.col(f"g{k}") == 1, F.col(f"{pfx}{k}")
+            ).otherwise(1 - F.col(f"{pfx}{k}"))
+        return out
+
+    P6 = lambda e: F.round(F.col("n") * e, 6).cast("decimal(28,6)")
+    for _ in range(_FS_ITERS):
+        joined = pt.crossJoin(F.broadcast(params))
+        r = chain("m") / (chain("m") + chain("u"))
+        agg = joined.crossJoin(F.broadcast(n_total)).agg(
+            (F.sum(P6(r)).cast("double") / F.max("nt")).alias("p"),
+            *[
+                (
+                    F.sum(P6(r * F.col(f"g{k}"))).cast("double")
+                    / F.sum(P6(r)).cast("double")
+                ).alias(f"m{k}")
+                for k in (1, 2, 3)
+            ],
+            *[
+                (
+                    F.sum(P6((1 - r) * F.col(f"g{k}"))).cast("double")
+                    / F.sum(P6(1 - r)).cast("double")
+                ).alias(f"u{k}")
+                for k in (1, 2, 3)
+            ],
+        )
+        params = agg.localCheckpoint(eager=True)
+    r_final = chain("m") / (chain("m") + chain("u"))
+    return (
+        pt.crossJoin(F.broadcast(params))
+        .select(
+            "g1",
+            "g2",
+            "g3",
+            "n",
+            F.round(r_final, 6).alias("posterior"),
+            F.round("p", 6).alias("p_match"),
+            F.round("m1", 6).alias("m1"),
+            F.round("m2", 6).alias("m2"),
+            F.round("m3", 6).alias("m3"),
+            F.round("u1", 6).alias("u1"),
+            F.round("u2", 6).alias("u2"),
+            F.round("u3", 6).alias("u3"),
+        )
+        .orderBy("g1", "g2", "g3")
+    )
