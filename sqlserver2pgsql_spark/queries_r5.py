@@ -3467,3 +3467,439 @@ def q362_fellegi_sunter_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g1", "g2", "g3")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact Shapley-value attribution over channel coalitions
+# ---------------------------------------------------------------------------
+
+_SH_CHANNELS = [("click", 1), ("error", 2), ("signup", 4), ("view", 8)]
+# (channel, subset-mask-without-channel, 24*weight) where weight =
+# |S|! (4-1-|S|)! / 4!  ->  24w in {6, 2, 2, 6} for |S| = 0..3
+_SH_TERMS = [
+    (c, s, {0: 6, 1: 2, 2: 2, 3: 6}[bin(s).count("1")])
+    for c, bit in _SH_CHANNELS
+    for s in range(16)
+    if not s & bit
+]
+
+
+def _q363_oracle() -> str:
+    coef_rows = " UNION ALL ".join(
+        f"SELECT '{c}' AS channel, {s} AS s_mask, "
+        f"{s | dict(_SH_CHANNELS)[c]} AS s_with, {w} AS w24"
+        for c, s, w in _SH_TERMS
+    )
+    return f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    firstp AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'purchase' THEN rn END) AS pr
+      FROM seq GROUP BY user_id
+    ),
+    exposure AS (
+      SELECT s.user_id,
+             CAST(max(CASE WHEN s.event_type = 'click' THEN 1 ELSE 0 END)
+                  + 2 * max(CASE WHEN s.event_type = 'error' THEN 1 ELSE 0 END)
+                  + 4 * max(CASE WHEN s.event_type = 'signup' THEN 1 ELSE 0 END)
+                  + 8 * max(CASE WHEN s.event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS mask,
+             CAST(max(CASE WHEN f.pr IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS conv
+      FROM seq s JOIN firstp f ON s.user_id = f.user_id
+      WHERE f.pr IS NULL OR s.rn < f.pr
+      GROUP BY s.user_id
+    ),
+    v AS MATERIALIZED (
+      SELECT mask, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(conv) AS DOUBLE) / count(*) AS rate
+      FROM exposure GROUP BY mask
+    ),
+    coef AS ({coef_rows}),
+    terms AS (
+      SELECT c.channel,
+             CAST(round(c.w24 * (coalesce(v1.rate, 0.0)
+                                 - coalesce(v0.rate, 0.0)), 12)
+                  AS DECIMAL(28,12)) AS t
+      FROM coef c
+      LEFT JOIN v v0 ON v0.mask = c.s_mask
+      LEFT JOIN v v1 ON v1.mask = c.s_with
+    )
+    SELECT channel,
+           round(CAST(sum(t) AS DOUBLE) / 24, 9) AS shapley
+    FROM terms GROUP BY channel ORDER BY channel
+    """
+
+
+@register("q363_shapley_attribution", oracle=_q363_oracle())
+def q363_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value attribution over channel coalitions: each
+    user's pre-conversion exposure SET (4 channels -> 16 masks), v(S) =
+    conversion rate of users exposed to exactly S, and each channel's
+    Shapley value as the factorially-weighted marginal-contribution sum
+    — the game-theoretic attribution that Markov removal (q358)
+    approximates and position heuristics (q170/q262) guess at. With 4
+    channels the coalition lattice is 16 cells, so the computation is
+    EXACT, not sampled: weights enter as INTEGER 24w coefficients,
+    marginals are single-division rates, and each channel's 8-term sum
+    is round(12)-pinned DECIMAL. One journey window + one mask agg; the
+    lattice math is a 32-row literal join."""
+    ev = _t(spark, sf_dir, "events")
+    wq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.row_number().over(wq).alias("rn")
+    )
+    firstp = seq.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("rn"))
+        ).alias("pr")
+    )
+    bit = lambda t, b: b * F.max(
+        F.when(F.col("event_type") == t, 1).otherwise(0)
+    )
+    exposure = (
+        seq.join(firstp, "user_id")
+        .filter(F.col("pr").isNull() | (F.col("rn") < F.col("pr")))
+        .groupBy("user_id")
+        .agg(
+            (
+                bit("click", 1) + bit("error", 2) + bit("signup", 4)
+                + bit("view", 8)
+            )
+            .cast("long")
+            .alias("mask"),
+            F.max(F.when(F.col("pr").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("conv"),
+        )
+    )
+    v = exposure.groupBy("mask").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("conv").cast("double") / F.count(F.lit(1))).alias("rate"),
+    )
+    coef = spark.createDataFrame(
+        [(c, s, s | dict(_SH_CHANNELS)[c], w) for c, s, w in _SH_TERMS],
+        "channel string, s_mask long, s_with long, w24 long",
+    )
+    v0 = v.select(F.col("mask").alias("s_mask"), F.col("rate").alias("r0"))
+    v1 = v.select(F.col("mask").alias("s_with"), F.col("rate").alias("r1"))
+    terms = (
+        coef.join(F.broadcast(v0), "s_mask", "left")
+        .join(F.broadcast(v1), "s_with", "left")
+        .select(
+            "channel",
+            F.round(
+                F.col("w24")
+                * (
+                    F.coalesce(F.col("r1"), F.lit(0.0))
+                    - F.coalesce(F.col("r0"), F.lit(0.0))
+                ),
+                12,
+            )
+            .cast("decimal(28,12)")
+            .alias("t"),
+        )
+    )
+    return (
+        terms.groupBy("channel")
+        .agg(F.round(F.sum("t").cast("double") / 24, 9).alias("shapley"))
+        .orderBy("channel")
+    )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities
+# ---------------------------------------------------------------------------
+
+_HITS_ITERS = 4
+
+
+def _q364_oracle() -> str:
+    step = """
+    a{i} AS MATERIALIZED (
+      SELECT e.s, CAST(sum(CAST(round(h.h, 12) AS DECIMAL(28,12)))
+                       AS DOUBLE) AS a
+      FROM e JOIN h{prev} h ON e.p = h.p GROUP BY e.s
+    ),
+    an{i} AS MATERIALIZED (
+      SELECT s, a / (SELECT max(a) FROM a{i}) AS a FROM a{i}
+    ),
+    hh{i} AS MATERIALIZED (
+      SELECT e.p, CAST(sum(CAST(round(a.a, 12) AS DECIMAL(28,12)))
+                       AS DOUBLE) AS h
+      FROM e JOIN an{i} a ON e.s = a.s GROUP BY e.p
+    ),
+    h{i} AS MATERIALIZED (
+      SELECT p, h / (SELECT max(h) FROM hh{i}) AS h FROM hh{i}
+    )"""
+    its = ",".join(
+        step.format(i=i, prev=i - 1 if i > 1 else "0")
+        for i in range(1, _HITS_ITERS + 1)
+    )
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ),
+    h0 AS (SELECT DISTINCT p, 1.0 AS h FROM e),
+    {its},
+    hubs AS (
+      SELECT 'hub' AS side, p AS node, h AS score,
+             row_number() OVER (ORDER BY h DESC, p) AS rnk
+      FROM h{_HITS_ITERS}
+    ),
+    auths AS (
+      SELECT 'authority' AS side, s AS node, a AS score,
+             row_number() OVER (ORDER BY a DESC, s) AS rnk
+      FROM an{_HITS_ITERS}
+    )
+    SELECT side, CAST(rnk AS BIGINT) AS rnk, CAST(node AS BIGINT) AS node,
+           round(score, 9) AS score
+    FROM (SELECT * FROM hubs WHERE rnk <= 10
+          UNION ALL SELECT * FROM auths WHERE rnk <= 10)
+    ORDER BY side, rnk
+    """
+
+
+@register("q364_hits_hubs_authorities", oracle=_q364_oracle())
+def q364_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (hubs & authorities) over the part->supplier purchase graph:
+    4 mutual-reinforcement iterations — authority(s) = sum of hub scores
+    of linking parts, hub(p) = sum of authority scores of its suppliers,
+    max-normalized per half-step — PageRank's (q100) bipartite sibling,
+    ranking 'versatile parts' and 'authoritative suppliers' jointly.
+    Every edge-sum is round(12)-pinned DECIMAL (order-free); the
+    normalizing max and each ratio are the same IEEE ops on both
+    engines. Per iteration: two edge-list joins + two aggs, shuffles
+    sized to the edge count (the q100 discipline); top-10 per side via
+    ranked windows."""
+    li = _t(spark, sf_dir, "lineitem")
+    e = (
+        li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    P12 = lambda c: F.round(c, 12).cast("decimal(28,12)")
+    h = e.select("p").distinct().select("p", F.lit(1.0).alias("h"))
+    a = None
+    for _ in range(_HITS_ITERS):
+        a_raw = (
+            e.join(h, "p")
+            .groupBy("s")
+            .agg(F.sum(P12(F.col("h"))).cast("double").alias("a"))
+        )
+        amax = a_raw.agg(F.max("a").alias("mx"))
+        a = (
+            a_raw.crossJoin(F.broadcast(amax))
+            .select("s", (F.col("a") / F.col("mx")).alias("a"))
+            .localCheckpoint(eager=True)
+        )
+        h_raw = (
+            e.join(a, "s")
+            .groupBy("p")
+            .agg(F.sum(P12(F.col("a"))).cast("double").alias("h"))
+        )
+        hmax = h_raw.agg(F.max("h").alias("mx"))
+        h = (
+            h_raw.crossJoin(F.broadcast(hmax))
+            .select("p", (F.col("h") / F.col("mx")).alias("h"))
+            .localCheckpoint(eager=True)
+        )
+    hubs = h.select(
+        F.lit("hub").alias("side"),
+        F.col("p").alias("node"),
+        F.col("h").alias("score"),
+        F.row_number().over(W.orderBy(F.desc("h"), "p")).cast("long").alias("rnk"),
+    )
+    auths = a.select(
+        F.lit("authority").alias("side"),
+        F.col("s").alias("node"),
+        F.col("a").alias("score"),
+        F.row_number().over(W.orderBy(F.desc("a"), "s")).cast("long").alias("rnk"),
+    )
+    return (
+        hubs.filter(F.col("rnk") <= 10)
+        .unionByName(auths.filter(F.col("rnk") <= 10))
+        .select("side", "rnk", F.col("node").cast("long").alias("node"),
+                F.round("score", 9).alias("score"))
+        .orderBy("side", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IPTW causal estimate, feature-hashing collision audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q365_iptw_ate",
+    oracle="""
+    WITH units AS (
+      SELECT o_custkey AS cust,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS treated,
+             CAST(substr(o_orderpriority, 3, 1) AS VARCHAR) AS dummy,
+             o_orderstatus AS stratum,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+      FROM orders
+    ),
+    strata AS (
+      SELECT stratum, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(treated) AS BIGINT) AS nt
+      FROM units GROUP BY stratum
+    ),
+    weighted AS (
+      SELECT u.treated, u.stratum, u.y,
+             CASE WHEN u.treated = 1
+                  THEN 1.0 / (CAST(s.nt AS DOUBLE) / s.n)
+                  ELSE 1.0 / (1 - CAST(s.nt AS DOUBLE) / s.n) END AS w
+      FROM units u JOIN strata s ON u.stratum = s.stratum
+    ),
+    sums AS (
+      SELECT treated,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(w, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sw,
+             CAST(sum(CAST(round(w * y, 6) AS DECIMAL(28,6))) AS DOUBLE)
+               AS swy
+      FROM weighted GROUP BY treated
+    )
+    SELECT t.n AS n_treated, c.n AS n_control,
+           round(t.swy / t.sw / 100, 6) AS mean_treated,
+           round(c.swy / c.sw / 100, 6) AS mean_control,
+           round((t.swy / t.sw - c.swy / c.sw) / 100, 6) AS ate
+    FROM sums t, sums c WHERE t.treated = 1 AND c.treated = 0
+    """,
+)
+def q365_iptw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect: 'treatment'
+    = urgent/high priority, outcome = order value, propensity estimated
+    per stratum (order status) as the exact treated share, units
+    weighted 1/p (treated) or 1/(1-p) (control), ATE = weighted-mean
+    difference — the observational-causal workhorse that completes the
+    panel beside DiD (q323), CUPED (q313) and Mantel-Haenszel (q318).
+    Propensities are single divisions over exact counts; weights and
+    weighted outcomes are round-pinned DECIMAL sums; the ATE is one
+    shared IEEE chain. One stratum agg + one broadcast join + one
+    2-group reduce."""
+    o = _t(spark, sf_dir, "orders")
+    units = o.select(
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("treated"),
+        F.col("o_orderstatus").alias("stratum"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("y"),
+    )
+    strata = units.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("treated").cast("long").alias("nt")
+    )
+    p = F.col("nt").cast("double") / F.col("n")
+    weighted = units.join(F.broadcast(strata), "stratum").select(
+        "treated",
+        "y",
+        F.when(F.col("treated") == 1, 1.0 / p).otherwise(1.0 / (1 - p)).alias("w"),
+    )
+    sums = weighted.groupBy("treated").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("w"), 9).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("sw"),
+        F.sum(F.round(F.col("w") * F.col("y"), 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("swy"),
+    )
+    t = sums.filter(F.col("treated") == 1).select(
+        F.col("n").alias("n_treated"),
+        F.col("sw").alias("tsw"),
+        F.col("swy").alias("tswy"),
+    )
+    c = sums.filter(F.col("treated") == 0).select(
+        F.col("n").alias("n_control"),
+        F.col("sw").alias("csw"),
+        F.col("swy").alias("cswy"),
+    )
+    mt = F.col("tswy") / F.col("tsw")
+    mc = F.col("cswy") / F.col("csw")
+    return t.crossJoin(F.broadcast(c)).select(
+        "n_treated",
+        "n_control",
+        F.round(mt / 100, 6).alias("mean_treated"),
+        F.round(mc / 100, 6).alias("mean_control"),
+        F.round((mt - mc) / 100, 6).alias("ate"),
+    )
+
+
+@register(
+    "q366_feature_hash_collisions",
+    oracle="""
+    WITH feats AS (
+      SELECT DISTINCT unnest(string_split_regex(trim(text), '\\s+')) AS f
+      FROM documents WHERE trim(text) <> ''
+    ),
+    hashed AS (
+      SELECT f, ('0x' || substr(md5(f), 1, 15))::BIGINT AS h FROM feats
+    ),
+    dims AS (SELECT unnest([1024, 4096, 16384]) AS dim),
+    bucketed AS (
+      SELECT d.dim, h.h % d.dim AS bucket
+      FROM hashed h CROSS JOIN dims d
+    ),
+    stats AS (
+      SELECT dim,
+             CAST(count(*) AS BIGINT) AS n_features,
+             CAST(count(DISTINCT bucket) AS BIGINT) AS n_buckets_used,
+             CAST(max(cnt) AS BIGINT) AS max_bucket_load
+      FROM (SELECT dim, bucket, count(*) AS cnt FROM bucketed
+            GROUP BY dim, bucket)
+      GROUP BY dim
+    )
+    SELECT dim, n_features, n_buckets_used,
+           CAST(n_features - n_buckets_used AS BIGINT) AS n_collided,
+           round(CAST(n_features - n_buckets_used AS DOUBLE) / n_features, 9)
+             AS collision_rate,
+           max_bucket_load
+    FROM stats ORDER BY dim
+    """,
+)
+def q366_feature_hash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing (hashing-trick) collision audit: the corpus's
+    distinct token features hashed into 2^10 / 2^12 / 2^14 buckets with
+    the portable md5-60bit hash, reporting collided-feature counts,
+    collision rate, and the hottest bucket — the dimension-sizing
+    decision every hashed feature pipeline makes before training (the
+    sketch-QA sibling of q281's bloom FPR and q284's HLL error curve,
+    for the FEATURE side). Exact distinct counts; one division. One
+    distinct agg + a 3x-exploded bucket rollup."""
+    from .operators.sketches import md5_hash60
+
+    d = _t(spark, sf_dir, "documents")
+    feats = (
+        d.filter(F.trim(F.col("text")) != "")
+        .select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("f"))
+        .distinct()
+    )
+    hashed = feats.select(md5_hash60(F.col("f")).alias("h"))
+    bucketed = hashed.select(
+        F.explode(F.array(F.lit(1024), F.lit(4096), F.lit(16384))).alias("dim"),
+        "h",
+    ).select("dim", (F.col("h") % F.col("dim")).alias("bucket"))
+    loads = bucketed.groupBy("dim", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = loads.groupBy("dim").agg(
+        F.sum("cnt").cast("long").alias("n_features"),
+        F.count(F.lit(1)).alias("n_buckets_used"),
+        F.max("cnt").cast("long").alias("max_bucket_load"),
+    )
+    collided = (F.col("n_features") - F.col("n_buckets_used")).cast("long")
+    return stats.select(
+        "dim",
+        "n_features",
+        "n_buckets_used",
+        collided.alias("n_collided"),
+        F.round(collided.cast("double") / F.col("n_features"), 9).alias(
+            "collision_rate"
+        ),
+        "max_bucket_load",
+    ).orderBy("dim")

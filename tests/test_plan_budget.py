@@ -257,6 +257,15 @@ BUDGETS = [
     ("q355_recursive_cte_native", 2, 0),    # native recursion + depth agg
     ("q356_video_scene_cuts", 1, 2),        # synth UDF + decode mapInPandas
     ("q357_mmr_diversification", 1, 0),     # greedy checkpoint-pinned
+    ("q358_markov_attribution", 1, 0),      # iterations checkpoint-pinned
+    ("q359_histogram_equalization", 1, 2),  # synth UDF + decode mapInPandas
+    ("q360_jonckheere_terpstra", 13, 0),    # hist agg + 10-pair merged axis
+    ("q361_dft_diurnal_power", 1, 0),       # hourly agg; pinned reduction
+    ("q362_fellegi_sunter_em", 1, 0),       # EM checkpoint-pinned; pair agg
+    ("q363_shapley_attribution", 8, 0),     # journey window + mask agg
+    ("q364_hits_hubs_authorities", 0, 0),   # iterations checkpoint-pinned
+    ("q365_iptw_ate", 4, 0),                # stratum agg + 2-group reduce
+    ("q366_feature_hash_collisions", 4, 0), # distinct agg + bucket rollup
 ]
 
 
