@@ -169,3 +169,153 @@ def test_ar_aging_shares_sum_to_one(spark):
     assert rows
     assert abs(sum(r.bucket_share for r in rows) - 1.0) < 1e-6
     assert all(r.dso_days > 0 for r in rows)
+
+
+# --- second half of the wave: q352-q366 --------------------------------------
+
+
+def test_audio_windows_shape_and_energy(spark):
+    rows = _run("q352_audio_silence_windows", spark)
+    # 21 audio rows x 4 windows of 64 samples
+    assert len(rows) == 84
+    for r in rows:
+        assert r.n_samples == 64
+        assert r.energy_ss >= 0
+        assert abs(r.rms * r.rms - r.energy_ss / 64) < 1.0
+
+
+def test_burrows_delta_symmetric_nonnegative(spark):
+    rows = _run("q353_burrows_delta", spark)
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r.s1 < r.s2  # upper triangle only
+        assert r.delta >= 0
+        assert (r.s1, r.s2) not in seen
+        seen.add((r.s1, r.s2))
+
+
+def test_cochran_armitage_same_z_all_rows(spark):
+    rows = _run("q354_cochran_armitage", spark)
+    assert len(rows) == 5
+    assert len({r.trend_z for r in rows}) == 1
+    assert [r.score for r in rows] == [1, 2, 3, 4, 5]
+
+
+def test_recursive_cte_covers_all_parts(spark):
+    rows = _run("q355_recursive_cte_native", spark)
+    n_parts = (
+        spark.read.parquet(f"{SF_DIR}/part.parquet").count()
+    )
+    # every part reachable from the root exactly once (+1 for the root row)
+    covered = sum(r.n_nodes for r in rows)
+    has_zero = (
+        spark.read.parquet(f"{SF_DIR}/part.parquet")
+        .filter("p_partkey = 0").count()
+    )
+    assert covered == n_parts + 1 - has_zero
+    depths = [r.depth for r in rows]
+    assert depths == sorted(depths)
+
+
+def test_video_scene_cuts_pairs(spark):
+    rows = _run("q356_video_scene_cuts", spark)
+    # 21 video rows x 3 consecutive-frame pairs
+    assert len(rows) == 63
+    for r in rows:
+        assert r.n_px == 8 * 6 * 3
+        assert 0 <= r.mean_abs_diff <= 255
+
+
+def test_mmr_prefix_is_relevance_order_then_diversifies(spark):
+    rows = _run("q357_mmr_diversification", spark)
+    assert [r.mmr_rank for r in rows] == list(range(1, 7))
+    assert len({r.vec_id for r in rows}) == 6  # no repeats
+    # rank 1 is the pure-relevance argmax
+    assert rows[0].rel == max(r.rel for r in rows)
+
+
+def test_markov_attribution_sums_to_one(spark):
+    rows = _run("q358_markov_attribution", spark)
+    by = {r.scenario: r for r in rows}
+    assert set(by) == {"base", "no_click", "no_error", "no_signup", "no_view"}
+    assert 0 < by["base"].p_conv <= 1
+    # removing a channel cannot help conversion in this absorbing chain
+    for s, r in by.items():
+        if s != "base":
+            assert r.p_conv <= by["base"].p_conv + 1e-9
+            assert r.removal_effect >= -1e-9
+    attr = sum(r.attribution for s, r in by.items() if s != "base")
+    assert abs(attr - 1.0) < 1e-6
+
+
+def test_histogram_equalization_stretches_range(spark):
+    rows = _run("q359_histogram_equalization", spark)
+    assert len(rows) == 22  # image rows of 64 synth media
+    for r in rows:
+        assert r.n_px == 144
+        assert r.eq_max == 255  # equalization reaches full range
+
+
+def test_jonckheere_pairs_bounded(spark):
+    rows = _run("q360_jonckheere_terpstra", spark)
+    assert len(rows) == 10  # 5 choose 2 ordered pairs
+    for r in rows:
+        assert 0 <= r.u2
+
+
+def test_dft_power_nonnegative(spark):
+    rows = _run("q361_dft_diurnal_power", spark)
+    assert [r.period for r in rows] == [12, 24, 168]
+    for r in rows:
+        assert r.power >= 0
+        assert r.amplitude >= 0
+
+
+def test_fellegi_sunter_probabilities_valid(spark):
+    rows = _run("q362_fellegi_sunter_em", spark)
+    # only the OBSERVED agreement patterns appear (sf0.001's tiny blocks
+    # don't produce all 8); each must carry valid probabilities
+    assert 1 <= len(rows) <= 8
+    r = rows[0]
+    for v in (r.p_match, r.m1, r.m2, r.m3, r.u1, r.u2, r.u3):
+        assert 0 <= v <= 1, rows[0]
+    for row in rows:
+        assert 0 <= row.posterior <= 1
+    # posteriors must be monotone in agreement count when comparable
+    by_pattern = {(r.g1, r.g2, r.g3): r.posterior for r in rows}
+    if (1, 1, 1) in by_pattern:
+        assert by_pattern[(1, 1, 1)] == max(by_pattern.values())
+
+
+def test_shapley_channels_complete(spark):
+    rows = _run("q363_shapley_attribution", spark)
+    assert {r.channel for r in rows} == {"click", "error", "signup", "view"}
+
+
+def test_hits_scores_normalized(spark):
+    rows = _run("q364_hits_hubs_authorities", spark)
+    hubs = [r for r in rows if r.side == "hub"]
+    auths = [r for r in rows if r.side == "authority"]
+    assert len(hubs) == 10 and len(auths) == 10
+    assert hubs[0].score == 1.0 and auths[0].score == 1.0  # max-normalized
+    for seq in (hubs, auths):
+        scores = [r.score for r in seq]
+        assert scores == sorted(scores, reverse=True)
+        assert all(0 <= s <= 1 for s in scores)
+
+
+def test_iptw_ate_is_mean_difference(spark):
+    (r,) = _run("q365_iptw_ate", spark)
+    assert abs(r.ate - (r.mean_treated - r.mean_control)) < 1e-5
+    assert r.n_treated > 0 and r.n_control > 0
+
+
+def test_feature_hash_collisions_decrease_with_dim(spark):
+    rows = _run("q366_feature_hash_collisions", spark)
+    assert [r.dim for r in rows] == [1024, 4096, 16384]
+    rates = [r.collision_rate for r in rows]
+    assert rates == sorted(rates, reverse=True)  # bigger table, fewer collisions
+    for r in rows:
+        assert r.n_buckets_used <= r.dim
+        assert r.n_collided == r.n_features - r.n_buckets_used
