@@ -3903,3 +3903,310 @@ def q366_feature_hash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "max_bucket_load",
     ).orderBy("dim")
+
+
+# ---------------------------------------------------------------------------
+# Supply-chain planning, behavioral predictability, count-data QA
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q367_safety_stock_reorder",
+    oracle="""
+    WITH daily AS (
+      SELECT l_partkey AS part, date_trunc('day', l_shipdate) AS d,
+             CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY part, d
+    ),
+    stats AS (
+      SELECT part, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(q) AS BIGINT) AS s,
+             CAST(sum(q * q) AS BIGINT) AS ss
+      FROM daily GROUP BY part HAVING count(*) >= 30
+    )
+    SELECT part, n_days,
+           round(CAST(s AS DOUBLE) / n_days, 6) AS mean_daily,
+           round(sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n_days)
+                      / (n_days - 1)), 6) AS sd_daily,
+           round(1.6449 * sqrt((CAST(ss AS DOUBLE)
+                                - CAST(s AS DOUBLE) * s / n_days)
+                               / (n_days - 1)) * sqrt(7.0), 6)
+             AS safety_stock,
+           round(CAST(s AS DOUBLE) / n_days * 7
+                 + 1.6449 * sqrt((CAST(ss AS DOUBLE)
+                                  - CAST(s AS DOUBLE) * s / n_days)
+                                 / (n_days - 1)) * sqrt(7.0), 6)
+             AS reorder_point
+    FROM stats ORDER BY reorder_point DESC, part LIMIT 50
+    """,
+)
+def q367_safety_stock_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safety stock + reorder point per part: daily-demand mean and
+    sample SD from exact integer moments, safety stock = z * sd *
+    sqrt(lead time) at a 95% service level (z = 1.6449 as a LITERAL —
+    no distribution functions), ROP = lead-time demand + safety stock —
+    the inventory-planning formula behind every replenishment system
+    (q174 allocates FIFO lots; this decides how much buffer to hold).
+    One daily agg + one per-part moment agg; top-50 via
+    TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.date_trunc("day", "l_shipdate").alias("d"),
+    ).agg(F.sum(F.floor("l_quantity").cast("long")).cast("long").alias("q"))
+    stats = (
+        daily.groupBy("part")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("q").cast("long").alias("s"),
+            F.sum(F.col("q") * F.col("q")).cast("long").alias("ss"),
+        )
+        .filter(F.col("n_days") >= 30)
+    )
+    mean = F.col("s").cast("double") / F.col("n_days")
+    sd = F.sqrt(
+        (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n_days"))
+        / (F.col("n_days") - 1)
+    )
+    ss_stock = 1.6449 * sd * F.sqrt(F.lit(7.0))
+    return (
+        stats.select(
+            "part",
+            "n_days",
+            F.round(mean, 6).alias("mean_daily"),
+            F.round(sd, 6).alias("sd_daily"),
+            F.round(ss_stock, 6).alias("safety_stock"),
+            F.round(mean * 7 + ss_stock, 6).alias("reorder_point"),
+        )
+        .orderBy(F.desc("reorder_point"), "part")
+        .limit(50)
+    )
+
+
+@register(
+    "q368_markov_entropy_rate",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS s,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS t
+      FROM events
+    ),
+    trans AS (
+      SELECT s, t, CAST(count(*) AS BIGINT) AS n FROM seq
+      WHERE t IS NOT NULL GROUP BY s, t
+    ),
+    marg AS (SELECT s, CAST(sum(n) AS BIGINT) AS ns FROM trans GROUP BY s),
+    tot AS (SELECT CAST(sum(ns) AS BIGINT) AS nn FROM marg),
+    terms AS (
+      SELECT t1.s,
+             CAST(round(
+               (CAST(m.ns AS DOUBLE) / g.nn)
+               * (CAST(t1.n AS DOUBLE) / m.ns)
+               * ln(CAST(t1.n AS DOUBLE) / m.ns), 12)
+             AS DECIMAL(28,12)) AS term
+      FROM trans t1 JOIN marg m ON t1.s = m.s CROSS JOIN tot g
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_transitions_kinds,
+           round(-CAST(sum(term) AS DOUBLE), 9) AS entropy_rate_nats,
+           round(-CAST(sum(term) AS DOUBLE) / ln(5.0), 9)
+             AS normalized_entropy
+    FROM terms
+    """,
+)
+def q368_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the first-order behavior chain: H = -Sum_s pi(s)
+    Sum_t p(s,t) ln p(s,t) with the empirical source distribution as
+    pi — 'how predictable is the next user action', the sequence-
+    predictability score that q143's raw transition matrix feeds
+    (normalized by ln(k) to [0,1]). All probabilities are single
+    divisions over exact BIGINT counts; each pi*p*ln(p) term is
+    round(12)-pinned DECIMAL so the 25-term reduction is order-free.
+    One lead window + one pair agg."""
+    ev = _t(spark, sf_dir, "events")
+    wq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("s"),
+        F.lead("event_type").over(wq).alias("t"),
+    ).filter(F.col("t").isNotNull())
+    trans = seq.groupBy("s", "t").agg(F.count(F.lit(1)).alias("n"))
+    marg = trans.groupBy("s").agg(F.sum("n").cast("long").alias("ns"))
+    tot = marg.agg(F.sum("ns").cast("long").alias("nn"))
+    p = F.col("n").cast("double") / F.col("ns")
+    pi = F.col("ns").cast("double") / F.col("nn")
+    terms = (
+        trans.join(F.broadcast(marg), "s")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(pi * p * F.log(p), 12).cast("decimal(28,12)").alias("term")
+        )
+    )
+    import math
+
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_transitions_kinds"),
+        F.round(-F.sum("term").cast("double"), 9).alias("entropy_rate_nats"),
+        F.round(-F.sum("term").cast("double") / math.log(5.0), 9).alias(
+            "normalized_entropy"
+        ),
+    )
+
+
+@register(
+    "q369_overdispersion_test",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY event_type, user_id
+    ),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(x * x) AS BIGINT) AS ss
+      FROM counts GROUP BY event_type
+    )
+    SELECT event_type, k AS n_users,
+           round(CAST(s AS DOUBLE) / k, 9) AS mean_count,
+           round((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / k)
+                 / (k - 1), 9) AS var_count,
+           round(((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / k) / (k - 1))
+                 / (CAST(s AS DOUBLE) / k), 9) AS dispersion_index,
+           round((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / k)
+                 / (CAST(s AS DOUBLE) / k), 6) AS poisson_chi2
+    FROM g ORDER BY event_type
+    """,
+)
+def q369_overdispersion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson overdispersion test on per-user event counts: variance/
+    mean dispersion index per event type plus the chi-square dispersion
+    statistic Sum((x-xbar)^2)/xbar ~ chi2(k-1) — the count-data QA gate
+    that decides Poisson vs negative-binomial modeling (and flags bot-
+    like burst users when the index explodes). All moments exact BIGINT;
+    the statistics are one shared IEEE chain. Two stacked aggs."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    g = counts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("k")
+    css = F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("k")
+    var = css / (F.col("k") - 1)
+    return g.select(
+        "event_type",
+        F.col("k").alias("n_users"),
+        F.round(mean, 9).alias("mean_count"),
+        F.round(var, 9).alias("var_count"),
+        F.round(var / mean, 9).alias("dispersion_index"),
+        F.round(css / mean, 6).alias("poisson_chi2"),
+    ).orderBy("event_type")
+
+
+@register(
+    "q370_var_cvar",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS tot
+      FROM events GROUP BY event_type, d
+    ),
+    deltas AS (
+      SELECT event_type,
+             tot - lag(tot) OVER (PARTITION BY event_type ORDER BY d)
+               AS delta
+      FROM daily
+    ),
+    losses AS (
+      SELECT event_type, CAST(-delta AS BIGINT) AS loss
+      FROM deltas WHERE delta IS NOT NULL
+    ),
+    ranked AS (
+      SELECT event_type, loss,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY loss, event_type) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM losses
+    ),
+    var95 AS (
+      SELECT event_type, loss AS var_cents, n
+      FROM ranked WHERE rn = CAST(ceil(0.95 * n) AS BIGINT)
+    ),
+    tail AS (
+      SELECT l.event_type,
+             CAST(count(*) AS BIGINT) AS n_tail,
+             CAST(sum(l.loss) AS BIGINT) AS tail_sum
+      FROM losses l JOIN var95 v ON l.event_type = v.event_type
+      WHERE l.loss >= v.var_cents
+      GROUP BY l.event_type
+    )
+    SELECT v.event_type, CAST(v.n AS BIGINT) AS n_days,
+           round(CAST(v.var_cents AS DOUBLE) / 100, 6) AS var95,
+           t.n_tail,
+           round(CAST(t.tail_sum AS DOUBLE) / t.n_tail / 100, 6) AS cvar95
+    FROM var95 v JOIN tail t ON v.event_type = t.event_type
+    ORDER BY v.event_type
+    """,
+)
+def q370_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-at-risk and expected shortfall (CVaR) of day-over-day
+    drops in daily event value per type: losses = negative daily
+    deltas, VaR95 = the exact 95th-percentile order statistic, CVaR95 =
+    the exact tail mean at-or-beyond it — the risk pair that max
+    drawdown (q328) complements (drawdown is path-dependent; VaR/CVaR
+    are distributional). Deltas are exact integer cents; the quantile
+    is a deterministic order statistic (never an interpolated
+    percentile, whose engine conventions differ); the tail mean is one
+    division. One daily agg + one lag window + one rank window."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("tot")
+    )
+    wd = W.partitionBy("event_type").orderBy("d")
+    losses = (
+        daily.select(
+            "event_type",
+            (F.col("tot") - F.lag("tot").over(wd)).alias("delta"),
+        )
+        .filter(F.col("delta").isNotNull())
+        .select("event_type", (-F.col("delta")).cast("long").alias("loss"))
+    )
+    wr = W.partitionBy("event_type").orderBy("loss", "event_type")
+    ranked = losses.select(
+        "event_type",
+        "loss",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+    )
+    var95 = ranked.filter(
+        F.col("rn") == F.ceil(0.95 * F.col("n")).cast("long")
+    ).select("event_type", F.col("loss").alias("var_cents"), "n")
+    tail = (
+        losses.join(F.broadcast(var95), "event_type")
+        .filter(F.col("loss") >= F.col("var_cents"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_tail"),
+            F.sum("loss").cast("long").alias("tail_sum"),
+        )
+    )
+    return (
+        var95.join(tail, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_days"),
+            F.round(F.col("var_cents").cast("double") / 100, 6).alias("var95"),
+            "n_tail",
+            F.round(
+                F.col("tail_sum").cast("double") / F.col("n_tail") / 100, 6
+            ).alias("cvar95"),
+        )
+        .orderBy("event_type")
+    )

@@ -266,6 +266,10 @@ BUDGETS = [
     ("q364_hits_hubs_authorities", 0, 0),   # iterations checkpoint-pinned
     ("q365_iptw_ate", 4, 0),                # stratum agg + 2-group reduce
     ("q366_feature_hash_collisions", 4, 0), # distinct agg + bucket rollup
+    ("q367_safety_stock_reorder", 2, 0),    # daily agg + moment agg; TOAP
+    ("q368_markov_entropy_rate", 8, 0),     # lead window + pair agg
+    ("q369_overdispersion_test", 3, 0),     # two stacked aggs
+    ("q370_var_cvar", 7, 0),                # daily agg + lag + rank windows
 ]
 
 
