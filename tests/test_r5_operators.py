@@ -319,3 +319,34 @@ def test_feature_hash_collisions_decrease_with_dim(spark):
     for r in rows:
         assert r.n_buckets_used <= r.dim
         assert r.n_collided == r.n_features - r.n_buckets_used
+
+
+def test_safety_stock_reorder_identity(spark):
+    rows = _run("q367_safety_stock_reorder", spark)
+    for r in rows:
+        assert r.sd_daily >= 0
+        assert abs(r.reorder_point - (r.mean_daily * 7 + r.safety_stock)) < 1e-4
+
+
+def test_entropy_rate_bounds(spark):
+    (r,) = _run("q368_markov_entropy_rate", spark)
+    assert 0 <= r.entropy_rate_nats
+    assert 0 <= r.normalized_entropy <= 1.0 + 1e-9
+
+
+def test_overdispersion_positive(spark):
+    rows = _run("q369_overdispersion_test", spark)
+    assert len(rows) == 5
+    for r in rows:
+        assert r.mean_count > 0
+        assert r.var_count >= 0
+        assert r.poisson_chi2 >= 0
+
+
+def test_var_cvar_ordering(spark):
+    rows = _run("q370_var_cvar", spark)
+    assert rows
+    for r in rows:
+        # expected shortfall dominates VaR by construction (tail mean)
+        assert r.cvar95 >= r.var95 - 1e-9
+        assert 1 <= r.n_tail <= r.n_days
