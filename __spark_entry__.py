@@ -18,6 +18,7 @@ from sqlserver2pgsql_spark import queries as _q
 from sqlserver2pgsql_spark import queries_llm as _q_llm  # noqa: F401 — registers M7 queries
 from sqlserver2pgsql_spark import queries_r4 as _q_r4  # noqa: F401 — registers round-4 queries
 from sqlserver2pgsql_spark import queries_r5 as _q_r5  # noqa: F401 — registers seventh-wave queries
+from sqlserver2pgsql_spark import queries_r6 as _q_r6  # noqa: F401 — registers eighth-wave queries
 from sqlserver2pgsql_spark.session import tune_session
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"

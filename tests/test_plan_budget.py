@@ -11,6 +11,7 @@ import re
 
 import sqlserver2pgsql_spark.queries_r4  # noqa: F401 — fills the registry
 import sqlserver2pgsql_spark.queries_r5  # noqa: F401 — fills the registry
+import sqlserver2pgsql_spark.queries_r6  # noqa: F401 — fills the registry
 from sqlserver2pgsql_spark.queries import QUERIES
 from tests.conftest import SF_DIR
 
@@ -270,6 +271,10 @@ BUDGETS = [
     ("q368_markov_entropy_rate", 8, 0),     # lead window + pair agg
     ("q369_overdispersion_test", 3, 0),     # two stacked aggs
     ("q370_var_cvar", 7, 0),                # daily agg + lag + rank windows
+    ("q371_kendall_tau", 12, 0),            # cell agg reused 4x + flag joins
+    ("q372_abc_classification", 2, 0),      # part agg; Pareto window 1-part
+    ("q373_littles_law", 7, 0),             # order agg + sweep window + joins
+    ("q374_watermark_lateness", 5, 0),      # user window + type agg + p95 rank
 ]
 
 
