@@ -459,3 +459,858 @@ def q374_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Economic index numbers
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q375_price_indexes",
+    oracle="""
+    WITH py AS (
+      SELECT p.p_brand AS brand, l.l_partkey,
+             date_part('year', l.l_shipdate) AS yr,
+             CAST(sum(CAST(floor(l.l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+             CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE date_part('year', l.l_shipdate) IN (1996, 1997)
+      GROUP BY brand, l.l_partkey, yr
+    ),
+    paired AS (
+      SELECT b.brand,
+             CAST(b.cents AS DOUBLE) / b.qty AS p0, b.qty AS q0,
+             CAST(c.cents AS DOUBLE) / c.qty AS p1, c.qty AS q1
+      FROM py b JOIN py c
+        ON b.brand = c.brand AND b.l_partkey = c.l_partkey
+       AND b.yr = 1996 AND c.yr = 1997
+    ),
+    sums AS (
+      SELECT brand, CAST(count(*) AS BIGINT) AS n_common_parts,
+             CAST(sum(CAST(p1 * q0 AS DECIMAL(38,8))) AS DOUBLE) AS l_num,
+             CAST(sum(CAST(p0 * q0 AS DECIMAL(38,8))) AS DOUBLE) AS l_den,
+             CAST(sum(CAST(p1 * q1 AS DECIMAL(38,8))) AS DOUBLE) AS p_num,
+             CAST(sum(CAST(p0 * q1 AS DECIMAL(38,8))) AS DOUBLE) AS p_den
+      FROM paired GROUP BY brand
+    )
+    SELECT brand, n_common_parts,
+           round(l_num / l_den, 9) AS laspeyres,
+           round(p_num / p_den, 9) AS paasche,
+           round(sqrt((l_num / l_den) * (p_num / p_den)), 9) AS fisher
+    FROM sums ORDER BY brand
+    """,
+)
+def q375_price_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres / Paasche / Fisher price indexes per brand, 1996→1997:
+    the bilateral index-number trio every CPI and internal
+    cost-inflation dashboard reports. Unit prices are one BIGINT/BIGINT
+    IEEE divide per (part, year); the index numerators/denominators
+    cast each p*q term to DECIMAL(38,8) before summing so engine
+    accumulation order can't perturb the totals; Fisher is the
+    geometric mean of the two raw (unrounded) ratios. Shapes: one
+    (brand, part, year) agg, a self-join on the year pair (both sides
+    shrink to parts traded in BOTH years), one brand rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    py = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(F.year("l_shipdate").isin(1996, 1997))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            "l_partkey",
+            F.year("l_shipdate").alias("yr"),
+        )
+        .agg(
+            F.sum(F.floor("l_quantity").cast("long")).cast("long").alias("qty"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    base = py.filter(F.col("yr") == 1996).select(
+        "brand",
+        "l_partkey",
+        (F.col("cents").cast("double") / F.col("qty")).alias("p0"),
+        F.col("qty").alias("q0"),
+    )
+    curr = py.filter(F.col("yr") == 1997).select(
+        "brand",
+        "l_partkey",
+        (F.col("cents").cast("double") / F.col("qty")).alias("p1"),
+        F.col("qty").alias("q1"),
+    )
+    paired = base.join(curr, ["brand", "l_partkey"])
+    DEC38 = "decimal(38,8)"
+    sums = paired.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n_common_parts"),
+        F.sum((F.col("p1") * F.col("q0")).cast(DEC38)).cast("double").alias("l_num"),
+        F.sum((F.col("p0") * F.col("q0")).cast(DEC38)).cast("double").alias("l_den"),
+        F.sum((F.col("p1") * F.col("q1")).cast(DEC38)).cast("double").alias("p_num"),
+        F.sum((F.col("p0") * F.col("q1")).cast(DEC38)).cast("double").alias("p_den"),
+    )
+    lasp = F.col("l_num") / F.col("l_den")
+    paas = F.col("p_num") / F.col("p_den")
+    return sums.select(
+        "brand",
+        "n_common_parts",
+        F.round(lasp, 9).alias("laspeyres"),
+        F.round(paas, 9).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 9).alias("fisher"),
+    ).orderBy("brand")
+
+
+# ---------------------------------------------------------------------------
+# Fulfillment KPIs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q376_perfect_order_rate",
+    oracle="""
+    WITH lines AS (
+      SELECT o.o_orderkey, o.o_orderpriority AS priority,
+             CASE WHEN date_diff('day', date_trunc('day', o.o_orderdate),
+                                 date_trunc('day', l.l_shipdate)) <= 30
+                  THEN 1 ELSE 0 END AS on_time,
+             CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS returned
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    per_order AS (
+      SELECT o_orderkey, priority,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(on_time) AS BIGINT) AS n_on_time,
+             CAST(max(returned) AS BIGINT) AS any_return
+      FROM lines GROUP BY o_orderkey, priority
+    )
+    SELECT priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(n_lines) AS BIGINT) AS n_lineitems,
+           round(CAST(sum(n_on_time) AS DOUBLE) / sum(n_lines), 9) AS fill_rate,
+           round(CAST(sum(CASE WHEN n_on_time = n_lines AND any_return = 0
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 9) AS perfect_order_rate
+    FROM per_order GROUP BY priority ORDER BY priority
+    """,
+)
+def q376_perfect_order_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line fill rate and perfect-order rate per priority — the two
+    fulfillment KPIs every supply-chain scorecard leads with. A line is
+    on time if it ships within 30 days of the order date (day-truncated
+    integer diff); an order is perfect iff EVERY line is on time and
+    none was returned. All counts integer; the two rates are single
+    divides. Two stacked aggs (orderkey, then priority) so the all-lines
+    quantifier is an exact min/max, never a float."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    lines = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.when(
+            F.datediff(
+                F.date_trunc("day", "l_shipdate"), F.date_trunc("day", "o_orderdate")
+            )
+            <= 30,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("on_time"),
+        F.when(F.col("l_returnflag") == "R", F.lit(1)).otherwise(F.lit(0)).alias("returned"),
+    )
+    per_order = lines.groupBy("o_orderkey", "priority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("on_time").cast("long").alias("n_on_time"),
+        F.max("returned").cast("long").alias("any_return"),
+    )
+    return (
+        per_order.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("n_lines").cast("long").alias("n_lineitems"),
+            F.round(
+                F.sum("n_on_time").cast("double") / F.sum("n_lines"), 9
+            ).alias("fill_rate"),
+            F.round(
+                F.sum(
+                    F.when(
+                        (F.col("n_on_time") == F.col("n_lines"))
+                        & (F.col("any_return") == 0),
+                        F.lit(1),
+                    ).otherwise(F.lit(0))
+                ).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("perfect_order_rate"),
+        )
+        .orderBy("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus tokenization economics + keyword extraction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q377_tokenizer_fertility",
+    oracle="""
+    WITH per_doc AS (
+      SELECT lang,
+             CAST(n_chars AS BIGINT) AS chars,
+             CAST(strlen(text) AS BIGINT) AS bytes,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws,
+             CAST(len(regexp_extract_all(text,
+                  ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS BIGINT) AS bpe
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+           CAST(sum(ws) AS BIGINT) AS ws_tokens,
+           round(CAST(sum(bpe) AS DOUBLE) / sum(ws), 9) AS fertility,
+           round(CAST(sum(bytes) AS DOUBLE) / sum(bpe), 9) AS bytes_per_token,
+           round(CAST(sum(chars) AS DOUBLE) / sum(bpe), 9) AS chars_per_token
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+)
+def q377_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility and compression per language: BPE-ish tokens
+    per whitespace word (fertility — the classic multilingual-tokenizer
+    cost metric), bytes per token, and chars per token. These three
+    numbers decide how a token training budget actually divides across
+    languages, and which languages a tokenizer penalizes. Single scan,
+    pure JVM regex columns (the identical RE2-safe pattern runs on both
+    engines — operators/text.py BPE_PATTERN), one language agg; ratios
+    are single IEEE divides over exact integer sums."""
+    from .operators.text import bpe_token_count, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        F.col("n_chars").cast("long").alias("chars"),
+        F.octet_length("text").cast("long").alias("bytes"),
+        token_count(F.col("text")).cast("long").alias("ws"),
+        bpe_token_count(F.col("text")).cast("long").alias("bpe"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("bpe").cast("long").alias("bpe_tokens"),
+            F.sum("ws").cast("long").alias("ws_tokens"),
+            F.round(F.sum("bpe").cast("double") / F.sum("ws"), 9).alias("fertility"),
+            F.round(F.sum("bytes").cast("double") / F.sum("bpe"), 9).alias(
+                "bytes_per_token"
+            ),
+            F.round(F.sum("chars").cast("double") / F.sum("bpe"), 9).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+#: RAKE phrase-boundary pattern: stopwords and non-letter runs split candidate
+#: phrases. RE2-compatible (no lookahead) so the identical pattern runs in the
+#: DuckDB oracle. Applied to lower()ed text.
+RAKE_BOUNDARY = r"\s*\b(?:the|a|of|and|to|in|is|it|that|for)\b\s*|[^a-z\s]+"
+
+
+@register(
+    "q378_rake_keywords",
+    oracle=f"""
+    WITH frags AS (
+      SELECT regexp_replace(trim(f), '\\s+', ' ', 'g') AS phrase
+      FROM (
+        SELECT unnest(string_split_regex(lower(text), '{RAKE_BOUNDARY}')) AS f
+        FROM documents
+      ) WHERE trim(f) <> ''
+    ),
+    occ AS (
+      SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM frags GROUP BY phrase
+    ),
+    phrase_words AS (
+      SELECT phrase, CAST(len(string_split(phrase, ' ')) AS BIGINT) AS n_words,
+             unnest(string_split(phrase, ' ')) AS w
+      FROM (SELECT DISTINCT phrase FROM frags)
+    ),
+    word_stats AS (
+      SELECT w,
+             CAST(sum(p.n_occurrences) AS BIGINT) AS freq,
+             CAST(sum(p.n_occurrences * pw.n_words) AS BIGINT) AS degree
+      FROM (SELECT phrase, n_words, w FROM phrase_words) pw
+      JOIN occ p USING (phrase)
+      GROUP BY w
+    ),
+    scored AS (
+      SELECT pw.phrase, max(pw.n_words) AS n_words,
+             CAST(sum(CAST(CAST(ws.degree AS DOUBLE) / ws.freq
+                           AS DECIMAL(38,8))) AS DOUBLE) AS rake_score
+      FROM phrase_words pw JOIN word_stats ws ON pw.w = ws.w
+      GROUP BY pw.phrase
+    )
+    SELECT s.phrase, s.n_words, o.n_occurrences,
+           round(s.rake_score, 8) AS rake_score
+    FROM scored s JOIN occ o USING (phrase)
+    ORDER BY rake_score DESC, phrase LIMIT 20
+    """,
+)
+def q378_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus:
+    candidate phrases are maximal stopword-free word runs (found by
+    SPLITTING on a stopword/punctuation boundary regex — no positional
+    bookkeeping needed), word degree = occurrence-weighted sum of the
+    lengths of phrases containing the word, word score = degree/freq,
+    phrase score = sum of member word scores. Occurrence weighting uses
+    the phrase multiset, so a phrase appearing 100x contributes 100x to
+    its words' degree/freq — the standard corpus-level RAKE. Each word
+    score is one IEEE divide; the phrase-score sum goes through
+    DECIMAL(38,8) so addition order can't perturb it. Shapes: fragment
+    explode (flatMap-like, no shuffle), one word agg, one phrase agg, a
+    broadcast-joinable word-stats table, top-20 TOAP."""
+    d = _t(spark, sf_dir, "documents")
+    frags = (
+        d.select(
+            F.explode(F.split(F.lower("text"), RAKE_BOUNDARY)).alias("f")
+        )
+        .select(F.regexp_replace(F.trim("f"), r"\s+", " ").alias("phrase"))
+        .filter(F.col("phrase") != "")
+    )
+    occ = frags.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    phrase_words = occ.select(
+        "phrase",
+        "n_occurrences",
+        F.size(F.split("phrase", " ")).cast("long").alias("n_words"),
+        F.explode(F.split("phrase", " ")).alias("w"),
+    )
+    word_stats = phrase_words.groupBy("w").agg(
+        F.sum("n_occurrences").cast("long").alias("freq"),
+        F.sum(F.col("n_occurrences") * F.col("n_words")).cast("long").alias("degree"),
+    )
+    scored = (
+        phrase_words.join(F.broadcast(word_stats), "w")
+        .groupBy("phrase")
+        .agg(
+            F.max("n_words").alias("n_words"),
+            F.sum(
+                (F.col("degree").cast("double") / F.col("freq")).cast("decimal(38,8)")
+            )
+            .cast("double")
+            .alias("rake_score"),
+        )
+    )
+    return (
+        scored.join(occ, "phrase")
+        .select(
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            F.round("rake_score", 8).alias("rake_score"),
+        )
+        .orderBy(F.desc("rake_score"), "phrase")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Density clustering / robust statistics / supply-chain dynamics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q379_dbscan_grid",
+    oracle="""
+    WITH RECURSIVE pts AS (
+      SELECT vec_id,
+             CAST(embedding[1] AS DOUBLE) AS x,
+             CAST(embedding[2] AS DOUBLE) AS y
+      FROM embeddings
+    ),
+    nbrs AS (
+      SELECT a.vec_id AS pa, b.vec_id AS pb
+      FROM pts a JOIN pts b
+        ON abs(floor(a.x / 0.02) - floor(b.x / 0.02)) <= 1
+       AND abs(floor(a.y / 0.02) - floor(b.y / 0.02)) <= 1
+       AND a.vec_id <> b.vec_id
+       AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+             <= 0.02 * 0.02
+    ),
+    ncount AS (
+      SELECT pa AS vec_id, CAST(count(*) + 1 AS BIGINT) AS n_neighbors
+      FROM nbrs GROUP BY pa
+    ),
+    cores AS (SELECT vec_id FROM ncount WHERE n_neighbors >= 3),
+    core_edges AS (
+      SELECT n.pa AS a, n.pb AS b FROM nbrs n
+      JOIN cores c1 ON n.pa = c1.vec_id
+      JOIN cores c2 ON n.pb = c2.vec_id
+    ),
+    reach(node, lbl) AS (
+      SELECT a, a FROM core_edges
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN core_edges e ON e.a = r.node
+    ),
+    core_cluster AS (
+      SELECT c.vec_id, CAST(coalesce(min(r.lbl), c.vec_id) AS BIGINT)
+               AS cluster_id
+      FROM cores c LEFT JOIN reach r ON r.node = c.vec_id
+      GROUP BY c.vec_id
+    ),
+    border AS (
+      SELECT n.pa AS vec_id, CAST(min(cc.cluster_id) AS BIGINT) AS cluster_id
+      FROM nbrs n JOIN core_cluster cc ON n.pb = cc.vec_id
+      WHERE n.pa NOT IN (SELECT vec_id FROM cores)
+      GROUP BY n.pa
+    )
+    SELECT p.vec_id,
+           CASE WHEN cc.vec_id IS NOT NULL THEN 'core'
+                WHEN b.vec_id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           CAST(coalesce(cc.cluster_id, b.cluster_id, -1) AS BIGINT)
+             AS cluster_id
+    FROM pts p
+    LEFT JOIN core_cluster cc ON p.vec_id = cc.vec_id
+    LEFT JOIN border b ON p.vec_id = b.vec_id
+    ORDER BY p.vec_id
+    """,
+)
+def q379_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed DBSCAN over the embedding table's first two
+    coordinates (eps=0.02, minPts=3): candidate neighbor pairs come from
+    a 9-cell grid equi-join (each point probes its 3x3 cell
+    neighborhood — the q320 spatial-join shape, NEVER an all-pairs
+    cross join), exact distance filters them, core points have >=3
+    neighbors incl. self, clusters are connected components over
+    core-core edges (min-label = min vec_id, deterministic), border
+    points adopt the min cluster among adjacent cores, the rest is
+    noise (-1). The density-based family none of the k-means/LSH
+    clustering queries cover; at 100 TB the grid join is a bounded
+    equi-join on cell keys and the CC runs on the (far smaller)
+    core-edge list. Eps-ball chains make this graph HIGH-diameter
+    (unlike near-dup clusters), so the CC must be the alternating
+    large-star/small-star engine — plain min-label propagation needs
+    diameter-many rounds and provably fails here (caught by the oracle
+    gate: the sf0.01 chain exceeds 25 hops)."""
+    from .operators.graph import connected_components_star
+
+    eps, min_pts = 0.02, 3
+    emb = _t(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.col("embedding").getItem(0).cast("double").alias("x"),
+        F.col("embedding").getItem(1).cast("double").alias("y"),
+    )
+    cell = lambda c: F.floor(c / eps).cast("long")  # noqa: E731
+    probe = pts.select(
+        F.col("vec_id").alias("pa"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (cell(F.col("x")) + dx).alias("cx"),
+                        (cell(F.col("y")) + dy).alias("cy"),
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ).alias("cell"),
+    )
+    build = pts.select(
+        F.col("vec_id").alias("pb"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.struct(cell(F.col("x")).alias("cx"), cell(F.col("y")).alias("cy")).alias("cell"),
+    )
+    dx, dy = F.col("xa") - F.col("xb"), F.col("ya") - F.col("yb")
+    # the grid-join pair list feeds FOUR consumers (neighbor counts, core
+    # edges, border assignment, final roles) — pin it once, like the CC
+    # engines pin their edge lists, so the explode-join runs a single time
+    nbrs = (
+        probe.join(build, "cell")
+        .filter((F.col("pa") != F.col("pb")) & (dx * dx + dy * dy <= eps * eps))
+        .select("pa", "pb")
+        .localCheckpoint(eager=False)
+    )
+    ncount = nbrs.groupBy(F.col("pa").alias("vec_id")).agg(
+        (F.count(F.lit(1)) + 1).cast("long").alias("n_neighbors")
+    )
+    cores = ncount.filter(F.col("n_neighbors") >= min_pts).select("vec_id")
+    core_edges = (
+        nbrs.join(cores.withColumnRenamed("vec_id", "pa"), "pa")
+        .join(cores.withColumnRenamed("vec_id", "pb"), "pb")
+        .select("pa", "pb")
+    )
+    cc, _rounds = connected_components_star(core_edges, "pa", "pb")
+    # isolated cores (no core neighbor) keep their own id as cluster
+    core_cluster = (
+        cores.join(cc, cores.vec_id == cc.node, "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster_id", "vec_id").cast("long").alias("cluster_id"),
+        )
+    )
+    border = (
+        nbrs.join(
+            core_cluster.withColumnRenamed("vec_id", "pb").withColumnRenamed(
+                "cluster_id", "core_cluster"
+            ),
+            "pb",
+        )
+        .join(cores.withColumnRenamed("vec_id", "pa"), "pa", "left_anti")
+        .groupBy(F.col("pa").alias("vec_id"))
+        .agg(F.min("core_cluster").cast("long").alias("border_cluster"))
+    )
+    return (
+        pts.select("vec_id")
+        .join(core_cluster.withColumnRenamed("cluster_id", "ccl"), "vec_id", "left")
+        .join(border, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(F.col("ccl").isNotNull(), F.lit("core"))
+            .when(F.col("border_cluster").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce("ccl", "border_cluster", F.lit(-1)).cast("long").alias("cluster_id"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "q380_newsvendor",
+    oracle="""
+    WITH daily AS (
+      SELECT p.p_brand AS brand, date_trunc('day', l.l_shipdate) AS d,
+             CAST(sum(CAST(floor(l.l_quantity) AS BIGINT)) AS BIGINT) AS demand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY brand, d
+    ),
+    ranked AS (
+      SELECT brand, demand,
+             row_number() OVER (PARTITION BY brand ORDER BY demand, d) AS rn,
+             count(*) OVER (PARTITION BY brand) AS n
+      FROM daily
+    ),
+    qstar AS (
+      SELECT brand, demand AS q_star, n AS n_days
+      FROM ranked WHERE rn = CAST(ceil(0.9 * n) AS BIGINT)
+    ),
+    cost AS (
+      SELECT d.brand,
+             CAST(sum(CASE WHEN q.q_star > d.demand
+                           THEN q.q_star - d.demand ELSE 0 END) AS BIGINT)
+               AS overage_units,
+             CAST(sum(CASE WHEN d.demand > q.q_star
+                           THEN d.demand - q.q_star ELSE 0 END) AS BIGINT)
+               AS underage_units
+      FROM daily d JOIN qstar q ON d.brand = q.brand
+      GROUP BY d.brand
+    )
+    SELECT q.brand, q.n_days, q.q_star,
+           c.overage_units, c.underage_units,
+           round((CAST(c.overage_units AS DOUBLE) * 1
+                  + CAST(c.underage_units AS DOUBLE) * 9) / q.n_days, 9)
+             AS expected_cost_per_day
+    FROM qstar q JOIN cost c ON q.brand = c.brand
+    ORDER BY q.brand
+    """,
+)
+def q380_newsvendor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor stocking level per brand: with underage cost 9 and
+    overage cost 1 the critical fractile is 0.9, so the optimal order
+    quantity q* is the EXACT empirical 0.9-quantile order statistic of
+    daily demand (never an interpolated percentile — engine conventions
+    differ), and the expected daily cost at q* is the integer-exact
+    over/under unit tally weighted by the two costs. Complements
+    q367's normal-approximation safety stock with the distribution-free
+    optimum. One daily agg + one per-brand rank window + one cost agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    daily = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("day", "l_shipdate").alias("d"),
+        )
+        .agg(F.sum(F.floor("l_quantity").cast("long")).cast("long").alias("demand"))
+    )
+    wb = W.partitionBy("brand").orderBy("demand", "d")
+    ranked = daily.select(
+        "brand",
+        "demand",
+        F.row_number().over(wb).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("brand")).alias("n"),
+    )
+    qstar = ranked.filter(
+        F.col("rn") == F.ceil(0.9 * F.col("n")).cast("long")
+    ).select("brand", F.col("demand").alias("q_star"), F.col("n").alias("n_days"))
+    cost = (
+        daily.join(F.broadcast(qstar), "brand")
+        .groupBy("brand")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("q_star") > F.col("demand"), F.col("q_star") - F.col("demand")
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("overage_units"),
+            F.sum(
+                F.when(
+                    F.col("demand") > F.col("q_star"), F.col("demand") - F.col("q_star")
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("underage_units"),
+        )
+    )
+    return (
+        qstar.join(cost, "brand")
+        .select(
+            "brand",
+            "n_days",
+            "q_star",
+            "overage_units",
+            "underage_units",
+            F.round(
+                (
+                    F.col("overage_units").cast("double") * 1
+                    + F.col("underage_units").cast("double") * 9
+                )
+                / F.col("n_days"),
+                9,
+            ).alias("expected_cost_per_day"),
+        )
+        .orderBy("brand")
+    )
+
+
+@register(
+    "q381_huber_irls",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY event_type, d
+    ),
+    mom AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(sum(cents * cents) AS BIGINT) AS ss
+      FROM daily GROUP BY event_type
+    ),
+    init AS (
+      SELECT event_type, n,
+             CAST(s AS DOUBLE) / n AS m,
+             1.345 * sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                          / (n - 1)) AS c
+      FROM mom
+    ),
+    it1 AS (
+      SELECT d.event_type, i.n, i.c,
+             CAST(sum(CAST(least(1.0, i.c / abs(d.cents - i.m)) * d.cents
+                           AS DECIMAL(38,8))) AS DOUBLE)
+             / CAST(sum(CAST(least(1.0, i.c / abs(d.cents - i.m))
+                             AS DECIMAL(38,8))) AS DOUBLE) AS m
+      FROM daily d JOIN init i USING (event_type)
+      GROUP BY d.event_type, i.n, i.c
+    ),
+    it2 AS (
+      SELECT d.event_type, i.n, i.c,
+             CAST(sum(CAST(least(1.0, i.c / abs(d.cents - i.m)) * d.cents
+                           AS DECIMAL(38,8))) AS DOUBLE)
+             / CAST(sum(CAST(least(1.0, i.c / abs(d.cents - i.m))
+                             AS DECIMAL(38,8))) AS DOUBLE) AS m
+      FROM daily d JOIN it1 i USING (event_type)
+      GROUP BY d.event_type, i.n, i.c
+    ),
+    it3 AS (
+      SELECT d.event_type, i.n, i.c,
+             CAST(sum(CAST(least(1.0, i.c / abs(d.cents - i.m)) * d.cents
+                           AS DECIMAL(38,8))) AS DOUBLE)
+             / CAST(sum(CAST(least(1.0, i.c / abs(d.cents - i.m))
+                             AS DECIMAL(38,8))) AS DOUBLE) AS m
+      FROM daily d JOIN it2 i USING (event_type)
+      GROUP BY d.event_type, i.n, i.c
+    )
+    SELECT i.event_type, i.n AS n_days,
+           round(CAST(m0.s AS DOUBLE) / m0.n / 100, 9) AS mean_dollars,
+           round(i.m / 100, 9) AS huber_dollars,
+           round(i.c / 100, 9) AS tuning_c_dollars
+    FROM it3 i JOIN mom m0 USING (event_type)
+    ORDER BY i.event_type
+    """,
+)
+def q381_huber_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber M-estimator of daily event value per type via 3 pinned IRLS
+    iterations: weights w = min(1, c/|x - m|) with the classic c =
+    1.345*sd (sd from exact BIGINT moments), m updated as the weighted
+    mean. The robust-location family between the mean and the median
+    (q107/q161 cover MAD/medians; this is the smooth compromise that
+    downweights outlier days instead of discarding them). Each
+    iteration's weighted sums route through DECIMAL(38,8) per term so
+    accumulation order can't perturb m, and the iteration COUNT is
+    pinned (3), not convergence-tested — both engines run the identical
+    unrolled chain. Spark side: the <=5-row (type, m, c) table is
+    localCheckpoint-pinned per round (the IPF/EM lesson) so analysis
+    doesn't go exponential."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).cast("long").alias("cents")
+    )
+    mom = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("ss"),
+    )
+    css = F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    cur = mom.select(
+        "event_type",
+        "n",
+        (F.col("s").cast("double") / F.col("n")).alias("m"),
+        (1.345 * F.sqrt(css / (F.col("n") - 1))).alias("c"),
+    ).localCheckpoint(eager=False)
+    for _ in range(3):
+        w = F.least(F.lit(1.0), F.col("c") / F.abs(F.col("cents") - F.col("m")))
+        cur = (
+            daily.join(F.broadcast(cur), "event_type")
+            .groupBy("event_type", "n", "c")
+            .agg(
+                (
+                    F.sum((w * F.col("cents")).cast("decimal(38,8)")).cast("double")
+                    / F.sum(w.cast("decimal(38,8)")).cast("double")
+                ).alias("m")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        cur.join(mom.select("event_type", "s"), "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.round(F.col("s").cast("double") / F.col("n") / 100, 9).alias("mean_dollars"),
+            F.round(F.col("m") / 100, 9).alias("huber_dollars"),
+            F.round(F.col("c") / 100, 9).alias("tuning_c_dollars"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q382_bullwhip_effect",
+    oracle="""
+    WITH placed AS (
+      SELECT p.p_brand AS brand, date_trunc('week', o.o_orderdate) AS wk,
+             CAST(sum(CAST(floor(l.l_quantity) AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY brand, wk
+    ),
+    shipped AS (
+      SELECT p.p_brand AS brand, date_trunc('week', l.l_shipdate) AS wk,
+             CAST(sum(CAST(floor(l.l_quantity) AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY brand, wk
+    ),
+    mp AS (
+      SELECT brand, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(qty) AS BIGINT) AS s, CAST(sum(qty * qty) AS BIGINT) AS ss
+      FROM placed GROUP BY brand
+    ),
+    ms AS (
+      SELECT brand, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(qty) AS BIGINT) AS s, CAST(sum(qty * qty) AS BIGINT) AS ss
+      FROM shipped GROUP BY brand
+    )
+    SELECT mp.brand,
+           mp.n AS n_weeks_placed, ms.n AS n_weeks_shipped,
+           round(((CAST(mp.ss AS DOUBLE) - CAST(mp.s AS DOUBLE) * mp.s / mp.n)
+                  / (mp.n - 1))
+                 / ((CAST(mp.s AS DOUBLE) / mp.n) * (CAST(mp.s AS DOUBLE) / mp.n)),
+                 9) AS cv2_placed,
+           round(((CAST(ms.ss AS DOUBLE) - CAST(ms.s AS DOUBLE) * ms.s / ms.n)
+                  / (ms.n - 1))
+                 / ((CAST(ms.s AS DOUBLE) / ms.n) * (CAST(ms.s AS DOUBLE) / ms.n)),
+                 9) AS cv2_shipped,
+           round((((CAST(mp.ss AS DOUBLE) - CAST(mp.s AS DOUBLE) * mp.s / mp.n)
+                   / (mp.n - 1))
+                  / ((CAST(mp.s AS DOUBLE) / mp.n) * (CAST(mp.s AS DOUBLE) / mp.n)))
+                 / (((CAST(ms.ss AS DOUBLE) - CAST(ms.s AS DOUBLE) * ms.s / ms.n)
+                     / (ms.n - 1))
+                    / ((CAST(ms.s AS DOUBLE) / ms.n) * (CAST(ms.s AS DOUBLE) / ms.n))),
+                 9) AS bullwhip_ratio
+    FROM mp JOIN ms ON mp.brand = ms.brand
+    ORDER BY mp.brand
+    """,
+)
+def q382_bullwhip_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bullwhip-effect measure per brand: squared coefficient of
+    variation of weekly ORDERED quantity (demand signal, bucketed by
+    order date) over weekly SHIPPED quantity (fulfillment signal,
+    bucketed by ship date) — CV²(upstream)/CV²(downstream) > 1 is the
+    classic demand-amplification diagnostic (Lee et al. 1997). Both
+    variances come from exact BIGINT moment sums over week buckets; the
+    CV² and ratio are one shared IEEE chain replicated on both engines.
+    Two three-way-join aggs (dims broadcast) + one brand join."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part")
+    qty = F.sum(F.floor("l_quantity").cast("long")).cast("long").alias("qty")
+    placed = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("week", "o_orderdate").alias("wk"),
+        )
+        .agg(qty)
+    )
+    shipped = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("week", "l_shipdate").alias("wk"),
+        )
+        .agg(qty)
+    )
+
+    def moments(df):
+        return df.groupBy("brand").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("qty").cast("long").alias("s"),
+            F.sum(F.col("qty") * F.col("qty")).cast("long").alias("ss"),
+        )
+
+    def cv2(n, s, ss):
+        mean = s.cast("double") / n
+        var = (ss.cast("double") - s.cast("double") * s / n) / (n - 1)
+        return var / (mean * mean)
+
+    mp = moments(placed).select(
+        "brand", F.col("n").alias("np"), F.col("s").alias("sp"), F.col("ss").alias("ssp")
+    )
+    ms = moments(shipped).select(
+        "brand", F.col("n").alias("ns"), F.col("s").alias("sss"), F.col("ss").alias("sss2")
+    )
+    cp = cv2(F.col("np"), F.col("sp"), F.col("ssp"))
+    cs = cv2(F.col("ns"), F.col("sss"), F.col("sss2"))
+    return (
+        mp.join(ms, "brand")
+        .select(
+            "brand",
+            F.col("np").alias("n_weeks_placed"),
+            F.col("ns").alias("n_weeks_shipped"),
+            F.round(cp, 9).alias("cv2_placed"),
+            F.round(cs, 9).alias("cv2_shipped"),
+            F.round(cp / cs, 9).alias("bullwhip_ratio"),
+        )
+        .orderBy("brand")
+    )

@@ -275,6 +275,14 @@ BUDGETS = [
     ("q372_abc_classification", 2, 0),      # part agg; Pareto window 1-part
     ("q373_littles_law", 7, 0),             # order agg + sweep window + joins
     ("q374_watermark_lateness", 5, 0),      # user window + type agg + p95 rank
+    ("q375_price_indexes", 6, 0),           # (brand,part,yr) agg + year self-join
+    ("q376_perfect_order_rate", 3, 0),      # order agg + priority agg
+    ("q377_tokenizer_fertility", 2, 0),     # one scan-level lang agg
+    ("q378_rake_keywords", 4, 0),           # phrase agg + word agg + score agg
+    ("q379_dbscan_grid", 14, 0),            # grid join + counts + CC assembly
+    ("q380_newsvendor", 7, 0),              # daily agg + rank window + cost agg
+    ("q381_huber_irls", 3, 0),              # moment agg; IRLS checkpoint-pinned
+    ("q382_bullwhip_effect", 5, 0),         # two weekly aggs + brand join
 ]
 
 

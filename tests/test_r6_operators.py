@@ -56,3 +56,97 @@ def test_watermark_drop_fraction_monotone(spark):
         assert r.drop_pct_0s >= r.drop_pct_60s >= r.drop_pct_300s >= r.drop_pct_1h
         assert 0.0 <= r.drop_pct_1h and r.drop_pct_0s <= 1.0
         assert 0 <= r.p95_lateness_us <= r.max_lateness_us
+
+
+def test_price_index_bounds(spark):
+    rows = _run("q375_price_indexes", spark)
+    assert rows
+    for r in rows:
+        assert r.n_common_parts >= 1
+        assert r.laspeyres > 0 and r.paasche > 0
+        # Fisher is the geometric mean: always between the two
+        lo, hi = sorted([r.laspeyres, r.paasche])
+        assert lo - 1e-6 <= r.fisher <= hi + 1e-6
+
+
+def test_perfect_order_dominated_by_fill_rate(spark):
+    rows = _run("q376_perfect_order_rate", spark)
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.perfect_order_rate <= 1.0
+        assert 0.0 <= r.fill_rate <= 1.0
+        # a perfect order needs every line on time, so the perfect rate
+        # can't exceed the line fill rate
+        assert r.perfect_order_rate <= r.fill_rate + 1e-9
+        assert r.n_lineitems >= r.n_orders
+
+
+def test_fertility_at_least_one(spark):
+    rows = _run("q377_tokenizer_fertility", spark)
+    assert rows
+    for r in rows:
+        # the BPE-ish pre-tokenizer only ever splits whitespace words
+        # further, so fertility >= 1 and chars/token <= chars/word
+        assert r.fertility >= 1.0
+        assert r.bpe_tokens >= r.ws_tokens
+        assert r.bytes_per_token >= 1.0
+
+
+def test_rake_scores_positive_and_sorted(spark):
+    rows = _run("q378_rake_keywords", spark)
+    assert rows
+    scores = [r.rake_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        # each member word contributes degree/freq >= 1
+        assert r.rake_score >= r.n_words - 1e-6
+        assert r.n_occurrences >= 1
+        assert " " not in ("",) and r.phrase == r.phrase.strip()
+
+
+def test_dbscan_roles_consistent(spark):
+    rows = _run("q379_dbscan_grid", spark)
+    assert rows
+    clusters = {}
+    for r in rows:
+        assert r.role in ("core", "border", "noise")
+        if r.role == "noise":
+            assert r.cluster_id == -1
+        else:
+            assert r.cluster_id >= 0
+            clusters.setdefault(r.cluster_id, []).append(r)
+    # a cluster's id is the min vec_id of its CORE members (label = min
+    # core node; borders never lower it)
+    for cid, members in clusters.items():
+        cores = [m.vec_id for m in members if m.role == "core"]
+        if cores:  # isolated core keeps its own id
+            assert cid == min(cores)
+
+
+def test_newsvendor_fractile_position(spark):
+    rows = _run("q380_newsvendor", spark)
+    assert rows
+    for r in rows:
+        assert r.q_star >= 0
+        assert r.expected_cost_per_day >= 0
+        # at the 0.9 fractile, <=10% of days exceed q*, so underage days
+        # are rare but each costs 9x — both tallies must be finite ints
+        assert r.overage_units >= 0 and r.underage_units >= 0
+
+
+def test_huber_between_extremes_and_c_positive(spark):
+    rows = _run("q381_huber_irls", spark)
+    assert rows
+    for r in rows:
+        assert r.tuning_c_dollars > 0
+        # Huber downweights tails: the estimate stays within a tuning
+        # constant of the plain mean
+        assert abs(r.huber_dollars - r.mean_dollars) <= r.tuning_c_dollars + 1e-6
+
+
+def test_bullwhip_ratio_consistency(spark):
+    rows = _run("q382_bullwhip_effect", spark)
+    assert rows
+    for r in rows:
+        assert r.cv2_placed >= 0 and r.cv2_shipped > 0
+        assert abs(r.bullwhip_ratio - r.cv2_placed / r.cv2_shipped) < 1e-6
