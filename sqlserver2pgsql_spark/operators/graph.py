@@ -272,3 +272,82 @@ def pagerank_fixed_point(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def personalized_pagerank_fixed_point(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    iterations: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Personalized PageRank in the same BIGINT fixed-point scheme as
+    ``pagerank_fixed_point``: the teleport mass goes ONLY to the seed
+    set (uniformly, ``PR_SCALE // |S ∩ nodes|``), so ranks measure graph
+    proximity to the seeds — the related-items / local-relevance query
+    PageRank's global teleport can't express. Initial ranks equal the
+    seed teleport distribution (zero elsewhere). Seeds not present in
+    the edge list are ignored (they have no edges to carry mass).
+
+    Same exactness contract: floor divisions, BIGINT addition, pinned
+    iteration count — bit-identical on any engine/partitioning. Same
+    scale shape: per iteration one ranks⋈edges join + one groupBy(dst)
+    agg at edge-sized width.
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_part = _edge_partitions(e.count())
+    e = e.repartition(n_part, "s").localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+        .repartition(n_part, "node")
+        .localCheckpoint(eager=False)
+    )
+    seed_nodes = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .join(nodes, "node")
+        .localCheckpoint(eager=False)
+    )
+    n_seeds = seed_nodes.count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank: no seed intersects the graph")
+    base = PR_SCALE // n_seeds
+    flagged = nodes.join(
+        seed_nodes.withColumn("is_seed", F.lit(True)), "node", "left"
+    ).select("node", F.coalesce("is_seed", F.lit(False)).alias("is_seed"))
+    flagged = flagged.repartition(n_part, "node").localCheckpoint(eager=False)
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    e_deg = e.join(deg, "s").repartition(n_part, "s").localCheckpoint(eager=False)
+    seed_teleport = (100 - damping_pct) * base // 100
+    ranks = flagged.select(
+        "node",
+        F.when(F.col("is_seed"), F.lit(base)).otherwise(F.lit(0)).cast("long").alias("rank_fp"),
+    )
+    for _ in range(iterations):
+        contrib = (
+            e_deg.join(ranks.withColumnRenamed("node", "s"), "s")
+            .select(F.col("d").alias("node"), F.expr("rank_fp div deg").alias("c"))
+            .repartition(n_part, "node")
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            flagged.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.when(F.col("is_seed"), F.lit(seed_teleport)).otherwise(F.lit(0))
+                    + F.expr(f"({damping_pct} * coalesce(in_sum, 0L)) div 100")
+                ).cast("long").alias("rank_fp"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

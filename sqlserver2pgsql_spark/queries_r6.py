@@ -1314,3 +1314,747 @@ def q382_bullwhip_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL-surface parity / demand patterns / ranking eval / TextRank
+# ---------------------------------------------------------------------------
+
+_Q383_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+             AS n_deep_discount,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,8)))
+                FILTER (WHERE l_discount > 0.05) AS DOUBLE)
+             AS deep_discount_revenue
+    FROM {lineitem}
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+@register("q383_groupby_all_parity", oracle=_Q383_SQL.format(lineitem="lineitem"))
+def q383_groupby_all_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern-SQL surface parity: GROUP BY ALL + ORDER BY ALL + aggregate
+    FILTER clauses in ONE SQL text executed by BOTH engines' SQL front
+    ends (the q355 native-recursion pattern). Pins that Catalyst's
+    ALL-resolution (non-aggregate select items become grouping keys,
+    ORDER BY ALL = select order) and its FILTER-clause rewrite to
+    conditional aggregation agree with DuckDB's — the dialect features a
+    user migrating ad-hoc DuckDB analytics onto the cluster engine will
+    hit first. DECIMAL(38,8) accumulators per the determinism contract."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("q383_lineitem")
+    return spark.sql(_Q383_SQL.format(lineitem="q383_lineitem"))
+
+
+@register(
+    "q384_demand_classification",
+    oracle="""
+    WITH weekly AS (
+      SELECT l_partkey, date_trunc('week', l_shipdate) AS wk,
+             CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem GROUP BY l_partkey, wk
+    ),
+    per_part AS (
+      SELECT l_partkey,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(date_diff('day', min(wk), max(wk)) / 7 + 1 AS BIGINT) AS s_weeks,
+             CAST(sum(qty) AS BIGINT) AS s,
+             CAST(sum(qty * qty) AS BIGINT) AS ss
+      FROM weekly GROUP BY l_partkey
+    ),
+    classed AS (
+      SELECT l_partkey,
+             CAST(s_weeks AS DOUBLE) / k AS adi,
+             CAST(k * (k * ss - s * s) AS DOUBLE) / ((k - 1) * s * s) AS cv2,
+             CASE WHEN s_weeks * 100 >= 132 * k THEN
+                    CASE WHEN k * (k * ss - s * s) * 100 >= 49 * (k - 1) * s * s
+                         THEN 'lumpy' ELSE 'intermittent' END
+                  ELSE
+                    CASE WHEN k * (k * ss - s * s) * 100 >= 49 * (k - 1) * s * s
+                         THEN 'erratic' ELSE 'smooth' END
+             END AS demand_class
+      FROM per_part WHERE k >= 2
+    )
+    SELECT demand_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(CAST(count(*) AS DOUBLE)
+                 / (SELECT count(*) FROM classed), 9) AS share,
+           round(CAST(sum(CAST(adi AS DECIMAL(38,8))) AS DOUBLE) / count(*), 9)
+             AS avg_adi,
+           round(CAST(sum(CAST(cv2 AS DECIMAL(38,8))) AS DOUBLE) / count(*), 9)
+             AS avg_cv2
+    FROM classed GROUP BY demand_class ORDER BY demand_class
+    """,
+)
+def q384_demand_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syntetos-Boylan demand-pattern classification per part:
+    ADI (average inter-demand interval = span weeks / demand weeks) and
+    CV² of nonzero weekly demand cut the catalog into smooth /
+    intermittent / erratic / lumpy quadrants at the published 1.32 and
+    0.49 thresholds — the classifier that decides which parts get
+    Croston-style forecasting instead of exponential smoothing. BOTH
+    threshold tests are exact integer cross-multiplications
+    (s_weeks*100 >= 132*k; k(k·ss−s²)·100 >= 49(k−1)s²), so no float
+    ever decides a class; the reported per-class ADI/CV² means go
+    through DECIMAL(38,8). One weekly agg + one part agg + 4-row rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    weekly = li.groupBy(
+        "l_partkey", F.date_trunc("week", "l_shipdate").alias("wk")
+    ).agg(F.sum(F.floor("l_quantity").cast("long")).cast("long").alias("qty"))
+    per_part = weekly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("k"),
+        (F.datediff(F.max("wk"), F.min("wk")) / 7 + 1).cast("long").alias("s_weeks"),
+        F.sum("qty").cast("long").alias("s"),
+        F.sum(F.col("qty") * F.col("qty")).cast("long").alias("ss"),
+    ).filter(F.col("k") >= 2)
+    k, s, ss, sw = F.col("k"), F.col("s"), F.col("ss"), F.col("s_weeks")
+    cv2_num = k * (k * ss - s * s)
+    cv2_den = (k - 1) * s * s
+    classed = per_part.select(
+        (sw.cast("double") / k).alias("adi"),
+        (cv2_num.cast("double") / cv2_den).alias("cv2"),
+        F.when(
+            sw * 100 >= 132 * k,
+            F.when(cv2_num * 100 >= 49 * cv2_den, F.lit("lumpy")).otherwise(
+                F.lit("intermittent")
+            ),
+        )
+        .otherwise(
+            F.when(cv2_num * 100 >= 49 * cv2_den, F.lit("erratic")).otherwise(
+                F.lit("smooth")
+            )
+        )
+        .alias("demand_class"),
+    )
+    total = classed.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        classed.groupBy("demand_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.col("adi").cast("decimal(38,8)")).cast("double").alias("adi_sum"),
+            F.sum(F.col("cv2").cast("decimal(38,8)")).cast("double").alias("cv2_sum"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "demand_class",
+            "n_parts",
+            F.round(F.col("n_parts").cast("double") / F.col("n_total"), 9).alias("share"),
+            F.round(F.col("adi_sum") / F.col("n_parts"), 9).alias("avg_adi"),
+            F.round(F.col("cv2_sum") / F.col("n_parts"), 9).alias("avg_cv2"),
+        )
+        .orderBy("demand_class")
+    )
+
+
+@register(
+    "q385_average_precision",
+    oracle="""
+    WITH vecs AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    comps AS (
+      SELECT label, dim, CAST(sum(CAST(v AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS csum,
+             CAST(count(*) AS BIGINT) AS n
+      FROM (
+        SELECT label, generate_subscripts(e, 1) AS dim, unnest(e) AS v FROM vecs
+      ) GROUP BY label, dim
+    ),
+    centroids AS (
+      SELECT label AS q_label,
+             list(CAST(csum AS DOUBLE) / n ORDER BY dim) AS c
+      FROM comps GROUP BY label
+    ),
+    scored AS (
+      SELECT c.q_label, v.vec_id, v.label,
+             list_reduce(list_transform(list_zip(c.c, v.e),
+                                        p -> p[1] * p[2]),
+                         (a, b) -> a + b) AS score
+      FROM centroids c CROSS JOIN vecs v
+    ),
+    ranked AS (
+      SELECT q_label, vec_id,
+             CASE WHEN label = q_label THEN 1 ELSE 0 END AS rel,
+             row_number() OVER (PARTITION BY q_label
+                                ORDER BY score DESC, vec_id) AS rk
+      FROM scored
+    ),
+    cum AS (
+      SELECT q_label, rel, rk,
+             CAST(sum(rel) OVER (PARTITION BY q_label ORDER BY rk)
+                  AS BIGINT) AS cum_rel
+      FROM ranked
+    )
+    SELECT q_label AS label,
+           CAST(sum(rel) AS BIGINT) AS n_relevant,
+           round(CAST(sum(CASE WHEN rel = 1
+                     THEN CAST(CAST(cum_rel AS DOUBLE) / rk AS DECIMAL(38,8))
+                     ELSE CAST(0 AS DECIMAL(38,8)) END) AS DOUBLE)
+                 / sum(rel), 9) AS average_precision
+    FROM cum GROUP BY q_label ORDER BY label
+    """,
+)
+def q385_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-average-precision components per label: retrieve the whole
+    corpus ranked by dot-product similarity to each label's EXACT
+    centroid (per-dimension DECIMAL sums — float centroid averaging is
+    accumulation-order-dependent), mark same-label rows relevant, and
+    compute AP = mean of precision@k at each relevant rank. AP is the
+    area under the P-R curve — the eval complement to NDCG (q217) and
+    the Mann-Whitney AUC (q258). The dot product folds dims
+    left-to-right identically on both engines (q21's idiom); each P@k
+    routes through DECIMAL(38,8) before the per-label sum. Shapes: one
+    posexplode agg (#labels × dim rows), a broadcast centroid × corpus
+    join, one rank window per label."""
+    emb = _t(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    comps = (
+        vecs.select("label", F.posexplode("e").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            F.sum(F.col("v").cast("decimal(38,8)")).alias("csum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    centroids = (
+        comps.groupBy(F.col("label").alias("q_label"))
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "dim", (F.col("csum").cast("double") / F.col("n")).alias("cv")
+                        )
+                    )
+                ),
+                lambda st: st.getField("cv"),
+            ).alias("c")
+        )
+    )
+    scored = F.broadcast(centroids).crossJoin(vecs).select(
+        "q_label",
+        "vec_id",
+        "label",
+        F.aggregate(
+            F.zip_with("c", "e", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score"),
+    )
+    wq = W.partitionBy("q_label").orderBy(F.desc("score"), "vec_id")
+    ranked = scored.select(
+        "q_label",
+        F.when(F.col("label") == F.col("q_label"), F.lit(1)).otherwise(F.lit(0)).alias("rel"),
+        F.row_number().over(wq).alias("rk"),
+    )
+    cum = ranked.select(
+        "q_label",
+        "rel",
+        "rk",
+        F.sum("rel").over(W.partitionBy("q_label").orderBy("rk")).cast("long").alias("cum_rel"),
+    )
+    return (
+        cum.groupBy(F.col("q_label").alias("label"))
+        .agg(
+            F.sum("rel").cast("long").alias("n_relevant"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("rel") == 1,
+                        (F.col("cum_rel").cast("double") / F.col("rk")).cast(
+                            "decimal(38,8)"
+                        ),
+                    ).otherwise(F.lit(0).cast("decimal(38,8)"))
+                ).cast("double")
+                / F.sum("rel"),
+                9,
+            ).alias("average_precision"),
+        )
+        .orderBy("label")
+    )
+
+
+def _q386_oracle() -> str:
+    from .operators.graph import PR_SCALE
+
+    iter_cte = """
+    it{i} AS (
+      SELECT n.node,
+             CAST({tp} + (85 * coalesce(sm.in_sum, 0)) // 100 AS BIGINT)
+               AS rank_fp
+      FROM nodes n LEFT JOIN (
+        SELECT e.d AS node, sum(r.rank_fp // dg.deg) AS in_sum
+        FROM e JOIN it{prev} r ON e.s = r.node JOIN deg dg ON e.s = dg.s
+        GROUP BY e.d
+      ) sm ON n.node = sm.node
+    )"""
+    tp = f"(15 * ({PR_SCALE} // (SELECT n FROM params))) // 100"
+    its = ",".join(
+        iter_cte.format(i=i, prev=i - 1 if i > 1 else "0", tp=tp)
+        for i in range(1, 4)
+    )
+    return f"""
+    WITH w AS (
+      SELECT regexp_extract_all(lower(text), '[a-z]{{3,}}') AS w
+      FROM documents
+    ),
+    z AS (
+      SELECT unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS p
+      FROM w WHERE len(w) >= 2
+    ),
+    e0 AS (SELECT p[1] AS s, p[2] AS d FROM z WHERE p[1] <> p[2]),
+    e AS (
+      SELECT DISTINCT s, d FROM (
+        SELECT s, d FROM e0 UNION ALL SELECT d AS s, s AS d FROM e0
+      )
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM e UNION SELECT DISTINCT d FROM e),
+    params AS (SELECT count(*) AS n FROM nodes),
+    deg AS (SELECT s, count(*) AS deg FROM e GROUP BY s),
+    it0 AS (SELECT node, {PR_SCALE} // (SELECT n FROM params) AS rank_fp
+            FROM nodes),
+    {its}
+    SELECT node AS word, rank_fp FROM it3
+    ORDER BY rank_fp DESC, word LIMIT 30
+    """
+
+
+@register("q386_textrank_keywords", oracle=_q386_oracle())
+def q386_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    the word-adjacency graph (distinct symmetrized bigram edges, words =
+    lowercase alpha runs of >=3 chars), 3 pinned power iterations at
+    d=0.85 in BIGINT fixed-point (operators/graph.py:pagerank_fixed_point
+    — float PageRank can never be exact-oracle-gated), top-30 words.
+    The graph-centrality complement to the frequency-based extractors
+    (TF-IDF q53, RAKE q378, keyness q346): a word ranks high when its
+    NEIGHBORS are central, not when it is merely frequent. Edge build is
+    one zip_with over token arrays (no shuffle); the iteration is the
+    q100 machinery — per round one join onto the edge list + one
+    groupBy(dst), both edge-count-sized."""
+    from .operators.graph import pagerank_fixed_point
+
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z]{3,}"), 0).alias("w")
+    ).filter(F.size("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.zip_with(
+                F.slice("w", 1, F.size("w") - 1),
+                F.slice("w", 2, F.size("w") - 1),
+                lambda a, b: F.struct(a.alias("s"), b.alias("d")),
+            )
+        ).alias("p")
+    ).select("p.s", "p.d").filter(F.col("s") != F.col("d"))
+    edges = pairs.unionByName(pairs.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    pr = pagerank_fixed_point(edges, "s", "d", iterations=3)
+    return (
+        pr.select(F.col("node").alias("word"), "rank_fp")
+        .orderBy(F.desc("rank_fp"), "word")
+        .limit(30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Intermittent-demand forecasting / policy matrices / seeded centrality /
+# association rules
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q387_croston_forecast",
+    oracle="""
+    WITH weekly AS (
+      SELECT l_partkey, date_trunc('week', l_shipdate) AS wk,
+             CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem GROUP BY l_partkey, wk
+    ),
+    seqs AS (
+      SELECT l_partkey,
+             CAST(count(*) AS BIGINT) AS k,
+             list(CAST(qty AS DOUBLE) ORDER BY wk) AS zs,
+             list(CAST(epoch(wk) AS DOUBLE) ORDER BY wk) AS ts
+      FROM weekly GROUP BY l_partkey HAVING count(*) >= 2
+    ),
+    folded AS (
+      SELECT l_partkey, k,
+             list_reduce(zs, (s, x) -> 0.5 * x + 0.5 * s) AS z_hat,
+             list_reduce(
+               list_transform(range(2, CAST(len(ts) + 1 AS BIGINT)),
+                              i -> (ts[i] - ts[i-1]) / 604800.0),
+               (s, x) -> 0.5 * x + 0.5 * s) AS i_hat
+      FROM seqs
+    )
+    SELECT l_partkey, k AS n_demand_weeks,
+           round(z_hat, 9) AS smoothed_demand,
+           round(i_hat, 9) AS smoothed_interval_weeks,
+           round(z_hat / i_hat, 9) AS croston_rate
+    FROM folded
+    ORDER BY croston_rate DESC, l_partkey LIMIT 50
+    """,
+)
+def q387_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method for intermittent demand (the forecaster q384's
+    classifier routes lumpy/intermittent parts to): two coupled EWMA
+    recurrences (alpha=0.5) — one over nonzero weekly demand sizes, one
+    over the inter-demand intervals in weeks — and the demand rate =
+    smoothed size / smoothed interval. The recurrences are sequential
+    folds no window frame expresses; BOTH engines run the identical
+    left-fold over the identically-ordered per-part array (the q205
+    idiom: Spark F.aggregate over array_sort'd collect_list vs DuckDB
+    list_reduce over an ORDER BY list), so every IEEE op matches
+    bit-for-bit. Per-part arrays are bounded by the week count. One
+    weekly agg + one part agg + top-50 TOAP."""
+    li = _t(spark, sf_dir, "lineitem")
+    weekly = li.groupBy(
+        "l_partkey", F.date_trunc("week", "l_shipdate").alias("wk")
+    ).agg(F.sum(F.floor("l_quantity").cast("long")).cast("long").alias("qty"))
+    seqs = (
+        weekly.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "wk",
+                        F.col("qty").cast("double").alias("z"),
+                        F.unix_timestamp(F.col("wk").cast("timestamp"))
+                        .cast("double")
+                        .alias("t"),
+                    )
+                )
+            ).alias("hist"),
+        )
+        .filter(F.col("k") >= 2)
+    )
+    zs = F.transform("hist", lambda h: h.getField("z"))
+    ts = F.transform("hist", lambda h: h.getField("t"))
+    ewma = lambda arr: F.aggregate(  # noqa: E731
+        F.slice(arr, 2, F.size(arr) - 1),
+        F.element_at(arr, 1),
+        lambda s, x: F.lit(0.5) * x + F.lit(0.5) * s,
+    )
+    gaps = F.zip_with(
+        F.slice(ts, 2, F.size(ts) - 1),
+        F.slice(ts, 1, F.size(ts) - 1),
+        lambda b, a: (b - a) / F.lit(604800.0),
+    )
+    folded = seqs.select(
+        "l_partkey",
+        F.col("k").alias("n_demand_weeks"),
+        ewma(zs).alias("z_hat"),
+        ewma(gaps).alias("i_hat"),
+    )
+    return folded.select(
+        "l_partkey",
+        "n_demand_weeks",
+        F.round("z_hat", 9).alias("smoothed_demand"),
+        F.round("i_hat", 9).alias("smoothed_interval_weeks"),
+        F.round(F.col("z_hat") / F.col("i_hat"), 9).alias("croston_rate"),
+    ).orderBy(F.desc("croston_rate"), "l_partkey").limit(50)
+
+
+@register(
+    "q388_abc_xyz_matrix",
+    oracle="""
+    WITH weekly AS (
+      SELECT l_partkey, date_trunc('week', l_shipdate) AS wk,
+             CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_partkey, wk
+    ),
+    per_part AS (
+      SELECT l_partkey,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(qty) AS BIGINT) AS s,
+             CAST(sum(qty * qty) AS BIGINT) AS ss,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM weekly GROUP BY l_partkey HAVING count(*) >= 2
+    ),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM per_part),
+    abc AS (
+      SELECT p.l_partkey, p.k, p.s, p.ss, p.cents,
+             CAST(sum(p.cents) OVER (ORDER BY p.cents DESC, p.l_partkey)
+                  AS BIGINT) AS cum,
+             t.total
+      FROM per_part p CROSS JOIN tot t
+    ),
+    classed AS (
+      SELECT CASE WHEN cum * 5 <= total * 4 THEN 'A'
+                  WHEN cum * 20 <= total * 19 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             CASE WHEN k * (k * ss - s * s) * 4 < (k - 1) * s * s THEN 'X'
+                  WHEN k * (k * ss - s * s) < (k - 1) * s * s THEN 'Y'
+                  ELSE 'Z' END AS xyz_class,
+             cents, total
+      FROM abc
+    )
+    SELECT abc_class, xyz_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(CAST(sum(cents) AS DOUBLE) / CAST(max(total) AS DOUBLE), 9)
+             AS revenue_share
+    FROM classed GROUP BY abc_class, xyz_class
+    ORDER BY abc_class, xyz_class
+    """,
+)
+def q388_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ policy matrix: the revenue Pareto cut (q372) crossed with
+    demand-variability classes (CV < 0.5 → X, CV < 1 → Y, else Z — both
+    thresholds as exact integer cross-multiplications on the BIGINT
+    moment sums, CV² < 1/4 ⟺ 4·num < den). The 9-cell matrix is THE
+    standard inventory-policy picker (cycle-count frequency, service
+    level, forecasting method per cell) and demonstrates the two
+    classifiers composing in one plan: one weekly agg, one part agg,
+    one Pareto window, one 9-row rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    weekly = li.groupBy(
+        "l_partkey", F.date_trunc("week", "l_shipdate").alias("wk")
+    ).agg(
+        F.sum(F.floor("l_quantity").cast("long")).cast("long").alias("qty"),
+        F.sum(
+            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("cents"),
+    )
+    per_part = (
+        weekly.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum("qty").cast("long").alias("s"),
+            F.sum(F.col("qty") * F.col("qty")).cast("long").alias("ss"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .filter(F.col("k") >= 2)
+    )
+    tot = per_part.agg(F.sum("cents").cast("long").alias("total"))
+    wc = W.orderBy(F.desc("cents"), "l_partkey").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    abc = per_part.crossJoin(F.broadcast(tot)).withColumn(
+        "cum", F.sum("cents").over(wc).cast("long")
+    )
+    k, s, ss = F.col("k"), F.col("s"), F.col("ss")
+    num, den = k * (k * ss - s * s), (k - 1) * s * s
+    classed = abc.select(
+        F.when(F.col("cum") * 5 <= F.col("total") * 4, F.lit("A"))
+        .when(F.col("cum") * 20 <= F.col("total") * 19, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+        F.when(num * 4 < den, F.lit("X"))
+        .when(num < den, F.lit("Y"))
+        .otherwise(F.lit("Z"))
+        .alias("xyz_class"),
+        "cents",
+        "total",
+    )
+    return (
+        classed.groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(
+                F.sum("cents").cast("double") / F.max("total").cast("double"), 9
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class", "xyz_class")
+    )
+
+
+def _q389_oracle() -> str:
+    from .operators.graph import PR_SCALE
+
+    iter_cte = """
+    it{i} AS (
+      SELECT n.node,
+             CAST(CASE WHEN n.is_seed THEN {tp} ELSE 0 END
+                  + (85 * coalesce(sm.in_sum, 0)) // 100 AS BIGINT) AS rank_fp
+      FROM flagged n LEFT JOIN (
+        SELECT e.d AS node, sum(r.rank_fp // dg.deg) AS in_sum
+        FROM e JOIN it{prev} r ON e.s = r.node JOIN deg dg ON e.s = dg.s
+        GROUP BY e.d
+      ) sm ON n.node = sm.node
+    )"""
+    tp = f"(15 * ({PR_SCALE} // (SELECT n FROM params))) // 100"
+    its = ",".join(
+        iter_cte.format(i=i, prev=i - 1 if i > 1 else "0", tp=tp)
+        for i in range(1, 4)
+    )
+    return f"""
+    WITH e AS (
+      SELECT DISTINCT l_partkey * 2 AS s, l_suppkey * 2 + 1 AS d FROM lineitem
+      UNION
+      SELECT DISTINCT l_suppkey * 2 + 1 AS s, l_partkey * 2 AS d FROM lineitem
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM e UNION SELECT DISTINCT d FROM e),
+    seeds AS (
+      SELECT DISTINCT p_partkey * 2 AS node FROM part
+      WHERE p_brand = (SELECT min(p_brand) FROM part)
+      INTERSECT SELECT node FROM nodes
+    ),
+    params AS (SELECT count(*) AS n FROM seeds),
+    flagged AS (
+      SELECT n.node, s.node IS NOT NULL AS is_seed
+      FROM nodes n LEFT JOIN seeds s ON n.node = s.node
+    ),
+    deg AS (SELECT s, count(*) AS deg FROM e GROUP BY s),
+    it0 AS (
+      SELECT node,
+             CASE WHEN is_seed THEN {PR_SCALE} // (SELECT n FROM params)
+                  ELSE 0 END AS rank_fp
+      FROM flagged
+    ),
+    {its}
+    SELECT node, rank_fp FROM it3 WHERE rank_fp > 0
+    ORDER BY rank_fp DESC, node LIMIT 30
+    """
+
+
+@register("q389_personalized_pagerank", oracle=_q389_oracle())
+def q389_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank seeded at one brand's parts over the
+    symmetrized part↔supplier co-purchase graph: teleport mass goes only
+    to the seed set, so ranks measure proximity TO THE BRAND — the
+    related-items primitive behind 'suppliers/parts relevant to X'
+    recommendations, which global PageRank (q100) can't express. Same
+    BIGINT fixed-point exactness scheme (floor divides, pinned 3
+    iterations — graph.py:personalized_pagerank_fixed_point); top-30
+    nonzero ranks. Seed choice (min p_brand) is deterministic."""
+    from .operators.graph import personalized_pagerank_fixed_point
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    fwd = li.select(
+        (F.col("l_partkey") * 2).alias("src"), (F.col("l_suppkey") * 2 + 1).alias("dst")
+    )
+    rev = li.select(
+        (F.col("l_suppkey") * 2 + 1).alias("src"), (F.col("l_partkey") * 2).alias("dst")
+    )
+    min_brand = p.agg(F.min("p_brand").alias("mb"))
+    seeds = (
+        p.join(F.broadcast(min_brand), p.p_brand == F.col("mb"))
+        .select((F.col("p_partkey") * 2).alias("node"))
+        .distinct()
+    )
+    pr = personalized_pagerank_fixed_point(
+        fwd.unionByName(rev), seeds, iterations=3
+    )
+    return (
+        pr.filter(F.col("rank_fp") > 0)
+        .orderBy(F.desc("rank_fp"), "node")
+        .limit(30)
+    )
+
+
+@register(
+    "q390_association_rules",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n_tot AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM baskets),
+    item AS (
+      SELECT brand, CAST(count(*) AS BIGINT) AS supp FROM baskets GROUP BY brand
+    ),
+    pair AS (
+      SELECT a.brand AS antecedent, b.brand AS consequent,
+             CAST(count(*) AS BIGINT) AS supp_ab
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.brand <> b.brand
+      GROUP BY antecedent, consequent
+    )
+    SELECT pr.antecedent, pr.consequent, pr.supp_ab,
+           ia.supp AS supp_a, ic.supp AS supp_c,
+           round(CAST(pr.supp_ab AS DOUBLE) / ia.supp, 9) AS confidence,
+           round(CAST(pr.supp_ab * t.n AS DOUBLE) / (ia.supp * ic.supp), 9)
+             AS lift,
+           round(CAST(pr.supp_ab * t.n - ia.supp * ic.supp AS DOUBLE)
+                 / (t.n * t.n), 9) AS leverage,
+           round(CAST((t.n - ic.supp) * ia.supp AS DOUBLE)
+                 / nullif(t.n * (ia.supp - pr.supp_ab), 0), 9) AS conviction
+    FROM pair pr
+    JOIN item ia ON pr.antecedent = ia.brand
+    JOIN item ic ON pr.consequent = ic.brand
+    CROSS JOIN n_tot t
+    ORDER BY lift DESC, antecedent, consequent LIMIT 50
+    """,
+)
+def q390_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining metrics at brand level: confidence, lift,
+    leverage and conviction for every brand→brand rule, top-50 by lift —
+    the full Agrawal-style rule scorecard q126's support-only pair
+    counts stop short of. Every metric is a single IEEE divide over
+    exact BIGINT counts (conviction algebraically rearranged to ONE
+    integer-ratio divide: (N−supp_c)·supp_a / (N·(supp_a−supp_ab)));
+    basket pair-gen is an equi-join on the order key, bounded by basket
+    size (≤ brand count), never a cross join. Two aggs + pair agg +
+    broadcast metric joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    baskets = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n_tot = baskets.agg(F.countDistinct("l_orderkey").cast("long").alias("n"))
+    item = baskets.groupBy("brand").agg(F.count(F.lit(1)).cast("long").alias("supp"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.brand") != F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("antecedent"), F.col("b.brand").alias("consequent")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("supp_ab"))
+    )
+    ia = item.select(F.col("brand").alias("antecedent"), F.col("supp").alias("supp_a"))
+    ic = item.select(F.col("brand").alias("consequent"), F.col("supp").alias("supp_c"))
+    n = F.col("n")
+    return (
+        pair.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ic), "consequent")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "antecedent",
+            "consequent",
+            "supp_ab",
+            "supp_a",
+            "supp_c",
+            F.round(F.col("supp_ab").cast("double") / F.col("supp_a"), 9).alias(
+                "confidence"
+            ),
+            F.round(
+                (F.col("supp_ab") * n).cast("double") / (F.col("supp_a") * F.col("supp_c")),
+                9,
+            ).alias("lift"),
+            F.round(
+                (F.col("supp_ab") * n - F.col("supp_a") * F.col("supp_c")).cast("double")
+                / (n * n),
+                9,
+            ).alias("leverage"),
+            F.round(
+                ((n - F.col("supp_c")) * F.col("supp_a")).cast("double")
+                / F.nullif(
+                    (n * (F.col("supp_a") - F.col("supp_ab"))).cast("double"), F.lit(0.0)
+                ),
+                9,
+            ).alias("conviction"),
+        )
+        .orderBy(F.desc("lift"), "antecedent", "consequent")
+        .limit(50)
+    )

@@ -283,6 +283,14 @@ BUDGETS = [
     ("q380_newsvendor", 7, 0),              # daily agg + rank window + cost agg
     ("q381_huber_irls", 3, 0),              # moment agg; IRLS checkpoint-pinned
     ("q382_bullwhip_effect", 5, 0),         # two weekly aggs + brand join
+    ("q383_groupby_all_parity", 2, 0),      # GROUP BY ALL agg + ORDER BY ALL
+    ("q384_demand_classification", 6, 0),   # weekly agg + part agg + rollup
+    ("q385_average_precision", 4, 0),       # centroid agg + rank window + agg
+    ("q386_textrank_keywords", 0, 0),       # final TOAP; PR rounds pinned
+    ("q387_croston_forecast", 2, 0),        # weekly agg + fold agg; TOAP
+    ("q388_abc_xyz_matrix", 4, 0),          # weekly+part aggs; Pareto 1-part
+    ("q389_personalized_pagerank", 0, 0),   # TOAP; PPR rounds pinned
+    ("q390_association_rules", 10, 0),      # basket distinct + pair/item aggs
 ]
 
 

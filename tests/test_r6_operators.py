@@ -150,3 +150,87 @@ def test_bullwhip_ratio_consistency(spark):
     for r in rows:
         assert r.cv2_placed >= 0 and r.cv2_shipped > 0
         assert abs(r.bullwhip_ratio - r.cv2_placed / r.cv2_shipped) < 1e-6
+
+
+def test_groupby_all_parity_shapes(spark):
+    rows = _run("q383_groupby_all_parity", spark)
+    assert rows
+    for r in rows:
+        assert r.n_deep_discount <= r.n_rows
+        if r.n_deep_discount == 0:
+            assert r.deep_discount_revenue is None
+    # ORDER BY ALL = select-column order
+    keys = [(r.l_returnflag, r.l_linestatus) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_demand_classes_exhaustive_shares(spark):
+    rows = _run("q384_demand_classification", spark)
+    assert rows
+    assert {r.demand_class for r in rows} <= {"smooth", "intermittent", "erratic", "lumpy"}
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-6
+    for r in rows:
+        assert r.avg_adi >= 1.0  # span >= demand weeks by construction
+        assert r.avg_cv2 >= 0.0
+
+
+def test_average_precision_bounds(spark):
+    rows = _run("q385_average_precision", spark)
+    assert rows
+    for r in rows:
+        assert 0.0 < r.average_precision <= 1.0
+        assert r.n_relevant >= 1
+
+
+def test_textrank_top_words(spark):
+    rows = _run("q386_textrank_keywords", spark)
+    assert len(rows) == 30
+    ranks = [r.rank_fp for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    for r in rows:
+        assert len(r.word) >= 3 and r.word.islower()
+        assert r.rank_fp > 0
+
+
+def test_croston_rate_identity(spark):
+    rows = _run("q387_croston_forecast", spark)
+    assert rows
+    for r in rows:
+        assert r.n_demand_weeks >= 2
+        assert r.smoothed_demand > 0
+        assert r.smoothed_interval_weeks >= 1.0 - 1e-9  # weekly buckets
+        assert abs(r.croston_rate - r.smoothed_demand / r.smoothed_interval_weeks) < 1e-6
+
+
+def test_abc_xyz_shares_sum_to_one(spark):
+    rows = _run("q388_abc_xyz_matrix", spark)
+    assert rows
+    assert abs(sum(r.revenue_share for r in rows) - 1.0) < 1e-6
+    for r in rows:
+        assert r.abc_class in "ABC" and r.xyz_class in "XYZ"
+        assert r.n_parts >= 1
+
+
+def test_ppr_mass_concentrates_near_seeds(spark):
+    rows = _run("q389_personalized_pagerank", spark)
+    assert rows
+    ranks = [r.rank_fp for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    # the top-ranked nodes must include supplier nodes (odd ids) reached
+    # FROM the seed parts — pure seed self-rank would be even-only
+    assert any(r.node % 2 == 1 for r in rows)
+    assert all(r.rank_fp > 0 for r in rows)
+
+
+def test_association_rule_metric_consistency(spark):
+    rows = _run("q390_association_rules", spark)
+    assert rows
+    for r in rows:
+        assert 0.0 < r.confidence <= 1.0
+        assert r.supp_ab <= min(r.supp_a, r.supp_c)
+        assert abs(r.lift - 1.0) < 10  # sanity envelope
+        # lift > 1 <=> leverage > 0 (same sign by algebra)
+        if r.lift > 1.0 + 1e-9:
+            assert r.leverage > -1e-12
+        if r.conviction is not None and r.confidence < 1.0:
+            assert r.conviction > 0
