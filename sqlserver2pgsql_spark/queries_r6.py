@@ -2058,3 +2058,311 @@ def q390_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "antecedent", "consequent")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark-4 surface pins (bitmap aggs, VARIANT, collations) + calibration audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q391_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q391_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via Spark's bitmap aggregate surface:
+    user ids are bucketed (bitmap_bucket_number), each bucket builds a
+    32k-bit bitmap (bitmap_construct_agg over bitmap_bit_position), and
+    the distinct count is the SUM of per-bucket popcounts — the
+    mergeable exact-distinct pattern that replaces count(DISTINCT)'s
+    single monolithic shuffle with partial-aggregable fixed-size state
+    (and the exact counterpart of the HLL sketches in q33/q91: same
+    merge shape, zero error). Oracle is plain count(DISTINCT). Two
+    stacked aggs, both map-side combinable."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("q391_events")
+    return spark.sql("""
+        SELECT event_type,
+               CAST(sum(cnt) AS BIGINT) AS n_distinct_users,
+               CAST(sum(n) AS BIGINT) AS n_events
+        FROM (
+          SELECT event_type,
+                 bitmap_bucket_number(user_id) AS bucket,
+                 bitmap_count(bitmap_construct_agg(bitmap_bit_position(user_id)))
+                   AS cnt,
+                 count(*) AS n
+          FROM q391_events
+          GROUP BY event_type, bucket
+        )
+        GROUP BY event_type ORDER BY event_type
+    """)
+
+
+@register(
+    "q392_variant_shred",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(CAST(json_extract_string(props, '$.k') AS BIGINT) / 20) + 1
+                AS BIGINT) AS k_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k
+    FROM events
+    GROUP BY event_type, k_bucket
+    ORDER BY event_type, k_bucket
+    """,
+)
+def q392_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured shredding through Spark 4's VARIANT type:
+    parse_json(props) → typed variant_get('$.k','long') → width_bucket
+    histogram per event type. Pins TWO new-engine surfaces at once
+    against closed-form oracles: the VARIANT path must agree with plain
+    JSON string extraction, and width_bucket(k,0,100,5) must equal the
+    arithmetic floor(k/20)+1 bucketing for in-range values. This is the
+    ingestion shape a 100 TB event pipeline uses — parse once into
+    VARIANT, shred typed columns, aggregate JVM-side; all counts
+    integer-exact."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("q392_events")
+    return spark.sql("""
+        WITH shredded AS (
+          SELECT event_type,
+                 variant_get(parse_json(props), '$.k', 'long') AS k
+          FROM q392_events
+        )
+        SELECT event_type,
+               CAST(width_bucket(CAST(k AS DOUBLE), 0.0, 100.0, 5) AS BIGINT)
+                 AS k_bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(k) AS BIGINT) AS sum_k,
+               CAST(min(k) AS BIGINT) AS min_k,
+               CAST(max(k) AS BIGINT) AS max_k
+        FROM shredded
+        GROUP BY event_type, k_bucket
+        ORDER BY event_type, k_bucket
+    """)
+
+
+@register(
+    "q393_collation_parity",
+    oracle="""
+    WITH variants AS (
+      SELECT p_brand, p_type FROM part
+      UNION ALL
+      SELECT p_brand,
+             upper(substr(lower(p_type), 1, 1)) || substr(lower(p_type), 2)
+        AS p_type
+      FROM part
+    )
+    SELECT p_brand,
+           CAST(count(DISTINCT p_type) AS BIGINT) AS n_case_sensitive,
+           CAST(count(DISTINCT lower(p_type)) AS BIGINT) AS n_case_insensitive
+    FROM variants GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def q393_collation_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collation surface pinned against the classic
+    lower()-normalization: distinct-counting a deliberately case-mixed
+    type column (each value unioned with its Initcap variant) under the
+    UTF8_LCASE collation must equal count(DISTINCT lower(x)), while the
+    default binary collation sees both spellings. Collations move
+    case-insensitivity INTO the type system (comparisons, joins, and
+    aggs all inherit it — no normalization column needed); this query
+    certifies the semantics match the normalization the reference's
+    citext-style columns would get in PostgreSQL (sqlserver2pgsql.pl
+    maps MSSQL CI collations to citext)."""
+    p = _t(spark, sf_dir, "part")
+    p.createOrReplaceTempView("q393_part")
+    return spark.sql("""
+        WITH variants AS (
+          SELECT p_brand, p_type FROM q393_part
+          UNION ALL
+          SELECT p_brand,
+                 concat(upper(substr(lower(p_type), 1, 1)), substr(lower(p_type), 2))
+            AS p_type
+          FROM q393_part
+        )
+        SELECT p_brand,
+               CAST(count(DISTINCT p_type) AS BIGINT) AS n_case_sensitive,
+               CAST(count(DISTINCT collate(p_type, 'UTF8_LCASE')) AS BIGINT)
+                 AS n_case_insensitive
+        FROM variants GROUP BY p_brand ORDER BY p_brand
+    """)
+
+
+@register(
+    "q394_holdout_calibration",
+    oracle="""
+    WITH split AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_train,
+             CAST(sum(CASE WHEN event_id % 2 = 0 AND event_type = 'error'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS k_train,
+             CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_test,
+             CAST(sum(CASE WHEN event_id % 2 = 1 AND event_type = 'error'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS k_test
+      FROM events GROUP BY user_id
+    ),
+    binned AS (
+      SELECT (10 * (k_train + 1)) // (n_train + 2) AS bin,
+             CAST((k_train + 1) AS DOUBLE) / (n_train + 2) AS pred,
+             n_test, k_test
+      FROM split WHERE n_test > 0
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n_test) AS BIGINT) AS n_test_events,
+           round(CAST(sum(CAST(pred AS DECIMAL(38,8))) AS DOUBLE) / count(*), 9)
+             AS mean_confidence,
+           round(CAST(sum(k_test) AS DOUBLE) / sum(n_test), 9)
+             AS holdout_rate
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def q394_holdout_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holdout calibration audit (the per-bin table behind expected
+    calibration error): per user, a Laplace-smoothed error-rate
+    prediction (k+1)/(n+2) is fit on the EVEN event ids and evaluated
+    on the ODD ids — a deterministic leakage-free split needing no
+    randomness. Users land in 10 confidence bins via the EXACT integer
+    bin id (10·(k+1)) div (n+2) — the float prediction never decides
+    the bin — and each bin reports mean predicted confidence
+    (DECIMAL-routed rational sum) vs realized holdout rate. The eval
+    complement to Brier decomposition (q324: same reliability concept,
+    no holdout) and beta-binomial smoothing (q349: the estimator this
+    audits). One user agg + one bin rollup."""
+    ev = _t(spark, sf_dir, "events")
+    is_train = F.col("event_id") % 2 == 0
+    is_err = F.col("event_type") == "error"
+    split = ev.groupBy("user_id").agg(
+        F.sum(F.when(is_train, 1).otherwise(0)).cast("long").alias("n_train"),
+        F.sum(F.when(is_train & is_err, 1).otherwise(0)).cast("long").alias("k_train"),
+        F.sum(F.when(~is_train, 1).otherwise(0)).cast("long").alias("n_test"),
+        F.sum(F.when((~is_train) & is_err, 1).otherwise(0)).cast("long").alias("k_test"),
+    )
+    binned = split.filter(F.col("n_test") > 0).select(
+        F.expr("(10 * (k_train + 1)) div (n_train + 2)").alias("bin"),
+        ((F.col("k_train") + 1).cast("double") / (F.col("n_train") + 2)).alias("pred"),
+        "n_test",
+        "k_test",
+    )
+    return (
+        binned.groupBy(F.col("bin").cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_test").cast("long").alias("n_test_events"),
+            F.round(
+                F.sum(F.col("pred").cast("decimal(38,8)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mean_confidence"),
+            F.round(F.sum("k_test").cast("double") / F.sum("n_test"), 9).alias(
+                "holdout_rate"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "q395_image_dhash_dedup",
+    oracle="""
+    WITH ids AS (
+      SELECT i AS media_id FROM range(0, 64) t(i) WHERE i % 3 = 0
+    ),
+    gray AS (
+      SELECT d.media_id, y.y, x.x,
+             (((d.media_id % 7) * 11 + 16 * y.y + 3 * x.x + 5 * 0) % 256
+            + ((d.media_id % 7) * 11 + 16 * y.y + 3 * x.x + 5 * 1) % 256
+            + ((d.media_id % 7) * 11 + 16 * y.y + 3 * x.x + 5 * 2) % 256)
+               AS g
+      FROM ids d CROSS JOIN range(0, 6) y(y) CROSS JOIN range(0, 8) x(x)
+    ),
+    bits AS (
+      SELECT a.media_id,
+             CAST(sum(CASE WHEN a.g < b.g THEN 1 ELSE 0 END
+                      * (CAST(1 AS BIGINT) << (a.y * 7 + a.x)))
+                  AS BIGINT) AS dhash
+      FROM gray a JOIN gray b
+        ON a.media_id = b.media_id AND a.y = b.y AND b.x = a.x + 1
+      WHERE a.x < 7
+      GROUP BY a.media_id
+    ),
+    lum AS (
+      SELECT media_id, CAST(sum(g) AS BIGINT) AS lum_sum
+      FROM gray GROUP BY media_id
+    ),
+    keyed AS (
+      SELECT b.media_id, b.dhash, l.lum_sum
+      FROM bits b JOIN lum l USING (media_id)
+    ),
+    groups AS (
+      SELECT dhash, lum_sum, CAST(count(*) AS BIGINT) AS group_size,
+             CAST(min(media_id) AS BIGINT) AS keeper
+      FROM keyed GROUP BY dhash, lum_sum
+    )
+    SELECT k.media_id, k.dhash, k.lum_sum, g.keeper, g.group_size
+    FROM keyed k JOIN groups g USING (dhash, lum_sum)
+    ORDER BY k.media_id
+    """,
+)
+def q395_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup over REAL decoded BMP pixels, two-level:
+    a difference hash (dHash — one bit per horizontally-adjacent gray
+    pair, packed into a 42-bit BIGINT) captures STRUCTURE, and the exact
+    integer luminance sum separates brightness bands. The synth corpus
+    is 7 brightness-shifted variants of one gradient, so the dHash is
+    IDENTICAL for all images (difference hashing is shift-invariant by
+    design — the query demonstrates it) while the luminance level splits
+    the corpus into the 7 true duplicate groups with min-id keepers.
+    This is the image-modality member of the dedup family (exact q17 /
+    MinHash q19 / SimHash q20 / embedding q23 — and now pixels). The
+    decode path is the same pure-numpy BMP codec as q359; the oracle
+    recomputes both hash levels from the synth pattern\'s closed form,
+    verifying the Arrow decode → bit-pack → group-join chain bit-exactly.
+    At 100 TB the (dhash, band) pair is a fixed-size key: dedup is ONE
+    hash-groupBy shuffle, and near-dup (hamming <= k) runs as banded
+    equi-joins over hash substrings — the q20 SimHash machinery applies
+    unchanged."""
+    import numpy as _np
+    import pandas as _pd
+
+    from .operators.multimodal import decode_bmp, synth_media
+
+    media = synth_media(spark, 64).filter(F.col("modality") == "image")
+
+    def dhash(it):
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_bmp(bytes(payload)).astype("int64")
+                gray = px.sum(axis=2)  # (h, w) exact integer channel sum
+                bits = gray[:, :-1] < gray[:, 1:]  # (h, w-1)
+                idx = _np.arange(bits.size, dtype="int64")
+                h = int((bits.ravel().astype("int64") << idx).sum())
+                out.append((int(mid), h, int(gray.sum())))
+            yield _pd.DataFrame(out, columns=["media_id", "dhash", "lum_sum"])
+
+    keyed = media.select("media_id", "payload").mapInPandas(
+        dhash, "media_id long, dhash long, lum_sum long"
+    )
+    groups = keyed.groupBy("dhash", "lum_sum").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.min("media_id").cast("long").alias("keeper"),
+    )
+    return (
+        keyed.join(F.broadcast(groups), ["dhash", "lum_sum"])
+        .select("media_id", "dhash", "lum_sum", "keeper", "group_size")
+        .orderBy("media_id")
+    )

@@ -291,6 +291,11 @@ BUDGETS = [
     ("q388_abc_xyz_matrix", 4, 0),          # weekly+part aggs; Pareto 1-part
     ("q389_personalized_pagerank", 0, 0),   # TOAP; PPR rounds pinned
     ("q390_association_rules", 10, 0),      # basket distinct + pair/item aggs
+    ("q391_bitmap_distinct", 3, 0),         # bucket bitmap agg + type rollup
+    ("q392_variant_shred", 2, 0),           # variant shred + bucket agg
+    ("q393_collation_parity", 3, 0),        # union + two-distinct agg
+    ("q394_holdout_calibration", 3, 0),     # user split agg + bin rollup
+    ("q395_image_dhash_dedup", 2, 4),       # synth UDF + decode mapInPandas x2
 ]
 
 

@@ -234,3 +234,63 @@ def test_association_rule_metric_consistency(spark):
             assert r.leverage > -1e-12
         if r.conviction is not None and r.confidence < 1.0:
             assert r.conviction > 0
+
+
+def test_bitmap_distinct_bounds(spark):
+    rows = _run("q391_bitmap_distinct", spark)
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_distinct_users <= r.n_events
+
+
+def test_variant_shred_bucket_arithmetic(spark):
+    rows = _run("q392_variant_shred", spark)
+    assert rows
+    for r in rows:
+        assert 1 <= r.k_bucket <= 6
+        assert 0 <= r.min_k <= r.max_k
+        # every k in the bucket satisfies the width_bucket closed form
+        assert r.min_k // 20 + 1 == r.k_bucket
+        assert r.max_k // 20 + 1 == r.k_bucket
+        assert r.n * r.min_k <= r.sum_k <= r.n * r.max_k
+
+
+def test_collation_collapses_case_variants(spark):
+    rows = _run("q393_collation_parity", spark)
+    assert rows
+    for r in rows:
+        # the Initcap union doubles case-sensitive spellings; LCASE
+        # collation must collapse them back
+        assert r.n_case_insensitive * 2 == r.n_case_sensitive
+
+
+def test_holdout_calibration_bins(spark):
+    rows = _run("q394_holdout_calibration", spark)
+    assert rows
+    bins = [r.bin for r in rows]
+    assert bins == sorted(bins) and all(0 <= b <= 9 for b in bins)
+    for r in rows:
+        assert 0.0 < r.mean_confidence < 1.0
+        assert 0.0 <= r.holdout_rate <= 1.0
+        # smoothed predictions inside a bin stay within its bounds
+        assert r.bin / 10 - 1e-9 <= r.mean_confidence <= (r.bin + 1) / 10 + 1e-9
+
+
+def test_dhash_groups_partition_images(spark):
+    rows = _run("q395_image_dhash_dedup", spark)
+    assert rows
+    # dHash is brightness-shift invariant: the synth corpus is 7 shifted
+    # variants of one gradient, so every image shares ONE structure hash
+    assert len({r.dhash for r in rows}) == 1
+    # ...while the exact luminance level splits the true duplicate groups
+    by_key = {}
+    for r in rows:
+        by_key.setdefault((r.dhash, r.lum_sum), []).append(r)
+    assert len(by_key) == 7
+    for members in by_key.values():
+        ids = [m.media_id for m in members]
+        assert all(m.keeper == min(ids) for m in members)
+        assert all(m.group_size == len(ids) for m in members)
+        # same synth pattern class -> same id residue mod 7
+        assert len({i % 7 for i in ids}) == 1
+    assert sum(len(v) for v in by_key.values()) == len(rows)
