@@ -2366,3 +2366,596 @@ def q395_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", "dhash", "lum_sum", "keeper", "group_size")
         .orderBy("media_id")
     )
+
+
+@register(
+    "q396_stream_watermark_drop",
+    oracle="""
+    WITH src AS (
+      SELECT event_id, ts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    mx AS (SELECT max(ts) AS m FROM src),
+    f0 AS (
+      SELECT s.ts, s.cents FROM src s CROSS JOIN mx
+      WHERE s.event_id % 2 = 0 AND s.ts <> mx.m
+    ),
+    wm0 AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM f0)
+    SELECT date_trunc('hour', f0.ts) AS window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(f0.cents) AS BIGINT) AS sum_cents
+    FROM f0 CROSS JOIN wm0
+    WHERE date_trunc('hour', f0.ts) + INTERVAL 1 HOUR <= wm0.w
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q396_stream_watermark_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming with the watermark ACTUALLY dropping late
+    data — the multi-batch path q32/q45/q61 (single-batch, nothing
+    late) never exercise. The events replay as THREE deterministic
+    microbatches over explicitly named files (maxFilesPerTrigger=1):
+    (0) the even-id rows, (1) the single max-timestamp row, (2) the odd
+    stragglers. Measured-and-pinned engine semantics (validated against
+    per-batch StreamingQueryProgress during development): the watermark
+    used by batch N is computed from batches < N, so batch 1's eviction
+    (watermark = max(even ts) − 10min) EMITS every even-side window
+    whose end has passed; batch 2's odd rows then land in evicted
+    windows and are dropped by the watermark filter
+    (numRowsDroppedByWatermark), while their few kept tail windows —
+    and the max-row's own window — are never finalized before the
+    stream ends. The emitted table is therefore EXACTLY the even-file
+    windows with end <= max(even ts) − 10min, which is what the oracle
+    asserts: a single leaked odd row would break the value hash. This
+    pins the drop-and-flush behavior q374's lateness planner sizes.
+    Replay files live in a per-invocation mkdtemp (the q71 lesson)."""
+    import os
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="spark_graft_q396_")
+    try:
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+        # one driver-side scalar (the global max event time) to carve the
+        # three replay files — same documented exception as sequences.py
+        mx = ev.agg(F.max("ts").alias("m")).collect()[0].m
+        splits = (
+            ("0_even", (F.col("event_id") % 2 == 0) & (F.col("ts") != F.lit(mx))),
+            ("1_max", F.col("ts") == F.lit(mx)),
+            ("2_odd", (F.col("event_id") % 2 == 1) & (F.col("ts") != F.lit(mx))),
+        )
+        for tag, pred in splits:
+            d = os.path.join(tmp, "w_" + tag)
+            ev.filter(pred).coalesce(1).write.parquet(d)
+            part = next(
+                f for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+            )
+            os.rename(
+                os.path.join(d, part), os.path.join(tmp, f"{tag}.parquet")
+            )
+            shutil.rmtree(d)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(tmp + "/*.parquet")
+        )
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+        )
+        from .streaming import run_stream_to_memory
+
+        run_stream_to_memory(agg, "q396_out", output_mode="append")
+        return spark.sql(
+            "SELECT window.start AS window_start, n_events, sum_cents "
+            "FROM q396_out ORDER BY window_start"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "q397_seasonal_strength",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    ma AS (
+      SELECT event_type, h, y,
+             CAST(sum(y) OVER w AS BIGINT) AS trend_num,
+             count(*) OVER w AS cnt,
+             CAST(strftime(h, '%H') AS INTEGER) AS hod
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)
+    ),
+    detr AS (
+      SELECT event_type, hod, y,
+             CAST(24 * y - trend_num AS BIGINT) AS d24,
+             CAST(trend_num AS BIGINT) AS trend_num
+      FROM ma WHERE cnt = 24
+    ),
+    seas AS (
+      SELECT event_type, hod,
+             CAST(sum(d24) AS DOUBLE) / (24.0 * count(*)) AS s
+      FROM detr GROUP BY event_type, hod
+    ),
+    parts AS (
+      SELECT d.event_type,
+             CAST(d.d24 AS DOUBLE) / 24.0 AS detr_v,
+             CAST(d.d24 AS DOUBLE) / 24.0 - se.s AS resid_v,
+             CAST(d.y AS DOUBLE) - se.s AS deseason_v
+      FROM detr d JOIN seas se
+        ON d.event_type = se.event_type AND d.hod = se.hod
+    ),
+    moms AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(detr_v AS DECIMAL(38,8))) AS DOUBLE) AS sd,
+             CAST(sum(CAST(detr_v * detr_v AS DECIMAL(38,8))) AS DOUBLE) AS ssd,
+             CAST(sum(CAST(resid_v AS DECIMAL(38,8))) AS DOUBLE) AS sr,
+             CAST(sum(CAST(resid_v * resid_v AS DECIMAL(38,8))) AS DOUBLE) AS ssr,
+             CAST(sum(CAST(deseason_v AS DECIMAL(38,8))) AS DOUBLE) AS sq,
+             CAST(sum(CAST(deseason_v * deseason_v AS DECIMAL(38,8))) AS DOUBLE)
+               AS ssq
+      FROM parts GROUP BY event_type
+    )
+    SELECT event_type, n AS n_hours,
+           round(greatest(0.0, 1.0 - ((ssr - sr * sr / n) / (n - 1))
+                 / ((ssd - sd * sd / n) / (n - 1))), 9) AS strength_seasonal,
+           round(greatest(0.0, 1.0 - ((ssr - sr * sr / n) / (n - 1))
+                 / ((ssq - sq * sq / n) / (n - 1))), 9) AS strength_trend
+    FROM moms ORDER BY event_type
+    """,
+)
+def q397_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecastability diagnostics: Hyndman's seasonal and trend strength
+    F_S = 1 − Var(R)/Var(detrended), F_T = 1 − Var(R)/Var(deseasonalized)
+    on q149's STL-lite decomposition (integer-scaled detrended residual
+    d24 = 24y − Σwindow, complete windows only). The strengths decide
+    WHICH forecaster the series deserves (Holt q237 / seasonal-naive
+    q257 / Croston q387 per q384's classes). Every component value is a
+    short deterministic IEEE chain off exact integers; every variance
+    moment routes each term through DECIMAL(38,8). Shapes: hourly agg +
+    one ordered window per type + two small aggs."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).cast("long").alias("y"))
+    w = W.partitionBy("event_type").orderBy("h").rowsBetween(-12, 11)
+    ma = hourly.select(
+        "event_type",
+        F.hour("h").alias("hod"),
+        "y",
+        F.sum("y").over(w).cast("long").alias("trend_num"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    )
+    detr = ma.filter(F.col("cnt") == 24).select(
+        "event_type",
+        "hod",
+        "y",
+        (24 * F.col("y") - F.col("trend_num")).cast("long").alias("d24"),
+    )
+    seas = detr.groupBy("event_type", "hod").agg(
+        (F.sum("d24").cast("double") / (24.0 * F.count(F.lit(1)))).alias("s")
+    )
+    parts = detr.join(F.broadcast(seas), ["event_type", "hod"]).select(
+        "event_type",
+        (F.col("d24").cast("double") / 24.0).alias("detr_v"),
+        (F.col("d24").cast("double") / 24.0 - F.col("s")).alias("resid_v"),
+        (F.col("y").cast("double") - F.col("s")).alias("deseason_v"),
+    )
+    DEC38 = "decimal(38,8)"
+
+    def mom(c, tag):
+        return [
+            F.sum(F.col(c).cast(DEC38)).cast("double").alias("s" + tag),
+            F.sum((F.col(c) * F.col(c)).cast(DEC38)).cast("double").alias("ss" + tag),
+        ]
+
+    moms = parts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        *mom("detr_v", "d"),
+        *mom("resid_v", "r"),
+        *mom("deseason_v", "q"),
+    )
+    n = F.col("n")
+
+    def var(s, ss):
+        return (F.col(ss) - F.col(s) * F.col(s) / n) / (n - 1)
+
+    return moms.select(
+        "event_type",
+        n.alias("n_hours"),
+        F.round(
+            F.greatest(F.lit(0.0), 1.0 - var("sr", "ssr") / var("sd", "ssd")), 9
+        ).alias("strength_seasonal"),
+        F.round(
+            F.greatest(F.lit(0.0), 1.0 - var("sr", "ssr") / var("sq", "ssq")), 9
+        ).alias("strength_trend"),
+    ).orderBy("event_type")
+
+
+@register(
+    "q398_price_stickiness",
+    oracle="""
+    WITH monthly AS (
+      SELECT p.p_brand AS brand, l.l_partkey,
+             date_trunc('month', l.l_shipdate) AS m,
+             CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents,
+             CAST(sum(CAST(floor(l.l_quantity) AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY brand, l.l_partkey, m
+    ),
+    priced AS (
+      SELECT brand, l_partkey, m,
+             CAST((cents // qty) * 1000000
+                  + ((cents % qty) * 1000000) // qty AS BIGINT) AS price_uc
+      FROM monthly
+    ),
+    lagged AS (
+      SELECT brand, l_partkey, price_uc,
+             lag(price_uc) OVER (PARTITION BY l_partkey ORDER BY m) AS prev
+      FROM priced
+    ),
+    per_part AS (
+      SELECT brand, l_partkey,
+             CAST(count(*) AS BIGINT) AS n_months,
+             CAST(count(DISTINCT price_uc) AS BIGINT) AS n_levels,
+             CAST(sum(CASE WHEN prev IS NOT NULL AND price_uc <> prev
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+             CAST(sum(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_transitions,
+             CAST(sum(CASE WHEN prev IS NOT NULL AND price_uc <> prev
+                           THEN abs(price_uc - prev) ELSE 0 END) AS BIGINT)
+               AS abs_change_uc
+      FROM lagged GROUP BY brand, l_partkey
+    )
+    SELECT brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(n_changes) AS BIGINT) AS n_changes,
+           round(CAST(sum(n_changes) AS DOUBLE)
+                 / nullif(sum(n_transitions), 0), 9) AS change_rate,
+           round(CAST(sum(abs_change_uc) AS DOUBLE)
+                 / nullif(sum(n_changes), 0) / 100000000, 9)
+             AS mean_abs_change_dollars
+    FROM per_part GROUP BY brand ORDER BY brand
+    """,
+)
+def q398_price_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price stickiness / menu-cost audit per brand: exact monthly unit
+    prices in integer microcents (the q329 two-step long-division trick
+    — never a float price), then per part the month-over-month change
+    count and absolute change magnitude, rolled up to brand-level change
+    frequency (changes per transition) and mean absolute reprice. The
+    micro-econ pricing-ops diagnostic (how rigid are prices, how big is
+    a typical reprice) — all counts and magnitudes exact BIGINT, the two
+    rates single IEEE divides. One (part,month) agg + one part window +
+    two rollups."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    monthly = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            "l_partkey",
+            F.date_trunc("month", "l_shipdate").alias("m"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("cents"),
+            F.sum(F.floor("l_quantity").cast("long")).cast("long").alias("qty"),
+        )
+    )
+    priced = monthly.select(
+        "brand",
+        "l_partkey",
+        "m",
+        (
+            F.expr("(cents div qty) * 1000000 + ((cents % qty) * 1000000) div qty")
+        ).cast("long").alias("price_uc"),
+    )
+    wp = W.partitionBy("l_partkey").orderBy("m")
+    lagged = priced.select(
+        "brand", "l_partkey", "price_uc", F.lag("price_uc").over(wp).alias("prev")
+    )
+    changed = F.col("prev").isNotNull() & (F.col("price_uc") != F.col("prev"))
+    per_part = lagged.groupBy("brand", "l_partkey").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.countDistinct("price_uc").cast("long").alias("n_levels"),
+        F.sum(F.when(changed, 1).otherwise(0)).cast("long").alias("n_changes"),
+        F.sum(F.when(F.col("prev").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_transitions"),
+        F.sum(
+            F.when(changed, F.abs(F.col("price_uc") - F.col("prev"))).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("abs_change_uc"),
+    )
+    return (
+        per_part.groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("n_changes").cast("long").alias("n_changes"),
+            F.round(
+                F.sum("n_changes").cast("double")
+                / F.nullif(F.sum("n_transitions").cast("double"), F.lit(0.0)),
+                9,
+            ).alias("change_rate"),
+            F.round(
+                F.sum("abs_change_uc").cast("double")
+                / F.nullif(F.sum("n_changes").cast("double"), F.lit(0.0))
+                / 100000000,
+                9,
+            ).alias("mean_abs_change_dollars"),
+        )
+        .orderBy("brand")
+    )
+
+
+@register(
+    "q399_quantile_treatment_effect",
+    oracle="""
+    WITH outcomes AS (
+      SELECT CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS treated,
+             CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                  AS BIGINT) AS cents,
+             l.l_orderkey, l.l_linenumber
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    ranked AS (
+      SELECT treated, cents,
+             row_number() OVER (PARTITION BY treated
+                                ORDER BY cents, l_orderkey, l_linenumber) AS rn,
+             count(*) OVER (PARTITION BY treated) AS n
+      FROM outcomes
+    ),
+    qs AS (SELECT unnest([25, 50, 75, 90]) AS q_pct),
+    stats AS (
+      SELECT q.q_pct, r.treated, r.cents, r.n
+      FROM ranked r JOIN qs q
+        ON r.rn = CAST(ceil(q.q_pct * r.n / 100.0) AS BIGINT)
+    )
+    SELECT t.q_pct,
+           CAST(t.n AS BIGINT) AS n_treated, CAST(c.n AS BIGINT) AS n_control,
+           round(CAST(t.cents AS DOUBLE) / 100, 2) AS treated_value,
+           round(CAST(c.cents AS DOUBLE) / 100, 2) AS control_value,
+           round(CAST(t.cents - c.cents AS DOUBLE) / 100, 2) AS qte
+    FROM (SELECT * FROM stats WHERE treated = 1) t
+    JOIN (SELECT * FROM stats WHERE treated = 0) c ON t.q_pct = c.q_pct
+    ORDER BY t.q_pct
+    """,
+)
+def q399_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects: the PROMO-vs-rest line-revenue
+    distributions compared at the exact 25/50/75/90th-percentile order
+    statistics — the DISTRIBUTIONAL causal view that mean effects (IPTW
+    ATE q365, DiD q323, CUPED q313) can't show (a promo can raise the
+    median while shrinking the tail). Quantiles are exact order
+    statistics with full tie-breaks (never interpolated — engine
+    conventions differ); QTE per quantile is one integer subtraction.
+    Two-partition rank windows (each bounded by group size; at 100 TB
+    the same cut runs per-stratum or on q214's mergeable binned sketch)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    outcomes = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.when(F.col("p_type").startswith("PROMO"), 1).otherwise(0).alias("treated"),
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wt = W.partitionBy("treated").orderBy("cents", "l_orderkey", "l_linenumber")
+    ranked = outcomes.select(
+        "treated",
+        "cents",
+        F.row_number().over(wt).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("treated")).alias("n"),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(v) for v in (25, 50, 75, 90)])).alias("q_pct")
+    )
+    stats = ranked.join(
+        F.broadcast(qs),
+        F.col("rn") == F.ceil(F.col("q_pct") * F.col("n") / 100.0).cast("long"),
+    ).select("q_pct", "treated", "cents", "n")
+    t = stats.filter(F.col("treated") == 1).select(
+        "q_pct", F.col("n").alias("n_treated"), F.col("cents").alias("t_cents")
+    )
+    c = stats.filter(F.col("treated") == 0).select(
+        "q_pct", F.col("n").alias("n_control"), F.col("cents").alias("c_cents")
+    )
+    return (
+        t.join(c, "q_pct")
+        .select(
+            "q_pct",
+            "n_treated",
+            "n_control",
+            F.round(F.col("t_cents").cast("double") / 100, 2).alias("treated_value"),
+            F.round(F.col("c_cents").cast("double") / 100, 2).alias("control_value"),
+            F.round((F.col("t_cents") - F.col("c_cents")).cast("double") / 100, 2).alias(
+                "qte"
+            ),
+        )
+        .orderBy("q_pct")
+    )
+
+
+_Q400_SHINGLES = """list_distinct(list_transform(
+      range(1, greatest(2, len(string_split_regex(trim(text),'\\s+')) - 1)),
+      i -> array_to_string(string_split_regex(trim(text),'\\s+')[i:i+2], ' ')
+    ))"""
+
+
+@register(
+    "q400_curation_funnel_audit",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 4 = 0
+    ),
+    scored AS (
+      SELECT doc_id, text,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+             len(regexp_extract_all(text,
+                 ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS bpe
+      FROM corpus
+    ),
+    flagged AS (
+      SELECT *,
+             (n_tok BETWEEN 10 AND 200 AND alpha_ratio >= 0.5) AS q_ok
+      FROM scored
+    ),
+    keepers AS (
+      SELECT fp, min(doc_id) AS keeper FROM flagged WHERE q_ok GROUP BY fp
+    ),
+    bench AS (
+      SELECT array_to_string(l[1:len(l)-5], ' ') AS text
+      FROM (SELECT string_split_regex(trim(text), '\\s+') AS l
+            FROM documents WHERE doc_id % 50 = 0)
+    ),
+    bsh AS (SELECT DISTINCT unnest({_Q400_SHINGLES}) AS shingle FROM bench),
+    contaminated AS (
+      SELECT DISTINCT f.doc_id
+      FROM (SELECT doc_id, unnest({_Q400_SHINGLES}) AS shingle
+            FROM flagged WHERE q_ok) f
+      JOIN bsh USING (shingle)
+    ),
+    survivors AS (
+      SELECT f.doc_id, f.bpe
+      FROM flagged f
+      JOIN keepers k ON f.fp = k.fp AND f.doc_id = k.keeper
+      WHERE f.q_ok AND f.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    budgeted AS (
+      SELECT doc_id, bpe,
+             CAST(sum(bpe) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum
+      FROM survivors
+    ),
+    stages AS (
+      SELECT 0 AS stage, 'raw' AS stage_name,
+             CAST(count(*) AS BIGINT) AS docs,
+             CAST(sum(bpe) AS BIGINT) AS bpe_tokens
+      FROM flagged
+      UNION ALL
+      SELECT 1, 'quality', count(*), sum(bpe) FROM flagged WHERE q_ok
+      UNION ALL
+      SELECT 2, 'dedup', count(*), sum(f.bpe)
+      FROM flagged f JOIN keepers k ON f.fp = k.fp AND f.doc_id = k.keeper
+      WHERE f.q_ok
+      UNION ALL
+      SELECT 3, 'decontaminated', count(*), sum(bpe) FROM survivors
+      UNION ALL
+      SELECT 4, 'token_budget', count(*), sum(bpe) FROM budgeted
+      WHERE cum <= 50000
+    )
+    SELECT CAST(stage AS BIGINT) AS stage, stage_name,
+           CAST(docs AS BIGINT) AS docs, CAST(bpe_tokens AS BIGINT) AS bpe_tokens
+    FROM stages ORDER BY stage
+    """,
+)
+def q400_curation_funnel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone: the per-stage accounting table of the full training-data
+    curation pipeline — raw corpus (with injected dups) → quality filter
+    → exact dedup (min-id keeper per fingerprint) → benchmark
+    decontamination (any shared word-3-gram with the q56 benchmark) →
+    token-budget cut — reporting surviving docs and BPE tokens at EVERY
+    stage. q43 emits the final document list; this emits the funnel the
+    curation team actually reviews before a training run (where did the
+    tokens go?). One scan scores everything; each stage is a conditional
+    aggregate over the same flags; the benchmark shingle set broadcasts
+    (q56's shape); the budget cut is one running-sum window over
+    dedup+decontamination survivors."""
+    from .operators import text as X
+    from .operators.dedup import shingle_postings
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % 4 == 0).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+    t = F.col("text")
+    scored = corpus.select(
+        "doc_id",
+        "text",
+        X.token_count(t).alias("n_tok"),
+        (
+            F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).cast("double")
+            / F.length(t).cast("double")
+        ).alias("alpha_ratio"),
+        F.md5(F.lower(F.trim(F.regexp_replace(t, r"\s+", " ")))).alias("fp"),
+        X.bpe_token_count(t).alias("bpe"),
+    )
+    flagged = scored.withColumn(
+        "q_ok",
+        F.col("n_tok").between(10, 200) & (F.col("alpha_ratio") >= 0.5),
+    ).localCheckpoint(eager=False)
+    keepers = (
+        flagged.filter("q_ok")
+        .groupBy(F.col("fp").alias("k_fp"))
+        .agg(F.min("doc_id").alias("keeper"))
+    )
+    toks = X.tokens(t)
+    bench = d.filter(F.col("doc_id") % 50 == 0).select(
+        "doc_id", F.array_join(F.slice(toks, 1, F.size(toks) - 5), " ").alias("text")
+    )
+    bsh = shingle_postings(bench, "doc_id", "text", 3).select("shingle").distinct()
+    contaminated = (
+        shingle_postings(flagged.filter("q_ok"), "doc_id", "text", 3)
+        .join(F.broadcast(bsh), "shingle")
+        .select("doc_id")
+        .distinct()
+    )
+    deduped = (
+        flagged.filter("q_ok")
+        .join(
+            keepers,
+            (F.col("fp") == F.col("k_fp")) & (F.col("doc_id") == F.col("keeper")),
+        )
+        .select("doc_id", "bpe")
+    )
+    survivors = deduped.join(contaminated, "doc_id", "left_anti")
+    budgeted = survivors.select(
+        "doc_id",
+        "bpe",
+        F.sum("bpe")
+        .over(W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long")
+        .alias("cum"),
+    )
+
+    def stage(df, num, name):
+        return df.agg(
+            F.lit(num).cast("long").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum("bpe").cast("long").alias("bpe_tokens"),
+        ).select("stage", "stage_name", "docs", "bpe_tokens")
+
+    out = (
+        stage(flagged, 0, "raw")
+        .unionByName(stage(flagged.filter("q_ok"), 1, "quality"))
+        .unionByName(stage(deduped, 2, "dedup"))
+        .unionByName(stage(survivors, 3, "decontaminated"))
+        .unionByName(stage(budgeted.filter(F.col("cum") <= 50000), 4, "token_budget"))
+    )
+    return out.orderBy("stage")

@@ -296,6 +296,10 @@ BUDGETS = [
     ("q393_collation_parity", 3, 0),        # union + two-distinct agg
     ("q394_holdout_calibration", 3, 0),     # user split agg + bin rollup
     ("q395_image_dhash_dedup", 2, 4),       # synth UDF + decode mapInPandas x2
+    ("q397_seasonal_strength", 5, 0),       # hourly agg + MA window + moments
+    ("q398_price_stickiness", 4, 0),        # (part,month) agg + lag + rollups
+    ("q399_quantile_treatment_effect", 5, 0),  # 2-group rank windows + joins
+    ("q400_curation_funnel_audit", 7, 0),   # flags scan + keeper/shingle aggs
 ]
 
 

@@ -294,3 +294,58 @@ def test_dhash_groups_partition_images(spark):
         # same synth pattern class -> same id residue mod 7
         assert len({i % 7 for i in ids}) == 1
     assert sum(len(v) for v in by_key.values()) == len(rows)
+
+
+def test_stream_watermark_actually_drops(spark):
+    rows = _run("q396_stream_watermark_drop", spark)
+    assert rows
+    # the odd half of the corpus must NOT be in any emitted window: the
+    # total emitted events are strictly fewer than half the corpus
+    total = sum(r.n_events for r in rows)
+    n_all = entrymod.queries()["q391_bitmap_distinct"](
+        spark, SF_DIR
+    ).agg({"n_events": "sum"}).collect()[0][0]
+    assert total < n_all / 2 + 1
+    starts = [r.window_start for r in rows]
+    assert starts == sorted(starts)
+
+
+def test_seasonal_strength_bounds(spark):
+    rows = _run("q397_seasonal_strength", spark)
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.strength_seasonal <= 1.0
+        assert 0.0 <= r.strength_trend <= 1.0
+        assert r.n_hours > 0
+
+
+def test_price_stickiness_rates(spark):
+    rows = _run("q398_price_stickiness", spark)
+    assert rows
+    for r in rows:
+        assert r.n_parts >= 1
+        if r.change_rate is not None:
+            assert 0.0 <= r.change_rate <= 1.0
+        if r.mean_abs_change_dollars is not None:
+            assert r.mean_abs_change_dollars > 0
+
+
+def test_qte_quantiles_monotone(spark):
+    rows = _run("q399_quantile_treatment_effect", spark)
+    assert [r.q_pct for r in rows] == [25, 50, 75, 90]
+    tv = [r.treated_value for r in rows]
+    cv = [r.control_value for r in rows]
+    assert tv == sorted(tv) and cv == sorted(cv)  # order stats are monotone
+    for r in rows:
+        assert abs(r.qte - (r.treated_value - r.control_value)) < 0.011
+
+
+def test_curation_funnel_monotone(spark):
+    rows = _run("q400_curation_funnel_audit", spark)
+    assert [r.stage for r in rows] == [0, 1, 2, 3, 4]
+    docs = [r.docs for r in rows]
+    toks = [r.bpe_tokens for r in rows]
+    # every stage only ever removes documents and tokens
+    assert docs == sorted(docs, reverse=True)
+    assert toks == sorted(toks, reverse=True)
+    assert docs[-1] >= 1
