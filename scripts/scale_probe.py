@@ -627,6 +627,66 @@ def main() -> None:
 
     probe("stratified_rank_tests", stratum_rank_bh, events, events_big)
 
+    # --- eighth wave: grid-DBSCAN (q379) -------------------------------------
+    # replicas shift the FIRST coordinate by 10*r (whole grid cells apart), so
+    # each replica clusters independently — density per cell is preserved and
+    # pair work must scale ~linearly; an id-only replica union would instead
+    # multiply density 10x and blow pairs up 100x (a replica artifact, not an
+    # operator property — same caveat as the simhash pair note).
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    shift = F.col("__r").cast("double") * 10.0
+    emb_big = (
+        emb.select("*", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("__r"))
+        .select(
+            (F.col("vec_id") + F.col("__r").cast("long") * 1_000_000).alias("vec_id"),
+            F.concat(
+                F.array(F.element_at("embedding", 1) + shift),
+                F.slice("embedding", 2, 63),
+            ).alias("embedding"),
+        )
+    )
+
+    def dbscan_pairs(d):
+        from sqlserver2pgsql_spark.operators.graph import connected_components_star
+
+        eps = 0.02
+        pts = d.select(
+            "vec_id",
+            F.col("embedding").getItem(0).cast("double").alias("x"),
+            F.col("embedding").getItem(1).cast("double").alias("y"),
+        )
+        cell = lambda c: F.floor(c / eps).cast("long")  # noqa: E731
+        pr = pts.select(
+            F.col("vec_id").alias("pa"), F.col("x").alias("xa"), F.col("y").alias("ya"),
+            F.explode(F.array(*[
+                F.struct((cell(F.col("x")) + dx).alias("cx"), (cell(F.col("y")) + dy).alias("cy"))
+                for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            ])).alias("cell"),
+        )
+        bu = pts.select(
+            F.col("vec_id").alias("pb"), F.col("x").alias("xb"), F.col("y").alias("yb"),
+            F.struct(cell(F.col("x")).alias("cx"), cell(F.col("y")).alias("cy")).alias("cell"),
+        )
+        dx, dy = F.col("xa") - F.col("xb"), F.col("ya") - F.col("yb")
+        nbrs = (
+            pr.join(bu, "cell")
+            .filter((F.col("pa") != F.col("pb")) & (dx * dx + dy * dy <= eps * eps))
+            .select("pa", "pb").localCheckpoint(eager=False)
+        )
+        cores = (
+            nbrs.groupBy(F.col("pa").alias("vec_id"))
+            .agg((F.count(F.lit(1)) + 1).alias("n"))
+            .filter(F.col("n") >= 3).select("vec_id")
+        )
+        core_edges = (
+            nbrs.join(cores.withColumnRenamed("vec_id", "pa"), "pa")
+            .join(cores.withColumnRenamed("vec_id", "pb"), "pb").select("pa", "pb")
+        )
+        cc, _ = connected_components_star(core_edges, "pa", "pb")
+        return cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+
+    probe("grid_dbscan_star_cc", dbscan_pairs, emb, emb_big)
+
 
 if __name__ == "__main__":
     main()
