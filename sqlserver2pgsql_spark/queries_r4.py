@@ -11611,9 +11611,11 @@ def q251_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ends
     )
     SELECT n / 2 AS n_edges,
-           CAST(n * sxy - sx * sy AS DOUBLE)
-             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS assortativity
+           CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+             / (sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                          AS DOUBLE))
+                * sqrt(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
+                            AS DOUBLE))) AS assortativity
     FROM moms
     """,
 )
@@ -11665,10 +11667,15 @@ def q252_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    # the cross-sum products (n·sxy, sx·sy, ...) overflow BIGINT at sf0.1+
+    # (caught by the bench, not the sf0.01 gate) — run them in exact wide
+    # integers on both engines (Spark DECIMAL(38,0) ~ DuckDB HUGEINT), then
+    # one cast to double: same exact integer -> same double, no overflow
+    wide = "decimal(38,0)"
+    n, sx, sy = [F.col(c).cast(wide) for c in ("n", "sx", "sy")]
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
     return moms.select(
-        (n / 2).cast("long").alias("n_edges"),
+        (F.col("n") / 2).cast("long").alias("n_edges"),
         (
             (n * sxy - sx * sy).cast("double")
             / (
