@@ -70,16 +70,26 @@ def main() -> None:
     # capture and BENCH_r03 recorded `parsed: null` (VERDICT r3, What's wrong #1).
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json")
     with open(detail_path, "w") as fh:
-        json.dump({"cold": cold, "warm_passes": warm_passes, "sf": sf}, fh, indent=1)
+        json.dump(
+            {"cold": cold, "warm_median": warm, "warm_passes": warm_passes, "sf": sf},
+            fh,
+            indent=1,
+        )
+    # 400 queries x ~33 bytes/entry = ~13 KB — the same size that overflowed
+    # the driver's capture in round 3. Keep only the slowest 40 in the stdout
+    # line (~1.7 KB, the r2 size that parsed); the full per-query map and all
+    # passes live in BENCH_detail.json.
+    slowest = dict(sorted(warm.items(), key=lambda kv: -kv[1])[:40])
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": warm,
+                "queries": slowest,
+                "n_queries": len(warm),
                 "sf": sf,
-                "methodology": "per-query median of 3 warm passes; detail in BENCH_detail.json",
+                "methodology": "per-query median of 3 warm passes over all registered queries; stdout lists the slowest 40; full per-query map in BENCH_detail.json",
                 "cold_total_sec": cold_total,
             }
         )
