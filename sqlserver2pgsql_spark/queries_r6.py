@@ -2381,12 +2381,12 @@ def q395_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT s.ts, s.cents FROM src s CROSS JOIN mx
       WHERE s.event_id % 2 = 0 AND s.ts <> mx.m
     ),
-    wm0 AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM f0)
+    wmf AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM src)
     SELECT date_trunc('hour', f0.ts) AS window_start,
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(sum(f0.cents) AS BIGINT) AS sum_cents
-    FROM f0 CROSS JOIN wm0
-    WHERE date_trunc('hour', f0.ts) + INTERVAL 1 HOUR <= wm0.w
+    FROM f0 CROSS JOIN wmf
+    WHERE date_trunc('hour', f0.ts) + INTERVAL 1 HOUR <= wmf.w
     GROUP BY 1 ORDER BY 1
     """,
 )
@@ -2402,11 +2402,16 @@ def q396_stream_watermark_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     (watermark = max(even ts) − 10min) EMITS every even-side window
     whose end has passed; batch 2's odd rows then land in evicted
     windows and are dropped by the watermark filter
-    (numRowsDroppedByWatermark), while their few kept tail windows —
-    and the max-row's own window — are never finalized before the
-    stream ends. The emitted table is therefore EXACTLY the even-file
-    windows with end <= max(even ts) − 10min, which is what the oracle
-    asserts: a single leaked odd row would break the value hash. This
+    (numRowsDroppedByWatermark — the drop filter uses the batch-2
+    watermark, global max − 10min, so EVERY odd row in a finalizable
+    window is dropped), while the kept tail windows — and the max-row's
+    own window — are never finalized before the stream ends. The
+    emitted table is therefore EXACTLY the even-file windows with
+    end <= global max(ts) − 10min, which is what the oracle asserts: a
+    single leaked odd row would break the value hash. (First cut used
+    the batch-1 watermark as the emission bound; sf0.001's window
+    boundaries exposed that the FINAL eviction bound is the end
+    watermark — the pytest gate at a second scale caught it.) This
     pins the drop-and-flush behavior q374's lateness planner sizes.
     Replay files live in a per-invocation mkdtemp (the q71 lesson)."""
     import os
