@@ -81,6 +81,25 @@ def main() -> int:
             print(f"FAIL  {name}: columns {list(s.columns)} != {list(o.columns)}")
             failures.append(name)
             continue
+        # Driver-hash parity: float-vs-int dtype divergence is exactly the
+        # class the driver's representation-sensitive hash fails on (DuckDB
+        # HUGEINT -> pandas float64 vs Spark int64 — VERDICT r4 #1), and
+        # `check_dtype=False` below is blind to it. Datetime-resolution and
+        # integer-width divergence are driver-proven safe; float-vs-int is not.
+        mixed = [
+            c for c in s.columns
+            if (pd.api.types.is_float_dtype(s[c]) and pd.api.types.is_integer_dtype(o[c]))
+            or (pd.api.types.is_integer_dtype(s[c]) and pd.api.types.is_float_dtype(o[c]))
+        ]
+        if mixed:
+            print(
+                f"FAIL  {name}: float-vs-int dtype divergence on {mixed} "
+                f"(spark {[str(s[c].dtype) for c in mixed]} vs "
+                f"oracle {[str(o[c].dtype) for c in mixed]}) — the driver's "
+                f"hash will mismatch even if values are equal"
+            )
+            failures.append(name)
+            continue
         if len(s) != len(o):
             print(f"FAIL  {name}: rowcount {len(s)} != {len(o)}")
             failures.append(name)

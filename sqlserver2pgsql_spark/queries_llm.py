@@ -1547,7 +1547,7 @@ def q60_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q61_stream_stateful",
     oracle="""
     SELECT user_id, count(*) AS n_events,
-           sum(CAST(floor(value * 100) AS BIGINT)) AS total_cents
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM events GROUP BY user_id ORDER BY user_id
     """,
 )
@@ -2517,7 +2517,7 @@ def q84_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT user_id,
-           sum(dur_us) AS total_us,
+           CAST(sum(dur_us) AS BIGINT) AS total_us,
            round(CAST(sum(CAST(v6 AS DECIMAL(38,0)) * dur_us) AS DOUBLE)
                  / CAST(sum(dur_us) AS DOUBLE) / 1000000.0, 6) AS twap
     FROM iv WHERE dur_us IS NOT NULL
@@ -3277,7 +3277,7 @@ def q95_percentile_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(n_chars) OVER (PARTITION BY source) AS tot
       FROM documents
     )
-    SELECT source, doc_id, n_chars, cum
+    SELECT source, doc_id, n_chars, CAST(cum AS BIGINT) AS cum
     FROM tape WHERE cum * 10 <= tot * 8
     ORDER BY source, doc_id
     """,

@@ -1098,7 +1098,7 @@ def q112_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     df AS (SELECT bg, count(*) AS doc_freq FROM doc_bigrams GROUP BY bg)
     SELECT d.doc_id,
            count(*) AS n_distinct_bigrams,
-           sum(CASE WHEN f.doc_freq = 1 THEN 1 ELSE 0 END) AS n_unique,
+           CAST(sum(CASE WHEN f.doc_freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
            CAST(sum(CASE WHEN f.doc_freq = 1 THEN 1 ELSE 0 END) AS DOUBLE)
              / count(*) AS novelty
     FROM doc_bigrams d JOIN df f ON f.bg = d.bg
@@ -1508,8 +1508,8 @@ def q117_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM q
     )
     SELECT r.flag, f.q1, f.q3, f.lo_fence, f.hi_fence,
-           sum(CASE WHEN r.v < f.lo_fence OR r.v > f.hi_fence
-                    THEN 1 ELSE 0 END) AS n_outliers,
+           CAST(sum(CASE WHEN r.v < f.lo_fence OR r.v > f.hi_fence
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
            max(CASE WHEN r.v > f.hi_fence THEN r.v END) AS worst_high
     FROM ranked r JOIN fences f ON f.flag = r.flag
     GROUP BY r.flag, f.q1, f.q3, f.lo_fence, f.hi_fence
@@ -1575,12 +1575,13 @@ def q118_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT s.origin,
            count(*) AS docs_before,
-           sum(CASE WHEN s.doc_id = k.keeper_id THEN 1 ELSE 0 END) AS docs_after,
-           sum(s.n_tokens) AS tokens_before,
-           sum(CASE WHEN s.doc_id = k.keeper_id THEN s.n_tokens ELSE 0 END)
-             AS tokens_after,
-           sum(CASE WHEN s.doc_id <> k.keeper_id THEN s.n_bytes ELSE 0 END)
-             AS bytes_saved
+           CAST(sum(CASE WHEN s.doc_id = k.keeper_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_after,
+           CAST(sum(s.n_tokens) AS BIGINT) AS tokens_before,
+           CAST(sum(CASE WHEN s.doc_id = k.keeper_id THEN s.n_tokens ELSE 0 END)
+                AS BIGINT) AS tokens_after,
+           CAST(sum(CASE WHEN s.doc_id <> k.keeper_id THEN s.n_bytes ELSE 0 END)
+                AS BIGINT) AS bytes_saved
     FROM sized s JOIN keepers k ON k.text = s.text
     GROUP BY s.origin ORDER BY s.origin
     """.format(exact_corpus="""
@@ -2103,7 +2104,8 @@ def q126_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            max(n_24h) AS peak_24h,
-           sum(CASE WHEN n_24h >= 8 THEN 1 ELSE 0 END) AS n_burst_events,
+           CAST(sum(CASE WHEN n_24h >= 8 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_burst_events,
            count(*) AS n_events
     FROM windowed GROUP BY user_id
     HAVING max(n_24h) >= 8

@@ -52,4 +52,19 @@ def assert_matches_oracle(spark_df, duck_con, oracle_sql: str):
     o = normalize(duck_con.execute(oracle_sql).fetchdf())
     assert list(s.columns) == list(o.columns), f"{list(s.columns)} != {list(o.columns)}"
     assert len(s) == len(o), f"rowcount {len(s)} != {len(o)}"
+    # Float-vs-int dtype divergence fails the driver's representation-
+    # sensitive hash even when values are equal (DuckDB HUGEINT -> float64
+    # vs Spark int64 — VERDICT r4 #1); check_dtype=False below is blind to
+    # it, so gate it explicitly. Datetime resolution / integer width
+    # divergence are driver-proven safe and stay allowed.
+    mixed = [
+        c for c in s.columns
+        if (pd.api.types.is_float_dtype(s[c]) and pd.api.types.is_integer_dtype(o[c]))
+        or (pd.api.types.is_integer_dtype(s[c]) and pd.api.types.is_float_dtype(o[c]))
+    ]
+    assert not mixed, (
+        f"float-vs-int dtype divergence on {mixed}: "
+        f"spark {[str(s[c].dtype) for c in mixed]} vs "
+        f"oracle {[str(o[c].dtype) for c in mixed]} — driver hash would fail"
+    )
     pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=True)
