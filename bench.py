@@ -65,13 +65,34 @@ def main() -> None:
     warm = {name: median3(name) for name in warm_passes[0]}
     total = round(sum(v for v in warm.values() if v >= 0), 3)
     cold_total = round(sum(v for v in cold.values() if v >= 0), 3)
+    # min-of-warm: jitter-free floor for round-over-round comparison — a
+    # multi-second contended outlier moves the median but not the min
+    # (VERDICT r4 perf §: q24 warm passes 1.6/6.0/3.9s were jitter, not plan).
+    min_warm = {
+        name: min(p[name] for p in warm_passes) for name in warm_passes[0]
+    }
+    min_warm_total = round(sum(v for v in min_warm.values() if v >= 0), 3)
+    # A failed query records -1.0 and sorts LAST in the slowest-40 stdout cap,
+    # so without an explicit count a non-green bench prints a clean-looking
+    # line (ADVICE r4) — surface failures first-class in the one-line result.
+    failed = sorted(
+        name for name in warm_passes[0]
+        if warm[name] < 0 or cold[name] < 0
+    )
     # Full per-pass detail goes to a sidecar file; the stdout line must stay
     # SMALL — round 3's embedded warm_passes overflowed the driver's tail
     # capture and BENCH_r03 recorded `parsed: null` (VERDICT r3, What's wrong #1).
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json")
     with open(detail_path, "w") as fh:
         json.dump(
-            {"cold": cold, "warm_median": warm, "warm_passes": warm_passes, "sf": sf},
+            {
+                "cold": cold,
+                "warm_median": warm,
+                "warm_min": min_warm,
+                "warm_passes": warm_passes,
+                "failed": failed,
+                "sf": sf,
+            },
             fh,
             indent=1,
         )
@@ -91,6 +112,9 @@ def main() -> None:
                 "sf": sf,
                 "methodology": "per-query median of 3 warm passes over all registered queries; stdout lists the slowest 40; full per-query map in BENCH_detail.json",
                 "cold_total_sec": cold_total,
+                "min_warm_total_sec": min_warm_total,
+                "n_failed": len(failed),
+                "failed": failed[:20],
             }
         )
     )

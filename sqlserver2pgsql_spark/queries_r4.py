@@ -2051,28 +2051,14 @@ def q125_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q126_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: part pairs appearing together in ≥3
     orders, top-100 by support. Pair generation is GROUPED per basket via
-    the capped array self-combination (the same bounded generator the
-    dedup pair paths use — never an unbounded table self-join; basket size
+    grouped_pairs (operators/pairs.py — the capped array self-combination
+    all pair paths share; never an unbounded table self-join; basket size
     caps the quadratic term). One distinct, one grouped pair explode, one
     count agg, top-k."""
+    from .operators.pairs import grouped_pairs
+
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("items")
-    )
-    items = F.col("items")
-    pairs = baskets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    items,
-                    lambda x, i: F.transform(
-                        F.slice(items, i + 2, F.size(items)),
-                        lambda y: F.struct(x.alias("p1"), y.alias("p2")),
-                    ),
-                )
-            )
-        ).alias("pr")
-    ).select("pr.p1", "pr.p2")
+    pairs = grouped_pairs(li, "l_orderkey", "l_partkey")
     return (
         pairs.groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("n_orders"))
@@ -11107,9 +11093,12 @@ def q247_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket size, the q126 shape), co-counts aggregate in one shuffle, the
     part-popularity side is item-count-sized and broadcast, and the top-5
     is a WindowGroupLimit (rank pushdown), not a global sort. At 100 TB
-    the basket-size cap + minimum co-count threshold bound the pair
-    explosion (documented: the DIMSUM sampling scheme is the probabilistic
-    alternative when baskets are power-law)."""
+    the grouped_pairs basket-size cap (operators/pairs.py — pairs emitted
+    array-side per customer, groups over the cap dropped before any
+    quadratic work) bounds the pair explosion; the DIMSUM sampling scheme
+    is the probabilistic alternative when baskets are power-law."""
+    from .operators.pairs import grouped_pairs
+
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     baskets = (
@@ -11119,11 +11108,8 @@ def q247_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # feeds item counts AND pair gen
     )
     item = baskets.groupBy("part").agg(F.count(F.lit(1)).alias("c"))
-    a = baskets.select("cust", F.col("part").alias("pi"))
-    b = baskets.select("cust", F.col("part").alias("pj"))
     co = (
-        a.join(b, "cust")
-        .filter(F.col("pi") < F.col("pj"))
+        grouped_pairs(baskets, "cust", "part", left="pi", right="pj")
         .groupBy("pi", "pj")
         .agg(F.count(F.lit(1)).alias("co"))
         .localCheckpoint(eager=False)  # read twice by the symmetric union
@@ -11612,7 +11598,7 @@ def q251_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(y * y) AS BIGINT) AS syy
       FROM ends
     )
-    SELECT n / 2 AS n_edges,
+    SELECT CAST(n // 2 AS BIGINT) AS n_edges,
            CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
              / (sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
                           AS DOUBLE))
@@ -11627,8 +11613,10 @@ def q252_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     connect to hubs (r>0) or to the periphery (r<0)? All six moments are
     exact BIGINTs over the doubled edge list (both orientations, the
     standard definition), the coefficient is one IEEE chain. Edge
-    generation is the bounded per-customer pair shape shared with q247;
-    degrees come from one count agg on the edge list and broadcast back.
+    generation goes through grouped_pairs (operators/pairs.py — the capped
+    per-customer array generator shared with q247/q126, never a raw
+    self-join); degrees come from one count agg on the edge list and
+    broadcast back.
     The graph-topology health metric for neighbor-based curation
     (q247/q73): strong disassortativity warns that hub-capping is needed
     before LSH bucketing."""
@@ -11638,14 +11626,11 @@ def q252_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
         .distinct()
-        .localCheckpoint(eager=False)
     )
-    a = baskets.select("cust", F.col("part").alias("pi"))
-    b = baskets.select("cust", F.col("part").alias("pj"))
+    from .operators.pairs import grouped_pairs
+
     edges = (
-        a.join(b, "cust")
-        .filter(F.col("pi") < F.col("pj"))
-        .select("pi", "pj")
+        grouped_pairs(baskets, "cust", "part", left="pi", right="pj")
         .distinct()
         .localCheckpoint(eager=False)  # degree agg + both end joins
     )
@@ -11672,7 +11657,12 @@ def q252_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the cross-sum products (n·sxy, sx·sy, ...) overflow BIGINT at sf0.1+
     # (caught by the bench, not the sf0.01 gate) — run them in exact wide
     # integers on both engines (Spark DECIMAL(38,0) ~ DuckDB HUGEINT), then
-    # one cast to double: same exact integer -> same double, no overflow
+    # one cast to double: same exact integer -> same double, no overflow.
+    # Shared headroom bound ~1e38 (DECIMAL(38,0) max ≈ 10^38−1, HUGEINT max
+    # ≈ 1.7e38): n·sxy stays under it up to ~sf1e4; PAST it the engines
+    # diverge in FAILURE MODE, not values — non-ANSI Spark returns NULL
+    # silently, DuckDB raises (ADVICE r4). If this query ever runs near that
+    # scale, enable spark.sql.ansi.enabled for the job so both fail loudly.
     wide = "decimal(38,0)"
     n, sx, sy = [F.col(c).cast(wide) for c in ("n", "sx", "sy")]
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")

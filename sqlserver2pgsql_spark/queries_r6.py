@@ -2433,15 +2433,21 @@ def q396_stream_watermark_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("1_max", F.col("ts") == F.lit(mx)),
             ("2_odd", (F.col("event_id") % 2 == 1) & (F.col("ts") != F.lit(mx))),
         )
-        for tag, pred in splits:
+        # FileStreamSource orders candidate files by MODIFICATION TIME, not
+        # name — an mtime tie between the three files (fast FS, coarse clock)
+        # would silently reorder batches and change which watermark applies
+        # (ADVICE r4). Pin the intended 0_even → 1_max → 2_odd order with
+        # explicit, strictly increasing utimes spaced 2s apart.
+        base = os.stat(tmp).st_mtime
+        for i, (tag, pred) in enumerate(splits):
             d = os.path.join(tmp, "w_" + tag)
             ev.filter(pred).coalesce(1).write.parquet(d)
             part = next(
                 f for f in sorted(os.listdir(d)) if f.endswith(".parquet")
             )
-            os.rename(
-                os.path.join(d, part), os.path.join(tmp, f"{tag}.parquet")
-            )
+            dest = os.path.join(tmp, f"{tag}.parquet")
+            os.rename(os.path.join(d, part), dest)
+            os.utime(dest, (base + 2 * i, base + 2 * i))
             shutil.rmtree(d)
         stream = (
             spark.readStream.schema(ev.schema)

@@ -1,0 +1,51 @@
+"""grouped_pairs (operators/pairs.py) — the repo's single bounded pair
+generator (VERDICT r4 #3: q247/q252 previously used a raw per-group
+self-join with a docstring-only cap). Exactness vs the brute-force
+self-join, ordering contract, and the max_group drop semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sqlserver2pgsql_spark.operators.pairs import grouped_pairs
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "g int, item int")
+
+
+def test_grouped_pairs_matches_self_join(spark):
+    rows = [
+        (1, 10), (1, 20), (1, 30), (1, 30),  # dup item collapses
+        (2, 5),                               # singleton: no pairs
+        (3, 7), (3, 9),
+    ]
+    df = _df(spark, rows)
+    got = sorted(
+        grouped_pairs(df, "g", "item").collect(), key=lambda r: (r.p1, r.p2)
+    )
+    d = df.distinct()
+    a = d.select("g", F.col("item").alias("p1"))
+    b = d.select("g", F.col("item").alias("p2"))
+    want = sorted(
+        a.join(b, "g").filter(F.col("p1") < F.col("p2")).select("p1", "p2").collect(),
+        key=lambda r: (r.p1, r.p2),
+    )
+    assert [(r.p1, r.p2) for r in got] == [(r.p1, r.p2) for r in want]
+    assert all(r.p1 < r.p2 for r in got)
+
+
+def test_grouped_pairs_max_group_drops_oversized(spark):
+    rows = [(1, i) for i in range(5)] + [(2, 100), (2, 200)]
+    df = _df(spark, rows)
+    got = grouped_pairs(df, "g", "item", max_group=4).collect()
+    # group 1 (5 items) exceeds the cap and contributes nothing;
+    # group 2 contributes its single pair.
+    assert [(r.p1, r.p2) for r in got] == [(100, 200)]
+
+
+def test_grouped_pairs_column_aliases(spark):
+    df = _df(spark, [(1, 3), (1, 4)])
+    got = grouped_pairs(df, "g", "item", left="pi", right="pj")
+    assert got.columns == ["pi", "pj"]
+    assert [(r.pi, r.pj) for r in got.collect()] == [(3, 4)]
