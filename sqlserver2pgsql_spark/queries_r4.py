@@ -15708,17 +15708,21 @@ def q298_threshold_contagion(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
     b = li.select(F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("v"))
+    # Lazy checkpoints throughout: every per-round frame is persisted +
+    # lineage-truncated on FIRST use, but materialization rides the single
+    # final action instead of 2 eager barrier jobs per round (VERDICT r4 #5
+    # — the q364 lesson applied to the whole fixed-point family).
     edges = (
         a.join(b, (a["k"] == b["k2"]) & (a["u"] != b["v"]))
         .select("u", "v")
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     failed = (
         li.select(F.col("l_partkey").alias("node"))
         .filter(F.col("node") % 50 == 0)
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     out = failed.groupBy().count().select(
         F.lit(0).cast("long").alias("round"), F.col("count").alias("n_failed")
@@ -15731,7 +15735,7 @@ def q298_threshold_contagion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("nf") >= 2)
             .select(F.col("u").alias("node"))
         )
-        failed = failed.unionByName(newly).distinct().localCheckpoint(eager=True)
+        failed = failed.unionByName(newly).distinct().localCheckpoint(eager=False)
         out = out.unionByName(
             failed.groupBy()
             .count()

@@ -2879,7 +2879,7 @@ def q358_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double")
             / F.sum("n").over(W.partitionBy("src"))
         ).alias("p"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     scen = spark.createDataFrame(
         [("base", None)] + [(f"no_{c}", c) for c in _MK_CHANNELS],
         "scenario string, removed string",
@@ -2897,7 +2897,7 @@ def q358_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("scenario", "src", "dst")
         .agg(F.sum("p").cast("double").alias("p"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     consts = scen.select("scenario").distinct()
     fixed = consts.select(
@@ -2910,7 +2910,7 @@ def q358_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("scenario", "state", F.lit(0.0).alias("v"))
         .unionByName(fixed)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for i in range(1, _MK_ITERS + 1):
         nv = (
@@ -2927,7 +2927,10 @@ def q358_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .unionByName(fixed)
         )
-        v = nv.localCheckpoint(eager=True) if i % 4 == 0 else nv
+        # lineage-truncate every 4th iterate lazily: persistence + plan cut
+        # still happen on first use, but materialization rides the final
+        # action instead of an eager barrier job (VERDICT r4 #5)
+        v = nv.localCheckpoint(eager=False) if i % 4 == 0 else nv
     pconv = v.filter(F.col("state") == "START").select("scenario", "v")
     base = pconv.filter(F.col("scenario") == "base").select(
         F.col("v").alias("pb")
@@ -3686,28 +3689,39 @@ def q364_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     P12 = lambda c: F.round(c, 12).cast("decimal(28,12)")
     h = e.select("p").distinct().select("p", F.lit(1.0).alias("h"))
     a = None
+    # Checkpoint the RAW half-step aggregates lazily, not the normalized
+    # projections eagerly: the max-normalizer's broadcast job is the action
+    # that materializes (and caches) each raw agg anyway, so the eager
+    # variant ran every edge join TWICE per half-step (once for the
+    # broadcast, once for the checkpoint) — 4 barriers/iteration for 2
+    # half-steps (VERDICT r4 #5, q364 at 11.6s). The normalized frames
+    # are one narrow broadcast-division on top of the cached raw agg, so
+    # they need no checkpoint of their own; lineage still truncates at
+    # every half-step, so the plan cannot regrow across iterations.
+    # The score vectors are node-sized (|parts| + |suppliers|), orders of
+    # magnitude below the edge list — broadcast them so the edge list is
+    # never shuffled; each half-step is scan-cached-edges + broadcast hash
+    # join + one partial-aggregated shuffle of node-sized sums.
     for _ in range(_HITS_ITERS):
         a_raw = (
-            e.join(h, "p")
+            e.join(F.broadcast(h), "p")
             .groupBy("s")
             .agg(F.sum(P12(F.col("h"))).cast("double").alias("a"))
+            .localCheckpoint(eager=False)
         )
         amax = a_raw.agg(F.max("a").alias("mx"))
-        a = (
-            a_raw.crossJoin(F.broadcast(amax))
-            .select("s", (F.col("a") / F.col("mx")).alias("a"))
-            .localCheckpoint(eager=True)
+        a = a_raw.crossJoin(F.broadcast(amax)).select(
+            "s", (F.col("a") / F.col("mx")).alias("a")
         )
         h_raw = (
-            e.join(a, "s")
+            e.join(F.broadcast(a), "s")
             .groupBy("p")
             .agg(F.sum(P12(F.col("a"))).cast("double").alias("h"))
+            .localCheckpoint(eager=False)
         )
         hmax = h_raw.agg(F.max("h").alias("mx"))
-        h = (
-            h_raw.crossJoin(F.broadcast(hmax))
-            .select("p", (F.col("h") / F.col("mx")).alias("h"))
-            .localCheckpoint(eager=True)
+        h = h_raw.crossJoin(F.broadcast(hmax)).select(
+            "p", (F.col("h") / F.col("mx")).alias("h")
         )
     hubs = h.select(
         F.lit("hub").alias("side"),
