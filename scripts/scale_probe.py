@@ -687,6 +687,33 @@ def main() -> None:
 
     probe("grid_dbscan_star_cc", dbscan_pairs, emb, emb_big)
 
+    # --- round 5: grouped_pairs (q126/q247/q252) ------------------------------
+    # Corpus growth = MORE groups at the same basket-size distribution, so the
+    # replica shifts the GROUP key (user), not the item — an item-id-only
+    # replica would grow each basket 10x and measure the (intentional)
+    # quadratic-in-basket-size term, not the operator's scaling. Pair volume
+    # and cost must scale ~linearly in group count.
+    from sqlserver2pgsql_spark.operators.pairs import grouped_pairs
+
+    baskets = events.select("user_id", (F.col("event_id") % 500).alias("item"))
+    baskets_big = replicate(
+        baskets.withColumnRenamed("user_id", "g"), "g", replicas, 10_000_000
+    )
+
+    def pair_counts(d):
+        return (
+            grouped_pairs(d, "g", "item")
+            .groupBy("p1", "p2")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    probe(
+        "grouped_pairs(q247/q252)",
+        pair_counts,
+        baskets.withColumnRenamed("user_id", "g"),
+        baskets_big,
+    )
+
 
 if __name__ == "__main__":
     main()

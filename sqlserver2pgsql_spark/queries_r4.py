@@ -11377,13 +11377,17 @@ def q250_knn_loo_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         ).alias("fx"),
     )
+    # Per-vector terms are scale-INDEPENDENT: fx entries <= 2^21, so each
+    # product <= 2^42 and a 64-term sum <= 2^48 — exact in BIGINT at any
+    # corpus size (unlike q246's corpus-sized Gram sums, which need
+    # DECIMAL). Long arithmetic keeps the hot inner loop out of BigDecimal.
     norms = fx.select(
         "vec_id",
         "label",
         "fx",
         F.aggregate(
-            F.transform(F.col("fx"), lambda x: (x * x).cast("decimal(38,0)")),
-            F.lit(0).cast("decimal(38,0)"),
+            F.transform(F.col("fx"), lambda x: x * x),
+            F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         ).alias("n2"),
     ).localCheckpoint(eager=False)  # query side + corpus side
@@ -11409,10 +11413,8 @@ def q250_knn_loo_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_label",
             (
                 F.aggregate(
-                    F.zip_with(
-                        "qfx", "cfx", lambda x, y: (x * y).cast("decimal(38,0)")
-                    ),
-                    F.lit(0).cast("decimal(38,0)"),
+                    F.zip_with("qfx", "cfx", lambda x, y: x * y),
+                    F.lit(0).cast("long"),
                     lambda acc, x: acc + x,
                 ).cast("double")
                 / (

@@ -120,7 +120,7 @@ def _agg_sql(a) -> str:
     body = {
         "count_star": "count(*)",
         "count_distinct": f"count(DISTINCT {c})",
-        "sum_int": f"sum(CAST({c} AS BIGINT))",
+        "sum_int": f"CAST(sum(CAST({c} AS BIGINT)) AS BIGINT)",
         "min_meas": f"min({c})",
         "max_meas": f"max({c})",
     }[kind]
@@ -221,7 +221,7 @@ def _win_sql(q: dict) -> str:
             "dense_rank": f"dense_rank() OVER (PARTITION BY {q['part']} ORDER BY {q['order']})",
             "lag": f"coalesce(lag({q['key']}) OVER ({over}), -1)",
             "lead": f"coalesce(lead({q['key']}) OVER ({over}), -1)",
-            "running_sum": f"sum(CAST({q['order']} AS BIGINT)) OVER ({over} ROWS UNBOUNDED PRECEDING)",
+            "running_sum": f"CAST(sum(CAST({q['order']} AS BIGINT)) OVER ({over} ROWS UNBOUNDED PRECEDING) AS BIGINT)",
         }[fn]
         cols.append(f"CAST({body} AS BIGINT) AS w{i}")
     sel = f"SELECT {q['part']}, {q['key']}, {', '.join(cols)} FROM {q['table']}"
@@ -699,7 +699,7 @@ def _fagg_sql(q: dict) -> str:
         pred = _pred_sql(p)
         body = {
             "cnt_f": f"count(*) FILTER (WHERE {pred})",
-            "sum_f": f"coalesce(sum(CAST({col} AS BIGINT)) FILTER (WHERE {pred}), 0)",
+            "sum_f": f"CAST(coalesce(sum(CAST({col} AS BIGINT)) FILTER (WHERE {pred}), 0) AS BIGINT)",
             "min_f": f"min(CAST({col} AS BIGINT)) FILTER (WHERE {pred})",
             "cntd_f": f"count(DISTINCT {col}) FILTER (WHERE {pred})",
             "cnt_plain": "count(*)",
