@@ -49,16 +49,19 @@ def grouped_pairs(
     left: str = "p1",
     right: str = "p2",
     max_group: int = 10_000,
+    keep_group: bool = False,
 ) -> DataFrame:
     """(left, right) rows — one per unordered distinct-item pair co-occurring
     in a ``group_col`` group, with ``left < right``. One shuffle (the group
     hash agg); the quadratic pair emission happens array-side per group and
-    only for groups of size in (1, max_group]."""
+    only for groups of size in (1, max_group]. ``keep_group=True`` prepends
+    the group column for per-group pair statistics (Mann-Kendall etc.)."""
     grouped = (
         df.groupBy(group_col)
         .agg(F.array_sort(F.collect_set(item_col)).alias("items"))
         .filter((F.size("items") > 1) & (F.size("items") <= max_group))
     )
+    head = [group_col] if keep_group else []
     return grouped.select(
-        _pair_explode(F.col("items"), left, right).alias("pr")
-    ).select(f"pr.{left}", f"pr.{right}")
+        *head, _pair_explode(F.col("items"), left, right).alias("pr")
+    ).select(*head, f"pr.{left}", f"pr.{right}")

@@ -6692,15 +6692,21 @@ def q190_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = ev.select(
         "user_id", "value", F.row_number().over(w).alias("i")
     ).localCheckpoint(eager=False)
-    a = seq.select("user_id", F.col("value").alias("va"), F.col("i").alias("ia"))
-    b = seq.select("user_id", F.col("value").alias("vb"), F.col("i").alias("ib"))
+    # pair generation through grouped_pairs over (i, value) structs: the
+    # array sort is lexicographic and i is unique per user, so every
+    # emitted pair has ia < ib — same semantics as the rank self-join but
+    # with the shared generator's hard group cap
+    from .operators.pairs import grouped_pairs
+
+    items = seq.select("user_id", F.struct("i", "value").alias("it"))
+    pr = grouped_pairs(
+        items, "user_id", "it", left="pa", right="pb", keep_group=True
+    )
     pairs = (
-        a.join(b, "user_id")
-        .filter(F.col("ia") < F.col("ib"))
-        .select(
+        pr.select(
             "user_id",
-            F.when(F.col("vb") > F.col("va"), 1)
-            .when(F.col("vb") < F.col("va"), -1)
+            F.when(F.col("pb.value") > F.col("pa.value"), 1)
+            .when(F.col("pb.value") < F.col("pa.value"), -1)
             .otherwise(0).alias("sgn"),
         )
         .groupBy("user_id")
@@ -8734,20 +8740,24 @@ def q218_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale the expansion is degree-bounded: cap per-node neighbor
     lists (top-k by support) before the self-join — the support filter
     here plays that role. Two aggregation shuffles + one join shuffle."""
+    from .operators.pairs import grouped_pairs
+
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
     pairs = (
-        a.join(b, "k")
-        .filter(F.col("pa") < F.col("pb"))
+        grouped_pairs(li, "l_orderkey", "l_partkey", left="pa", right="pb")
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("sup"))
         .filter(F.col("sup") >= 3)
         .select("pa", "pb")
     )
-    edges = pairs.select(
-        F.col("pa").alias("src"), F.col("pb").alias("dst")
-    ).unionByName(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    # symmetric edge list is read by the 2-hop join (both sides), the
+    # union-distinct, and the 1-hop agg — checkpoint lazily so the pair
+    # aggregation is planned (and run) once, not embedded four times
+    edges = (
+        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionByName(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
     e2 = edges.select(F.col("src").alias("mid"), F.col("dst").alias("dst2"))
     two_hop = (
         edges.join(e2, edges["dst"] == e2["mid"])
@@ -11029,8 +11039,14 @@ def q246_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("double")
             ).alias("nrm")
         )
-        v = w.crossJoin(F.broadcast(norm)).select(
-            "i", (F.col("w") / F.col("nrm")).alias("v")
+        # 64-row iterate: lazy checkpoint flattens the plan so iteration i
+        # does not re-embed iterations 1..i-1 inside its broadcast subtree
+        # (34 -> ~12 shuffles in the audited plan; the broadcast of v is
+        # the action that materializes it, at 64-row cost)
+        v = (
+            w.crossJoin(F.broadcast(norm))
+            .select("i", (F.col("w") / F.col("nrm")).alias("v"))
+            .localCheckpoint(eager=False)
         )
     return (
         v.crossJoin(F.broadcast(norm))
@@ -14713,10 +14729,10 @@ def q286_minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFr
     post = shingle_postings(docs.repartition(32), "doc_id", "text", n=3)
     sigs = _pmh_sigs(post)
     sizes = post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = post.select(F.col("doc_id").alias("id1"), "shingle")
-    b = post.select(F.col("doc_id").alias("id2"), F.col("shingle").alias("sh2"))
+    from .operators.pairs import grouped_pairs
+
     inter = (
-        a.join(b, (a["shingle"] == b["sh2"]) & (a["id1"] < b["id2"]))
+        grouped_pairs(post, "shingle", "doc_id", left="id1", right="id2")
         .groupBy("id1", "id2")
         .agg(F.count(F.lit(1)).alias("inter"))
     )

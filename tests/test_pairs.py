@@ -49,3 +49,15 @@ def test_grouped_pairs_column_aliases(spark):
     got = grouped_pairs(df, "g", "item", left="pi", right="pj")
     assert got.columns == ["pi", "pj"]
     assert [(r.pi, r.pj) for r in got.collect()] == [(3, 4)]
+
+
+def test_grouped_pairs_keep_group(spark):
+    df = _df(spark, [(1, 3), (1, 4), (2, 7), (2, 8), (2, 9)])
+    got = sorted(
+        grouped_pairs(df, "g", "item", keep_group=True).collect(),
+        key=lambda r: (r.g, r.p1, r.p2),
+    )
+    assert got[0].asDict() == {"g": 1, "p1": 3, "p2": 4}
+    assert [(r.g, r.p1, r.p2) for r in got] == [
+        (1, 3, 4), (2, 7, 8), (2, 7, 9), (2, 8, 9),
+    ]

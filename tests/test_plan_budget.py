@@ -187,7 +187,9 @@ BUDGETS = [
     ("q283_weighted_jaccard_sources", 8, 0),  # tf agg + term pair join + agg
     ("q284_hll_error_curve", 5, 0),         # register aggs + exact distinct
     ("q285_degenerate_text_runs", 1, 0),    # pure HOF folds + output sort
-    ("q286_minhash_jaccard_calibration", 6, 0),  # postings aggs + pair join
+    ("q286_minhash_jaccard_calibration", 7, 0),  # postings aggs + grouped_pairs
+    # (+1 exchange vs the raw shingle self-join it replaced: the capped
+    # generator's per-shingle hash agg — the price of the hard group bound)
     ("q287_lsh_band_planner", 3, 0),        # sig agg (chkpt) + bucket aggs
     ("q288_langid_confusion_eval", 5, 0),   # confusion agg + class rollups
     ("q289_conformal_interval", 5, 0),      # cal mean + rank window + cover
