@@ -1,44 +1,35 @@
 """Bounded in-group pair generation — the repo's single quadratic-safe shape.
 
 Every co-occurrence-style pair workload (market-basket q126, item-item CF
-q247, co-purchase graph q252, the dedup shingle paths) must generate pairs
-with THIS generator, never a raw ``a.join(b, key).filter(i < j)`` self-join:
-the self-join shuffles |group|² rows per group and has no defense against a
-power-law key (one customer with 10k distinct parts = 50M shuffled pair rows
-at 100×). Here the group is collapsed to a sorted array in ONE hash
-aggregation, groups above ``max_group`` are dropped before any quadratic
-work happens, and pairs are emitted by an in-memory array slice-combination
-inside the explode — the quadratic term never crosses the wire unaggregated
-and is hard-capped at max_group²/2 per group.
+q247, co-purchase graph q252, two-hop reach q218, exact-Jaccard calibration
+q286, Mann-Kendall q190) must generate pairs with THIS generator, never an
+uncapped ``a.join(b, key).filter(i < j)`` self-join: the bare self-join
+shuffles |group|² rows per group with no defense against a power-law key
+(one customer with 10k distinct parts = 50M shuffled pair rows at 100×).
+
+Shape: group sizes are counted first and groups above ``max_group`` are
+removed by a BROADCAST anti-join BEFORE the pair join runs — the quadratic
+term is hard-capped at max_group²/2 per group while pair emission itself
+stays a whole-stage-codegen equi-join. Two earlier formulations measured
+worse: the nested ``F.transform``/``F.slice`` array combination pays O(k²)
+array-tail copies per group (q247 8.3s → 20.0s at sf0.1, basket size ~150),
+and collapse-to-array + explode + self-join pays the collect_set pass plus
+re-sorts (2.1× the bare join). The oversized-group list is group-count-sized
+and almost always empty, so the anti-join is a no-op broadcast filter.
 
 Semantics: with ``max_group`` above the true maximum group size the output
-is EXACT (all unordered in-group pairs, p1 < p2 by the item's sort order);
-a group that exceeds the cap contributes no pairs, so treat a capped run as
-approximate — same contract as dedup.py's ``max_group`` / LSH ``max_bucket``.
+is EXACT (all unordered in-group pairs of distinct items, left < right by
+the item ordering); a group that exceeds the cap contributes no pairs, so
+treat a capped run as approximate — same contract as dedup.py's
+``max_group`` / LSH ``max_bucket``.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["grouped_pairs"]
-
-
-def _pair_explode(items: Column, left: str, right: str) -> Column:
-    """All unordered pairs of a sorted array: for each element x at index i,
-    pair it with every later element (slice i+2.. in 1-based slice terms)."""
-    return F.explode(
-        F.flatten(
-            F.transform(
-                items,
-                lambda x, i: F.transform(
-                    F.slice(items, i + 2, F.size(items)),
-                    lambda y: F.struct(x.alias(left), y.alias(right)),
-                ),
-            )
-        )
-    )
 
 
 def grouped_pairs(
@@ -50,18 +41,30 @@ def grouped_pairs(
     right: str = "p2",
     max_group: int = 10_000,
     keep_group: bool = False,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """(left, right) rows — one per unordered distinct-item pair co-occurring
-    in a ``group_col`` group, with ``left < right``. One shuffle (the group
-    hash agg); the quadratic pair emission happens array-side per group and
-    only for groups of size in (1, max_group]. ``keep_group=True`` prepends
-    the group column for per-group pair statistics (Mann-Kendall etc.)."""
-    grouped = (
-        df.groupBy(group_col)
-        .agg(F.array_sort(F.collect_set(item_col)).alias("items"))
-        .filter((F.size("items") > 1) & (F.size("items") <= max_group))
+    in a ``group_col`` group, with ``left < right`` (the item type's native
+    ordering; structs compare field-by-field, so a unique leading field makes
+    the order deterministic). ``keep_group=True`` prepends the group column
+    for per-group pair statistics (Mann-Kendall etc.). Pass
+    ``assume_distinct=True`` when (group, item) rows are already distinct to
+    skip the dedup shuffle."""
+    base = df.select(group_col, item_col)
+    if not assume_distinct:
+        base = base.dropDuplicates([group_col, item_col])
+    big = (
+        base.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_group)
+        .select(group_col)
     )
+    capped = base.join(F.broadcast(big), group_col, "left_anti")
+    a = capped.select(group_col, F.col(item_col).alias(left))
+    b = capped.select(group_col, F.col(item_col).alias(right))
     head = [group_col] if keep_group else []
-    return grouped.select(
-        *head, _pair_explode(F.col("items"), left, right).alias("pr")
-    ).select(*head, f"pr.{left}", f"pr.{right}")
+    return (
+        a.join(b, group_col)
+        .filter(F.col(left) < F.col(right))
+        .select(*head, left, right)
+    )

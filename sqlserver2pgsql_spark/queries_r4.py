@@ -2051,14 +2051,14 @@ def q125_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q126_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: part pairs appearing together in ≥3
     orders, top-100 by support. Pair generation is GROUPED per basket via
-    grouped_pairs (operators/pairs.py — the capped array self-combination
-    all pair paths share; never an unbounded table self-join; basket size
-    caps the quadratic term). One distinct, one grouped pair explode, one
-    count agg, top-k."""
+    grouped_pairs (operators/pairs.py — the hard-capped generator all pair
+    paths share: oversized groups removed by broadcast anti-join BEFORE
+    the codegen pair join; never an uncapped table self-join). One
+    distinct, one bounded pair join, one count agg, top-k."""
     from .operators.pairs import grouped_pairs
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    pairs = grouped_pairs(li, "l_orderkey", "l_partkey")
+    pairs = grouped_pairs(li, "l_orderkey", "l_partkey", assume_distinct=True)
     return (
         pairs.groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("n_orders"))
@@ -6700,7 +6700,8 @@ def q190_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     items = seq.select("user_id", F.struct("i", "value").alias("it"))
     pr = grouped_pairs(
-        items, "user_id", "it", left="pa", right="pb", keep_group=True
+        items, "user_id", "it", left="pa", right="pb", keep_group=True,
+        assume_distinct=True,  # i is a per-user row_number, structs unique
     )
     pairs = (
         pr.select(
@@ -8744,7 +8745,8 @@ def q218_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     pairs = (
-        grouped_pairs(li, "l_orderkey", "l_partkey", left="pa", right="pb")
+        grouped_pairs(li, "l_orderkey", "l_partkey", left="pa", right="pb",
+                      assume_distinct=True)
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("sup"))
         .filter(F.col("sup") >= 3)
@@ -11109,9 +11111,9 @@ def q247_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket size, the q126 shape), co-counts aggregate in one shuffle, the
     part-popularity side is item-count-sized and broadcast, and the top-5
     is a WindowGroupLimit (rank pushdown), not a global sort. At 100 TB
-    the grouped_pairs basket-size cap (operators/pairs.py — pairs emitted
-    array-side per customer, groups over the cap dropped before any
-    quadratic work) bounds the pair explosion; the DIMSUM sampling scheme
+    the grouped_pairs basket-size cap (operators/pairs.py — groups over
+    the cap removed by broadcast anti-join before any quadratic work)
+    bounds the pair explosion; the DIMSUM sampling scheme
     is the probabilistic alternative when baskets are power-law."""
     from .operators.pairs import grouped_pairs
 
@@ -11125,7 +11127,8 @@ def q247_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     item = baskets.groupBy("part").agg(F.count(F.lit(1)).alias("c"))
     co = (
-        grouped_pairs(baskets, "cust", "part", left="pi", right="pj")
+        grouped_pairs(baskets, "cust", "part", left="pi", right="pj",
+                      assume_distinct=True)
         .groupBy("pi", "pj")
         .agg(F.count(F.lit(1)).alias("co"))
         .localCheckpoint(eager=False)  # read twice by the symmetric union
@@ -11648,7 +11651,8 @@ def q252_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.pairs import grouped_pairs
 
     edges = (
-        grouped_pairs(baskets, "cust", "part", left="pi", right="pj")
+        grouped_pairs(baskets, "cust", "part", left="pi", right="pj",
+                      assume_distinct=True)
         .distinct()
         .localCheckpoint(eager=False)  # degree agg + both end joins
     )
@@ -14732,7 +14736,8 @@ def q286_minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFr
     from .operators.pairs import grouped_pairs
 
     inter = (
-        grouped_pairs(post, "shingle", "doc_id", left="id1", right="id2")
+        grouped_pairs(post, "shingle", "doc_id", left="id1", right="id2",
+                      assume_distinct=True)
         .groupBy("id1", "id2")
         .agg(F.count(F.lit(1)).alias("inter"))
     )

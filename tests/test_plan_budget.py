@@ -94,7 +94,9 @@ BUDGETS = [
     ("q187_global_sales_opportunity", 2, 0),  # Q22: scalar bcast + anti + agg
     ("q188_entity_resolution", 6, 0),   # block join + cc-pinned + cluster agg
     ("q189_chi_square_independence", 3, 0),  # contingency agg; cell-table math
-    ("q190_mann_kendall_trend", 4, 0),  # rank window + grouped pair agg + join
+    ("q190_mann_kendall_trend", 5, 0),  # rank window + capped pair join
+    # (+1 exchange: grouped_pairs' group-size agg feeding the broadcast
+    # anti-join that enforces the hard cap before the pair join)
     ("q191_wilson_interval", 2, 0),     # one groupBy; CI math on group table
     ("q192_geometric_harmonic_means", 2, 0),  # one hash agg + sort
     ("q193_negative_sampling", 5, 0),   # ring rank + band join + rank window
@@ -187,9 +189,9 @@ BUDGETS = [
     ("q283_weighted_jaccard_sources", 8, 0),  # tf agg + term pair join + agg
     ("q284_hll_error_curve", 5, 0),         # register aggs + exact distinct
     ("q285_degenerate_text_runs", 1, 0),    # pure HOF folds + output sort
-    ("q286_minhash_jaccard_calibration", 7, 0),  # postings aggs + grouped_pairs
-    # (+1 exchange vs the raw shingle self-join it replaced: the capped
-    # generator's per-shingle hash agg — the price of the hard group bound)
+    ("q286_minhash_jaccard_calibration", 8, 0),  # postings aggs + grouped_pairs
+    # (+2 exchanges vs the raw shingle self-join: the capped generator's
+    # group-size agg + anti-joined pair input — the price of the hard bound)
     ("q287_lsh_band_planner", 3, 0),        # sig agg (chkpt) + bucket aggs
     ("q288_langid_confusion_eval", 5, 0),   # confusion agg + class rollups
     ("q289_conformal_interval", 5, 0),      # cal mean + rank window + cover
