@@ -11861,14 +11861,16 @@ def q254_greedy_set_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick = (
             cand.orderBy(F.desc("cnt"), F.asc("source"))
             .limit(1)
-            .localCheckpoint(eager=True)  # tiny; flattens round lineage
+            # lazy: the round's covered.count() is the forcing action —
+            # one job per round instead of three (VERDICT r4 #5 pattern)
+            .localCheckpoint(eager=False)
         )
         new_cov = items.join(pick.select("source"), "source").select("item")
         covered = (
             new_cov
             if covered is None
             else covered.unionByName(new_cov).distinct()
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         picked = (
             pick.select("source")
             if picked is None
