@@ -11826,8 +11826,9 @@ def q254_greedy_set_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     three bounded ops: anti-join away covered items, one per-source
     count, a 1-row argmax (orderBy+limit over the SOURCE-cardinality
     candidate table — never the corpus); the covered set lives as a
-    distributed item table, eagerly checkpointed per round so lineage
-    stays flat. All outputs are exact integers. The corpus is scanned
+    distributed item table, lazily checkpointed per round (the round's
+    covered.count() materializes it) so lineage stays flat at one job
+    per round. All outputs are exact integers. The corpus is scanned
     once to build the (source, bigram) incidence; everything iterative
     is vocabulary-sized — the 100 TB shape. Ties break (count desc,
     source asc) identically in both engines."""

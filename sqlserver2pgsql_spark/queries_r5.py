@@ -800,10 +800,10 @@ def q337_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inherits it (edge lists shrink monotonically — no session-conf writes)
     cur = edges.repartition(8, "s").localCheckpoint(eager=True)
     for i in range(1, _KCORE_ROUNDS + 1):
-        # eager checkpoint per round: the survivor list is materialized once
-        # and BROADCAST into both endpoint semi-joins (node lists are tiny
-        # relative to edges at any scale), so a round is 1 agg shuffle + 2
-        # broadcast joins, and counts reuse the checkpointed blocks
+        # per-round checkpoints (lazy): the survivor list materializes once
+        # under n_nodes = count() and is BROADCAST into both endpoint
+        # semi-joins (node lists are tiny relative to edges at any scale),
+        # so a round is 1 agg shuffle + 2 broadcast joins
         # lazy checkpoint on the survivor list: n_nodes = count() is the
         # materializing action and the two broadcasts then read the cache —
         # the un-checkpointed version recomputed the degree agg three times
@@ -2078,10 +2078,11 @@ def q350_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("w"),
             )
         )
-        # 25-row eager checkpoint per round: each round references w TWICE
-        # (margin sum + scale join); without truncation the unrolled lineage
-        # duplicates the fact-table agg 2^rounds times and analysis explodes
-        w = w.localCheckpoint(eager=True)
+        # 25-row checkpoint per round (lazy — the next round's margin agg
+        # materializes it): each round references w TWICE (margin sum +
+        # scale join); without truncation the unrolled lineage duplicates
+        # the fact-table agg 2^rounds times and analysis explodes
+        w = w.localCheckpoint(eager=False)
     return (
         w.join(F.broadcast(obs), ["seg", "pri"])
         .select(
