@@ -2052,9 +2052,10 @@ def q126_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: part pairs appearing together in ≥3
     orders, top-100 by support. Pair generation is GROUPED per basket via
     grouped_pairs (operators/pairs.py — the hard-capped generator all pair
-    paths share: oversized groups removed by broadcast anti-join BEFORE
-    the codegen pair join; never an uncapped table self-join). One
-    distinct, one bounded pair join, one count agg, top-k."""
+    paths share: a window count over the join's own exchange drops
+    oversized groups BEFORE the codegen pair join; never an uncapped
+    table self-join). One distinct, one bounded pair join, one count agg,
+    top-k."""
     from .operators.pairs import grouped_pairs
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
@@ -6702,6 +6703,10 @@ def q190_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = grouped_pairs(
         items, "user_id", "it", left="pa", right="pb", keep_group=True,
         assume_distinct=True,  # i is a per-user row_number, structs unique
+        # exactness contract: the oracle's rank self-join is uncapped, and a
+        # silently dropped >max_group user would report s_stat=0 as a
+        # plausible value — fail loudly instead (ADVICE r5)
+        on_overflow="error",
     )
     pairs = (
         pr.select(
@@ -8745,8 +8750,10 @@ def q218_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     pairs = (
+        # exactness contract vs the uncapped oracle self-join: a dropped
+        # oversized order would silently shrink reach counts — fail loudly
         grouped_pairs(li, "l_orderkey", "l_partkey", left="pa", right="pb",
-                      assume_distinct=True)
+                      assume_distinct=True, on_overflow="error")
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("sup"))
         .filter(F.col("sup") >= 3)
@@ -11123,9 +11130,10 @@ def q247_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     part-popularity side is item-count-sized and broadcast, and the top-5
     is a WindowGroupLimit (rank pushdown), not a global sort. At 100 TB
     the grouped_pairs basket-size cap (operators/pairs.py — groups over
-    the cap removed by broadcast anti-join before any quadratic work)
-    bounds the pair explosion; the DIMSUM sampling scheme
-    is the probabilistic alternative when baskets are power-law."""
+    the cap dropped by a window-count filter riding the pair join's own
+    exchange, before any quadratic work) bounds the pair explosion; the
+    DIMSUM sampling scheme is the probabilistic alternative when baskets
+    are power-law."""
     from .operators.pairs import grouped_pairs
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -11142,11 +11150,23 @@ def q247_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
                       assume_distinct=True)
         .groupBy("pi", "pj")
         .agg(F.count(F.lit(1)).alias("co"))
-        .localCheckpoint(eager=False)  # read twice by the symmetric union
     )
-    sym = co.unionByName(
-        co.select(F.col("pj").alias("pi"), F.col("pi").alias("pj"), "co")
-    )
+    # symmetrize by exploding each pair into both orientations INLINE —
+    # one pass over the co aggregate, no localCheckpoint materialization
+    # and no union re-read (the r5 checkpoint+union shape paid a ~240 MB
+    # cache write + two cached scans: 7.3s -> 5.9s min-warm at sf0.1)
+    sym = co.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("pi"), F.col("pj"), F.col("co")),
+                F.struct(
+                    F.col("pj").alias("pi"),
+                    F.col("pi").alias("pj"),
+                    F.col("co"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
     ia = item.select(F.col("part").alias("pi"), F.col("c").alias("ca"))
     ib = item.select(F.col("part").alias("pj"), F.col("c").alias("cb"))
     scored = (
@@ -11658,6 +11678,11 @@ def q252_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
         .distinct()
+        # grouped_pairs references its input from both join sides; the
+        # join+distinct is expensive, so honor the generator's caching
+        # contract (pairs.py module docstring, ADVICE r5) rather than
+        # relying on ReuseExchange to dedupe the subtree
+        .localCheckpoint(eager=False)
     )
     from .operators.pairs import grouped_pairs
 
@@ -14753,8 +14778,12 @@ def q286_minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFr
     from .operators.pairs import grouped_pairs
 
     inter = (
+        # exactness contract: the oracle's posting self-join is uncapped and
+        # posting-list sizes grow with corpus size, so a silently dropped
+        # hot shingle would skew inter/jaccard_exact at a scale the sf0.01
+        # gate never sees — fail loudly instead (ADVICE r5)
         grouped_pairs(post, "shingle", "doc_id", left="id1", right="id2",
-                      assume_distinct=True)
+                      assume_distinct=True, on_overflow="error")
         .groupBy("id1", "id2")
         .agg(F.count(F.lit(1)).alias("inter"))
     )

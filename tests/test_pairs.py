@@ -44,6 +44,55 @@ def test_grouped_pairs_max_group_drops_oversized(spark):
     assert [(r.p1, r.p2) for r in got] == [(100, 200)]
 
 
+def test_grouped_pairs_on_overflow_error_raises(spark):
+    import pytest
+
+    rows = [(1, i) for i in range(5)] + [(2, 100), (2, 200)]
+    df = _df(spark, rows)
+    got = grouped_pairs(df, "g", "item", max_group=4, on_overflow="error")
+    with pytest.raises(Exception, match="max_group=4.*g=1"):
+        got.collect()
+
+
+def test_grouped_pairs_on_overflow_error_exact_under_cap(spark):
+    rows = [(1, i) for i in range(4)] + [(2, 100), (2, 200)]
+    df = _df(spark, rows)
+    got = sorted(
+        grouped_pairs(df, "g", "item", max_group=4, on_overflow="error").collect(),
+        key=lambda r: (r.p1, r.p2),
+    )
+    assert [(r.p1, r.p2) for r in got] == [
+        (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (100, 200),
+    ]
+
+
+def test_grouped_pairs_on_overflow_error_struct_items(spark):
+    # q190's shape: struct items, keep_group — the raise_error guard must
+    # type-unify with a struct column
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, 1, 10), (1, 2, 20), (1, 3, 30)], "g int, i int, v int"
+    ).select("g", F.struct("i", "v").alias("it"))
+    ok = grouped_pairs(
+        df, "g", "it", keep_group=True, max_group=3, on_overflow="error"
+    ).collect()
+    assert len(ok) == 3
+    bad = grouped_pairs(
+        df, "g", "it", keep_group=True, max_group=2, on_overflow="error"
+    )
+    with pytest.raises(Exception, match="max_group=2"):
+        bad.collect()
+
+
+def test_grouped_pairs_on_overflow_rejects_unknown_mode(spark):
+    import pytest
+
+    df = _df(spark, [(1, 3), (1, 4)])
+    with pytest.raises(ValueError, match="on_overflow"):
+        grouped_pairs(df, "g", "item", on_overflow="warn")
+
+
 def test_grouped_pairs_column_aliases(spark):
     df = _df(spark, [(1, 3), (1, 4)])
     got = grouped_pairs(df, "g", "item", left="pi", right="pj")

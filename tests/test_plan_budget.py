@@ -95,8 +95,8 @@ BUDGETS = [
     ("q188_entity_resolution", 6, 0),   # block join + cc-pinned + cluster agg
     ("q189_chi_square_independence", 3, 0),  # contingency agg; cell-table math
     ("q190_mann_kendall_trend", 5, 0),  # rank window + capped pair join
-    # (+1 exchange: grouped_pairs' group-size agg feeding the broadcast
-    # anti-join that enforces the hard cap before the pair join)
+    # (grouped_pairs' cap is a window count riding the pair join's own
+    # left-side exchange — no extra shuffle vs the uncapped join)
     ("q191_wilson_interval", 2, 0),     # one groupBy; CI math on group table
     ("q192_geometric_harmonic_means", 2, 0),  # one hash agg + sort
     ("q193_negative_sampling", 5, 0),   # ring rank + band join + rank window
@@ -150,7 +150,11 @@ BUDGETS = [
     ("q243_bom_subtree_rollup", 3, 0),      # per-level frontier + ancestor agg
     ("q244_logrank_test", 2, 0),            # user agg + risk-join agg
     ("q245_js_divergence_pairs", 2, 0),     # (source,tok) agg + pair agg; grid bcast
-    ("q247_item_item_cf", 5, 0),            # basket distinct + pair agg + rank window
+    ("q247_item_item_cf", 7, 0),            # pair window+join (2 on cust) + co agg
+    # + rank window + output range + the item agg visible TWICE statically
+    # (ia/ib — ReuseExchange dedupes at runtime). Was 5 when the co agg sat
+    # behind a localCheckpoint LogicalRDD that hid the pair subtree from
+    # explain; the r6 explode-symmetrization dropped that checkpoint.
     ("q248_sequence_support", 3, 0),        # span agg + self-join + pair agg
     ("q249_source_jaccard_matrix", 4, 0),   # distinct + sizes + inter agg
     ("q250_knn_loo_eval", 2, 0),            # rank window + vote agg; corpus never shuffles
@@ -190,8 +194,8 @@ BUDGETS = [
     ("q284_hll_error_curve", 5, 0),         # register aggs + exact distinct
     ("q285_degenerate_text_runs", 1, 0),    # pure HOF folds + output sort
     ("q286_minhash_jaccard_calibration", 8, 0),  # postings aggs + grouped_pairs
-    # (+2 exchanges vs the raw shingle self-join: the capped generator's
-    # group-size agg + anti-joined pair input — the price of the hard bound)
+    # (the r6 window-count cap rides the pair join's left-side exchange —
+    # the hard bound no longer costs a group-size agg or anti-join)
     ("q287_lsh_band_planner", 3, 0),        # sig agg (chkpt) + bucket aggs
     ("q288_langid_confusion_eval", 5, 0),   # confusion agg + class rollups
     ("q289_conformal_interval", 5, 0),      # cal mean + rank window + cover
