@@ -3194,7 +3194,7 @@ def q94_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(*) OVER (PARTITION BY o_orderpriority) AS n
       FROM orders
     ),
-    grid AS (SELECT unnest([0.25, 0.5, 0.75]) AS p),
+    grid AS (SELECT CAST(unnest([0.25, 0.5, 0.75]) AS DOUBLE) AS p),
     pos AS (
       SELECT DISTINCT priority, n, p,
              CAST(n - 1 AS DOUBLE) * p AS h

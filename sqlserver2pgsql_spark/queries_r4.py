@@ -1777,7 +1777,7 @@ def q121_hierarchical_share(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(rk) AS vocab_size,
            CAST(min(rk) AS DOUBLE) / (SELECT count(*) FROM counts)
              AS vocab_fraction
-    FROM ranked, (SELECT unnest([0.5, 0.8, 0.9, 0.99]) AS pct) p
+    FROM ranked, (SELECT CAST(unnest([0.5, 0.8, 0.9, 0.99]) AS DOUBLE) AS pct) p
     WHERE cum >= p.pct * total
     GROUP BY p.pct ORDER BY p.pct
     """,

@@ -1,0 +1,67 @@
+"""Per-run Spark JOB budgets for the iterative fixed-point queries.
+
+tests/test_plan_budget.py pins shuffle counts for static plans, but the
+driver-loop queries (pinned-iteration PageRank/HITS/contagion/Markov
+chains) build their plan in a Python for-loop — their defect class is not
+an extra exchange but an extra MATERIALIZATION JOB per iteration: an
+eager ``localCheckpoint`` (or a stray ``count()``) inside the loop runs a
+dedicated barrier job every iteration and double-computes the aggregate
+the broadcast job already materialized (the r4 q364 defect: 11.6s -> 5.7s
+when fixed; VERDICT r5 #5). The shape contract is lazy checkpoints on the
+RAW aggregate + broadcast node-sized sides, so the whole loop rides a
+near-constant number of jobs.
+
+This test runs each query end-to-end under a dedicated job group and pins
+the TOTAL job count. Budgets are measured-current + small headroom (job
+scheduling has ±1 jitter from broadcast-job timing); an eager-checkpoint
+regression adds at least one job per checkpointed iteration (+4 on q358's
+every-4th-iterate cadence, +iterations elsewhere), which blows the pin.
+Re-pin by running the query under a job group and counting
+``statusTracker().getJobIdsForGroup(group)`` — and only after confirming
+the new jobs are not per-iteration barriers.
+"""
+
+from __future__ import annotations
+
+import sqlserver2pgsql_spark.queries_r4  # noqa: F401 — fills the registry
+import sqlserver2pgsql_spark.queries_r5  # noqa: F401 — fills the registry
+import sqlserver2pgsql_spark.queries_r6  # noqa: F401 — fills the registry
+from sqlserver2pgsql_spark.queries import QUERIES
+from tests.conftest import SF_DIR
+
+#: (query, max total Spark jobs for one full materialization at SF_DIR)
+JOB_BUDGETS = [
+    # 16 unrolled matrix-vector iterations, lazy checkpoint every 4th:
+    # measured 60-61 jobs. An eager every-4th checkpoint adds >=4.
+    ("q358_markov_attribution", 64),
+    # pinned-iteration personalized PageRank: measured 32 jobs. An eager
+    # per-iteration checkpoint adds one barrier job per round.
+    ("q389_personalized_pagerank", 35),
+    # HITS hubs/authorities — the original r4 eager-checkpoint defect
+    # query: measured 39 jobs.
+    ("q364_hits_hubs_authorities", 42),
+    # threshold contagion rounds: measured 28 jobs.
+    ("q298_threshold_contagion", 31),
+]
+
+
+def test_loop_query_job_budgets(spark):
+    sc = spark.sparkContext
+    over = []
+    for name, budget in JOB_BUDGETS:
+        group = f"job-budget-{name}"
+        sc.setJobGroup(group, name)
+        try:
+            QUERIES[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        finally:
+            sc.setJobGroup("job-budget-idle", "idle")
+        jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+        assert jobs > 0, f"{name}: job-group tracking recorded nothing"
+        if jobs > budget:
+            over.append((name, jobs, budget))
+    assert not over, (
+        "per-run job budget exceeded (eager checkpoint or stray action "
+        f"inside an iteration loop?): {over}"
+    )
