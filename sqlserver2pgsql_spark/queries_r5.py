@@ -2886,7 +2886,7 @@ def q358_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double")
             / F.sum("n").over(W.partitionBy("src"))
         ).alias("p"),
-    ).localCheckpoint(eager=False)
+    )
     scen = spark.createDataFrame(
         [("base", None)] + [(f"no_{c}", c) for c in _MK_CHANNELS],
         "scenario string, removed string",
@@ -2904,66 +2904,93 @@ def q358_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("scenario", "src", "dst")
         .agg(F.sum("p").cast("double").alias("p"))
-        .localCheckpoint(eager=False)
     )
-    consts = scen.select("scenario").distinct()
-    fixed = consts.select(
-        "scenario", F.lit("CONV").alias("state"), F.lit(1.0).alias("v")
-    ).unionByName(
-        consts.select("scenario", F.lit("DROP").alias("state"), F.lit(0.0).alias("v"))
+    # The absorption fixed point iterates over CONSTANT-sized state (the
+    # ~5-state channel vocabulary per scenario), so the 16 matrix-vector
+    # iterations run as a single-row higher-order-function fold per scenario
+    # instead of 16 join+agg rounds (was 60+ Spark jobs of pure stage
+    # latency; guide §1.2 "remove passes"). Arithmetic is mirrored exactly:
+    # each term is round(p * v[dst], 12) cast DECIMAL(28,12), summed
+    # exactly (decimal addition is order-free), cast DOUBLE — and an edge
+    # whose dst carries no state value contributes 0, which is value-
+    # identical to the oracle's inner join dropping the term.
+    per_scen = sedges.groupBy("scenario").agg(
+        F.array_sort(F.collect_set("src")).alias("srcs"),
+        F.collect_list(F.struct("src", "dst", "p")).alias("edges"),
     )
-    v = (
-        sedges.select("scenario", F.col("src").alias("state"))
-        .distinct()
-        .select("scenario", "state", F.lit(0.0).alias("v"))
-        .unionByName(fixed)
-        .localCheckpoint(eager=False)
-    )
-    for i in range(1, _MK_ITERS + 1):
-        nv = (
-            sedges.join(
-                v.withColumnRenamed("state", "dst"), ["scenario", "dst"]
-            )
-            .groupBy("scenario", F.col("src").alias("state"))
-            .agg(
-                F.sum(
-                    F.round(F.col("p") * F.col("v"), 12).cast("decimal(28,12)")
+    dec0 = F.lit(0).cast("decimal(28,12)")
+
+    def _next_v(v):
+        """One absorption iteration: map src -> Σ round(p·v[dst], 12).
+        ``v`` must be a bound lambda VARIABLE (the fold accumulator), so
+        each lookup reads a materialized per-row value — referencing the
+        previous iterate as a plain nested expression instead re-evaluates
+        the whole chain per term (exponential)."""
+
+        def state_val(s):
+            def term(acc, e):
+                vdst = (
+                    F.when(e["dst"] == "CONV", F.lit(1.0))
+                    .when(e["dst"] == "DROP", F.lit(0.0))
+                    .otherwise(F.element_at(v, e["dst"]))
                 )
-                .cast("double")
-                .alias("v")
+                return (
+                    acc
+                    + F.coalesce(
+                        F.round(e["p"] * vdst, 12).cast("decimal(28,12)"), dec0
+                    )
+                ).cast("decimal(28,12)")
+
+            return F.aggregate(
+                F.filter(F.col("edges"), lambda e: e["src"] == s),
+                dec0,
+                term,
+                lambda acc: acc.cast("double"),
             )
-            .unionByName(fixed)
+
+        return F.map_from_arrays(
+            F.col("srcs"), F.transform(F.col("srcs"), state_val)
         )
-        # lineage-truncate every 4th iterate lazily: persistence + plan cut
-        # still happen on first use, but materialization rides the final
-        # action instead of an eager barrier job (VERDICT r4 #5)
-        v = nv.localCheckpoint(eager=False) if i % 4 == 0 else nv
-    pconv = v.filter(F.col("state") == "START").select("scenario", "v")
-    base = pconv.filter(F.col("scenario") == "base").select(
-        F.col("v").alias("pb")
+
+    v0 = F.map_from_arrays(
+        F.col("srcs"), F.transform(F.col("srcs"), lambda s: F.lit(0.0))
     )
-    effects = pconv.crossJoin(F.broadcast(base)).select(
+    v16 = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_MK_ITERS)), v0, lambda acc, i: _next_v(acc)
+    )
+    pconv = per_scen.select(
+        "scenario", F.element_at(v16, F.lit("START")).alias("v")
+    )
+    wall = W.partitionBy()
+    pb = F.first(
+        F.when(F.col("scenario") == "base", F.col("v")), ignorenulls=True
+    ).over(wall)
+    effects = pconv.select(
         "scenario",
         F.col("v").alias("p_conv"),
         F.when(F.col("scenario") == "base", 0.0)
-        .otherwise(1.0 - F.col("v") / F.col("pb"))
+        .otherwise(1.0 - F.col("v") / pb)
         .alias("removal_effect"),
     )
-    tot = effects.filter(F.col("scenario") != "base").agg(
-        F.sum(F.round(F.col("removal_effect"), 9).cast("decimal(28,9)"))
+    te = (
+        F.sum(
+            F.when(
+                F.col("scenario") != "base",
+                F.round(F.col("removal_effect"), 9).cast("decimal(28,9)"),
+            )
+        )
+        .over(wall)
         .cast("double")
-        .alias("te")
     )
     return (
-        effects.crossJoin(F.broadcast(tot))
-        .select(
+        effects.select(
             "scenario",
             F.round("p_conv", 9).alias("p_conv"),
             F.round("removal_effect", 9).alias("removal_effect"),
             F.round(
                 F.when(
                     F.col("scenario") == "base", F.lit(None).cast("double")
-                ).otherwise(F.col("removal_effect") / F.col("te")),
+                ).otherwise(F.col("removal_effect") / te),
                 9,
             ).alias("attribution"),
         )

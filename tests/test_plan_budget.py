@@ -266,7 +266,10 @@ BUDGETS = [
     ("q355_recursive_cte_native", 2, 0),    # native recursion + depth agg
     ("q356_video_scene_cuts", 1, 2),        # synth UDF + decode mapInPandas
     ("q357_mmr_diversification", 1, 0),     # greedy checkpoint-pinned
-    ("q358_markov_attribution", 1, 0),      # iterations checkpoint-pinned
+    ("q358_markov_attribution", 8, 0),      # r6: single-row HOF iteration —
+    # the former checkpoint hid the upstream (journey windows + transition
+    # aggs) behind an RDD scan; the whole 7-exchange pipeline is now one
+    # visible plan with zero per-iteration barriers (61 -> 10 jobs).
     ("q359_histogram_equalization", 1, 2),  # synth UDF + decode mapInPandas
     ("q360_jonckheere_terpstra", 13, 0),    # hist agg + 10-pair merged axis
     ("q361_dft_diurnal_power", 1, 0),       # hourly agg; pinned reduction
