@@ -2042,49 +2042,67 @@ def q350_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tc"),
         )
     )
-    w = obs.select("seg", "pri", F.col("n").cast("decimal(28,9)").alias("w"))
-    for _ in range(_IPF_ROUNDS):
-        rs = w.groupBy("seg").agg(F.sum("w").alias("s"))
-        w = (
-            w.join(F.broadcast(rs), "seg")
-            .join(F.broadcast(rowt), "seg")
-            .select(
-                "seg",
-                "pri",
+    # The IPF table is CONSTANT-sized (25 cells), so the 5 raking rounds run
+    # as a single-row fold over collect_list'ed cells instead of 10 join+agg
+    # rounds with per-round checkpoints (106 Spark jobs of stage latency;
+    # guide §1.2 step 1). Arithmetic mirrored exactly: margin sums are exact
+    # decimal folds (order-free), each rescale is the identical double chain
+    # round(w·target/margin, 9) cast DECIMAL(28,9). The fold accumulator is
+    # a bound lambda variable, evaluated once per step (see q358).
+    cells_row = obs.agg(
+        F.collect_list(
+            F.struct("seg", "pri", F.col("n").cast("decimal(28,9)").alias("w"))
+        ).alias("cells")
+    )
+    rowt_row = rowt.agg(
+        F.map_from_entries(F.collect_list(F.struct("seg", "tr"))).alias("trm")
+    )
+    colt_row = colt.agg(
+        F.map_from_entries(F.collect_list(F.struct("pri", "tc"))).alias("tcm")
+    )
+    folded = cells_row.crossJoin(F.broadcast(rowt_row)).crossJoin(
+        F.broadcast(colt_row)
+    )
+    dec0 = F.lit(0).cast("decimal(28,9)")
+
+    def _margin(cells, key):
+        """Exact decimal margin sum over the cells sharing z[key]."""
+        return lambda z: F.aggregate(
+            F.filter(cells, lambda y: y[key] == z[key]),
+            dec0,
+            lambda a, y: (a + y["w"]).cast("decimal(28,9)"),
+        )
+
+    def _scale(cells, key, targets):
+        m = _margin(cells, key)
+        return F.transform(
+            cells,
+            lambda z: F.struct(
+                z["seg"].alias("seg"),
+                z["pri"].alias("pri"),
                 F.round(
-                    F.col("w").cast("double")
-                    * F.col("tr").cast("double")
-                    / F.col("s").cast("double"),
+                    z["w"].cast("double")
+                    * F.element_at(targets, z[key]).cast("double")
+                    / m(z).cast("double"),
                     9,
                 )
                 .cast("decimal(28,9)")
                 .alias("w"),
-            )
+            ),
         )
-        cs = w.groupBy("pri").agg(F.sum("w").alias("s"))
-        w = (
-            w.join(F.broadcast(cs), "pri")
-            .join(F.broadcast(colt), "pri")
-            .select(
-                "seg",
-                "pri",
-                F.round(
-                    F.col("w").cast("double")
-                    * F.col("tc").cast("double")
-                    / F.col("s").cast("double"),
-                    9,
-                )
-                .cast("decimal(28,9)")
-                .alias("w"),
+
+    def _round(acc, i):
+        return _scale(_scale(acc, "seg", F.col("trm")), "pri", F.col("tcm"))
+
+    raked = folded.select(
+        F.explode(
+            F.aggregate(
+                F.sequence(F.lit(1), F.lit(_IPF_ROUNDS)), F.col("cells"), _round
             )
-        )
-        # 25-row checkpoint per round (lazy — the next round's margin agg
-        # materializes it): each round references w TWICE (margin sum +
-        # scale join); without truncation the unrolled lineage duplicates
-        # the fact-table agg 2^rounds times and analysis explodes
-        w = w.localCheckpoint(eager=False)
+        ).alias("c")
+    ).select("c.seg", "c.pri", "c.w")
     return (
-        w.join(F.broadcast(obs), ["seg", "pri"])
+        raked.join(F.broadcast(obs), ["seg", "pri"])
         .select(
             "seg",
             "pri",

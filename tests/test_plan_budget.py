@@ -258,7 +258,9 @@ BUDGETS = [
     ("q347_cohort_ltv", 7, 0),              # first-order agg + offset rollup
     ("q348_page_hinkley", 0, 0),            # global seq window 1-part
     ("q349_beta_binomial_smoothing", 2, 0), # user agg + broadcast prior
-    ("q350_ipf_raking", 3, 0),              # rounds checkpoint-pinned
+    ("q350_ipf_raking", 9, 0),              # r6: single-row IPF fold — the
+    # former per-round checkpoints hid the margin/target aggs behind RDD
+    # scans; the full 8-exchange pipeline is now one plan, 106 -> 22 jobs.
     ("q351_ar_aging_dso", 2, 0),            # filtered agg + broadcast scalars
     ("q352_audio_silence_windows", 1, 2),   # synth UDF + decode mapInPandas
     ("q353_burrows_delta", 31, 0),          # tf agg + tiny broadcast chains
