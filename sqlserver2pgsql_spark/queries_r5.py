@@ -3461,66 +3461,89 @@ def q362_fellegi_sunter_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("g2"),
         F.when(F.col("a.k") % 10 == F.col("b.k") % 10, 1).otherwise(0).alias("g3"),
     )
-    pt = (
-        pairs.groupBy("g1", "g2", "g3")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=False)
+    pt = pairs.groupBy("g1", "g2", "g3").agg(F.count(F.lit(1)).alias("n"))
+    # With 3 binary features the sufficient statistics are 8 pattern counts —
+    # CONSTANT-sized state — so the 8 EM rounds run as a single-row fold over
+    # the collect_list'ed pattern array instead of 8 crossJoin+agg rounds
+    # with per-round checkpoints (guide §1.2 step 1; see q358/q350 for the
+    # bound-lambda-variable discipline). Arithmetic mirrored exactly: the
+    # m/u chains multiply left-associated p*c1*c2*c3, every M-step sum is
+    # round(n·expr, 6) cast DECIMAL(28,6) summed exactly (order-free).
+    folded = pt.agg(
+        F.collect_list(F.struct("g1", "g2", "g3", "n")).alias("pats"),
+        F.sum("n").cast("long").alias("nt"),
     )
-    n_total = pt.agg(F.sum("n").cast("long").alias("nt"))
-    params = spark.createDataFrame(
-        [(0.1, 0.8, 0.8, 0.8, 0.2, 0.2, 0.2)],
-        "p double, m1 double, m2 double, m3 double, "
-        "u1 double, u2 double, u3 double",
-    )
+    dec0 = F.lit(0).cast("decimal(28,6)")
 
-    def chain(pfx: str):
-        out = F.col("p") if pfx == "m" else (1 - F.col("p"))
+    def chain(e, prm, pfx: str):
+        out = prm["p"] if pfx == "m" else (F.lit(1) - prm["p"])
         for k in (1, 2, 3):
             out = out * F.when(
-                F.col(f"g{k}") == 1, F.col(f"{pfx}{k}")
-            ).otherwise(1 - F.col(f"{pfx}{k}"))
+                e[f"g{k}"] == 1, prm[f"{pfx}{k}"]
+            ).otherwise(F.lit(1) - prm[f"{pfx}{k}"])
         return out
 
-    P6 = lambda e: F.round(F.col("n") * e, 6).cast("decimal(28,6)")
-    for _ in range(_FS_ITERS):
-        joined = pt.crossJoin(F.broadcast(params))
-        r = chain("m") / (chain("m") + chain("u"))
-        agg = joined.crossJoin(F.broadcast(n_total)).agg(
-            (F.sum(P6(r)).cast("double") / F.max("nt")).alias("p"),
+    def r_of(e, prm):
+        return chain(e, prm, "m") / (chain(e, prm, "m") + chain(e, prm, "u"))
+
+    def sum6(expr_fn):
+        return F.aggregate(
+            F.col("pats"),
+            dec0,
+            lambda a, e: (
+                a + F.round(e["n"] * expr_fn(e), 6).cast("decimal(28,6)")
+            ).cast("decimal(28,6)"),
+            lambda a: a.cast("double"),
+        )
+
+    def em_round(prm, _i):
+        r = lambda e: r_of(e, prm)  # noqa: E731
+        return F.struct(
+            (sum6(r) / F.col("nt")).alias("p"),
             *[
-                (
-                    F.sum(P6(r * F.col(f"g{k}"))).cast("double")
-                    / F.sum(P6(r)).cast("double")
-                ).alias(f"m{k}")
+                (sum6(lambda e: r(e) * e[f"g{k}"]) / sum6(r)).alias(f"m{k}")
                 for k in (1, 2, 3)
             ],
             *[
                 (
-                    F.sum(P6((1 - r) * F.col(f"g{k}"))).cast("double")
-                    / F.sum(P6(1 - r)).cast("double")
+                    sum6(lambda e: (F.lit(1) - r(e)) * e[f"g{k}"])
+                    / sum6(lambda e: F.lit(1) - r(e))
                 ).alias(f"u{k}")
                 for k in (1, 2, 3)
             ],
         )
-        # lazy: next iteration's broadcast(params) is the forcing action —
-        # one materialization per EM round instead of two (VERDICT r4 #5)
-        params = agg.localCheckpoint(eager=False)
-    r_final = chain("m") / (chain("m") + chain("u"))
+
+    params0 = F.struct(
+        F.lit(0.1).alias("p"),
+        *[F.lit(0.8).alias(f"m{k}") for k in (1, 2, 3)],
+        *[F.lit(0.2).alias(f"u{k}") for k in (1, 2, 3)],
+    )
+    em = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_FS_ITERS)), params0, em_round
+    )
+    # lazy checkpoint: the final projection references `em` ~30 times
+    # (posterior chain + 7 rounded params); without a barrier CollapseProject
+    # inlines the whole 8-round fold into every reference and codegen
+    # compiles it 30x (measured +15s cold). One 8-row materialization keeps
+    # the fold compiled and evaluated once.
+    res = folded.select(
+        F.explode("pats").alias("e"), em.alias("em")
+    ).localCheckpoint(eager=False)
+    r_final = r_of(F.col("e"), F.col("em"))
     return (
-        pt.crossJoin(F.broadcast(params))
-        .select(
-            "g1",
-            "g2",
-            "g3",
-            "n",
+        res.select(
+            F.col("e.g1").alias("g1"),
+            F.col("e.g2").alias("g2"),
+            F.col("e.g3").alias("g3"),
+            F.col("e.n").alias("n"),
             F.round(r_final, 6).alias("posterior"),
-            F.round("p", 6).alias("p_match"),
-            F.round("m1", 6).alias("m1"),
-            F.round("m2", 6).alias("m2"),
-            F.round("m3", 6).alias("m3"),
-            F.round("u1", 6).alias("u1"),
-            F.round("u2", 6).alias("u2"),
-            F.round("u3", 6).alias("u3"),
+            F.round(F.col("em.p"), 6).alias("p_match"),
+            F.round(F.col("em.m1"), 6).alias("m1"),
+            F.round(F.col("em.m2"), 6).alias("m2"),
+            F.round(F.col("em.m3"), 6).alias("m3"),
+            F.round(F.col("em.u1"), 6).alias("u1"),
+            F.round(F.col("em.u2"), 6).alias("u2"),
+            F.round(F.col("em.u3"), 6).alias("u3"),
         )
         .orderBy("g1", "g2", "g3")
     )
