@@ -11001,6 +11001,10 @@ def q246_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per row instead of 4096) in the one corpus-sized explode+shuffle, and
     # mirror the off-diagonal cells AFTER the aggregation (a 2080-row map):
     # halves the heavy pass with bit-identical sums.
+    # row-major upper-triangle products as BIGINT structs: the corpus-sized
+    # explode ships (i, j, long) instead of (i, j, decimal) — 128-bit cell
+    # values were ~25% of the pass; exactness is preserved by the two-level
+    # aggregation below
     cell_structs = F.flatten(
         F.transform(
             F.sequence(F.lit(0), F.lit(63)),
@@ -11011,69 +11015,115 @@ def q246_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                     j.alias("j"),
                     (
                         F.element_at("fx", i + 1) * F.element_at("fx", j + 1)
-                    )
-                    .cast("decimal(38,0)")
-                    .alias("xy"),
+                    ).alias("xy"),
                 ),
             ),
         )
     )
-    upper = (
-        fx.select(F.explode(cell_structs).alias("c"))
-        .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
-        .agg(F.sum("c.xy").alias("m"))
-        # checkpoint BEFORE the mirroring union: both union branches read
-        # the cached 2080-row aggregate instead of re-running the corpus pass
-        .localCheckpoint(eager=False)
+    # Two-level exact aggregation (r6): per-SCAN-PARTITION partial sums in
+    # BIGINT — provably overflow-free at ANY corpus size because a parquet
+    # scan partition is size-bounded by maxPartitionBytes (128 MB / 64
+    # doubles ≈ ≤250k rows) and each product is < 2^42, so a partial is
+    # < 2^60 — then one DECIMAL(38,0) sum over the ≤2080×P partials. The
+    # BIGINT map-side hash agg halves the corpus pass vs 128-bit decimal
+    # accumulation (3.7 s → 1.9 s at sf0.1); the final values are the same
+    # exact integers.
+    partials = (
+        fx.select(
+            F.spark_partition_id().alias("pid"),
+            F.explode(cell_structs).alias("c"),
+        )
+        .groupBy("pid", F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+        .agg(F.sum("c.xy").alias("pm"))
     )
-    m = upper.unionByName(
-        upper.filter(F.col("i") != F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "m"
-        )
-    ).localCheckpoint(eager=False)  # reused by all three matvecs
-    v = m.select("i").distinct().select("i", F.lit(1.0).alias("v"))
-    norm = None
-    for _ in range(3):
-        w = (
-            m.join(
-                F.broadcast(v.select(F.col("i").alias("j"), "v")), "j"
+    upper = partials.groupBy("i", "j").agg(
+        F.sum(F.col("pm").cast("decimal(38,0)")).alias("m")
+    )
+    # The matrix is CONSTANT-sized (64×64 — the regime stated above), so the
+    # three matvec iterations run as a single-row fold over the
+    # collect_list'ed upper triangle (was a 64-row join+agg loop with lazy
+    # checkpoints: ~22 jobs of stage latency; guide §1.2 step 1). Term
+    # arithmetic is mirrored exactly: md = m/2^40 is computed once (the
+    # division result is iteration-invariant), each term is
+    # round(md·v_j, 6) cast DECIMAL(38,6), summed exactly (order-free);
+    # mirrored lower-triangle terms are generated by the symmetric CASE.
+    mat_row = upper.agg(
+        F.collect_list(
+            F.struct(
+                "i",
+                "j",
+                (F.col("m").cast("double") / F.lit(_PI_SCALE)).alias("md"),
             )
-            .groupBy("i")
-            .agg(
-                F.sum(
-                    F.round(
-                        F.col("m").cast("double")
-                        / F.lit(_PI_SCALE)
-                        * F.col("v"),
-                        6,
-                    ).cast("decimal(38,6)")
+        ).alias("mat")
+    )
+    dec0 = F.lit(0).cast("decimal(38,6)")
+    dims = F.sequence(F.lit(0), F.lit(63))
+
+    def _matvec(v):
+        def w_i(i):
+            def term(a, c):
+                t = F.when(
+                    c["i"] == i,
+                    F.round(c["md"] * F.element_at(v, c["j"] + 1), 6).cast(
+                        "decimal(38,6)"
+                    ),
+                ).when(
+                    (c["j"] == i) & (c["i"] != i),
+                    F.round(c["md"] * F.element_at(v, c["i"] + 1), 6).cast(
+                        "decimal(38,6)"
+                    ),
                 )
-                .cast("double")
-                .alias("w")
+                return (a + F.coalesce(t, dec0)).cast("decimal(38,6)")
+
+            return F.aggregate(
+                F.col("mat"), dec0, term, lambda a: a.cast("double")
             )
-        )
-        norm = w.agg(
-            F.sqrt(
-                F.sum(
-                    F.round(F.col("w") * F.col("w"), 6).cast("decimal(38,6)")
-                ).cast("double")
-            ).alias("nrm")
-        )
-        # 64-row iterate: lazy checkpoint flattens the plan so iteration i
-        # does not re-embed iterations 1..i-1 inside its broadcast subtree
-        # (34 -> ~12 shuffles in the audited plan; the broadcast of v is
-        # the action that materializes it, at 64-row cost)
-        v = (
-            w.crossJoin(F.broadcast(norm))
-            .select("i", (F.col("w") / F.col("nrm")).alias("v"))
-            .localCheckpoint(eager=False)
-        )
+
+        return F.transform(dims, w_i)
+
+    def _let(val, body):
+        """Bind ``val`` once as a lambda variable (expression-level let):
+        referencing a subexpression from several places re-evaluates it per
+        reference site, but a transform's lambda argument is evaluated once."""
+        return F.element_at(F.transform(F.array(val), body), 1)
+
+    def _step(state, _i):
+        def with_w(w):
+            nrm_expr = F.sqrt(
+                F.aggregate(
+                    w,
+                    dec0,
+                    lambda a, x: (
+                        a + F.round(x * x, 6).cast("decimal(38,6)")
+                    ).cast("decimal(38,6)"),
+                    lambda a: a.cast("double"),
+                )
+            )
+            return _let(
+                nrm_expr,
+                lambda nrm: F.struct(
+                    F.transform(w, lambda x: x / nrm).alias("v"),
+                    nrm.alias("nrm"),
+                ),
+            )
+
+        return _let(_matvec(state["v"]), with_w)
+
+    state0 = F.struct(
+        F.transform(dims, lambda i: F.lit(1.0)).alias("v"),
+        F.lit(0.0).alias("nrm"),
+    )
+    final = F.aggregate(F.sequence(F.lit(1), F.lit(3)), state0, _step)
+    # lazy checkpoint: the explode + eigenvalue projection reference the
+    # fold twice; one 1-row materialization keeps it evaluated/compiled once
+    res = mat_row.select(final.alias("s")).localCheckpoint(eager=False)
     return (
-        v.crossJoin(F.broadcast(norm))
+        res.select(
+            F.posexplode(F.col("s.v")).alias("pos", "loading"),
+            F.col("s.nrm").alias("eigenvalue"),
+        )
         .select(
-            F.col("i").cast("long").alias("pos"),
-            F.col("v").alias("loading"),
-            F.col("nrm").alias("eigenvalue"),
+            F.col("pos").cast("long").alias("pos"), "loading", "eigenvalue"
         )
         .orderBy("pos")
     )
