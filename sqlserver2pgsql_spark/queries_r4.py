@@ -9293,7 +9293,13 @@ def q227_checksum_repair_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
                 F.col("value")
             ),
         )
+        # cluster rows by chunk BEFORE the partitioned write: an unclustered
+        # write opens one file per (task × chunk) — ~32×100 tiny files here,
+        # and a small-files explosion at scale (guide §6: aim for one file
+        # per partition value); after the repartition each chunk is written
+        # by exactly one task
         corrupt.withColumn("chunk", (F.col("event_id") / 1000).cast("long")) \
+            .repartition(F.col("chunk")) \
             .write.mode("overwrite").partitionBy("chunk").parquet(out + "/tgt")
 
         chunked = lambda df: df.withColumn(
@@ -9327,6 +9333,7 @@ def q227_checksum_repair_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         bad_chunks = [r.chunk for r in bad.collect()]  # repair plan: small
         # rewrite ONLY damaged chunk partitions from source
         chunked(src_df).filter(F.col("chunk").isin(bad_chunks)) \
+            .repartition(F.col("chunk")) \
             .write.mode("overwrite").option(
                 "partitionOverwriteMode", "dynamic"
             ).partitionBy("chunk").parquet(out + "/tgt")
