@@ -66,11 +66,14 @@ def connected_components(
     # re-shuffling at the session default (scoped alternative to mutating
     # spark.sql.shuffle.partitions — VERDICT r3 nit #3)
     sym = sym.repartition(n_part, "a").localCheckpoint(eager=False)
+    # ONE exchange for the label init: hash-partition on node first, then
+    # dropDuplicates rides that partitioning (distinct-then-repartition paid
+    # a second width-aligning exchange)
     labels = (
         sym.select(F.col("a").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("cluster_id"))
         .repartition(n_part, "node")
+        .dropDuplicates(["node"])
+        .select("node", F.col("node").alias("cluster_id"))
         .localCheckpoint(eager=False)
     )
     LAST_ROUNDS["minlabel"] = 0
@@ -84,7 +87,11 @@ def connected_components(
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
         # carry the old label through so convergence is a filter over the
-        # checkpointed result, not another shuffle join per iteration
+        # checkpointed result, not another shuffle join per iteration.
+        # No output repartition: the left join below is node⟷node over two
+        # n_part-wide inputs, so its result is already hash-partitioned on
+        # node at n_part — an explicit repartition was one redundant
+        # exchange per round.
         new_labels = (
             labels.join(neighbor_min, "node", "left")
             .select(
@@ -95,7 +102,6 @@ def connected_components(
                 ).alias("cluster_id"),
                 F.col("cluster_id").alias("__old"),
             )
-            .repartition(n_part, "node")
             .localCheckpoint(eager=False)
         )
         changed = new_labels.filter(F.col("cluster_id") != F.col("__old")).count()
