@@ -228,6 +228,8 @@ def minhash_dedup_pairs(
     bands: int = 16,
     rows_per_band: int = 4,
     threshold: float = 0.6,
+    postings: DataFrame | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash→LSH→verify pipeline: candidates from banding, verified
     with exact Jaccard (computed only for candidate pairs). The shingle
@@ -236,9 +238,25 @@ def minhash_dedup_pairs(
     cost). localCheckpoint rather than cache(): the CacheManager pins a
     cached plan until an explicit unpersist, but a checkpointed RDD is
     reclaimed by the ContextCleaner once the DataFrame is unreachable, so
-    repeated calls don't accrete pinned executor memory."""
-    post = shingle_postings(df, id_col, text_col, n).localCheckpoint(eager=False)
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, postings=post)
+    repeated calls don't accrete pinned executor memory.
+
+    Pass ``postings`` (a checkpointed shingle_postings DF) when the caller
+    already holds the corpus' posting list — e.g. the incremental-index
+    query runs this AND the cross-corpus join over the same delta corpus,
+    and sharing the postings halves its tokenize+shingle work.
+    ``signatures`` additionally shares the (num_hashes-wide) MinHash
+    signature aggregate itself; it must have been built over the same
+    postings with the same ``num_hashes``."""
+    post = (
+        postings
+        if postings is not None
+        else shingle_postings(df, id_col, text_col, n).localCheckpoint(eager=False)
+    )
+    sigs = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(df, id_col, text_col, n, num_hashes, postings=post)
+    )
     cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
     sizes = post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
@@ -276,6 +294,9 @@ def minhash_join_pairs(
     rows_per_band: int = 4,
     threshold: float = 0.6,
     max_bucket: int = 1000,
+    postings_left: DataFrame | None = None,
+    postings_right: DataFrame | None = None,
+    signatures_right: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-corpus near-dup JOIN (incremental dedup): pairs (id1 ∈ left,
     id2 ∈ right) with exact Jaccard ≥ threshold, candidates generated by
@@ -286,11 +307,29 @@ def minhash_join_pairs(
     ``max_bucket`` cap (hot degenerate buckets dropped on BOTH sides before
     the join, so no quadratic bucket blow-up), distinct candidate pairs,
     then exact-Jaccard verify over the two posting lists. The existing
-    corpus is never self-joined — its cost is one signature pass."""
-    post_l = shingle_postings(left, id_col, text_col, n).localCheckpoint(eager=False)
-    post_r = shingle_postings(right, id_col, text_col, n).localCheckpoint(eager=False)
+    corpus is never self-joined — its cost is one signature pass.
+
+    ``postings_left`` / ``postings_right`` (checkpointed shingle_postings
+    DFs) let a caller that also runs the self-dedup path over one of the
+    corpora share a single posting build per corpus."""
+    post_l = (
+        postings_left
+        if postings_left is not None
+        else shingle_postings(left, id_col, text_col, n).localCheckpoint(eager=False)
+    )
+    post_r = (
+        postings_right
+        if postings_right is not None
+        else shingle_postings(right, id_col, text_col, n).localCheckpoint(eager=False)
+    )
     sig_l = minhash_signatures(left, id_col, text_col, n, num_hashes, postings=post_l)
-    sig_r = minhash_signatures(right, id_col, text_col, n, num_hashes, postings=post_r)
+    sig_r = (
+        signatures_right
+        if signatures_right is not None
+        else minhash_signatures(
+            right, id_col, text_col, n, num_hashes, postings=post_r
+        )
+    )
     bk_l = band_keys(sig_l, bands, rows_per_band)
     bk_r = band_keys(sig_r, bands, rows_per_band)
 

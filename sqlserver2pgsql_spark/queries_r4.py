@@ -1871,13 +1871,25 @@ def q123_incremental_neardup_index(spark: SparkSession, sf_dir: str) -> DataFram
         (F.col("doc_id") + 10000).alias("doc_id"),
         F.array_join(F.slice(t, 1, F.size(t) - 5), " ").alias("text"),
     )
+    # the delta corpus feeds BOTH the cross-corpus join and its self-dedup:
+    # build its (tokenize + shingle + explode) posting list AND its 64-hash
+    # MinHash signature aggregate once and share them, instead of letting
+    # each operator recompute the pair
+    delta_post = D.shingle_postings(delta, "doc_id", "text", n=3).localCheckpoint(
+        eager=False
+    )
+    delta_sigs = D.minhash_signatures(
+        delta, "doc_id", "text", n=3, num_hashes=64, postings=delta_post
+    ).localCheckpoint(eager=False)
     cross = D.minhash_join_pairs(
         base, delta, "doc_id", "text", n=3, num_hashes=64, bands=16,
-        rows_per_band=4, threshold=0.6,
+        rows_per_band=4, threshold=0.6, postings_right=delta_post,
+        signatures_right=delta_sigs,
     )
     within = D.minhash_dedup_pairs(
         delta, "doc_id", "text", n=3, num_hashes=64, bands=16,
-        rows_per_band=4, threshold=0.6,
+        rows_per_band=4, threshold=0.6, postings=delta_post,
+        signatures=delta_sigs,
     )
     return cross.unionByName(within).orderBy("id1", "id2")
 
@@ -3456,18 +3468,29 @@ def q148_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("w")
     ).select("w.u", "w.v")
-    tri = wedge.join(e, ["u", "v"], "left_semi").count()
+    # the triangle and edge counts are DEFERRED 1-row aggregates broadcast
+    # into the final projection, not driver-side .count() actions — the
+    # whole query runs as one Spark action instead of three (the q298/q337
+    # deferred-count shape; same exact integers)
+    tri_df = (
+        wedge.join(e, ["u", "v"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
     n_nodes_df = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("w"),
     )
-    n_edges = e.count()
-    return n_nodes_df.select(
-        "n_nodes",
-        F.lit(n_edges).alias("n_edges"),
-        F.lit(tri).alias("n_triangles"),
-        F.lit(tri * 27).alias("est_triangles_full"),
-        (3.0 * F.lit(tri) / F.col("w")).alias("clustering_coeff"),
+    n_edges_df = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        n_nodes_df.crossJoin(F.broadcast(n_edges_df))
+        .crossJoin(F.broadcast(tri_df))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            (F.col("n_triangles") * 27).alias("est_triangles_full"),
+            (3.0 * F.col("n_triangles") / F.col("w")).alias("clustering_coeff"),
+        )
     )
 
 

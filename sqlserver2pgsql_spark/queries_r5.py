@@ -795,19 +795,18 @@ def q337_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = base.select(F.col("p").alias("s"), F.col("s").alias("d")).unionByName(
         base.select(F.col("s").alias("s"), F.col("p").alias("d"))
     )
-    spark_rows = []
     # repartition once to a loop-sized parallelism; every round's shuffle
     # inherits it (edge lists shrink monotonically — no session-conf writes)
-    cur = edges.repartition(8, "s").localCheckpoint(eager=True)
+    cur = edges.repartition(8, "s").localCheckpoint(eager=False)
+    # Per-round checkpoints stay lazy, and the per-round counts are DEFERRED
+    # DataFrame aggregates unioned into the result (the q298 shape) instead
+    # of driver-side .count() actions: the whole 6-round peel now runs as
+    # ONE Spark action, with each round's survivor list materialized once
+    # by its checkpoint and read by the two broadcast semi-joins plus the
+    # count row. The eager-count version paid 12 driver-side job barriers
+    # of pure scheduling latency for the same shuffles.
+    stats = []
     for i in range(1, _KCORE_ROUNDS + 1):
-        # per-round checkpoints (lazy): the survivor list materializes once
-        # under n_nodes = count() and is BROADCAST into both endpoint
-        # semi-joins (node lists are tiny relative to edges at any scale),
-        # so a round is 1 agg shuffle + 2 broadcast joins
-        # lazy checkpoint on the survivor list: n_nodes = count() is the
-        # materializing action and the two broadcasts then read the cache —
-        # the un-checkpointed version recomputed the degree agg three times
-        # per round (count + each broadcast)
         keep = (
             cur.groupBy("s")
             .agg(F.count(F.lit(1)).alias("deg"))
@@ -815,19 +814,28 @@ def q337_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("s").alias("node"))
             .localCheckpoint(eager=False)
         )
-        n_nodes = keep.count()
         cur = (
             cur.join(F.broadcast(keep.withColumnRenamed("node", "s")), "s")
             .join(F.broadcast(keep.select(F.col("node").alias("d"))), "d")
             .select("s", "d")
-            # lazy: n_edges = count() below is the forcing action
             .localCheckpoint(eager=False)
         )
-        n_edges = cur.count() // 2
-        spark_rows.append((i, n_nodes, n_edges))
-    return spark.createDataFrame(
-        spark_rows, "round int, n_nodes long, n_edges long"
-    ).orderBy("round")
+        stats.append(
+            keep.groupBy()
+            .agg(F.count(F.lit(1)).alias("n_nodes"))
+            .crossJoin(
+                F.broadcast(
+                    cur.groupBy().agg(F.expr("count(1) div 2").alias("n_edges"))
+                )
+            )
+            .select(
+                F.lit(i).cast("int").alias("round"), "n_nodes", "n_edges"
+            )
+        )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("round")
 
 
 @register(
