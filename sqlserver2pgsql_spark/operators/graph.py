@@ -246,14 +246,13 @@ def pagerank_fixed_point(
     # then ranks ⋈ edges only (one join + one agg per iteration, both
     # hash-partitioned on their keys at the edge-sized width)
     deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-    e_deg = (
-        e.join(deg, "s")
-        .repartition(n_part, "s")
-        .localCheckpoint(eager=False)
-    )
+    # no repartition: e is hash-partitioned on s at n_part, deg's agg rides
+    # that partitioning, and the s⟷s join of the two keeps it — an explicit
+    # repartition here was one redundant exchange (the CC-loop lesson)
+    e_deg = e.join(deg, "s").localCheckpoint(eager=False)
     ranks = nodes.select("node", F.lit(base).cast("long").alias("rank_fp"))
     teleport = (100 - damping_pct) * base // 100
-    for _ in range(iterations):
+    for i in range(iterations):
         contrib = (
             e_deg.join(ranks.withColumnRenamed("node", "s"), "s")
             .select(
@@ -275,8 +274,15 @@ def pagerank_fixed_point(
                     )
                 ).cast("long").alias("rank_fp"),
             )
-            .localCheckpoint(eager=False)
         )
+        # each iterate is consumed exactly ONCE (by the next iteration's
+        # join), so per-iteration checkpoints buy no reuse — they only cost
+        # a node-sized cache write and an extra stage barrier each round
+        # (q100: 5.3 -> 4.1 s median at sf0.1 without them). Lineage is
+        # still truncated every 4th iteration (the q358 cadence) so plans
+        # stay bounded for ANY requested iteration count.
+        if (i + 1) % 4 == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
@@ -326,18 +332,22 @@ def personalized_pagerank_fixed_point(
     if n_seeds == 0:
         raise ValueError("personalized_pagerank: no seed intersects the graph")
     base = PR_SCALE // n_seeds
+    # no repartitions below: nodes is hash-partitioned on node at n_part so
+    # the node⟷node left join keeps that partitioning, and e/deg are both
+    # partitioned on s — the explicit repartitions were redundant exchanges
+    # (the CC-loop lesson)
     flagged = nodes.join(
         seed_nodes.withColumn("is_seed", F.lit(True)), "node", "left"
     ).select("node", F.coalesce("is_seed", F.lit(False)).alias("is_seed"))
-    flagged = flagged.repartition(n_part, "node").localCheckpoint(eager=False)
+    flagged = flagged.localCheckpoint(eager=False)
     deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-    e_deg = e.join(deg, "s").repartition(n_part, "s").localCheckpoint(eager=False)
+    e_deg = e.join(deg, "s").localCheckpoint(eager=False)
     seed_teleport = (100 - damping_pct) * base // 100
     ranks = flagged.select(
         "node",
         F.when(F.col("is_seed"), F.lit(base)).otherwise(F.lit(0)).cast("long").alias("rank_fp"),
     )
-    for _ in range(iterations):
+    for i in range(iterations):
         contrib = (
             e_deg.join(ranks.withColumnRenamed("node", "s"), "s")
             .select(F.col("d").alias("node"), F.expr("rank_fp div deg").alias("c"))
@@ -354,6 +364,9 @@ def personalized_pagerank_fixed_point(
                     + F.expr(f"({damping_pct} * coalesce(in_sum, 0L)) div 100")
                 ).cast("long").alias("rank_fp"),
             )
-            .localCheckpoint(eager=False)
         )
+        # same cadence as pagerank_fixed_point: each iterate has exactly one
+        # consumer, so checkpoint only every 4th iteration to bound lineage
+        if (i + 1) % 4 == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
