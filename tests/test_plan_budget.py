@@ -53,7 +53,7 @@ BUDGETS = [
     ("q145_winsorized_stats", 3, 0),    # rank window + fences agg + final agg
     ("q146_kl_divergence", 4, 0),       # pinned (src,term) agg + marginals + sum
     ("q147_bm25_ranking", 2, 0),        # per-doc tf agg + stats; top-20 TOAP
-    ("q148_triangle_count", 1, 0),      # final assembly; heavy stages pinned
+    ("q148_triangle_count", 4, 0),      # wedge agg + semi-join + deferred 1-row counts now in-plan (was 1 when counts were driver actions)
     ("q149_seasonal_decompose", 3, 0),  # hourly agg + MA window + group agg
     ("q150_kaplan_meier", 1, 0),        # day agg; risk/survival on #days rows
     ("q151_join_view_maintenance", 5, 0),  # 4 broadcast partials + merge agg
@@ -299,10 +299,10 @@ BUDGETS = [
     ("q383_groupby_all_parity", 2, 0),      # GROUP BY ALL agg + ORDER BY ALL
     ("q384_demand_classification", 6, 0),   # weekly agg + part agg + rollup
     ("q385_average_precision", 4, 0),       # centroid agg + rank window + agg
-    ("q386_textrank_keywords", 0, 0),       # final TOAP; PR rounds pinned
+    ("q386_textrank_keywords", 6, 0),       # ≤4 PR iterations of lineage now visible (checkpoint every 4th, not per-iteration); TOAP tail
     ("q387_croston_forecast", 2, 0),        # weekly agg + fold agg; TOAP
     ("q388_abc_xyz_matrix", 4, 0),          # weekly+part aggs; Pareto 1-part
-    ("q389_personalized_pagerank", 0, 0),   # TOAP; PPR rounds pinned
+    ("q389_personalized_pagerank", 6, 0),   # ≤4 PPR iterations of lineage now visible (checkpoint every 4th, not per-iteration); TOAP tail
     ("q390_association_rules", 10, 0),      # basket distinct + pair/item aggs
     ("q391_bitmap_distinct", 3, 0),         # bucket bitmap agg + type rollup
     ("q392_variant_shred", 2, 0),           # variant shred + bucket agg
