@@ -11766,34 +11766,46 @@ def q252_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .operators.pairs import grouped_pairs
 
-    edges = (
-        grouped_pairs(baskets, "cust", "part", left="pi", right="pj",
-                      assume_distinct=True)
-        .distinct()
-        .localCheckpoint(eager=False)  # degree agg + both end joins
-    )
+    # NO checkpoint on the 12.7M-row edge list (sf0.1): caching it held
+    # ~0.5 GB of deserialized rows per pass, and under bench-wide storage
+    # pressure eviction made the two consumer passes recompute or thrash —
+    # q252 ran anywhere from 7 to 37 s. The two consumers below reference
+    # the identical distinct subtree, so ReuseExchange dedupes its shuffle
+    # and the post-shuffle dedup re-runs from compact shuffle files instead
+    # of a fat cache (measured 4.3–6.8 s warm vs 7–30 s, and a 30.7 → 7.6 s
+    # cold).
+    edges = grouped_pairs(baskets, "cust", "part", left="pi", right="pj",
+                          assume_distinct=True).distinct()
+    # one explode pass for degrees instead of a two-scan union
     deg = (
-        edges.select(F.col("pi").alias("part"))
-        .unionByName(edges.select(F.col("pj").alias("part")))
+        edges.select(F.explode(F.array("pi", "pj")).alias("part"))
         .groupBy("part")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+    # Five of the six moments over the DOUBLED edge list (the standard
+    # definition the oracle computes) are DEGREE-ONLY identities — every
+    # vertex v appears in exactly d_v unordered edges, so
+    #   n   = 2E       = Σ d          (handshake)
+    #   sx  = sy       = Σ_edges(dx+dy) = Σ d²
+    #   sxx = syy      = Σ_edges(dx²+dy²) = Σ d³
+    # — exact BIGINT sums over the |parts|-sized degree table, no edge join.
+    # Only sxy = 2Σ dx·dy genuinely needs the edge list against the
+    # broadcast degree sides.
+    degmoms = deg.agg(
+        F.sum("d").alias("n"),
+        F.sum(F.col("d") * F.col("d")).alias("sx"),
+        F.sum(F.col("d") * F.col("d") * F.col("d")).alias("sxx"),
+    )
     da = deg.select(F.col("part").alias("pi"), F.col("d").alias("dx"))
     db = deg.select(F.col("part").alias("pj"), F.col("d").alias("dy"))
-    joined = edges.join(F.broadcast(da), "pi").join(F.broadcast(db), "pj")
-    # The six moments over the DOUBLED edge list (both orientations — the
-    # standard definition the oracle computes) are symmetric, so they fold
-    # algebraically onto one orientation: n = 2E, sx = sy = Σ(dx+dy),
-    # sxy = 2Σ dx·dy, sxx = syy = Σ(dx²+dy²) — exact BIGINT identities,
-    # halving the aggregated rows and scanning `joined` once instead of
-    # twice through a union.
-    moms = joined.agg(
-        (F.count(F.lit(1)) * 2).alias("n"),
-        F.sum(F.col("dx") + F.col("dy")).alias("sx"),
-        F.sum(F.col("dx") + F.col("dy")).alias("sy"),
-        (F.sum(F.col("dx") * F.col("dy")) * 2).alias("sxy"),
-        F.sum(F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy")).alias("sxx"),
-        F.sum(F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy")).alias("syy"),
+    sxy = (
+        edges.join(F.broadcast(da), "pi")
+        .join(F.broadcast(db), "pj")
+        .agg((F.sum(F.col("dx") * F.col("dy")) * 2).alias("sxy"))
+    )
+    moms = degmoms.crossJoin(F.broadcast(sxy)).select(
+        "n", "sx", F.col("sx").alias("sy"), "sxy", "sxx",
+        F.col("sxx").alias("syy"),
     )
     # the cross-sum products (n·sxy, sx·sy, ...) overflow BIGINT at sf0.1+
     # (caught by the bench, not the sf0.01 gate) — run them in exact wide

