@@ -2070,7 +2070,14 @@ def q126_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k."""
     from .operators.pairs import grouped_pairs
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    # one exchange for dedup + window + pair join (the q247 shape):
+    # partition on the basket key, then the dedup and grouped_pairs ride it
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .repartition("l_orderkey")
+        .dropDuplicates(["l_orderkey", "l_partkey"])
+    )
     pairs = grouped_pairs(li, "l_orderkey", "l_partkey", assume_distinct=True)
     return (
         pairs.groupBy("p1", "p2")
@@ -11221,7 +11228,14 @@ def q247_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
-        .distinct()
+        # ONE exchange for the whole basket build: hash-partition on cust
+        # first, then the (cust, part) dedup, grouped_pairs' window count
+        # AND its pair equi-join all ride that partitioning (a partitioning
+        # on a subset of the grouping/join keys satisfies their clustered
+        # distribution) — .distinct() paid a (cust, part) exchange plus a
+        # cust re-exchange for the window (cold 23.0 -> 6.5 s, warm -0.7 s)
+        .repartition("cust")
+        .dropDuplicates(["cust", "part"])
         .localCheckpoint(eager=False)  # feeds item counts AND pair gen
     )
     item = baskets.groupBy("part").agg(F.count(F.lit(1)).alias("c"))
@@ -11757,7 +11771,11 @@ def q252_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
-        .distinct()
+        # one exchange for dedup + window + pair join (the q247 shape):
+        # partition on cust, then the (cust, part) dedup and grouped_pairs
+        # both ride it
+        .repartition("cust")
+        .dropDuplicates(["cust", "part"])
         # grouped_pairs references its input from both join sides; the
         # join+distinct is expensive, so honor the generator's caching
         # contract (pairs.py module docstring, ADVICE r5) rather than
