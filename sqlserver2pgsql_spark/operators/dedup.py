@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from .pairs import grouped_pairs
 from .text import WS, tokens
 
 
@@ -96,29 +97,24 @@ def ngram_jaccard_pairs(
     shingle's document frequency, so exactness holds unless the corpus is
     pathological; pairs whose only shared shingles are capped lose their
     intersection count, so treat a capped run as approximate."""
-    # two consumers (doc sizes + the grouped pair-gen) — materialize once;
-    # ContextCleaner reclaims the checkpoint when the DF is unreachable
+    # three consumers (doc sizes + both grouped_pairs join sides) —
+    # materialize once; ContextCleaner reclaims the checkpoint when the DF
+    # is unreachable
     post = shingle_postings(df, id_col, text_col, n).localCheckpoint(eager=False)
     sizes = post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    grouped = (
-        post.groupBy("shingle")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= max_group))
+    # pair generation via the shared bounded generator (operators/pairs.py):
+    # a window count over the pair join's own exchange caps hot shingles
+    # BEFORE the codegen equi-join emits pairs. The previous
+    # collect_list + nested transform/slice explosion paid O(k²)
+    # array-tail copies per posting group — the exact shape pairs.py
+    # measured pathological on q247 — and ran 3.4-4.6 s for the q18 pair
+    # core at sf0.1 vs 2.2-2.5 s for this join (cold 10.0 -> 2.5 s);
+    # identical pair multiset (ordered in-group doc pairs, groups of 1
+    # emit nothing, groups over the cap dropped).
+    pairs = grouped_pairs(
+        post, "shingle", "doc_id", left="id1", right="id2",
+        max_group=max_group, assume_distinct=True,
     )
-    ids_sorted = F.array_sort("ids")
-    pairs = grouped.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    ids_sorted,
-                    lambda x, i: F.transform(
-                        F.slice(ids_sorted, i + 2, F.size(ids_sorted)),
-                        lambda y: F.struct(x.alias("id1"), y.alias("id2")),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.id1", "p.id2")
     inter = pairs.groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("n_inter"))
     sa = sizes.select(F.col("doc_id").alias("id1"), F.col("n_shingles").alias("n1"))
     sb = sizes.select(F.col("doc_id").alias("id2"), F.col("n_shingles").alias("n2"))
