@@ -14971,42 +14971,34 @@ def q287_lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     choice is justified). Band keys hash only the in-band components
     (others zeroed in a fixed-width concat, identical both engines);
     the heavy work is one postings agg reused across all five configs.
-    Theory pows round at the libm boundary."""
+    Theory pows round at the libm boundary.
+
+    Two docs share a bucket iff every in-band component matches, so the
+    bucket key here is the in-band pm tuple itself (array<long>) — the
+    oracle's md5-of-zero-padded-concat is just an injective encoding of
+    the same tuple, and the output depends only on bucket SIZES, so the
+    partition (hence every count) is identical. All 31 (config, band)
+    keys come from ONE inline() over the sig row, built as a single SQL
+    string: the previous shape (5 unioned selects x 16 md5(concat_ws of
+    16 when/otherwise casts)) spent ~5 s per pass building and analyzing
+    a ~500-node expression tree through py4j — the query ran 0.7 s but
+    billed 5.3 s of driver time (guide §7.3); this shape builds in
+    ~0.1 s and needs no eager checkpoint to share the sig agg."""
     from .operators.dedup import shingle_postings
 
     docs = _t(spark, sf_dir, "documents")
     # one input split in the fixture -> parallelize the shingle explode
     post = shingle_postings(docs.repartition(32), "doc_id", "text", n=3)
-    # AQE coalesces the sig agg to a couple partitions; re-spread so the
-    # 5-config band-key generation runs wide
-    sigs = _pmh_sigs(post).localCheckpoint(eager=True)
+    sigs = _pmh_sigs(post)
     configs = [(16, 1), (8, 2), (4, 4), (2, 8), (1, 16)]
-    parts = []
-    for bands, rpb in configs:
-        rows = []
-        for b in range(bands):
-            key = F.md5(
-                F.concat_ws(
-                    ":",
-                    *[
-                        F.when(F.lit(i // rpb == b), F.col(f"pm{i}"))
-                        .otherwise(F.lit(0))
-                        .cast("string")
-                        for i in range(_PMH_K)
-                    ],
-                )
-            )
-            rows.append(F.struct(F.lit(b).alias("b"), key.alias("key")))
-        parts.append(
-            sigs.select(
-                F.lit(bands).cast("long").alias("bands"),
-                F.lit(rpb).cast("long").alias("rpb"),
-                F.explode(F.array(*rows)).alias("bk"),
-            ).select("bands", "rpb", F.col("bk.b").alias("b"), F.col("bk.key").alias("key"))
-        )
-    keys = parts[0]
-    for p in parts[1:]:
-        keys = keys.unionByName(p)
+    entries = ", ".join(
+        f"named_struct('bands', CAST({bands} AS BIGINT), "
+        f"'rpb', CAST({rpb} AS BIGINT), 'b', {b}, "
+        f"'key', array({', '.join(f'pm{i}' for i in range(b * rpb, (b + 1) * rpb))}))"
+        for bands, rpb in configs
+        for b in range(bands)
+    )
+    keys = sigs.selectExpr(f"inline(array({entries}))")
     buckets = keys.groupBy("bands", "rpb", "b", "key").agg(
         F.count(F.lit(1)).alias("n")
     )
