@@ -77,35 +77,48 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
     LAST_ROUNDS["minlabel"] = 0
-    for _ in range(max_iter):
-        LAST_ROUNDS["minlabel"] += 1
+
+    def _propagate(lbl: DataFrame) -> DataFrame:
+        """One min-label step; extra columns on ``lbl`` ride through.
+        No output repartition: the left join below is node⟷node over two
+        n_part-wide inputs, so its result is already hash-partitioned on
+        node at n_part — an explicit repartition was one redundant
+        exchange per round."""
+        l = lbl.select("node", "cluster_id")
         neighbor_min = (
-            sym.join(labels, sym["a"] == labels["node"])
+            sym.join(l, sym["a"] == l["node"])
             .select(F.col("b").alias("node"), "cluster_id")
             .repartition(n_part, "node")
             .groupBy("node")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        # carry the old label through so convergence is a filter over the
-        # checkpointed result, not another shuffle join per iteration.
-        # No output repartition: the left join below is node⟷node over two
-        # n_part-wide inputs, so its result is already hash-partitioned on
-        # node at n_part — an explicit repartition was one redundant
-        # exchange per round.
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
-                ).alias("cluster_id"),
-                F.col("cluster_id").alias("__old"),
-            )
-            .localCheckpoint(eager=False)
+        keep = [c for c in lbl.columns if c not in ("node", "cluster_id")]
+        return lbl.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("cluster_id"),
+                F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+            ).alias("cluster_id"),
+            *keep,
         )
-        changed = new_labels.filter(F.col("cluster_id") != F.col("__old")).count()
-        labels = new_labels.drop("__old")
+
+    # TWO propagation steps per driver round, ONE convergence count: on the
+    # shallow near-dup graphs this loop serves, the per-round driver action
+    # (the count that also materializes the checkpoint) costs more wall time
+    # than the tiny join+agg it gates, so halving the action count halves
+    # the fixed-point overhead. Labels only ever decrease, so "no change
+    # across the double step" implies the intermediate step was also a
+    # fixed point — convergence detection is unchanged. Worst case one
+    # extra (idempotent) propagation executes. Both steps lazily checkpoint,
+    # so lineage still truncates every step and the intermediate result is
+    # materialized once, not re-derived by the second step's two references.
+    for _ in range((max_iter + 1) // 2):
+        cur = labels.withColumn("__old", F.col("cluster_id"))
+        for _half in range(2):
+            LAST_ROUNDS["minlabel"] += 1
+            cur = _propagate(cur).localCheckpoint(eager=False)
+        changed = cur.filter(F.col("cluster_id") != F.col("__old")).count()
+        labels = cur.drop("__old")
         if changed == 0:
             break
     return labels
