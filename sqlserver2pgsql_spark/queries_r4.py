@@ -15876,19 +15876,39 @@ def q298_threshold_contagion(spark: SparkSession, sf_dir: str) -> DataFrame:
     set — frontier-sized, never quadratic; the oracle unrolls the same 4
     rounds as chained CTEs (aggregation inside recursion is not portable,
     so the unroll IS the spec). Exact set counts per round."""
+    from .operators.pairs import grouped_pairs
+
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("v"))
     # Lazy checkpoints throughout: every per-round frame is persisted +
     # lineage-truncated on FIRST use, but materialization rides the single
     # final action instead of 2 eager barrier jobs per round (VERDICT r4 #5
     # — the q364 lesson applied to the whole fixed-point family).
-    edges = (
-        a.join(b, (a["k"] == b["k2"]) & (a["u"] != b["v"]))
-        .select("u", "v")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    #
+    # Edge build (r6): the raw orderkey self-join shuffled BOTH orientations
+    # (~2x the unordered pair volume) into the dedup exchange; generating
+    # unordered pairs with grouped_pairs on one up-front orderkey exchange
+    # (the q247 basket shape), deduping those, and exploding both
+    # orientations afterwards yields the identical ordered edge set with
+    # half the distinct's input and one fewer exchange. on_overflow='error':
+    # the oracle is uncapped, and an order's line count is far below the
+    # cap, so a pathological regeneration fails loudly instead of silently
+    # dropping edges.
+    pairs = grouped_pairs(
+        li.repartition("l_orderkey"),
+        "l_orderkey",
+        "l_partkey",
+        left="u",
+        right="v",
+        on_overflow="error",
+    ).distinct()
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u"), F.col("v")),
+                F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+            )
+        ).alias("e")
+    ).select("e.*").localCheckpoint(eager=False)
     failed = (
         li.select(F.col("l_partkey").alias("node"))
         .filter(F.col("node") % 50 == 0)
@@ -15899,8 +15919,10 @@ def q298_threshold_contagion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("round"), F.col("count").alias("n_failed")
     )
     for r in range(1, 5):
+        # the failed set is node-sized — broadcast it so the cached edge
+        # list is scanned, never shuffled, in any round
         newly = (
-            edges.join(failed.withColumnRenamed("node", "v"), "v")
+            edges.join(F.broadcast(failed.withColumnRenamed("node", "v")), "v")
             .groupBy("u")
             .agg(F.count(F.lit(1)).alias("nf"))
             .filter(F.col("nf") >= 2)
