@@ -157,11 +157,16 @@ def connected_components_star(
             .agg(F.min("v").alias("__mn"))
             .select("u", F.least(F.col("__mn"), F.col("u")).alias("m"))
         )
+        # NO dedup here: the output is one row per v>u input edge (never
+        # more than the input edge count), duplicates only pass through the
+        # next small_star's joins unchanged, and small_star ends in the
+        # round's distinct anyway — the per-round large-star distinct was a
+        # whole extra exchange (4 → 3 per round) buying nothing the next
+        # distinct doesn't.
         return (
             sym.filter(F.col("v") > F.col("u"))
             .join(mins, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
         )
 
     def small_star(ed: DataFrame) -> DataFrame:
