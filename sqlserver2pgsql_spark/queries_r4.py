@@ -9060,7 +9060,7 @@ def q222_blocked_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         isotonic_fit(
             ev, "event_type", ["ts", "event_id"],
-            (F.col("user_id") % 3), block=256,
+            (F.col("user_id") % 3), block=128,
         )
         .select(
             "event_type", "rn", "y",
