@@ -1293,13 +1293,18 @@ def q115_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines; grid points outside the observed range stay NULL, a grid
     instant that hits an observation returns it exactly via the t1=ts
     guard). Plan: grid rows are generated from a per-user min/max agg
-    (bounded by time span), unioned with the points, and BOTH neighbor
-    lookups use ONE total order (ts, is_point DESC, event_id) — backward
-    frame for the previous point, forward frame for the strictly-next one
-    — so the window exchange+sort happens once, not twice (measured 35%
-    of this query's wall on the two-ordering formulation); no range join,
-    no per-grid-point probe; the classic gap-fill shape for sensor data at
-    scale."""
+    (bounded by time span), unioned with the points, and both neighbor
+    lookups ride ONE exchange on user_id: backward neighbor = running
+    last() over the total order (ts, is_point DESC, event_id), forward
+    neighbor = running last() over the EXACT REVERSE of that order — the
+    same partitioning, so only a second in-partition sort, no second
+    shuffle. The previous formulation used first() over a
+    (currentRow, unboundedFollowing) frame: Spark evaluates shrinking
+    frames by re-aggregating the rest of the partition for every row —
+    O(rows²) per user (UnboundedFollowingWindowFunctionFrame), measured
+    4.7-15.0 s vs 1.9-2.8 s for the reversed running frame at sf0.1 with
+    identical output; no range join, no per-grid-point probe; the classic
+    gap-fill shape for sensor data at scale."""
     ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
     grid = (
         ev.groupBy("user_id")
@@ -1329,20 +1334,28 @@ def q115_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     pt_val = F.when(F.col("is_point") == 1, F.col("value"))
     pt_ts = F.when(F.col("is_point") == 1, eus)
     order = [F.col("ts"), F.col("is_point").desc(), F.coalesce("event_id", big)]
+    order_rev = [
+        F.col("ts").desc(),
+        F.col("is_point").asc(),
+        F.coalesce("event_id", big).desc(),
+    ]
     wb = (
         W.partitionBy("user_id").orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # running frame over the reversed total order ≡ (currentRow,
+    # unboundedFollowing) over the forward order, without the shrinking
+    # frame's per-row re-aggregation
     wf = (
-        W.partitionBy("user_id").orderBy(*order)
-        .rowsBetween(W.currentRow, W.unboundedFollowing)
+        W.partitionBy("user_id").orderBy(*order_rev)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     walled = unioned.select(
         "user_id", "ts", "is_point",
         F.last(pt_val, ignorenulls=True).over(wb).alias("v1"),
         F.last(pt_ts, ignorenulls=True).over(wb).alias("t1"),
-        F.first(pt_val, ignorenulls=True).over(wf).alias("v2"),
-        F.first(pt_ts, ignorenulls=True).over(wf).alias("t2"),
+        F.last(pt_val, ignorenulls=True).over(wf).alias("v2"),
+        F.last(pt_ts, ignorenulls=True).over(wf).alias("t2"),
     )
     frac = (eus - F.col("t1")).cast("double") / (F.col("t2") - F.col("t1")).cast("double")
     # points sort BEFORE their coincident grid instant under the single
