@@ -1451,10 +1451,13 @@ def q117_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential pattern detection (the MATCH_RECOGNIZE shape Spark
     lacks): purchases followed by an error within 10 minutes, per user —
     the next-matching-event lookup is ONE forward window over the user's
-    ordered sequence (first_value … FOLLOWING, ignore-nulls), no
-    self-join, no range probe; gaps stay exact integer microseconds.
-    Same wall technique as q115's interpolation, applied to event-pattern
-    mining."""
+    ordered sequence, no self-join, no range probe; gaps stay exact
+    integer microseconds. Same wall technique as q115's interpolation,
+    applied to event-pattern mining — including q115's r6 lesson: the
+    forward lookup runs as a running last() over the REVERSED order
+    (frame ending at -1 to exclude the current row), because a
+    (1, unboundedFollowing) frame makes Spark re-aggregate the remaining
+    partition per row (O(rows²) per user)."""
     # ts is TIMESTAMP_NTZ in the fixture; session TZ is pinned UTC so the
     # cast to LTZ (required by unix_micros) is wall-clock-identical
     ev = _t(spark, sf_dir, "events").select(
@@ -1463,15 +1466,15 @@ def q117_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     eus = F.unix_micros(F.col("ts"))
     wf = (
         W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(1, W.unboundedFollowing)
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
     )
     seq = ev.select(
         "user_id",
         "ts",
         "event_id",
         "event_type",
-        F.first(
+        F.last(
             F.when(F.col("event_type") == "error", eus), ignorenulls=True
         ).over(wf).alias("next_err_us"),
     )
