@@ -9369,14 +9369,22 @@ def q227_checksum_repair_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         src_ck = cks(src_df)
         tgt_ck = cks(spark.read.parquet(out + "/tgt").drop("chunk")
                      .select("event_id", "ts", "value"))
-        bad = (
+        # ONE driver action for the whole repair plan: the chunk manifest
+        # is chunk-count-sized (small by construction), so collect it with
+        # a mismatch flag and derive n_chunks AND the bad list from the
+        # same rows — the previous separate src_ck.count() recomputed the
+        # source checksum aggregate a second time (r6)
+        plan = (
             src_ck.alias("s")
             .join(tgt_ck.alias("t"), "chunk")
-            .filter(F.col("s.cksum") != F.col("t.cksum"))
-            .select("chunk")
+            .select(
+                "chunk",
+                (F.col("s.cksum") != F.col("t.cksum")).alias("mismatch"),
+            )
+            .collect()
         )
-        n_chunks = src_ck.count()
-        bad_chunks = [r.chunk for r in bad.collect()]  # repair plan: small
+        n_chunks = len(plan)
+        bad_chunks = [r.chunk for r in plan if r.mismatch]  # repair plan
         # rewrite ONLY damaged chunk partitions from source
         chunked(src_df).filter(F.col("chunk").isin(bad_chunks)) \
             .repartition(F.col("chunk")) \
