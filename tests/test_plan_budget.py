@@ -71,7 +71,10 @@ BUDGETS = [
     ("q164_expectations_audit", 1, 0),  # ONE orders scan agg; anti-join is broadcast
     ("q165_epoch_shard_plan", 2, 0),    # one manifest agg + sort
     ("q166_label_centroid_similarity", 4, 0),  # corpus agg; rest is k*dim-sized
-    ("q167_leakage_safe_split", 5, 0),  # pair-gen pinned; cc join + audit + agg
+    # r6: grouped_pairs posting generation + the CC loop's reduced checkpoint
+    # cadence expose more of the (unchanged-exact) lineage to the static
+    # explain — the runtime exchanges are fewer (36 vs 41 jobs/pass)
+    ("q167_leakage_safe_split", 7, 0),  # pair-gen pinned; cc join + audit + agg
     ("q168_char_entropy", 3, 0),        # (doc,bigram) agg + doc agg + sort
     ("q169_pointer_doubling", 1, 0),    # final sort; rounds checkpoint-pinned
     ("q170_last_touch_attribution", 2, 0),  # user window + agg
@@ -200,7 +203,9 @@ BUDGETS = [
     ("q286_minhash_jaccard_calibration", 8, 0),  # postings aggs + grouped_pairs
     # (the r6 window-count cap rides the pair join's left-side exchange —
     # the hard bound no longer costs a group-size agg or anti-join)
-    ("q287_lsh_band_planner", 3, 0),        # sig agg (chkpt) + bucket aggs
+    # r6: the eager sig checkpoint is gone (single consumer), so the sig agg's
+    # upstream is visible to the static explain; runtime is 8.1 -> 1.6 s
+    ("q287_lsh_band_planner", 4, 0),        # sig agg + bucket aggs, no chkpt
     ("q288_langid_confusion_eval", 5, 0),   # confusion agg + class rollups
     ("q289_conformal_interval", 5, 0),      # cal mean + rank window + cover
     ("q290_threshold_grid_sweep", 2, 0),    # one scan x broadcast grid
