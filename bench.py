@@ -31,9 +31,28 @@ def main() -> None:
     # warm the JVM + parquet footers so per-query numbers measure the queries
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    def release_leftover_blocks() -> None:
+        """Unpersist storage blocks leaked by already-finished queries.
+
+        Python refcounting frees each query's DataFrames as soon as its
+        noop write returns, but their localCheckpoint BLOCKS stay in the
+        executor block manager until a JVM GC lets the ContextCleaner's
+        reference queue see the dead RDDs — across 400 queries x 5 passes
+        that accretes gigabytes of storage and later queries measure
+        memory pressure instead of their plans (profiled: the same query
+        ran 2-4x slower late in a 40-query session than fresh; a forced
+        System.gc() per pass measured WORSE — the cleanup flood runs
+        inside the next timed pass). No result caching is involved: only
+        blocks of queries that already finished are dropped, every timed
+        query still computes from the parquet inputs.
+        """
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            jrdd.unpersist(False)
+
     def run_all() -> dict[str, float]:
         timings: dict[str, float] = {}
         for name, fn in sorted(entrymod.queries().items()):
+            release_leftover_blocks()
             t0 = time.time()
             try:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

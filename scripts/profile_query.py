@@ -30,6 +30,8 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--passes", type=int, default=3)
     ap.add_argument("--explain-dir", default=None)
+    ap.add_argument("--unpersist", action="store_true",
+                    help="unpersist leftover RDD blocks before each pass")
     ap.add_argument("queries", nargs="+")
     args = ap.parse_args()
 
@@ -56,6 +58,14 @@ def main() -> None:
         jobs = []
         for i in range(args.passes + 1):
             gc.collect()
+            if args.unpersist:
+                # drop the previous pass's localCheckpoint blocks directly:
+                # Python refcounting already detached the RDD wrappers, but
+                # their storage blocks wait on a JVM GC + ContextCleaner
+                # drain (System.gc() per pass measured WORSE — the cleanup
+                # flood executes inside the next timed pass)
+                for jrdd in sc._jsc.getPersistentRDDs().values():
+                    jrdd.unpersist(False)
             group = f"prof_{name}_{i}"
             sc.setJobGroup(group, name)
             sc.setJobDescription(f"{name} pass {i}")

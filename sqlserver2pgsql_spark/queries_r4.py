@@ -12994,7 +12994,9 @@ def q266_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             # paths can never yield a longer completion
             .groupBy("node", "cur")
             .agg(F.max("total").alias("total"))
-            .localCheckpoint(eager=True)
+            # lazy: the isEmpty probe below materializes (and caches) the
+            # round — an eager checkpoint was a second dedicated job/round
+            .localCheckpoint(eager=False)
         )
         if frontier.isEmpty():
             break
@@ -17337,7 +17339,10 @@ def q315_weiszfeld_geometric_median(spark: SparkSession, sf_dir: str) -> DataFra
         )
         m = w.select(
             "pos", F.floor(F.col("t1") / F.col("t2")).cast("long").alias("m_fx")
-        ).localCheckpoint(eager=True)
+            # lazy: the next iteration's broadcast build (or the final
+            # action) materializes the 64-row iterate — eager paid a
+            # dedicated driver-blocking job per iteration
+        ).localCheckpoint(eager=False)
     return m.select(
         "pos",
         "m_fx",

@@ -3774,39 +3774,35 @@ def q364_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     P12 = lambda c: F.round(c, 12).cast("decimal(28,12)")
     h = e.select("p").distinct().select("p", F.lit(1.0).alias("h"))
     a = None
-    # Checkpoint the RAW half-step aggregates lazily, not the normalized
-    # projections eagerly: the max-normalizer's broadcast job is the action
-    # that materializes (and caches) each raw agg anyway, so the eager
-    # variant ran every edge join TWICE per half-step (once for the
-    # broadcast, once for the checkpoint) — 4 barriers/iteration for 2
-    # half-steps (VERDICT r4 #5, q364 at 11.6s). The normalized frames
-    # are one narrow broadcast-division on top of the cached raw agg, so
-    # they need no checkpoint of their own; lineage still truncates at
-    # every half-step, so the plan cannot regrow across iterations.
     # The score vectors are node-sized (|parts| + |suppliers|), orders of
     # magnitude below the edge list — broadcast them so the edge list is
     # never shuffled; each half-step is scan-cached-edges + broadcast hash
-    # join + one partial-aggregated shuffle of node-sized sums.
+    # join + one partial-aggregated shuffle of node-sized sums. Lineage
+    # truncates at every half-step via the lazy checkpoint on the
+    # normalized frame.
+    # r6: the max-normalizer is a WINDOW over the raw half-step aggregate,
+    # not a separate agg + crossJoin(broadcast) — the raw agg then has ONE
+    # consumer, so the checkpoint moves to the normalized frame and each
+    # half-step materializes once (the old shape paid a broadcast sub-job
+    # for the max plus a second scan of the raw agg per half-step). The
+    # single-partition window is over the NODE-sized score vector — the
+    # same memory class as broadcasting it, which the next join does
+    # anyway. Arithmetic unchanged: same IEEE division by the same max.
+    w_all = W.partitionBy()
     for _ in range(_HITS_ITERS):
-        a_raw = (
+        a = (
             e.join(F.broadcast(h), "p")
             .groupBy("s")
-            .agg(F.sum(P12(F.col("h"))).cast("double").alias("a"))
+            .agg(F.sum(P12(F.col("h"))).cast("double").alias("a_raw"))
+            .select("s", (F.col("a_raw") / F.max("a_raw").over(w_all)).alias("a"))
             .localCheckpoint(eager=False)
         )
-        amax = a_raw.agg(F.max("a").alias("mx"))
-        a = a_raw.crossJoin(F.broadcast(amax)).select(
-            "s", (F.col("a") / F.col("mx")).alias("a")
-        )
-        h_raw = (
+        h = (
             e.join(F.broadcast(a), "s")
             .groupBy("p")
-            .agg(F.sum(P12(F.col("a"))).cast("double").alias("h"))
+            .agg(F.sum(P12(F.col("a"))).cast("double").alias("h_raw"))
+            .select("p", (F.col("h_raw") / F.max("h_raw").over(w_all)).alias("h"))
             .localCheckpoint(eager=False)
-        )
-        hmax = h_raw.agg(F.max("h").alias("mx"))
-        h = h_raw.crossJoin(F.broadcast(hmax)).select(
-            "p", (F.col("h") / F.col("mx")).alias("h")
         )
     hubs = h.select(
         F.lit("hub").alias("side"),
