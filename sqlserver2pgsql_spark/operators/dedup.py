@@ -426,10 +426,33 @@ def prefix_filter_jaccard_pairs(
     # prefix keeps enough that a qualifying pair cannot miss (t-dependent)
     plen = (F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1).cast("int")
     prefixes = doc_sets.select(
-        "doc_id", "n_sh", F.explode(F.slice("sh", 1, plen)).alias("shingle")
+        "doc_id",
+        "n_sh",
+        F.posexplode(F.slice("sh", 1, plen)).alias("pos", "shingle"),
     )
     # length filter (Arasu et al.): J(a,b) >= t forces t*|a| <= |b| <= |a|/t
-    # - applied INSIDE the candidate join, before the dedup shuffle
+    # - applied INSIDE the candidate join, before the dedup shuffle.
+    # position filter (PPJoin, Xiao et al.): for the shared prefix shingle at
+    # 0-based positions (i, j), |a ∩ b| <= min(i, j) + 1 + min(n1-i-1, n2-j-1)
+    # (common elements before it, itself, common elements after it). A
+    # qualifying pair's RAREST common shingle sits in both prefixes with zero
+    # commons before it, so its tuple always passes — recall stays 100% while
+    # dominated candidate tuples die before the dedup shuffle. The required
+    # overlap alpha = ceil(t/(1+t)·(n1+n2)) is relaxed by 1e-9 so float
+    # rounding can only weaken the prune, never break exactness.
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("a.n_sh") + F.col("b.n_sh"))
+        - F.lit(1e-9)
+    )
+    ubound = (
+        F.least(F.col("a.pos"), F.col("b.pos"))
+        + 1
+        + F.least(
+            F.col("a.n_sh") - F.col("a.pos") - 1,
+            F.col("b.n_sh") - F.col("b.pos") - 1,
+        )
+    )
     cand = (
         prefixes.alias("a")
         .join(prefixes.alias("b"), "shingle")
@@ -437,6 +460,7 @@ def prefix_filter_jaccard_pairs(
             (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.col("b.n_sh") >= F.lit(threshold) * F.col("a.n_sh"))
             & (F.col("a.n_sh") >= F.lit(threshold) * F.col("b.n_sh"))
+            & (ubound >= alpha)
         )
         .select(
             F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")

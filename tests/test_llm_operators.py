@@ -514,3 +514,46 @@ def test_hll_sliding_distinct_tracks_exact(spark):
             )
         )
         assert abs(est[day] - exact) / exact < 0.15, (day, est[day], exact)
+
+
+def test_prefix_filter_position_bound_exact(spark):
+    """prefix_filter_jaccard_pairs (with the PPJoin position filter, r6)
+    must emit the IDENTICAL scored pair set as the full posting self-join
+    on a fixture built to stress the bound: near-threshold pairs (J just
+    above/below t), length-skewed pairs near the t*|a| <= |b| edge, and
+    docs whose only shared prefix shingle sits LATE in one prefix (the
+    tuple the position filter prunes — the pair must still arrive via its
+    rarest common shingle)."""
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh", "ii", "jj"]
+    rows = []
+    # systematic: doc i = tokens[i % 7 .. i % 7 + 3 + i % 5] (wraps), so the
+    # corpus has heavy shingle sharing at mixed lengths
+    for i in range(40):
+        start, ln = i % 7, 3 + (i % 5)
+        toks = [vocab[(start + k) % len(vocab)] for k in range(ln)]
+        rows.append((i, " ".join(toks)))
+    # hand-built near-threshold pairs (3-gram shingles on tokens):
+    # identical docs (J=1), one-token-suffix delta (J just under/over 0.6)
+    rows += [
+        (100, "aa bb cc dd ee ff"),
+        (101, "aa bb cc dd ee ff"),          # J=1 with 100
+        (102, "aa bb cc dd ee gg"),          # shares 3 of 4 shingles
+        (103, "aa bb cc dd"),                # length-edge vs 100
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    full = {
+        tuple(r)
+        for r in D.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.6)
+        .select("id1", "id2", "n_inter", "n1", "n2")
+        .collect()
+    }
+    pf = {
+        tuple(r)
+        for r in D.prefix_filter_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.6
+        )
+        .select("id1", "id2", "n_inter", "n1", "n2")
+        .collect()
+    }
+    assert pf == full
+    assert full  # the fixture must actually produce pairs
