@@ -5265,7 +5265,7 @@ def q169_pointer_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "par",
         F.when(F.col("par") == F.col("id"), F.lit(0)).otherwise(1)
         .cast("long").alias("d"),
-    ).localCheckpoint()  # eager: each round's plan stays ONE join deep
+    ).localCheckpoint(eager=False)  # truncate: each round's plan stays ONE join deep
     for _ in range(n_rounds):
         hop = labels.select(
             F.col("id").alias("h_id"),
@@ -5280,7 +5280,10 @@ def q169_pointer_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("h_par").alias("par"),
                 (F.col("d") + F.col("h_d")).cast("long").alias("d"),
             )
-            .localCheckpoint()
+            # lazy: the checkpoint only truncates the doubling plan; the
+            # final action materializes all O(log depth) rounds in one job
+            # instead of one barrier job per round (r6)
+            .localCheckpoint(eager=False)
         )
     return labels.select(
         F.col("id").alias("event_id"),
@@ -10726,7 +10729,9 @@ def q243_bom_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "node",
                 F.floor((F.col("anc") - 1) / 5.0).cast("long").alias("anc"),
             )
-            .localCheckpoint(eager=True)  # truncate lineage per level
+            # lazy: the isEmpty probe materializes the level anyway; an
+            # eager checkpoint would run a second barrier job per level (r6)
+            .localCheckpoint(eager=False)
         )
         if frontier.isEmpty():
             break
@@ -12025,7 +12030,9 @@ def q254_greedy_set_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("item"),
         )
         .distinct()
-        .localCheckpoint(eager=True)  # scanned every round
+        # lazy: scanned every round within the one final action; the first
+        # round's scan materializes it — no separate barrier job (r6)
+        .localCheckpoint(eager=False)
     )
     covered = None
     picked = None
@@ -12970,7 +12977,9 @@ def q266_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy: round 1's isEmpty probe materializes the edge list; every
+        # later round reads the cached blocks (r6)
+        .localCheckpoint(eager=False)
     )
     pval = val.select(F.col("node").alias("parent"), F.col("cents").alias("pcents"))
     # frontier: (node, cur, total) partial paths; done: best completed total
@@ -13659,7 +13668,9 @@ def q273_v_optimal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         # DP state is #distinct-values² rows — single-partition it so the
         # 3 per-level joins don't pay 32-partition shuffle scheduling
         .coalesce(1)
-        .localCheckpoint(eager=True)  # reused by every DP level
+        # lazy: reused by every DP level; the first level's broadcast build
+        # materializes it inside the single final action (r6)
+        .localCheckpoint(eager=False)
     )
     dp = cost.filter(F.col("j") == 0).select("i", F.col("sse").alias("dp"))
     out = dp.select(F.lit(1).cast("long").alias("b"), "i", "dp")
@@ -16415,7 +16426,9 @@ def q305_materialized_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 (F.col("depth") + 1).alias("depth"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the isEmpty probe materializes the level anyway; an
+            # eager checkpoint would run a second barrier job per level (r6)
+            .localCheckpoint(eager=False)
         )
         if frontier.isEmpty():
             break

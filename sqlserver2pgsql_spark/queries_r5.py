@@ -2686,18 +2686,22 @@ def q357_mmr_diversification(spark: SparkSession, sf_dir: str) -> DataFrame:
     greedy argmax ordering agrees across engines without rounding; the
     oracle unrolls the same 6 steps as MATERIALIZED CTEs. Spark drives
     the greedy on a checkpointed 12-row candidate table — the heavy work
-    (corpus scan + top-k) is the same one-shuffle plan as q21."""
+    (corpus scan + top-k) is the same one-shuffle plan as q21. All
+    checkpoints are LAZY (r6): they exist to truncate the per-round
+    doubling of the logical plan, and the single final action
+    materializes every round's 12-row iterate in one job instead of six
+    driver-blocking barrier jobs."""
     from .operators.similarity import ann_bruteforce_topk, cosine
 
     emb = _t(spark, sf_dir, "embeddings")
     rel = (
         ann_bruteforce_topk(emb, emb.filter(F.col("vec_id") == 0), k=_MMR_CANDS)
         .select(F.col("vec_id").alias("cand"), F.col("cos_sim").alias("rel"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     vecs = emb.join(
         rel.select(F.col("cand").alias("vec_id")), "vec_id"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     a = vecs.alias("a")
     b = vecs.alias("b")
     sims = (
@@ -2707,7 +2711,7 @@ def q357_mmr_diversification(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("b"),
             cosine(F.col("a.embedding"), F.col("b.embedding")).alias("sim"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     lam = _MMR_LAM
     sel = (
@@ -2715,7 +2719,7 @@ def q357_mmr_diversification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "cand")
         .limit(1)
         .select(F.lit(1).alias("mmr_rank"), "cand", "score")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     picked = sel
     for j in range(2, _MMR_K + 1):
@@ -2738,7 +2742,7 @@ def q357_mmr_diversification(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("score"), "cand")
             .limit(1)
         )
-        picked = picked.unionByName(step).localCheckpoint(eager=True)
+        picked = picked.unionByName(step).localCheckpoint(eager=False)
     return (
         picked.join(rel, "cand")
         .select(
