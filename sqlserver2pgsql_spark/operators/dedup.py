@@ -154,10 +154,11 @@ def minhash_signatures(
         if postings is not None
         else shingle_postings(df, id_col, text_col, n)
     ).withColumn("h", F.xxhash64(F.col("shingle")))
-    mins = [
-        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
+    # one parsed SQL string per aggregate instead of a 4-call py4j Column
+    # chain each: the num_hashes-wide agg list is pure DRIVER construction
+    # cost, measured 0.34 -> 0.07 s per call at 64 hashes (identical plan —
+    # an INT literal seed binds exactly like F.lit(i))
+    mins = [F.expr(f"min(xxhash64(h, {i})) AS mh{i}") for i in range(num_hashes)]
     return post.groupBy("doc_id").agg(*mins)
 
 
@@ -167,14 +168,20 @@ def band_keys(
     """(doc_id, band, key) — one LSH band key per band per doc, the join
     currency of every banded-LSH path (self-join dedup and cross-corpus
     join alike)."""
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_rows.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("key"))
+    # single parsed expression instead of bands x (rows_per_band + 3) py4j
+    # calls — driver construction cost only, identical plan (0.17 -> 0.02 s
+    # per call at 16x4; INT literals bind exactly like F.lit(b))
+    arr = ",".join(
+        "struct({b} AS band, xxhash64({cols}) AS key)".format(
+            b=b,
+            cols=",".join(
+                f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
         )
+        for b in range(bands)
+    )
     return signatures.select(
-        "doc_id", F.explode(F.array(*band_rows)).alias("bk")
+        "doc_id", F.expr(f"explode(array({arr}))").alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
 
