@@ -9,6 +9,9 @@ call site), task count and shuffle read/write — and the GAPS between stages
 
 Usage:
     python scripts/stage_profile.py [--sf SF_DIR] [--passes N] query [query ...]
+
+``--passes N`` runs one warmup pass plus N measured passes (N+1 total);
+the report covers the LAST pass only.
 """
 
 from __future__ import annotations
@@ -51,11 +54,34 @@ def get_spark_with_eventlog():
     )
 
 
+def _open_eventlog(path: str):
+    """Event log lines; handles Spark 4 rolling dirs (eventlog_v2_<app>/
+    events_*.zstd) and plain files, compressed or not."""
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "events_*")))
+        for p in parts:
+            yield from _open_eventlog(p)
+        return
+    if path.endswith(".zstd"):
+        import subprocess
+
+        out = subprocess.run(
+            ["zstd", "-dc", path], capture_output=True, check=True
+        ).stdout
+        yield from out.decode("utf-8", "replace").splitlines()
+    else:
+        with open(path) as fh:
+            yield from fh
+
+
 def parse_eventlog(path: str, t_lo: float, t_hi: float) -> list[dict]:
-    """Stages whose submission falls in [t_lo, t_hi] (epoch millis)."""
+    """Stages whose [submission, completion] interval OVERLAPS [t_lo, t_hi]
+    (epoch millis) — a stage submitted before the window but finishing
+    inside it still contributes covered time (clipped in the coverage
+    loop), instead of being misattributed to driver/AQE gaps."""
     stages = []
-    with open(path) as fh:
-        for line in fh:
+    if True:
+        for line in _open_eventlog(path):
             try:
                 ev = json.loads(line)
             except json.JSONDecodeError:
@@ -65,13 +91,15 @@ def parse_eventlog(path: str, t_lo: float, t_hi: float) -> list[dict]:
             si = ev["Stage Info"]
             sub = si.get("Submission Time")
             comp = si.get("Completion Time")
-            if sub is None or comp is None or not (t_lo <= sub <= t_hi):
+            if sub is None or comp is None or comp < t_lo or sub > t_hi:
                 continue
             sr = sw = 0
             for acc in si.get("Accumulables", []):
-                if acc.get("Name") == "internal.metrics.shuffle.read.remoteBytesRead":
-                    sr += int(acc.get("Value", 0))
-                if acc.get("Name") == "internal.metrics.shuffle.read.localBytesRead":
+                if acc.get("Name") in (
+                    "internal.metrics.shuffle.read.remoteBytesRead",
+                    "internal.metrics.shuffle.read.localBytesRead",
+                    "internal.metrics.shuffle.read.remoteBytesReadToDisk",
+                ):
                     sr += int(acc.get("Value", 0))
                 if acc.get("Name") == "internal.metrics.shuffle.write.bytesWritten":
                     sw = int(acc.get("Value", 0))
@@ -127,7 +155,7 @@ def main() -> None:
 
         # flush the event log
         sc._jsc.sc().listenerBus().waitUntilEmpty()
-        logs = glob.glob(os.path.join(EVDIR, f"{app_id}*"))
+        logs = glob.glob(os.path.join(EVDIR, f"*{app_id}*"))
         if not logs:
             sys.exit(f"no event log under {EVDIR}")
         path = max(logs, key=os.path.getmtime)
@@ -140,11 +168,15 @@ def main() -> None:
         covered = 0.0
         cursor = t_lo
         for s in stages:
-            lo, hi = max(s["sub"], cursor), max(s["comp"], cursor)
+            # clip each stage interval to the pass window (stage clocks are
+            # JVM-side, the window is Python-side; clamping also keeps a
+            # stage that outlives t_hi from driving gaps negative)
+            lo = max(s["sub"], cursor)
+            hi = min(max(s["comp"], cursor), t_hi)
             if hi > cursor:
                 covered += hi - max(lo, cursor)
                 cursor = hi
-        gaps = (t_hi - t_lo - covered) / 1000.0
+        gaps = max(0.0, (t_hi - t_lo - covered) / 1000.0)
         print(f"\n=== {name}: wall={wall:.2f}s build={build:.2f}s "
               f"stages={len(stages)} stage_wall_sum={stage_sum:.2f}s "
               f"uncovered(driver/AQE gaps)={gaps:.2f}s ===")

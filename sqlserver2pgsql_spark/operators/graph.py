@@ -18,6 +18,21 @@ the EDGE list (≪ corpus for near-dup graphs), sized explicitly via
 concurrent queries on a shared session are unaffected. The only
 driver-side values are per-iteration scalar counts. Lineage is truncated
 every iteration via localCheckpoint so plans don't grow unboundedly.
+
+Loop-shape discipline (r7, guide §2.4/§5): ``localCheckpoint`` erases
+outputPartitioning (the checkpointed frame scans as an ExistingRDD with
+unknown partitioning — measured on Spark 4.1, eager and lazy alike), so
+a join/agg that "rides" a pre-checkpoint repartition actually pays hidden
+ENSURE_REQUIREMENTS exchanges plus sort-merge sorts every round. The
+min-label loop therefore (a) folds the "own label" term into the message
+join itself via SELF-LOOP edges, so each iterate is consumed exactly ONCE
+(a second reference would re-derive the whole step subtree — lazy
+checkpoints don't dedupe until an action runs) and the left-outer
+join + coalesce disappears, and (b) re-establishes partitioning with ONE
+explicit repartition per checkpointed input per action; the second step
+of a double round rides the first step's aggregation partitioning with
+no further exchange, and identical repartition subtrees inside one
+action are deduped by ReuseExchange.
 """
 
 from __future__ import annotations
@@ -50,7 +65,13 @@ def connected_components(
     Min-label propagation: every node starts labeled with itself; each round
     every node takes the min of its own and its neighbors' labels; stop when
     a round changes nothing (or after ``max_iter`` — a diameter bound, far
-    above any near-dup component's)."""
+    above any near-dup component's).
+
+    One step is ONE message join + ONE aggregation: the symmetric edge
+    list is augmented with a self-loop per node, so ``min(labels of
+    neighbors ∪ self)`` is a plain groupBy over the join output —
+    algebraically identical to the old join + left-outer + coalesce
+    formulation, with the label frame consumed exactly once per step."""
     # checkpoint the projected edges BEFORE the symmetric union: the edge
     # input is typically an expensive pair-generation pipeline, and the
     # union's two branches would otherwise each evaluate it
@@ -61,62 +82,77 @@ def connected_components(
     # pipeline runs exactly once
     n_part = _edge_partitions(e.count())
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    # hash-partition the loop inputs on their join keys at the edge-sized
-    # width: the per-iteration join reuses this partitioning instead of
-    # re-shuffling at the session default (scoped alternative to mutating
-    # spark.sql.shuffle.partitions — VERDICT r3 nit #3)
-    sym = sym.repartition(n_part, "a").localCheckpoint(eager=False)
-    # ONE exchange for the label init: hash-partition on node first, then
-    # dropDuplicates rides that partitioning (distinct-then-repartition paid
-    # a second width-aligning exchange)
-    labels = (
+    # node set: ONE exchange (hash on node, then dropDuplicates rides it)
+    nodes = (
         sym.select(F.col("a").alias("node"))
         .repartition(n_part, "node")
         .dropDuplicates(["node"])
-        .select("node", F.col("node").alias("cluster_id"))
         .localCheckpoint(eager=False)
     )
+    # self-loops make the message join deliver each node's OWN label along
+    # with its neighbors' — the "min with own label" and the presence of
+    # message-less nodes both come for free, and the label iterate is
+    # referenced exactly once per step
+    # pre-shuffle BEFORE the checkpoint: the partitioning metadata is lost
+    # either way, but the checkpointed BLOCKS land in n_part partitions —
+    # an unshuffled checkpoint stores one near-empty block per upstream
+    # partition and every loop action then launches that many tiny tasks
+    # just to re-read it (measured 33-task 0.24s map stages per round vs
+    # 0.04s single-task ones)
+    sym_sl = (
+        sym.unionByName(
+            nodes.select(F.col("node").alias("a"), F.col("node").alias("b"))
+        )
+        .repartition(n_part, "a")
+        .localCheckpoint(eager=False)
+    )
+    labels = nodes.select("node", F.col("node").alias("cluster_id"))
     LAST_ROUNDS["minlabel"] = 0
 
-    def _propagate(lbl: DataFrame) -> DataFrame:
-        """One min-label step; extra columns on ``lbl`` ride through.
-        No output repartition: the left join below is node⟷node over two
-        n_part-wide inputs, so its result is already hash-partitioned on
-        node at n_part — an explicit repartition was one redundant
-        exchange per round."""
-        l = lbl.select("node", "cluster_id")
-        neighbor_min = (
-            sym.join(l, sym["a"] == l["node"])
-            .select(F.col("b").alias("node"), "cluster_id")
-            .repartition(n_part, "node")
-            .groupBy("node")
-            .agg(F.min("cluster_id").alias("nbr_min"))
+    def _step(sym_p: DataFrame, lbl: DataFrame) -> DataFrame:
+        """One min-label step over ``lbl`` (node, cluster_id, __old).
+        ``sym_p`` is hash-partitioned on ``a`` at n_part; ``lbl`` must be
+        hash-partitioned on ``node`` at n_part so the message join is
+        co-partitioned (shuffled-hash, label side build — unique keys, no
+        skew, bounded per-partition build). The output is hash-partitioned
+        on node at n_part via the aggregation's explicit exchange, so the
+        SECOND step of a double round rides with no label-side exchange."""
+        msgs = sym_p.join(lbl.hint("shuffle_hash"), sym_p["a"] == lbl["node"]).select(
+            F.col("b").alias("node"),
+            F.col("cluster_id"),
+            # only the self-loop row carries __old — exactly one per node
+            F.when(sym_p["a"] == F.col("b"), lbl["__old"]).alias("__old"),
         )
-        keep = [c for c in lbl.columns if c not in ("node", "cluster_id")]
-        return lbl.join(neighbor_min, "node", "left").select(
-            "node",
-            F.least(
-                F.col("cluster_id"),
-                F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
-            ).alias("cluster_id"),
-            *keep,
+        return (
+            msgs.repartition(n_part, "node")
+            .groupBy("node")
+            .agg(
+                F.min("cluster_id").alias("cluster_id"),
+                F.max("__old").alias("__old"),
+            )
         )
 
     # TWO propagation steps per driver round, ONE convergence count: on the
     # shallow near-dup graphs this loop serves, the per-round driver action
     # (the count that also materializes the checkpoint) costs more wall time
-    # than the tiny join+agg it gates, so halving the action count halves
-    # the fixed-point overhead. Labels only ever decrease, so "no change
-    # across the double step" implies the intermediate step was also a
-    # fixed point — convergence detection is unchanged. Worst case one
-    # extra (idempotent) propagation executes. Both steps lazily checkpoint,
-    # so lineage still truncates every step and the intermediate result is
-    # materialized once, not re-derived by the second step's two references.
+    # than the tiny message aggregations it gates, so halving the action
+    # count halves the fixed-point overhead. Labels only ever decrease, so
+    # "no change across the double step" implies the intermediate step was
+    # also a fixed point — convergence detection is unchanged. Worst case
+    # one extra (idempotent) propagation executes.
     for _ in range((max_iter + 1) // 2):
-        cur = labels.withColumn("__old", F.col("cluster_id"))
+        # both loop inputs come from checkpoints (unknown partitioning):
+        # ONE explicit repartition each per double round; step 2 reuses
+        # step 1's sym_p exchange via ReuseExchange and rides step 1's
+        # output partitioning on the label side
+        sym_p = sym_sl.repartition(n_part, "a")
+        cur = labels.select(
+            "node", "cluster_id", F.col("cluster_id").alias("__old")
+        ).repartition(n_part, "node")
         for _half in range(2):
             LAST_ROUNDS["minlabel"] += 1
-            cur = _propagate(cur).localCheckpoint(eager=False)
+            cur = _step(sym_p, cur)
+        cur = cur.localCheckpoint(eager=False)
         changed = cur.filter(F.col("cluster_id") != F.col("__old")).count()
         labels = cur.drop("__old")
         if changed == 0:
@@ -129,6 +165,7 @@ def connected_components_star(
     src: str = "id1",
     dst: str = "id2",
     max_iter: int = 25,
+    assume_distinct: bool = False,
 ) -> tuple[DataFrame, int]:
     """Alternating large-star/small-star CC (Kiveris et al., SOCC'14) —
     the high-diameter scale path. Same output contract as
@@ -139,15 +176,20 @@ def connected_components_star(
     its closed neighborhood. small-star: every node hooks its smaller-or-
     equal neighbors (and itself) onto that minimum. Each round halves tall
     trees; converges in O(log^2 n) rounds on any graph. Per round: two
-    groupBy + two join shuffles over the edge list plus a distinct —
-    all sized to the edge count, no driver-side data.
+    groupBy + two join shuffles over the edge list plus a distinct — all
+    sized to the edge count, no driver-side data. Pass
+    ``assume_distinct=True`` when the caller's edge list already has no
+    duplicate (src, dst) rows (every pair generator in this repo emits
+    distinct pairs): the init dedup exchange and its extra
+    checkpoint+count are skipped entirely.
     """
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .localCheckpoint(eager=False)
     )
-    n_part = _edge_partitions(e.count())
+    n_edges = e.count()
+    n_part = _edge_partitions(n_edges)
 
     def large_star(ed: DataFrame) -> DataFrame:
         sym = ed.unionByName(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -165,7 +207,7 @@ def connected_components_star(
         # distinct doesn't.
         return (
             sym.filter(F.col("v") > F.col("u"))
-            .join(mins, "u")
+            .join(mins.hint("shuffle_hash"), "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
 
@@ -175,7 +217,9 @@ def connected_components_star(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         ).repartition(n_part, "u")
         mins = d.groupBy("u").agg(F.min("v").alias("m"))
-        hooked = d.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+        hooked = d.join(mins.hint("shuffle_hash"), "u").select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
         self_hook = mins.select(F.col("u"), F.col("m").alias("v"))
         return (
             hooked.unionByName(self_hook)
@@ -184,20 +228,26 @@ def connected_components_star(
         )
 
     rounds = 0
-    cur = e.select("u", "v").distinct().localCheckpoint(eager=False)
-    n_cur = cur.count()
+    if assume_distinct:
+        # the caller guarantees no duplicate (u, v) rows; e is the round-0
+        # edge set as-is — no dedup exchange, no second checkpoint/count
+        cur, n_cur = e, n_edges
+    else:
+        cur = e.select("u", "v").distinct().localCheckpoint(eager=False)
+        n_cur = cur.count()
     for _ in range(max_iter):
         rounds += 1
         nxt = small_star(large_star(cur)).localCheckpoint(eager=False)
         # convergence = edge set unchanged. Two-tier check: the count (one
         # cheap action that ALSO materializes the checkpoint) rules out
-        # change in the common case; only equal counts pay the exact
-        # symmetric difference — and that runs as ONE action (union of the
-        # two anti-directions), not two separate exceptAll jobs
+        # change in the common case; only equal counts pay an exact check —
+        # and since both sides are deduplicated sets of EQUAL SIZE, ONE
+        # anti-join direction suffices (|A|=|B| and A∖B=∅ ⟹ A=B); the
+        # old symmetric difference ran both exceptAll directions for
+        # nothing.
         n_nxt = nxt.count()
         if n_nxt == n_cur:
-            sym_diff = nxt.exceptAll(cur).unionByName(cur.exceptAll(nxt))
-            if sym_diff.isEmpty():
+            if nxt.join(cur, ["u", "v"], "left_anti").isEmpty():
                 cur = nxt
                 break
         cur, n_cur = nxt, n_nxt
@@ -236,11 +286,15 @@ def pagerank_fixed_point(
     associative. The tiny mass lost to flooring is deleted, not
     redistributed (documented bias ≤ N*iterations/PR_SCALE).
 
-    Scale shape: per iteration one join of ranks onto the edge list (hash
-    on src) and one groupBy(dst) sum — both sized to the edge count via
-    ``repartition``; the only driver-side value is the edge count. Dangling
-    nodes keep only their damped base share (their mass is dropped — the
-    standard sink-handling simplification, stated so the oracle matches).
+    Scale shape: per iteration one co-partitioned shuffled-hash join of
+    ranks onto the edge list plus one groupBy(node) sum over the messages
+    UNIONED with per-node zero rows from the CONSTANT node frame (the
+    zero row keeps rank rows for nodes with no in-edges — same semantics
+    as the old nodes-left-join + coalesce, one exchange instead of three,
+    and the rank iterate is consumed exactly once per iteration so the
+    unmaterialized lineage chain stays linear). Dangling nodes keep only
+    their damped base share (their mass is dropped — the standard
+    sink-handling simplification, stated so the oracle matches).
 
     Returns (node, rank_fp BIGINT) for every node appearing as src or dst.
     """
@@ -250,53 +304,55 @@ def pagerank_fixed_point(
         .localCheckpoint(eager=False)
     )
     n_part = _edge_partitions(e.count())
-    e = e.repartition(n_part, "s").localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("s").alias("node"))
         .unionByName(e.select(F.col("d").alias("node")))
-        .distinct()
         .repartition(n_part, "node")
+        .dropDuplicates(["node"])
         .localCheckpoint(eager=False)
     )
     n_nodes = nodes.count()
     base = PR_SCALE // n_nodes
     # fold out-degree into the edge list ONCE — the per-iteration join is
-    # then ranks ⋈ edges only (one join + one agg per iteration, both
-    # hash-partitioned on their keys at the edge-sized width)
-    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-    # no repartition: e is hash-partitioned on s at n_part, deg's agg rides
-    # that partitioning, and the s⟷s join of the two keeps it — an explicit
-    # repartition here was one redundant exchange (the CC-loop lesson)
-    e_deg = e.join(deg, "s").localCheckpoint(eager=False)
+    # then ranks ⋈ edges only (deg rides e's explicit exchange)
+    e_p = e.repartition(n_part, "s")
+    deg = e_p.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    e_deg = e_p.join(deg.hint("shuffle_hash"), "s").localCheckpoint(eager=False)
+    # ONE explicit post-checkpoint repartition, shared by every iteration's
+    # join via ReuseExchange (the checkpoint erased the partitioning)
+    e_deg_p = e_deg.repartition(n_part, "s")
+    zero_rows = nodes.select("node", F.lit(0).cast("long").alias("c"))
     ranks = nodes.select("node", F.lit(base).cast("long").alias("rank_fp"))
     teleport = (100 - damping_pct) * base // 100
     for i in range(iterations):
-        contrib = (
-            e_deg.join(ranks.withColumnRenamed("node", "s"), "s")
+        msgs = (
+            e_deg_p.join(
+                ranks.withColumnRenamed("node", "s")
+                .repartition(n_part, "s")
+                .hint("shuffle_hash"),
+                "s",
+            )
             .select(
                 F.col("d").alias("node"),
                 F.expr("rank_fp div deg").alias("c"),
             )
+        )
+        # zero rows from the constant node frame keep every node present —
+        # the exact stand-in for the old left join + coalesce(in_sum, 0)
+        ranks = (
+            msgs.unionByName(zero_rows)
             .repartition(n_part, "node")
             .groupBy("node")
-            .agg(F.sum("c").alias("in_sum"))
-        )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
+            .agg(
                 (
                     F.lit(teleport)
-                    + F.expr(
-                        f"({damping_pct} * coalesce(in_sum, 0L)) div 100"
-                    )
-                ).cast("long").alias("rank_fp"),
+                    + F.expr(f"({damping_pct} * sum(c)) div 100")
+                ).cast("long").alias("rank_fp")
             )
         )
         # each iterate is consumed exactly ONCE (by the next iteration's
         # join), so per-iteration checkpoints buy no reuse — they only cost
-        # a node-sized cache write and an extra stage barrier each round
-        # (q100: 5.3 -> 4.1 s median at sf0.1 without them). Lineage is
+        # a cache write and an extra stage barrier each round. Lineage is
         # still truncated every 4th iteration (the q358 cadence) so plans
         # stay bounded for ANY requested iteration count.
         if (i + 1) % 4 == 0 and i + 1 < iterations:
@@ -323,21 +379,22 @@ def personalized_pagerank_fixed_point(
 
     Same exactness contract: floor divisions, BIGINT addition, pinned
     iteration count — bit-identical on any engine/partitioning. Same
-    scale shape: per iteration one ranks⋈edges join + one groupBy(dst)
-    agg at edge-sized width.
-    """
+    loop shape as ``pagerank_fixed_point``: messages ∪ constant zero
+    rows, one aggregation per iteration; the zero rows come from the
+    flagged node frame so the per-node is_seed teleport term rides the
+    same aggregation (exactly one flagged row per node, messages carry
+    NULL, max() recovers the flag)."""
     e = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .distinct()
         .localCheckpoint(eager=False)
     )
     n_part = _edge_partitions(e.count())
-    e = e.repartition(n_part, "s").localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("s").alias("node"))
         .unionByName(e.select(F.col("d").alias("node")))
-        .distinct()
         .repartition(n_part, "node")
+        .dropDuplicates(["node"])
         .localCheckpoint(eager=False)
     )
     seed_nodes = (
@@ -350,41 +407,55 @@ def personalized_pagerank_fixed_point(
     if n_seeds == 0:
         raise ValueError("personalized_pagerank: no seed intersects the graph")
     base = PR_SCALE // n_seeds
-    # no repartitions below: nodes is hash-partitioned on node at n_part so
-    # the node⟷node left join keeps that partitioning, and e/deg are both
-    # partitioned on s — the explicit repartitions were redundant exchanges
-    # (the CC-loop lesson)
-    flagged = nodes.join(
-        seed_nodes.withColumn("is_seed", F.lit(True)), "node", "left"
-    ).select("node", F.coalesce("is_seed", F.lit(False)).alias("is_seed"))
-    flagged = flagged.localCheckpoint(eager=False)
-    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-    e_deg = e.join(deg, "s").localCheckpoint(eager=False)
+    # seed flags onto the node frame; the seed set is small by contract
+    # (a handful of query nodes), so broadcast — the node side is never
+    # reshuffled for this join
+    flagged = (
+        nodes.join(
+            F.broadcast(seed_nodes.withColumn("is_seed", F.lit(True))),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce("is_seed", F.lit(False)).alias("is_seed"))
+        .localCheckpoint(eager=False)
+    )
+    e_p = e.repartition(n_part, "s")
+    deg = e_p.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    e_deg = e_p.join(deg.hint("shuffle_hash"), "s").localCheckpoint(eager=False)
+    e_deg_p = e_deg.repartition(n_part, "s")
     seed_teleport = (100 - damping_pct) * base // 100
+    zero_rows = flagged.select(
+        "node", F.lit(0).cast("long").alias("c"), "is_seed"
+    )
     ranks = flagged.select(
         "node",
         F.when(F.col("is_seed"), F.lit(base)).otherwise(F.lit(0)).cast("long").alias("rank_fp"),
     )
     for i in range(iterations):
-        contrib = (
-            e_deg.join(ranks.withColumnRenamed("node", "s"), "s")
-            .select(F.col("d").alias("node"), F.expr("rank_fp div deg").alias("c"))
-            .repartition(n_part, "node")
-            .groupBy("node")
-            .agg(F.sum("c").alias("in_sum"))
-        )
-        ranks = (
-            flagged.join(contrib, "node", "left")
+        msgs = (
+            e_deg_p.join(
+                ranks.withColumnRenamed("node", "s")
+                .repartition(n_part, "s")
+                .hint("shuffle_hash"),
+                "s",
+            )
             .select(
-                "node",
-                (
-                    F.when(F.col("is_seed"), F.lit(seed_teleport)).otherwise(F.lit(0))
-                    + F.expr(f"({damping_pct} * coalesce(in_sum, 0L)) div 100")
-                ).cast("long").alias("rank_fp"),
+                F.col("d").alias("node"),
+                F.expr("rank_fp div deg").alias("c"),
+                F.lit(None).cast("boolean").alias("is_seed"),
             )
         )
-        # same cadence as pagerank_fixed_point: each iterate has exactly one
-        # consumer, so checkpoint only every 4th iteration to bound lineage
+        ranks = (
+            msgs.unionByName(zero_rows)
+            .repartition(n_part, "node")
+            .groupBy("node")
+            .agg(
+                (
+                    F.when(F.max("is_seed"), F.lit(seed_teleport)).otherwise(F.lit(0))
+                    + F.expr(f"({damping_pct} * sum(c)) div 100")
+                ).cast("long").alias("rank_fp")
+            )
+        )
         if (i + 1) % 4 == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks

@@ -2998,7 +2998,9 @@ def q90_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = _neardup_corpus(spark, sf_dir)
     pairs = D.ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.6)
-    cc, _rounds = connected_components_star(pairs, "id1", "id2")
+    # ngram_jaccard_pairs emits distinct (id1 < id2) rows — skip the
+    # engine's init dedup exchange and its extra checkpoint+count
+    cc, _rounds = connected_components_star(pairs, "id1", "id2", assume_distinct=True)
     return cc.select(
         F.col("node").alias("doc_id"),
         "cluster_id",
