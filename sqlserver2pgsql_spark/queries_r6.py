@@ -2467,7 +2467,11 @@ def q396_stream_watermark_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         from .streaming import run_stream_to_memory
 
-        run_stream_to_memory(agg, "q396_out", output_mode="append")
+        # the final watermark eviction that emits the last finalizable
+        # windows happens IN the trailing no-data batch — keep it
+        run_stream_to_memory(
+            agg, "q396_out", output_mode="append", final_no_data_batch=True
+        )
         return spark.sql(
             "SELECT window.start AS window_start, n_events, sum_cents "
             "FROM q396_out ORDER BY window_start"

@@ -271,7 +271,12 @@ def test_outer_stream_join_withholds_unevicted_tail(spark):
     j = sc.withWatermark("click_ts", delay).join(
         sp.withWatermark("purchase_ts", delay), cond(), "left_outer"
     )
-    run_stream_to_memory(j, "loj_pin", output_mode="append")
+    # OUTER stream joins emit their NULL rows from the final watermark's
+    # eviction, which runs in the trailing no-data batch — like q396's
+    # append aggregation, this pin needs that batch kept
+    run_stream_to_memory(
+        j, "loj_pin", output_mode="append", final_no_data_batch=True
+    )
     got = spark.sql("select * from loj_pin")
 
     ev = spark.read.parquet(f"{sf}/events.parquet")
