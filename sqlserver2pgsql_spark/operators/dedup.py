@@ -102,6 +102,15 @@ def ngram_jaccard_pairs(
     # is unreachable
     post = shingle_postings(df, id_col, text_col, n).localCheckpoint(eager=False)
     sizes = post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    # attach each doc's shingle-set size to its postings (doc-count-sized
+    # broadcast) so the LENGTH FILTER can run per emitted pair, BEFORE the
+    # intersection-count exchange: J(A,B) = I/(n1+n2-I) with I <= min, so
+    # J >= t forces min(n1,n2) >= t * max(n1,n2) — pairs that fail cannot
+    # reach the threshold and are dropped pre-shuffle (34% of the pair
+    # stream on the sf0.1 near-dup corpus; zero false drops for ANY t).
+    postn = post.join(
+        F.broadcast(sizes.withColumnRenamed("n_shingles", "__n")), "doc_id"
+    )
     # pair generation via the shared bounded generator (operators/pairs.py):
     # a window count over the pair join's own exchange caps hot shingles
     # BEFORE the codegen equi-join emits pairs. The previous
@@ -110,10 +119,24 @@ def ngram_jaccard_pairs(
     # measured pathological on q247 — and ran 3.4-4.6 s for the q18 pair
     # core at sf0.1 vs 2.2-2.5 s for this join (cold 10.0 -> 2.5 s);
     # identical pair multiset (ordered in-group doc pairs, groups of 1
-    # emit nothing, groups over the cap dropped).
+    # emit nothing, groups over the cap dropped). The doc ids ride as
+    # (id, n) structs so the size columns survive the generator.
     pairs = grouped_pairs(
-        post, "shingle", "doc_id", left="id1", right="id2",
+        postn.select(
+            "shingle", F.struct(F.col("doc_id"), F.col("__n")).alias("dn")
+        ),
+        "shingle", "dn", left="d1", right="d2",
         max_group=max_group, assume_distinct=True,
+    ).filter(
+        # at I = min the jaccard IS min/max (n1+n2-min = max), so this is
+        # the FINAL filter's own double expression evaluated at the best
+        # possible intersection — a pair passing the final filter always
+        # passes here (same division, same comparison; no epsilon games)
+        F.least(F.col("d1.__n"), F.col("d2.__n")).cast("double")
+        / F.greatest(F.col("d1.__n"), F.col("d2.__n")).cast("double")
+        >= F.lit(float(threshold))
+    ).select(
+        F.col("d1.doc_id").alias("id1"), F.col("d2.doc_id").alias("id2")
     )
     inter = pairs.groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("n_inter"))
     sa = sizes.select(F.col("doc_id").alias("id1"), F.col("n_shingles").alias("n1"))
