@@ -104,9 +104,17 @@ def replicate_dir(spark, sf_dir: str, out_dir: str, replicas: int) -> None:
             rep = rep.drop("__r")
         else:
             rep = df  # tiny dims join by unshifted keys; keep one copy
-        rep.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"{table}.parquet")
+        # the table loader (and the real testdata layout) expects ONE
+        # parquet FILE per table, not a directory
+        tmp = os.path.join(out_dir, f"__w_{table}")
+        rep.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
         )
+        os.replace(
+            os.path.join(tmp, part), os.path.join(out_dir, f"{table}.parquet")
+        )
+        shutil.rmtree(tmp)
 
 
 def main() -> None:
