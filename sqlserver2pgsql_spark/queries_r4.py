@@ -5171,39 +5171,78 @@ def q168_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     n·ln(n) term is round(9)-pinned (libm ln differs in the last ulp
     between engines) then summed as DECIMAL(28,15) — order-free, so any
     partitioning gives the identical sum — and the remaining float chain
-    is fixed-order, round(6). Shape: one explode + two hash aggs; the
-    (doc, bigram) table is the only shuffle that grows with the corpus."""
+    is fixed-order, round(6).
+
+    Shape: the whole computation is DOC-LOCAL — sort the doc's bigram
+    array and fold run lengths in one pass, so the per-(doc, bigram)
+    count table (the only corpus-growing shuffle of the explode + two
+    hash aggs formulation) never exists; the only exchange left is the
+    5000-row output sort. The decimal accumulator adds the identical
+    round(9)-pinned terms the hash-agg version summed (decimal addition
+    is exact, and per-doc Σ n·ln n is far below the 28,15 envelope), so
+    the result is bit-identical."""
     d = _t(spark, sf_dir, "documents")
     # docs shorter than 2 chars have no bigram: the filter mirrors the
     # oracle's empty range(1, len) for len < 2 (Spark's sequence() would
     # otherwise run DESCENDING for len-1 < 1 and fabricate grams)
-    grams = d.filter(F.length("text") >= 2).select(
-        "doc_id",
-        F.explode(
+    stats = (
+        d.filter(F.length("text") >= 2)
+        # the corpus parquet is a handful of input splits; without a spread
+        # the per-doc folds all land on one task. Explicit width = executor
+        # cores (cluster-adaptive, exempt from AQE's small-bytes coalescing
+        # which would fold this CPU-bound stage back to one partition).
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
             F.expr(
-                "transform(sequence(1, length(text) - 1),"
-                " i -> substring(text, i, 2))"
-            )
-        ).alias("bg"),
-    )
-    counts = grams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("n"))
-    t = F.sum("n").cast("long")
-    nlnn = F.sum(
-        F.round(F.col("n") * F.log(F.col("n").cast("double")), 9)
-        .cast("decimal(28,15)")
-    )
-    return (
-        counts.groupBy("doc_id")
-        .agg(
-            t.alias("n_bigrams"),
-            F.count(F.lit(1)).alias("n_distinct"),
-            F.round(
-                F.log(t.cast("double")) - nlnn.cast("double") / t.cast("double"),
-                6,
-            ).alias("entropy"),
+                "array_sort(transform(sequence(1, length(text) - 1),"
+                " i -> substring(text, i, 2)))"
+            ).alias("s"),
         )
-        .orderBy("doc_id")
+        .select(
+            "doc_id",
+            F.size("s").alias("t"),
+            # fold positions 2..T over the sorted array: extend the current
+            # run on equality, else close it (add the round(9)-pinned
+            # n·ln n term, bump the distinct count); the finish lambda
+            # closes the last run. State run/nd start at 1 = position 1.
+            F.expr(
+                """
+                aggregate(
+                  if(size(s) >= 2, sequence(2, size(s)), array()),
+                  named_struct('acc', CAST(0 AS DECIMAL(28,15)),
+                               'run', CAST(1 AS BIGINT),
+                               'nd', CAST(1 AS BIGINT)),
+                  (st, i) -> IF(
+                    element_at(s, i) = element_at(s, i - 1),
+                    named_struct('acc', st.acc, 'run', st.run + CAST(1 AS BIGINT),
+                                 'nd', st.nd),
+                    named_struct(
+                      'acc', CAST(st.acc
+                             + CAST(round(st.run * ln(CAST(st.run AS DOUBLE)), 9)
+                                    AS DECIMAL(28,15)) AS DECIMAL(28,15)),
+                      'run', CAST(1 AS BIGINT),
+                      'nd', st.nd + CAST(1 AS BIGINT))),
+                  st -> named_struct(
+                    'acc', CAST(st.acc
+                           + CAST(round(st.run * ln(CAST(st.run AS DOUBLE)), 9)
+                                  AS DECIMAL(28,15)) AS DECIMAL(28,15)),
+                    'nd', st.nd))
+                """
+            ).alias("f"),
+        )
     )
+    t = F.col("t").cast("long")
+    return stats.select(
+        "doc_id",
+        t.alias("n_bigrams"),
+        F.col("f.nd").alias("n_distinct"),
+        F.round(
+            F.log(t.cast("double"))
+            - F.col("f.acc").cast("double") / t.cast("double"),
+            6,
+        ).alias("entropy"),
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
