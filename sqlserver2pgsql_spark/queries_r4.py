@@ -8093,55 +8093,64 @@ def q209_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sp"),
     ).select("doc_id", F.col("sp.i").alias("i"), F.col("sp.h").alias("h"))
+    # "appears in >= 2 distinct docs" is exactly min(doc) != max(doc):
+    # min/max partial-aggregate map-side in ONE phase, where countDistinct
+    # plans a two-phase distinct expand (an extra exchange keyed
+    # (h, doc_id) carrying the whole span table)
     dup = (
         spans.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
         .select("h")
     )
     tagged = spans.join(dup.withColumn("is_dup", F.lit(1)), "h", "left")
+    # ONE doc aggregation computes the span counts AND collects the dup-span
+    # positions; the island merge (coalesce overlapping [i, i+7] extents,
+    # sum merged lengths) is a linear fold over the doc's own sorted
+    # position array — dup positions per doc are doc-length-bounded, so the
+    # per-doc window pass, the two-level island aggregation and the
+    # per_doc ⋈ covered join of the previous shape collapse into this agg.
+    # Integer arithmetic throughout — exact.
     per_doc = tagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).cast("long").alias(
             "n_dup_spans"
         ),
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("is_dup") == 1, F.col("i").cast("long"))
+            )
+        ).alias("pos"),
     )
-    marked = tagged.filter(F.col("is_dup") == 1).select(
-        "doc_id", "i", (F.col("i") + 7).alias("e")
-    )
-    w_prev = (
-        W.partitionBy("doc_id")
-        .orderBy("i")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    islands = marked.select(
-        "doc_id",
-        "i",
-        "e",
-        F.when(
-            F.col("i") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)) + 1, 1
-        ).otherwise(0).alias("brk"),
-    ).select(
-        "doc_id",
-        "i",
-        "e",
-        F.sum("brk").over(W.partitionBy("doc_id").orderBy("i")).alias("island"),
-    )
-    covered = (
-        islands.groupBy("doc_id", "island")
-        .agg(F.min("i").alias("mn"), F.max("e").alias("mx"))
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("mx") - F.col("mn") + 1).cast("long").alias(
-            "covered_tokens"
-        ))
+    # fold state: (covered-so-far, current island start, current island end);
+    # mn = -1 marks "no island open yet" (positions are >= 1). Ascending
+    # positions make the running end monotone, so `i > mx + 1` is exactly
+    # the oracle's break condition and the finish lambda closes the last
+    # island. Empty pos folds to 0 = the oracle's coalesce(covered, 0).
+    covered = F.expr(
+        """
+        aggregate(
+          pos,
+          named_struct('cov', CAST(0 AS BIGINT), 'mn', CAST(-1 AS BIGINT),
+                       'mx', CAST(-1 AS BIGINT)),
+          (st, i) -> IF(st.mn < 0,
+                        named_struct('cov', CAST(0 AS BIGINT), 'mn', i,
+                                     'mx', i + CAST(7 AS BIGINT)),
+                        IF(i > st.mx + 1,
+                           named_struct('cov', st.cov + st.mx - st.mn + 1,
+                                        'mn', i, 'mx', i + CAST(7 AS BIGINT)),
+                           named_struct('cov', st.cov, 'mn', st.mn,
+                                        'mx', i + CAST(7 AS BIGINT)))),
+          st -> IF(st.mn < 0, CAST(0 AS BIGINT),
+                   st.cov + st.mx - st.mn + 1))
+        """
     )
     return (
-        per_doc.join(covered, "doc_id", "left")
-        .select(
+        per_doc.select(
             "doc_id",
             "n_spans",
             "n_dup_spans",
-            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            covered.alias("covered_tokens"),
             F.round(
                 F.col("n_dup_spans").cast("double") / F.col("n_spans"), 6
             ).alias("dup_ratio"),
