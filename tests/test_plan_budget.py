@@ -60,7 +60,7 @@ BUDGETS = [
     ("q152_welch_ttest", 2, 0),         # one moment agg + sort
     ("q154_ks_test", 3, 0),             # distinct-value agg + ECDF window + agg
     ("q155_cusum_changepoint", 3, 0),   # pinned cusum + 2 argmax + join
-    ("q156_bootstrap_ci", 0, 0),        # replica agg broadcast-assembled
+    ("q156_bootstrap_ci", 1, 0),        # chunk agg; spread+final are non-keyed
     ("q157_fd_discovery", 8, 0),        # 2-level agg per candidate FD (4x2)
     ("q158_benford_audit", 3, 0),       # digit agg + total + sort
     ("q159_hll_set_algebra", 5, 0),     # register agg + 3 sketch-sized aggs
@@ -75,7 +75,7 @@ BUDGETS = [
     # cadence expose more of the (unchanged-exact) lineage to the static
     # explain — the runtime exchanges are fewer (36 vs 41 jobs/pass)
     ("q167_leakage_safe_split", 7, 0),  # pair-gen pinned; cc join + audit + agg
-    ("q168_char_entropy", 3, 0),        # (doc,bigram) agg + doc agg + sort
+    ("q168_char_entropy", 1, 0),        # doc-local fold; output sort only
     ("q169_pointer_doubling", 1, 0),    # final sort; rounds checkpoint-pinned
     ("q170_last_touch_attribution", 2, 0),  # user window + agg
     ("q171_local_supplier_volume", 2, 0),   # lineitem agg + sort; dims broadcast
