@@ -11647,6 +11647,11 @@ def q250_knn_loo_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         ).alias("n2"),
+    # spread the corpus across cores BEFORE the checkpoint: the embeddings
+    # parquet is one split, and the 400k-pair dot-product crossJoin below
+    # otherwise inherits that single partition for its whole hot loop
+    ).repartition(
+        spark.sparkContext.defaultParallelism
     ).localCheckpoint(eager=False)  # query side + corpus side
     q = norms.filter(F.col("vec_id") % 10 == 0).select(
         F.col("vec_id").alias("qid"),
