@@ -39,6 +39,16 @@ _EXACTDUP_CORPUS_SQL = """
 """
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Rebalance a narrow corpus feed to core-count width before CPU-heavy
+    fan-out (shingle/token explodes, per-token hashing). The documents
+    parquet is a single input split, so without this every consumer's
+    scan-side hot loop runs as ONE task; at scale the same repartition is
+    one row-sized exchange that balances skewed splits ahead of a fan-out
+    whose output dwarfs it."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     toks = X.tokens(F.col("text"))
@@ -49,7 +59,7 @@ def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.slice(toks, 1, F.size(toks) - 5), " ").alias("text"),
         )
     )
-    return d.unionByName(mutated)
+    return _spread(d.unionByName(mutated))
 
 
 def _exactdup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -57,7 +67,7 @@ def _exactdup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     dups = d.filter(F.col("doc_id") % 4 == 0).select(
         (F.col("doc_id") + 10000).alias("doc_id"), "text"
     )
-    return d.unionByName(dups)
+    return _spread(d.unionByName(dups))
 
 
 # --- dedup ------------------------------------------------------------------
