@@ -39,14 +39,7 @@ _EXACTDUP_CORPUS_SQL = """
 """
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Rebalance a narrow corpus feed to core-count width before CPU-heavy
-    fan-out (shingle/token explodes, per-token hashing). The documents
-    parquet is a single input split, so without this every consumer's
-    scan-side hot loop runs as ONE task; at scale the same repartition is
-    one row-sized exchange that balances skewed splits ahead of a fan-out
-    whose output dwarfs it."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+from .sources.tables import spread as _spread  # noqa: E402 — shared core-width rebalance
 
 
 def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:

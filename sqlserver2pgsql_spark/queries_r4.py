@@ -8104,7 +8104,11 @@ def q209_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     span hash (count-distinct-docs), one hash join back, one doc window
     — no suffix array, no global sort; the span table is ~|tokens| rows,
     linear in corpus size."""
-    d = _t(spark, sf_dir, "documents").select(
+    from .sources.tables import spread
+
+    # span hashing is the hot loop and the documents scan is one split —
+    # spread the narrow (id, text) rows before the tokenize + explode
+    d = spread(_t(spark, sf_dir, "documents").select("doc_id", "text")).select(
         "doc_id", F.split(F.lower("text"), " ").alias("t")
     ).filter(F.size("t") >= 8)
     spans = d.select(

@@ -79,6 +79,18 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Rebalance a narrow frame to core-count width ahead of CPU-heavy
+    fan-out (shingle/token explodes, per-row hashing, pair generation).
+
+    The fixture parquet is one row group per table, so a scan is ONE task
+    and any hot loop sitting on it runs single-core no matter the session
+    width; at scale the same repartition is a row-sized exchange that
+    rebalances skewed splits before a fan-out whose output dwarfs it. The
+    width tracks the session's core count — never a constant."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every fixture table as a temp view (mirrors the oracle side,
     where DuckDB pre-registers the same names)."""
