@@ -37,8 +37,28 @@ action are deduped by ReuseExchange.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def _no_aqe(df: DataFrame):
+    """Scope adaptive execution OFF for a loop's driver actions. Every
+    exchange inside these loops is explicitly sized (repartition(n_part) +
+    shuffle_hash hints), so AQE has no decision left to improve — but it
+    re-plans and re-materializes every query stage of every per-round
+    action, which at the loops' small per-round data is pure driver-side
+    latency (guide §5). Set + restored around the loop only; the caller's
+    session conf is untouched afterwards."""
+    spark = df.sparkSession
+    old = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
 
 #: rounds executed by the most recent call of each engine (scale-probe
 #: introspection only — not part of the operator contract)
@@ -79,7 +99,8 @@ def connected_components(
         eager=False
     )
     # the count also materializes the checkpoint so the (expensive) pair
-    # pipeline runs exactly once
+    # pipeline runs exactly once (under the caller's conf — AQE still
+    # shapes the pair pipeline; only the loop below opts out)
     n_part = _edge_partitions(e.count())
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     # node set: ONE exchange (hash on node, then dropDuplicates rides it)
@@ -140,23 +161,24 @@ def connected_components(
     # "no change across the double step" implies the intermediate step was
     # also a fixed point — convergence detection is unchanged. Worst case
     # one extra (idempotent) propagation executes.
-    for _ in range((max_iter + 1) // 2):
-        # both loop inputs come from checkpoints (unknown partitioning):
-        # ONE explicit repartition each per double round; step 2 reuses
-        # step 1's sym_p exchange via ReuseExchange and rides step 1's
-        # output partitioning on the label side
-        sym_p = sym_sl.repartition(n_part, "a")
-        cur = labels.select(
-            "node", "cluster_id", F.col("cluster_id").alias("__old")
-        ).repartition(n_part, "node")
-        for _half in range(2):
-            LAST_ROUNDS["minlabel"] += 1
-            cur = _step(sym_p, cur)
-        cur = cur.localCheckpoint(eager=False)
-        changed = cur.filter(F.col("cluster_id") != F.col("__old")).count()
-        labels = cur.drop("__old")
-        if changed == 0:
-            break
+    with _no_aqe(labels):
+        for _ in range((max_iter + 1) // 2):
+            # both loop inputs come from checkpoints (unknown partitioning):
+            # ONE explicit repartition each per double round; step 2 reuses
+            # step 1's sym_p exchange via ReuseExchange and rides step 1's
+            # output partitioning on the label side
+            sym_p = sym_sl.repartition(n_part, "a")
+            cur = labels.select(
+                "node", "cluster_id", F.col("cluster_id").alias("__old")
+            ).repartition(n_part, "node")
+            for _half in range(2):
+                LAST_ROUNDS["minlabel"] += 1
+                cur = _step(sym_p, cur)
+            cur = cur.localCheckpoint(eager=False)
+            changed = cur.filter(F.col("cluster_id") != F.col("__old")).count()
+            labels = cur.drop("__old")
+            if changed == 0:
+                break
     return labels
 
 
@@ -235,6 +257,11 @@ def connected_components_star(
     else:
         cur = e.select("u", "v").distinct().localCheckpoint(eager=False)
         n_cur = cur.count()
+    # NOTE: the star loop KEEPS AQE (unlike the min-label loop): its
+    # convergence anti-join and the per-round distinct rely on AQE's
+    # runtime broadcast/coalesce decisions — measured q90 6.4 → 9.5 s and
+    # q379 6.2 → 8.8 s with AQE scoped off here, so the job-count saving
+    # is not worth it for this engine.
     for _ in range(max_iter):
         rounds += 1
         nxt = small_star(large_star(cur)).localCheckpoint(eager=False)
