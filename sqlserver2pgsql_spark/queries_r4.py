@@ -2597,24 +2597,43 @@ def q135_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     = twice the fractional average rank), then rho is Pearson over those
     integer ranks with the exact-moment machinery of q134 — no float rank,
     no approximate shortcut (the 6Σd² formula is only valid without ties).
-    Two rank windows + one hash agg."""
+
+    The x side's doubled rank is joined from a VALUE-LEVEL rank table:
+    quantity is a bounded enum (50 distinct values), so its per-row rank
+    comes from a 50-rows-per-group cumsum and a broadcast join — one of
+    the two full-width per-flag sort windows (the dominant stages: 3
+    partitions sorting 200 k rows each) is gone. The y side
+    (near-unique prices) keeps the rank window, identical expression.
+    One window exchange + one hash agg."""
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("flag"),
         F.col("l_quantity").alias("xv"),
         F.col("l_extendedprice").alias("yv"),
     )
     I = "decimal(38,0)"
-    rx = (
-        2 * F.rank().over(W.partitionBy("flag").orderBy("xv"))
-        + F.count(F.lit(1)).over(W.partitionBy("flag", "xv"))
-        - 1
-    ).cast("long").cast(I)
+    # rank() = #strictly-smaller + 1 and tiecount = value-group size, so
+    # 2·rank + c − 1 = 2·cum_before + c + 1 — value-level, exact
+    wv = W.partitionBy("flag").orderBy("xv").rowsBetween(W.unboundedPreceding, -1)
+    vx = (
+        li.groupBy("flag", "xv")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "flag",
+            "xv",
+            (2 * F.coalesce(F.sum("c").over(wv), F.lit(0)) + F.col("c") + 1)
+            .cast("long")
+            .cast(I)
+            .alias("rx"),
+        )
+    )
     ry = (
         2 * F.rank().over(W.partitionBy("flag").orderBy("yv"))
         + F.count(F.lit(1)).over(W.partitionBy("flag", "yv"))
         - 1
     ).cast("long").cast(I)
-    ranked = li.select("flag", rx.alias("rx"), ry.alias("ry"))
+    ranked = li.join(F.broadcast(vx), ["flag", "xv"]).select(
+        "flag", "rx", ry.alias("ry")
+    )
     sums = ranked.groupBy("flag").agg(
         F.count(F.lit(1)).cast(I).alias("n"),
         F.sum("rx").alias("sx"),
