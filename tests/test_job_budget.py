@@ -55,9 +55,10 @@ JOB_BUDGETS = [
     ("q169_pointer_doubling", 29),
     # critical path relaxation rounds: measured 29 jobs.
     ("q266_critical_path", 32),
-    # min-label CC, self-loop message shape (r7): measured 27 jobs; an
-    # extra exchange or barrier per double round adds >= 3.
-    ("q51_dedup_clusters", 30),
+    # min-label CC, self-loop message shape + loop-scoped AQE-off (r7):
+    # measured 15 jobs; an extra exchange or barrier per double round
+    # adds >= 3, and losing the AQE scope roughly doubles the count.
+    ("q51_dedup_clusters", 18),
     # alternating-star CC with assume_distinct init (r7): measured 35.
     ("q90_dedup_clusters_star", 38),
 ]
