@@ -56,11 +56,14 @@ def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _exactdup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NO _spread here (unlike _neardup_corpus): both consumers are light —
+    # q17 is one hash-groupBy (the spread exchange tripled a 0.23 s query)
+    # and q43's per-row scoring is dwarfed by an extra full-text exchange.
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     dups = d.filter(F.col("doc_id") % 4 == 0).select(
         (F.col("doc_id") + 10000).alias("doc_id"), "text"
     )
-    return _spread(d.unionByName(dups))
+    return d.unionByName(dups)
 
 
 # --- dedup ------------------------------------------------------------------
